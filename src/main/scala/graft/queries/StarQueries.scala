@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.olap.StarSchema
+import Exact._
+
+/** SparkEntry wrappers + DuckDB oracles for the star-schema ETL block
+  * (SURVEY.md §2A). Every query ends with an explicit deterministic ORDER BY
+  * mirrored in the oracle so the compare is order-proof.
+  */
+object StarQueries {
+
+  private def dimDate(s: SparkSession, d: String): DataFrame =
+    StarSchema.dimDate(Tables.orders(s, d), "o_orderdate").orderBy("date_key")
+
+  private val dimDateSql = """
+    WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS date_key FROM orders)
+    SELECT dense_rank() OVER (ORDER BY date_key) AS date_sk, date_key,
+           year(date_key) AS year, month(date_key) AS month, day(date_key) AS day,
+           quarter(date_key) AS quarter, week(date_key) AS week
+    FROM d ORDER BY date_key"""
+
+  private def dimCustomer(s: SparkSession, d: String): DataFrame =
+    StarSchema.dimCustomer(Tables.customer(s, d), Tables.nation(s, d),
+                           Tables.region(s, d), Tables.orders(s, d))
+      .orderBy("c_custkey")
+
+  private val dimCustomerSql = """
+    WITH last_order AS (
+      SELECT o_custkey, o_orderpriority AS last_order_priority,
+             o_orderstatus AS last_order_status
+      FROM (SELECT o_custkey, o_orderpriority, o_orderstatus,
+                   row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+            FROM orders) t
+      WHERE rn = 1)
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+           n_name AS nation, r_name AS region,
+           last_order_priority, last_order_status
+    FROM customer
+    LEFT JOIN nation ON c_nationkey = n_nationkey
+    LEFT JOIN region ON n_regionkey = r_regionkey
+    LEFT JOIN last_order lo ON c_custkey = lo.o_custkey
+    ORDER BY c_custkey"""
+
+  private def dimPart(s: SparkSession, d: String): DataFrame =
+    StarSchema.dimPart(Tables.part(s, d)).orderBy("p_partkey")
+
+  private val dimPartSql = """
+    SELECT p_partkey, p_name, p_brand, string_split(p_type, ' ')[1] AS category,
+           p_type, p_size, p_retailprice
+    FROM part ORDER BY p_partkey"""
+
+  private def dimSupplier(s: SparkSession, d: String): DataFrame =
+    StarSchema.dimSupplier(Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))
+      .orderBy("s_suppkey")
+
+  private val dimSupplierSql = """
+    SELECT s_suppkey, s_name, s_acctbal, n_name AS nation, r_name AS region
+    FROM supplier
+    LEFT JOIN nation ON s_nationkey = n_nationkey
+    LEFT JOIN region ON n_regionkey = r_regionkey
+    ORDER BY s_suppkey"""
+
+  private def dimPriority(s: SparkSession, d: String): DataFrame =
+    StarSchema.surrogateDenseRank(Tables.orders(s, d), Seq("o_orderpriority"), "priority_sk")
+      .select(col("priority_sk"), col("o_orderpriority"))
+      .orderBy("o_orderpriority")
+
+  private val dimPrioritySql = """
+    SELECT dense_rank() OVER (ORDER BY o_orderpriority) AS priority_sk, o_orderpriority
+    FROM (SELECT DISTINCT o_orderpriority FROM orders) t
+    ORDER BY o_orderpriority"""
+
+  private def dimShipmode(s: SparkSession, d: String): DataFrame =
+    StarSchema.surrogateDenseRank(Tables.lineitem(s, d),
+                                  Seq("l_returnflag", "l_linestatus"), "shipmode_sk")
+      .select(col("shipmode_sk"), col("l_returnflag"), col("l_linestatus"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val dimShipmodeSql = """
+    SELECT dense_rank() OVER (ORDER BY l_returnflag, l_linestatus) AS shipmode_sk,
+           l_returnflag, l_linestatus
+    FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem) t
+    ORDER BY l_returnflag, l_linestatus"""
+
+  private def factSales(s: SparkSession, d: String): DataFrame =
+    StarSchema.factSales(Tables.lineitem(s, d), Tables.orders(s, d),
+                         Tables.part(s, d), Tables.supplier(s, d))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val factSalesSql = """
+    SELECT l_orderkey, l_linenumber, CAST(o_orderdate AS DATE) AS date_key,
+           o_custkey, l_partkey, l_suppkey, o_orderpriority,
+           l_quantity AS quantity,
+           l_extendedprice * (1.0 - l_discount) AS total_sale,
+           l_extendedprice * (1.0 - l_discount) * l_tax AS tax_amount,
+           l_extendedprice - p_retailprice * l_quantity AS margin
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    ORDER BY l_orderkey, l_linenumber"""
+
+  private def factRiRepair(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    StarSchema.factRiRepair(Tables.lineitem(s, d),
+                            Tables.part(s, d).filter($"p_size" <= 25))
+      .orderBy("brand", "repaired")
+  }
+
+  private val factRiRepairSql = s"""
+    SELECT coalesce(p_brand, 'UNKNOWN') AS brand,
+           CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END AS repaired,
+           COUNT(*) AS n_rows,
+           ${sqlSum("l_quantity")} AS sum_qty
+    FROM lineitem
+    LEFT JOIN (SELECT * FROM part WHERE p_size <= 25) p ON l_partkey = p_partkey
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Latest event per user — the ON CONFLICT DO UPDATE loop as one window. */
+  private def scd1Upsert(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    StarSchema.scd1Latest(Tables.events(s, d), Seq("user_id"), Seq($"event_id".desc))
+      .select($"user_id", $"event_id".as("last_event_id"),
+              unix_micros($"ts").as("last_ts_us"),
+              $"event_type".as("last_event_type"), $"value".as("last_value"))
+      .orderBy("user_id")
+  }
+
+  private val scd1UpsertSql = """
+    SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS last_ts_us,
+           event_type AS last_event_type, value AS last_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          FROM events) t
+    WHERE rn = 1 ORDER BY user_id"""
+
+  /** Targeted incremental re-sync: rebuild only fact slices whose customers
+    * appear in the change stream (mirrors worker-triggered per-record sync,
+    * worker_sync.py:94-108 + sync_oltp_to_olap.py:367-404). The changed-key
+    * set is tiny → broadcast semijoin, so only matching fact partitions are
+    * recomputed. */
+  private def incrementalSync(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val changed = Tables.events(s, d)
+      .filter($"event_type" === "purchase")
+      .select($"user_id").distinct()
+    val orders = Tables.orders(s, d)
+      .join(broadcast(changed), col("o_custkey") === col("user_id"), "left_semi")
+    orders
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy($"o_custkey")
+      .agg(countDistinct($"o_orderkey").as("n_orders"),
+           dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy("o_custkey")
+  }
+
+  private val incrementalSyncSql = s"""
+    SELECT o_custkey, COUNT(DISTINCT o_orderkey) AS n_orders,
+           ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_custkey IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    GROUP BY o_custkey ORDER BY o_custkey"""
+
+  val registry: Seq[Q] = Seq(
+    Q("dim_date", dimDate, Some(dimDateSql)),
+    Q("dim_customer", dimCustomer, Some(dimCustomerSql)),
+    Q("dim_part", dimPart, Some(dimPartSql)),
+    Q("dim_supplier", dimSupplier, Some(dimSupplierSql)),
+    Q("dim_priority", dimPriority, Some(dimPrioritySql)),
+    Q("dim_shipmode", dimShipmode, Some(dimShipmodeSql)),
+    Q("fact_sales", factSales, Some(factSalesSql)),
+    Q("fact_ri_repair", factRiRepair, Some(factRiRepairSql)),
+    Q("scd1_upsert", scd1Upsert, Some(scd1UpsertSql)),
+    Q("incremental_sync", incrementalSync, Some(incrementalSyncSql)))
+}
