@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream operators (batch forms; the streaming pipeline in
+  * `graft.streaming` reuses the same shapes with watermarks).
+  *
+  * These are the set-oriented analogues of the reference's change-worker:
+  * the worker consumes a NOTIFY stream one record at a time
+  * (worker_sync.py:71-108); here the stream is a table and each operator is
+  * one partitioned plan.
+  */
+object Events {
+
+  /** Tumbling-window aggregation: one shuffle on (window, key); partial
+    * aggregation happens map-side so the shuffle carries pre-reduced rows. */
+  def windowed(events: DataFrame, every: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), every).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           graft.queries.Exact.dsum(col("value")).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+              col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization: a session breaks after `gapUs` of silence per
+    * user. Two windows over one shuffle on user_id: a lag to flag session
+    * starts, a running sum to number sessions, then a grouped rollup.
+    * All time arithmetic is in epoch-microsecond longs so results are
+    * engine-exact. */
+  def sessionize(events: DataFrame, gapUs: Long = 30L * 60 * 1000000): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_us")).as("session_start_us"),
+           max(col("ts_us")).as("session_end_us"),
+           count(lit(1)).as("n_events"),
+           graft.queries.Exact.dsum(col("value")).as("sum_value"))
+  }
+
+  /** As-of join: attach to each left row the latest right row whose time is
+    * at-or-before the left's, per key — composed from a tagged union + one
+    * `last(ignoreNulls)` running window. This is the merge-join formulation:
+    * ONE shuffle+sort on (key, time) regardless of sides' sizes, never the
+    * per-key cross product a naive range join would build.
+    *
+    * Right side must be unique per (key, time); callers pre-reduce
+    * (e.g. latest orderkey per day) to keep the match deterministic.
+    *
+    * @param valueCols right-side columns to carry onto matches
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, timeUs: String,
+               valueCols: Seq[String]): DataFrame = {
+    val lTagged = left.withColumn("__evt", lit(1))
+      .select(Seq(col(key), col(timeUs), col("__evt")) ++
+              valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+              left.columns.filterNot(c => c == key || c == timeUs).map(col): _*)
+    val rTagged = right.withColumn("__evt", lit(0))
+      .select(Seq(col(key), col(timeUs), col("__evt")) ++
+              valueCols.map(col) ++
+              left.columns.filterNot(c => c == key || c == timeUs)
+                .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    // right rows sort before left rows at equal time => "at-or-before" match
+    val w = Window.partitionBy(col(key)).orderBy(col(timeUs), col("__evt"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val matchedCols = valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(s"matched_$c"))
+    lTagged.unionByName(rTagged)
+      .select(Seq(col("*")) ++ matchedCols: _*)
+      .filter(col("__evt") === 1)
+      .drop("__evt")
+      .drop(valueCols: _*)
+  }
+}

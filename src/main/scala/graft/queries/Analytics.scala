@@ -73,7 +73,173 @@ object Analytics {
       AND l_discount >= 0.05 AND l_discount <= 0.07
       AND l_quantity < 24"""
 
+  /** TPC-H Q3-style shipping priority: 3-way join, grouped agg, top-N.
+    * customer filter is applied BEFORE the join (pushdown) and the customer
+    * side is a semijoin reduction of orders; lineitem⋈orders shuffles on
+    * orderkey. LIMIT after a total order — at scale Spark runs this as a
+    * TakeOrderedAndProject (no full sort materialization). */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" < lit("1996-03-15 00:00:00").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" > lit("1996-03-15 00:00:00").cast("timestamp"))
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", to_date($"o_orderdate").as("orderdate"), $"o_orderpriority")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .select($"l_orderkey", $"revenue", $"orderdate", $"o_orderpriority")
+      .orderBy($"revenue".desc, $"orderdate", $"l_orderkey")
+      .limit(10)
+  }
+
+  val q3ShippingPrioritySql: String = s"""
+    SELECT l_orderkey,
+           ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+    ORDER BY revenue DESC, orderdate, l_orderkey
+    LIMIT 10"""
+
+  /** TPC-H Q5-style: 6-way snowflake join. region/nation/supplier broadcast;
+    * the co-nation predicate (c_nationkey = s_nationkey) rides the join. */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val region = Tables.region(spark, dir).filter($"r_name" === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+              $"o_orderdate" <  lit("1998-01-01 00:00:00").cast("timestamp"))
+    Tables.lineitem(spark, dir)
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.supplier(spark, dir)),
+            $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name".as("nation"))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"nation")
+  }
+
+  val q5LocalSupplierSql: String = s"""
+    SELECT n_name AS nation,
+           ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name ORDER BY revenue DESC, nation"""
+
+  /** Top-N per group via ranked window — one shuffle on the partition key. */
+  def topnPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"p_brand").orderBy($"p_retailprice".desc, $"p_partkey")
+    Tables.part(spark, dir)
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"p_brand", $"rank", $"p_partkey", $"p_name", $"p_retailprice")
+      .orderBy($"p_brand", $"rank")
+  }
+
+  val topnPerGroupSql: String = """
+    SELECT p_brand, rank, p_partkey, p_name, p_retailprice FROM (
+      SELECT p_brand, p_partkey, p_name, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS rank
+      FROM part) t
+    WHERE rank <= 3 ORDER BY p_brand, rank"""
+
+  /** Running total per customer — exact decimal window sum so every prefix
+    * matches the oracle bit-for-bit. */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey").orderBy($"o_orderkey")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey", to_date($"o_orderdate").as("orderdate"),
+              $"o_totalprice",
+              sum($"o_totalprice".cast(org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)))
+                .over(w).cast("double").as("running_total"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val runningTotalSql: String = """
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate, o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+    FROM orders ORDER BY o_custkey, o_orderkey"""
+
+  /** Multi-level ROLLUP aggregate (year × priority), the cube-style OLAP
+    * report surface. Null grouping rows ordered NULLS FIRST in both engines. */
+  def rollupSales(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select(year($"o_orderdate").as("order_year"), $"o_orderpriority", $"o_totalprice")
+      .rollup($"order_year", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_total"))
+      .orderBy($"order_year".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  val rollupSalesSql: String = s"""
+    SELECT year(o_orderdate) AS order_year, o_orderpriority,
+           COUNT(*) AS n_orders, ${sqlSum("o_totalprice")} AS sum_total
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
+    ORDER BY order_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
+
+  /** Exact distinct counts (the approx/HLL variant is the separate
+    * rows-only query `approx_distinct`). */
+  def distinctCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("n_parts"),
+           countDistinct($"l_suppkey").as("n_supps"),
+           count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  val distinctCountSql: String = """
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** Approximate distinct via HLL++ — the 100 TB path for cardinality
+    * (no exact-distinct shuffle explosion). Rows-only check: HLL estimates
+    * aren't oracle-reproducible across engines. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
+           approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"))
+      .orderBy($"l_returnflag")
+  }
+
   val registry: Seq[Q] = Seq(
     Q("q1_pricing_summary", q1PricingSummary, Some(q1PricingSummarySql)),
-    Q("q6_forecast_revenue", q6ForecastRevenue, Some(q6ForecastRevenueSql)))
+    Q("q3_shipping_priority", q3ShippingPriority, Some(q3ShippingPrioritySql)),
+    Q("q5_local_supplier", q5LocalSupplier, Some(q5LocalSupplierSql)),
+    Q("q6_forecast_revenue", q6ForecastRevenue, Some(q6ForecastRevenueSql)),
+    Q("topn_per_group", topnPerGroup, Some(topnPerGroupSql)),
+    Q("running_total", runningTotal, Some(runningTotalSql)),
+    Q("rollup_sales", rollupSales, Some(rollupSalesSql)),
+    Q("distinct_count", distinctCount, Some(distinctCountSql)),
+    Q("approx_distinct", approxDistinct, None))
 }

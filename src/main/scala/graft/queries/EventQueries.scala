@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.ops.Events
+import Exact._
+
+/** Event-stream batch analytics (SURVEY.md §2B) with DuckDB oracles. All
+  * time math is epoch-microsecond longs on both sides, so ns-vs-us parquet
+  * precision can't skew the compare. */
+object EventQueries {
+
+  private def eventsWindowed(s: SparkSession, d: String): DataFrame =
+    Events.windowed(Tables.events(s, d), "1 hour")
+      .orderBy("window_start_us", "event_type")
+
+  private val eventsWindowedSql = s"""
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+           COUNT(*) AS n_events, ${sqlSum("value")} AS sum_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  private def eventsSessionize(s: SparkSession, d: String): DataFrame =
+    Events.sessionize(Tables.events(s, d))
+      .orderBy("user_id", "session_id")
+
+  private val eventsSessionizeSql = s"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+    flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM (SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+                                       ORDER BY ts_us, event_id) AS prev_ts
+            FROM e) t),
+    sessions AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id, MIN(ts_us) AS session_start_us,
+           MAX(ts_us) AS session_end_us, COUNT(*) AS n_events,
+           ${sqlSum("value")} AS sum_value
+    FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id"""
+
+  /** Each event matched to the latest order at-or-before it for that
+    * customer. Orders are pre-reduced to one per (custkey, day) so the match
+    * is deterministic; the oracle uses DuckDB's native ASOF JOIN. */
+  private def asofJoinQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"user_id".as("k"), unix_micros($"ts").as("t_us"), $"event_id")
+    val ord = graft.olap.StarSchema.scd1Latest(
+        Tables.orders(s, d)
+          .select($"o_custkey".as("k"),
+                  unix_micros($"o_orderdate".cast("timestamp")).as("t_us"),
+                  $"o_orderkey", $"o_totalprice"),
+        Seq("k", "t_us"), Seq($"o_orderkey".desc))
+    Events.asofJoin(ev, ord, "k", "t_us", Seq("o_orderkey", "o_totalprice"))
+      .select($"event_id", $"k".as("user_id"), $"t_us".as("ts_us"),
+              $"matched_o_orderkey", $"matched_o_totalprice")
+      .orderBy("event_id")
+  }
+
+  private val asofJoinSql = """
+    WITH o AS (
+      SELECT k, t_us, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey AS k, epoch_us(o_orderdate) AS t_us, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey, epoch_us(o_orderdate)
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders) t WHERE rn = 1)
+    SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+           o.o_orderkey AS matched_o_orderkey, o.o_totalprice AS matched_o_totalprice
+    FROM events e
+    ASOF LEFT JOIN o ON e.user_id = o.k AND epoch_us(e.ts) >= o.t_us
+    ORDER BY e.event_id"""
+
+  val registry: Seq[Q] = Seq(
+    Q("events_windowed", eventsWindowed, Some(eventsWindowedSql)),
+    Q("events_sessionize", eventsSessionize, Some(eventsSessionizeSql)),
+    Q("asof_join", asofJoinQ, Some(asofJoinSql)))
+}
