@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads as opaque `binary` columns with
+  * typed metadata, plus a batched feature-extraction stage.
+  *
+  * The Spark-side shape is the real deliverable — schema, partitioning, batch
+  * iteration, and the metadata expressions all run distributed and
+  * codegen'd. The media DECODE itself is a deliberate deterministic stub
+  * (`fakeDecodeFeatures`): this container has no image/audio codecs, so the
+  * stub derives a fixed-size feature vector from the payload bytes alone.
+  * Swapping in a real decoder changes only the function body — the
+  * partition-level batching contract (many rows per model/codec
+  * initialization, the same shape `mapInPandas` batches give PySpark) stays.
+  */
+object Multimodal {
+
+  /** A decoded media batch row: payload metadata + extracted features. */
+  final case class MediaFeatures(
+      doc_id: Long,
+      byte_len: Int,
+      magic_hex: String,
+      checksum: Long,
+      features: Array[Float])
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+
+  /** Synthesizes an opaque binary payload column from the documents table
+    * (deterministic: UTF-8 bytes of the text prefixed with a fake container
+    * header) — stands in for real image/audio bytes so the binary-column
+    * plumbing is exercised end to end. */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(lit(Array[Byte](0x47, 0x52, 0x46, 0x54)), col("text").cast("binary"))
+        .as("payload"))
+
+  /** Typed metadata over the binary column — pure expressions (length, magic
+    * bytes, checksum), no decode, scan-speed at any scale. */
+  def metadata(media: DataFrame): DataFrame =
+    media.select(
+      col("doc_id"),
+      length(col("payload")).as("byte_len"),
+      hex(substring(col("payload"), 1, 4)).as("magic_hex"),
+      crc32(col("payload")).as("checksum"))
+
+  /** Deterministic stand-in for a media decoder + feature extractor: folds
+    * payload bytes into `dim` float accumulators. STUB — replace with a real
+    * codec; everything around it (batching, schema, distribution) is real. */
+  private[ops] def fakeDecodeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+    val acc = new Array[Float](dim)
+    var i = 0
+    while (i < payload.length) {
+      acc(i % dim) += (payload(i) & 0xFF) / 255.0f
+      i += 1
+    }
+    acc
+  }
+
+  /** Batched feature extraction over partitions: each executor thread walks
+    * its partition in `batchSize` groups — the once-per-batch block is where
+    * a real pipeline would run a vectorized decode/model call (exactly the
+    * contract of a Pandas-UDF `mapInPandas` stage). Output is a typed
+    * Dataset with the feature vector and metadata columns. */
+  def extractFeatures(media: DataFrame, dim: Int = 8, batchSize: Int = 64)
+      : Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // once-per-batch: codec/model init + vectorized decode goes here
+          batch.iterator.map { r =>
+            val crc = new java.util.zip.CRC32
+            crc.update(r.payload)
+            MediaFeatures(
+              doc_id = r.doc_id,
+              byte_len = r.payload.length,
+              magic_hex = r.payload.take(4).map(b => f"$b%02X").mkString,
+              checksum = crc.getValue,
+              features = fakeDecodeFeatures(r.payload, dim))
+          }
+        }
+      }
+  }
+
+  /** End-to-end multimodal pipeline on the documents table: payload
+    * synthesis → batched feature extraction, summarized to verifiable
+    * per-doc scalars. */
+  def pipeline(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    extractFeatures(withPayload(docs)).toDF()
+      .select(col("doc_id"), col("byte_len"), col("magic_hex"), col("checksum"),
+        aggregate(col("features"), lit(0.0), (a, x) => a + x.cast("double"))
+          .as("feature_sum"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-corpus analysis operators for LLM training-data pipelines: language
+  * ID, quality scoring, token counting, document fingerprinting.
+  *
+  * All operators are pure per-row expression pipelines (higher-order array
+  * functions, no UDFs, no shuffle) — at 100 TB they run scan-speed,
+  * map-side-only, inside whole-stage codegen.
+  */
+object TextAnalysis {
+
+  /** Canonical tokenization shared by every text operator (and mirrored
+    * verbatim in the DuckDB oracles): lowercase, trim, split on single
+    * spaces. */
+  def tokens(text: Column): Column = split(lower(trim(text)), " ")
+
+  /** Per-language stopword marker lists for the n-gram/stopword language-ID
+    * heuristic. Tiny by design — the heuristic is the operator; swapping in
+    * real per-language lexicons is a data change, not a code change. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "en", "du", "les"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "zu", "von", "mit"))
+
+  private def stopHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** Language ID by stopword-hit scoring: per-language hit counts over the
+    * token stream, argmax with a fixed de<en<es<fr precedence on ties and
+    * 'unknown' when nothing hits. One projection, zero shuffles. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = docs.select(
+      col("doc_id"),
+      stopHits(toks, stopwords("en")).as("en_score"),
+      stopHits(toks, stopwords("es")).as("es_score"),
+      stopHits(toks, stopwords("fr")).as("fr_score"),
+      stopHits(toks, stopwords("de")).as("de_score"))
+    scored.withColumn("predicted_lang",
+      when(greatest(col("en_score"), col("es_score"), col("fr_score"), col("de_score")) === 0, "unknown")
+        .when(col("de_score") >= col("en_score") && col("de_score") >= col("es_score") &&
+              col("de_score") >= col("fr_score"), "de")
+        .when(col("en_score") >= col("es_score") && col("en_score") >= col("fr_score"), "en")
+        .when(col("es_score") >= col("fr_score"), "es")
+        .otherwise("fr"))
+  }
+
+  /** Quality scores: length, word count, punctuation ratio, stopword ratio,
+    * mean word length. Per-row double arithmetic (IEEE-deterministic, matches
+    * the oracle bit-for-bit). */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val allStops = stopwords.values.flatten.toSeq.distinct
+    docs.select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(toks).as("n_words"),
+        length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).as("n_punct"),
+        stopHits(toks, allStops).as("n_stop"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("sum_word_len"))
+      .select(col("doc_id"), col("n_chars"), col("n_words"),
+        (col("n_punct").cast("double") / col("n_chars")).as("punct_ratio"),
+        (col("n_stop").cast("double") / col("n_words")).as("stopword_ratio"),
+        (col("sum_word_len").cast("double") / col("n_words")).as("mean_word_len"))
+  }
+
+  /** Token counts: whitespace tokens plus a BPE-ish regex segmentation
+    * (letter runs | digit runs | single non-alnum marks). */
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
+      size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+        .as("bpe_tokens"))
+
+  /** Winnowing-style document fingerprint (Schleimer et al., MOSS): hash
+    * every k-word shingle, slide a window of `w` hashes, keep each window's
+    * minimum — the distinct minima are the fingerprint. Guarantees any match
+    * of length >= w+k-1 words shares a fingerprint hash. Pure array ops per
+    * row; fingerprints are sorted for determinism. */
+  def fingerprint(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        when(size(col("toks")) >= k,
+          transform(sequence(lit(0), size(col("toks")) - k),
+            i => xxhash64(concat_ws(" ",
+              (0 until k).map(j => element_at(col("toks"), i + j + 1)): _*))))
+          .otherwise(array()).as("hashes"))
+      .select(col("doc_id"),
+        when(size(col("hashes")) >= w,
+          array_sort(array_distinct(
+            transform(sequence(lit(0), size(col("hashes")) - w),
+              i => array_min(slice(col("hashes"), i + 1, lit(w)))))))
+          .when(size(col("hashes")) > 0, array_sort(array(array_min(col("hashes")))))
+          .otherwise(array().cast("array<bigint>")).as("fingerprint"))
+      .select(col("doc_id"), col("fingerprint"),
+              size(col("fingerprint")).as("n_hashes"))
+  }
+}
