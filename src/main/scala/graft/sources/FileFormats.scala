@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** CSV/JSON readers with explicit schemas, and the partitioned star-schema
+  * parquet sink.
+  *
+  * Explicit schemas are mandatory at scale: schema inference is an extra
+  * full pass over the data, and inferred types drift between runs.
+  */
+object FileFormats {
+
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+
+  /** Fact-table sink: partitioned by the date key (so every downstream
+    * date-range query prunes partitions at the source) and sorted within
+    * partitions on the join keys (run-length-friendly encoding, rowgroup
+    * skipping via parquet min/max on the sort prefix). */
+  def writeFact(fact: DataFrame, outDir: String,
+                partitionCol: String = "date_key",
+                sortCols: Seq[String] = Seq("l_orderkey", "l_linenumber")): Unit =
+    fact
+      .repartition(col(partitionCol))
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite")
+      .partitionBy(partitionCol)
+      .parquet(outDir)
+
+  /** Dimension sink: small tables, single coalesced file each, no
+    * partitioning (dims broadcast at read time anyway). */
+  def writeDim(dim: DataFrame, outDir: String): Unit =
+    dim.coalesce(1).write.mode("overwrite").parquet(outDir)
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, TextAnalysis}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "THE quick brown fox Jumps over the lazy dog near the river bank TODAY"), // exact dup of 1 after norm
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (4L, "completely different content about spark shuffles and partition pruning results"),
+    (5L, "the quick brown fox jumps over the lazy dog near the river bank today") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup maps normalized duplicates to the smallest doc_id") {
+    val out = Dedup.exact(corpus).orderBy("doc_id").collect()
+    val canon = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(canon(1L) === 1L && canon(2L) === 1L && canon(5L) === 1L)
+    assert(canon(3L) === 3L && canon(4L) === 4L)
+    assert(out.filter(_.getBoolean(2)).map(_.getLong(0)).toSet === Set(2L, 5L))
+  }
+
+  test("ngram Jaccard finds near-dups above threshold, nothing else") {
+    val pairs = Dedup.ngramJaccard(corpus, n = 3, threshold = 0.5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 5L)) && pairs.contains((2L, 5L)))
+    assert(pairs.contains((1L, 3L)), "near-dup (one word changed) must clear 0.5")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("prefix filtering is lossless: minhash LSH and exact join agree on testdata") {
+    val exact = Dedup.ngramJaccard(graft.sources.Tables.documents(spark, sf))
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(graft.sources.Tables.documents(spark, sf))
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(exact === lsh)
+    assert(exact.nonEmpty, "testdata should contain planted near-dup pairs")
+  }
+
+  test("identical texts have identical simhash; hamming to near-dup is small") {
+    val sims = corpus.select($"doc_id", Dedup.simhash(TextAnalysis.tokens($"text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sims(1L) === sims(5L))
+    val hamming13 = java.lang.Long.bitCount(sims(1L) ^ sims(3L))
+    val hamming14 = java.lang.Long.bitCount(sims(1L) ^ sims(4L))
+    assert(hamming13 < hamming14, "near-dup must be closer than unrelated doc")
+  }
+
+  test("simhashDup returns exactly the duplicate pairs at hamming 0") {
+    val pairs = Dedup.simhashDup(corpus, maxHamming = 0)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (1L, 5L), (2L, 5L)))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Events
+import graft.olap.StarSchema
+
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("sessionize splits on gaps larger than the threshold") {
+    val events = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, 11L, ts("2024-01-01 10:10:00"), 1.0), // same session (10 min)
+      (1L, 12L, ts("2024-01-01 11:30:00"), 1.0), // new session (80 min gap)
+      (2L, 20L, ts("2024-01-01 10:00:00"), 1.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val out = Events.sessionize(events)
+      .select("user_id", "session_id", "n_events").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(out === Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("asof join picks latest right row at-or-before, null when none") {
+    val left = Seq((1L, 100L, 1000L), (1L, 150L, 1001L), (1L, 50L, 1002L))
+      .toDF("k", "t_us", "event_id")
+    val right = Seq((1L, 100L, 7L, 9.9), (1L, 120L, 8L, 8.8))
+      .toDF("k", "t_us", "o_orderkey", "o_totalprice")
+    val out = Events.asofJoin(left, right, "k", "t_us", Seq("o_orderkey", "o_totalprice"))
+      .select($"event_id", $"matched_o_orderkey").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(out(1000L) === Some(7L)) // at t=100 the t<=100 latest is key 7 (equal time matches)
+    assert(out(1001L) === Some(8L)) // t=150 -> latest is t=120
+    assert(out(1002L) === None)     // t=50 -> nothing at or before
+  }
+
+  test("scd1Latest keeps exactly the newest row per key") {
+    val df = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "ver", "payload")
+    val out = StarSchema.scd1Latest(df, Seq("k"), Seq($"ver".desc))
+      .select("k", "payload").as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "b", 2L -> "c"))
+  }
+
+  test("windowed aggregation buckets by tumbling window") {
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 10:05:00"), "click", 1.0),
+      (2L, 2L, ts("2024-01-01 10:55:00"), "click", 2.0),
+      (3L, 3L, ts("2024-01-01 11:05:00"), "click", 4.0)
+    ).toDF("user_id", "event_id", "ts", "event_type", "value")
+    val out = Events.windowed(events, "1 hour")
+      .select("window_start_us", "n_events", "sum_value")
+      .as[(Long, Long, Double)].collect().toSet
+    val h10 = ts("2024-01-01 10:00:00").getTime * 1000
+    val h11 = ts("2024-01-01 11:00:00").getTime * 1000
+    assert(out === Set((h10, 2L, 3.0), (h11, 1L, 4.0)))
+  }
+}

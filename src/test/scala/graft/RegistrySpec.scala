@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke + plan-shape checks over the full query registry at sf0.001. */
+class RegistrySpec extends SparkSpec {
+
+  test("registry names are unique and every query returns rows") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.size === names.size)
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"query $name returned no rows")
+    }
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key exists in queries") {
+    val qs = SparkEntry.queries.keySet
+    SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k)))
+  }
+
+  test("q6 pushes all scan predicates into the parquet reader") {
+    val plan = planOf(graft.queries.Analytics.q6ForecastRevenue(spark, sf))
+    assert(plan.contains("PushedFilters:"))
+    assert(plan.contains("IsNotNull(l_shipdate)"))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(plan.contains("LessThan(l_quantity"))
+  }
+
+  test("q3/q5 broadcast their dimension sides") {
+    assert(planOf(graft.queries.Analytics.q3ShippingPriority(spark, sf))
+      .contains("BroadcastHashJoin"))
+    val q5 = planOf(graft.queries.Analytics.q5LocalSupplier(spark, sf))
+    assert(q5.contains("BroadcastHashJoin"))
+  }
+
+  test("fact build broadcasts part and supplier, scans only needed columns") {
+    val plan = planOf(graft.olap.StarSchema.factSales(
+      graft.sources.Tables.lineitem(spark, sf),
+      graft.sources.Tables.orders(spark, sf),
+      graft.sources.Tables.part(spark, sf),
+      graft.sources.Tables.supplier(spark, sf)))
+    assert(plan.contains("BroadcastHashJoin"))
+    // column pruning: the part scan must not read p_name/p_type for the fact
+    val scanLines = plan.linesIterator.filter(_.contains("part.parquet")).mkString
+    assert(!scanLines.contains("p_name"))
+  }
+
+  test("incremental sync is a broadcast semijoin on the changed-key set") {
+    val plan = planOf(SparkEntry.queries("incremental_sync")(spark, sf))
+    assert(plan.contains("LeftSemi"))
+    assert(plan.contains("Broadcast"))
+  }
+}

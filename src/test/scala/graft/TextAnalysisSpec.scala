@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId scores stopword hits and breaks ties deterministically") {
+    val docs = Seq(
+      (1L, "the cat and the hat of doom"),     // en
+      (2L, "el gato y la casa de los perros"), // es ('la','de' also fr — es wins count)
+      (3L, "der hund und die katze von mit"),  // de
+      (4L, "xyzzy plugh quux")                 // nothing
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(docs)
+      .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "es")
+    assert(out(3L) === "de")
+    assert(out(4L) === "unknown")
+  }
+
+  test("quality metrics on a known string") {
+    val docs = Seq((1L, "the cat, the hat!")).toDF("doc_id", "text")
+    val r = TextAnalysis.quality(docs).head()
+    assert(r.getAs[Int]("n_chars") === 17)
+    assert(r.getAs[Int]("n_words") === 4)
+    // punct: ',' and '!' -> 2/17
+    assert(math.abs(r.getAs[Double]("punct_ratio") - 2.0 / 17) < 1e-12)
+    // 'the' twice of 4 words
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 0.5) < 1e-12)
+    // tokens: the(3) cat,(4) the(3) hat!(4) = 14/4
+    assert(math.abs(r.getAs[Double]("mean_word_len") - 3.5) < 1e-12)
+  }
+
+  test("token counts: whitespace vs BPE-ish segmentation") {
+    val docs = Seq((1L, "hello world42 it's x1")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCount(docs).head()
+    assert(r.getAs[Int]("ws_tokens") === 4)
+    // hello | world | 42 | it | ' | s | x | 1
+    assert(r.getAs[Int]("bpe_tokens") === 8)
+  }
+
+  test("fingerprints are deterministic and match iff content matches") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),
+      (3L, "z y x w v u t s r q")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(docs)
+      .select($"doc_id", $"fingerprint").as[(Long, Seq[Long])].collect().toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L).intersect(fp(3L)).isEmpty)
+    assert(fp(1L).nonEmpty && fp(1L) === fp(1L).sorted)
+  }
+
+  test("winnowing guarantee: docs sharing a long run share a fingerprint hash") {
+    // k=3, w=4 -> any shared run of >= w+k-1 = 6 words shares a hash
+    val docs = Seq(
+      (1L, "p q r s t u v w x y"),
+      (2L, "a b c d s t u v w x XX")).toDF("doc_id", "text") // shares "s t u v w x"
+    val fp = TextAnalysis.fingerprint(docs)
+      .select($"doc_id", $"fingerprint").as[(Long, Seq[Long])].collect().toMap
+    assert(fp(1L).intersect(fp(2L)).nonEmpty)
+  }
+}
