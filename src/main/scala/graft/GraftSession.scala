@@ -22,6 +22,12 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // keep plan strings untruncated so pushdown/broadcast assertions (and
+      // humans reading .explain) see every scan filter and read-schema field
+      .config("spark.sql.debug.maxToStringFields", "2000")
+      // scan-node metadata (PushedFilters/ReadSchema) defaults to 100 chars —
+      // too short to see every pushed predicate
+      .config("spark.sql.maxMetadataStringLength", "10000")
       // events.parquet carries TIMESTAMP(NANOS); read as epoch-nanos long
       // (graft.sources.Tables.events converts to microsecond timestamps)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

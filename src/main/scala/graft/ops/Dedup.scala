@@ -29,13 +29,19 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
 
   /** Exact dedup: every doc mapped to the smallest doc_id sharing its
-    * normalized text. One shuffle on the (hashed) norm text; at 100 TB
-    * group-by-hash-of-text keeps shuffle rows narrow (hash + id), never the
-    * document bodies. */
+    * normalized text. The shuffle carries only (hash128, doc_id) — never the
+    * document bodies: texts are reduced map-side to a two-seed 128-bit
+    * xxhash64 pair (collision odds ~n²/2¹²⁹ — negligible at any corpus
+    * size), grouped to the min doc_id per text, and joined back. */
   def exact(docs: DataFrame): DataFrame = {
-    val byText = Window.partitionBy(xxhash64(normText(col("text"))), normText(col("text")))
-    docs.select(col("doc_id"), min(col("doc_id")).over(byText).as("canonical_id"))
-      .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+    val norm = normText(col("text"))
+    val hashed = docs.select(col("doc_id"),
+      xxhash64(norm).as("__h1"), xxhash64(lit(1L), norm).as("__h2"))
+    val canon = hashed.groupBy(col("__h1"), col("__h2"))
+      .agg(min(col("doc_id")).as("canonical_id"))
+    hashed.join(canon, Seq("__h1", "__h2"))
+      .select(col("doc_id"), col("canonical_id"),
+              (col("doc_id") =!= col("canonical_id")).as("is_dup"))
   }
 
   private def jaccard(a: Column, b: Column): Column =
@@ -43,30 +49,39 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity join via lossless prefix filtering
     * (Chaudhuri et al., SSJoin; Bayardo et al., WWW'07 "Scaling Up All
-    * Pairs"): order each shingle set by a global total order (xxhash64), keep
-    * only the first |s|-ceil(t*|s|)+1 shingles as the "prefix" — two sets
-    * with Jaccard >= t MUST share a prefix shingle — then join on prefix
+    * Pairs"): order each shingle set by a global total order, keep only the
+    * first |s|-ceil(t*|s|)+1 shingles as the "prefix" — two sets with
+    * Jaccard >= t MUST share a prefix shingle — then join on prefix
     * shingles, dedupe candidates, and verify exact Jaccard on just those.
     *
-    * Shuffles: one on prefix-shingle hash (candidate generation), one on
-    * doc_id (shingle re-attach). Never materializes the n² pair space; the
-    * size filter t*|A| <= |B| prunes candidates before verification.
+    * The global order is **document-frequency ascending** (rarest-first,
+    * ties by hash), the classic anti-skew refinement: prefixes then hold
+    * each document's RAREST shingles, so candidate-join buckets are bounded
+    * by the df of rare shingles instead of blowing up n²-style on stopword
+    * shingles (a random-hash order puts frequent shingles in prefixes and
+    * creates hot buckets on skewed real text). Costs one extra counting
+    * pass — two narrow shuffles (df count, df re-attach) — which is the
+    * right trade at 100 TB.
+    *
+    * The prefix guarantee holds under ANY fixed total order, so the pair
+    * output is identical to the random-order formulation (and to the
+    * all-pairs oracle); only the candidate count changes.
     */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sh = docs
       .select(col("doc_id"), shingles(TextAnalysis.tokens(col("text")), n).as("s"))
       .filter(size(col("s")) > 0)
-    val withPrefix = sh.select(
-      col("doc_id"), col("s"), size(col("s")).as("sz"),
-      slice(
-        array_sort(transform(col("s"), s => struct(xxhash64(s).as("h"), s.as("g")))),
-        lit(1),
-        (size(col("s")) - ceil(lit(threshold) * size(col("s"))).cast("int") + 1))
-        .as("prefix"))
-    val tokensOut = withPrefix
-      .select(col("doc_id"), col("sz"), explode(col("prefix.h")).as("h"))
-    val a = tokensOut.toDF("d1", "sz1", "h")
-    val b = tokensOut.toDF("d2", "sz2", "h")
+    val ex = sh.select(col("doc_id"), size(col("s")).as("sz"), explode(col("s")).as("g"))
+      .select(col("doc_id"), col("sz"), xxhash64(col("g")).as("h"))
+    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val prefixes = ex.join(dfreq, "h")
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ordered"))
+      .select(col("doc_id"), col("sz"),
+        explode(slice(col("ordered.h"), lit(1),
+          (col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 1))).as("h"))
+    val a = prefixes.toDF("d1", "sz1", "h")
+    val b = prefixes.toDF("d2", "sz2", "h")
     val candidates = a.join(b,
         a("h") === b("h") && a("d1") < b("d2") &&
         b("sz2") >= ceil(lit(threshold) * a("sz1")) &&
@@ -86,33 +101,40 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** MinHash signature column: hash family member i is xxhash64 re-keyed by
-    * (base shingle hash, i, seed) — i.e. an independent-ish permutation per
-    * slot without the classic a*x+b modular form (which wraps 64-bit
-    * arithmetic and trips ANSI overflow checks). Pure per-row array math —
-    * the signature costs O(perms × shingles) compute but zero shuffle. */
-  def minhashSignature(sh: Column, numPerms: Int = 128, seed: Long = 42L): Column = {
-    val hs = transform(sh, s => xxhash64(s))
-    array((0 until numPerms).map { i =>
-      array_min(transform(hs, h => xxhash64(h, lit(i.toLong), lit(seed))))
-    }: _*)
-  }
-
-  /** MinHash+LSH near-dup join: shingle → 128-perm minhash signature → 16
-    * bands of 8 rows → band-bucket join → exact-Jaccard verification.
+  /** MinHash+LSH near-dup join: shingle → 128-perm minhash signature → 32
+    * bands of 4 rows → band-bucket join → exact-Jaccard verification.
     *
-    * With b=16, r=8 a pair at J=0.8 is missed with probability
-    * (1-0.8^8)^16 ≈ 2e-2 … so the default uses b=32, r=4:
+    * Hash family member i is xxhash64 re-keyed by (base shingle hash, i,
+    * seed) — an independent-ish permutation per slot without the classic
+    * a*x+b modular form (which wraps 64-bit arithmetic and trips ANSI
+    * overflow checks).
+    *
+    * The signature is built codegen-style: explode shingles, hash each ONCE,
+    * then one hash-aggregate computing all 128 `min(xxhash64(h, i, seed))`
+    * columns — Spark's higher-order array functions (`transform`/
+    * `aggregate`) are CodegenFallback (interpreted per row), so the explode
+    * + HashAggregate formulation runs the 128-way permutation inside
+    * whole-stage codegen instead. Map-side partial aggregation collapses
+    * each doc to one 128-long signature row before the (narrow) doc_id
+    * shuffle.
+    *
+    * Recall: with b=32, r=4 a pair at J=0.8 is missed with probability
     * (1-0.8^4)^32 ≈ 5e-8 — effectively total recall at the threshold, and
-    * precision is exact because candidates are verified. The shuffle carries
-    * only (band, bandHash, doc_id) — never signatures or text. */
+    * precision is exact because candidates are verified. The candidate
+    * shuffle carries only (band, bandHash, doc_id) — never signatures or
+    * text. */
   def minhashLsh(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                  bands: Int = 32, rows: Int = 4, seed: Long = 42L): DataFrame = {
     val sh = docs
       .select(col("doc_id"), shingles(TextAnalysis.tokens(col("text")), n).as("s"))
       .filter(size(col("s")) > 0)
-    val sig = sh.select(col("doc_id"),
-      minhashSignature(col("s"), bands * rows, seed).as("sig"))
+    val ex = sh.select(col("doc_id"), explode(col("s")).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+    val mins = (0 until bands * rows).map(i =>
+      min(xxhash64(col("h"), lit(i.toLong), lit(seed))).as(s"m$i"))
+    val sig = ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until bands * rows).map(i => col(s"m$i")): _*).as("sig"))
     val banded = sig.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))))))
@@ -138,17 +160,42 @@ object Dedup {
     }.reduce(_ bitwiseOR _)
   }
 
-  /** SimHash near-dup join with pigeonhole bucketing: split the 64-bit
-    * fingerprint into 4×16-bit chunks; any pair within Hamming distance
+  /** SimHash near-dup join with pigeonhole bucketing: split the `bits`-bit
+    * fingerprint into 4 chunks; any pair within Hamming distance
     * maxHamming <= 3 must agree on at least one chunk, so the join on
     * (chunk index, chunk value) is lossless. Verification is a bit_count
-    * over XOR. */
-  def simhashDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val withSim = docs
-      .select(col("doc_id"), simhash(TextAnalysis.tokens(col("text"))).as("simhash"))
+    * over XOR.
+    *
+    * Fingerprints are built codegen-style (explode tokens → hash each once
+    * → one HashAggregate with `bits` signed bit-vote sums) rather than with
+    * per-row `aggregate()` higher-order calls, which are CodegenFallback —
+    * see [[minhashLsh]]. Map-side partial aggregation keeps the doc_id
+    * shuffle narrow (one `bits`-column row per doc per partition).
+    *
+    * @param tokenHash 64-bit-ish hash expression per token. Default
+    *                  xxhash64; pass an md5-derived hash (and bits=60) when
+    *                  an external engine must replay the fingerprint — see
+    *                  graft.queries.DocQueries.
+    * @param bits      fingerprint width; must divide by 4 (chunking).
+    */
+  def simhashDup(docs: DataFrame, maxHamming: Int = 3,
+                 tokenHash: Column => Column = xxhash64(_),
+                 bits: Int = 64): DataFrame = {
+    require(bits % 4 == 0 && bits <= 64, s"bits must be <=64, mod 4: $bits")
+    val chunkBits = bits / 4
+    val ex = docs.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), tokenHash(col("t")).as("h"))
+    val votes = (0 until bits).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b$i"))
+    val withSim = ex.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(i =>
+          when(col(s"b$i") >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("simhash"))
     val chunked = withSim.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(c =>
-          shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+          shiftright(col("simhash"), c * chunkBits)
+            .bitwiseAND((1L << chunkBits) - 1)): _*)))
       .toDF("doc_id", "simhash", "chunk", "chunk_val")
     val l = chunked.toDF("d1", "sim1", "chunk", "chunk_val")
     val r = chunked.toDF("d2", "sim2", "chunk", "chunk_val")

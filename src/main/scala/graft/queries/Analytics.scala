@@ -221,16 +221,32 @@ object Analytics {
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
   /** Approximate distinct via HLL++ — the 100 TB path for cardinality
-    * (no exact-distinct shuffle explosion). Rows-only check: HLL estimates
-    * aren't oracle-reproducible across engines. */
+    * (no exact-distinct shuffle explosion). HLL estimates aren't
+    * oracle-reproducible across engines, so the oracle-checked columns are
+    * the exact counts plus a bounds flag: the estimate (rsd=0.01) must land
+    * within ±5% (5σ) of the exact value — the oracle asserts the flag TRUE.
+    */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, dir)
       .groupBy($"l_returnflag")
-      .agg(approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
+      .agg(countDistinct($"l_partkey").as("exact_parts"),
+           approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
+           countDistinct($"l_orderkey").as("exact_orders"),
            approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"))
+      .select($"l_returnflag", $"exact_parts", $"exact_orders",
+        (abs($"approx_parts" - $"exact_parts") <= $"exact_parts" * 0.05)
+          .as("parts_within_5pct"),
+        (abs($"approx_orders" - $"exact_orders") <= $"exact_orders" * 0.05)
+          .as("orders_within_5pct"))
       .orderBy($"l_returnflag")
   }
+
+  val approxDistinctSql: String = """
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS parts_within_5pct, TRUE AS orders_within_5pct
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
   val registry: Seq[Q] = Seq(
     Q("q1_pricing_summary", q1PricingSummary, Some(q1PricingSummarySql)),
@@ -241,5 +257,5 @@ object Analytics {
     Q("running_total", runningTotal, Some(runningTotalSql)),
     Q("rollup_sales", rollupSales, Some(rollupSalesSql)),
     Q("distinct_count", distinctCount, Some(distinctCountSql)),
-    Q("approx_distinct", approxDistinct, None))
+    Q("approx_distinct", approxDistinct, Some(approxDistinctSql)))
 }

@@ -53,8 +53,24 @@ object DocQueries {
            len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens
     FROM documents ORDER BY doc_id"""
 
+  /** Exploded (doc_id, fp_hash) winnowing fingerprints with the portable md5
+    * shingle hash, so DuckDB can recompute the exact same minima. */
   private def docFingerprint(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy("doc_id")
+    TextAnalysis.fingerprintHashes(Tables.documents(s, d),
+        shingleHash = c => md5(c.cast("binary")))
+      .orderBy("doc_id", "fp_hash")
+
+  private val docFingerprintSql = """
+    WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+    h AS (SELECT doc_id,
+            [md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) for i in range(1, len(w)-1)] AS hs
+          FROM t WHERE len(w) >= 3),
+    f AS (SELECT doc_id, CASE WHEN len(hs) >= 4
+            THEN list_sort(list_distinct(
+                   [list_aggregate(hs[i:i+3], 'min') for i in range(1, len(hs)-2)]))
+            ELSE [list_aggregate(hs, 'min')] END AS fp
+          FROM h)
+    SELECT doc_id, unnest(fp) AS fp_hash FROM f ORDER BY doc_id, fp_hash"""
 
   private def dedupExact(s: SparkSession, d: String): DataFrame =
     Dedup.exact(Tables.documents(s, d)).orderBy("doc_id")
@@ -87,11 +103,92 @@ object DocQueries {
   private def dedupMinhash(s: SparkSession, d: String): DataFrame =
     Dedup.minhashLsh(Tables.documents(s, d)).orderBy("d1", "d2")
 
+  /** SimHash with the portable md5-derived 60-bit token hash (15 hex chars →
+    * bigint), so DuckDB can replay the exact fingerprint + pigeonhole
+    * bucketing. Production default stays xxhash64/64-bit. */
   private def dedupSimhash(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashDup(Tables.documents(s, d)).orderBy("d1", "d2")
+    Dedup.simhashDup(Tables.documents(s, d),
+        tokenHash = t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"),
+        bits = 60)
+      .orderBy("d1", "d2")
+
+  private val SimhashBits = 60
+
+  private lazy val dedupSimhashSql: String = {
+    val chunkBits = SimhashBits / 4
+    val votes = (0 until SimhashBits)
+      .map(i => s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(", ")
+    val fp = (0 until SimhashBits)
+      .map(i => s"(CASE WHEN b$i >= 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END)")
+      .mkString(" | ")
+    s"""
+    WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+    e AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+          FROM (SELECT doc_id, unnest(w) AS tok FROM t)),
+    v AS (SELECT doc_id, $votes FROM e GROUP BY doc_id),
+    f AS (SELECT doc_id, $fp AS simhash FROM v),
+    c AS (SELECT doc_id, simhash, chunk,
+            (simhash >> (chunk * $chunkBits)) & ${(1L << chunkBits) - 1} AS chunk_val
+          FROM f, range(0, 4) r(chunk)),
+    p AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2,
+                 l.simhash AS s1, r.simhash AS s2
+          FROM c l JOIN c r ON l.chunk = r.chunk AND l.chunk_val = r.chunk_val
+                            AND l.doc_id < r.doc_id)
+    SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming FROM p
+    WHERE bit_count(xor(s1, s2)) <= 3 ORDER BY d1, d2"""
+  }
 
   private def dedupEmbedding(s: SparkSession, d: String): DataFrame =
     Similarity.embeddingNearDup(Tables.embeddings(s, d)).orderBy("v1", "v2")
+
+  // -------------------------------------------------------------------------
+  // Same-algorithm LSH oracles: the ±1 hyperplane matrix is embedded as a
+  // literal in the generated SQL, so DuckDB replays the exact banding +
+  // verification the Spark plan runs — an end-to-end cross-engine check of
+  // the whole LSH pipeline (an all-pairs "semantic" oracle is impossible
+  // here: sublinear LSH recall at low cosine is < 1 by design; see
+  // Similarity's scaladoc for the recall model).
+  // -------------------------------------------------------------------------
+  private val LshBands = 32
+  private val LshRows = 12
+
+  private lazy val planesSqlLiteral: String =
+    Similarity.planeMatrix(LshBands * LshRows, 64)
+      .map(_.map(d => if (d > 0) "1" else "-1").mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+
+  private lazy val lshBaseSql: String = s"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),
+    n AS (SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm FROM v),
+    s AS (SELECT vec_id,
+            list_transform($planesSqlLiteral,
+              p -> CASE WHEN list_sum(list_transform(range(1,65), i -> emb[i]*p[i])) >= 0 THEN 1 ELSE 0 END) AS sig
+          FROM n),
+    b AS (SELECT vec_id, band,
+            list_reduce(sig[(band*$LshRows+1):(band*$LshRows+$LshRows)], (acc,x) -> acc*2+x) AS band_val
+          FROM s, range(0, $LshBands) t(band))"""
+
+  private lazy val dedupEmbeddingSql = s"""$lshBaseSql,
+    c AS (SELECT DISTINCT l.vec_id AS v1, r.vec_id AS v2
+          FROM b l JOIN b r ON l.band = r.band AND l.band_val = r.band_val AND l.vec_id < r.vec_id),
+    p AS (SELECT v1, v2,
+            list_sum(list_transform(range(1,65), i -> a.emb[i]*bb.emb[i]))/(a.nrm*bb.nrm) AS cos
+          FROM c JOIN n a ON c.v1 = a.vec_id JOIN n bb ON c.v2 = bb.vec_id)
+    SELECT v1, v2, cos FROM p WHERE cos >= 0.4 ORDER BY v1, v2"""
+
+  private lazy val knnLshSql = s"""$lshBaseSql,
+    qb AS (SELECT vec_id AS query_id, band, band_val FROM b WHERE vec_id < 20),
+    c AS (SELECT DISTINCT b.vec_id, qb.query_id
+          FROM b JOIN qb ON b.band = qb.band AND b.band_val = qb.band_val
+          WHERE b.vec_id <> qb.query_id),
+    scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+                 list_sum(list_transform(range(1,65), i -> a.emb[i]*q.emb[i]))/(a.nrm*q.nrm) AS cos
+               FROM c JOIN n a ON c.vec_id = a.vec_id JOIN n q ON c.query_id = q.vec_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+    SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 5
+    ORDER BY query_id, rank"""
 
   private def queries(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -120,20 +217,37 @@ object DocQueries {
     Similarity.knnLsh(Tables.embeddings(s, d), queries(s, d))
       .orderBy("query_id", "rank")
 
+  /** Metadata half of the multimodal pipeline — every column recomputable by
+    * the oracle from the same bytes (payload = 4-byte 'GRFT' magic + UTF-8
+    * text; DuckDB strlen counts UTF-8 bytes, md5 hashes them). */
   private def multimodalMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.metadata(Multimodal.withPayload(Tables.documents(s, d)))
+      .orderBy("doc_id")
+
+  private val multimodalMetaSql = """
+    SELECT doc_id, 4 + strlen(text) AS byte_len, '47524654' AS magic_hex,
+           md5('GRFT' || text) AS checksum_md5
+    FROM documents ORDER BY doc_id"""
+
+  /** Full pipeline incl. the stubbed batched decoder — feature_sum is not
+    * SQL-oracle-expressible (stub decoder), so this entry is rows-only; the
+    * metadata columns it shares with multimodal_meta ARE oracle-checked
+    * there, and MultimodalSpec pins the two paths to each other. */
+  private def multimodalFeatures(s: SparkSession, d: String): DataFrame =
     Multimodal.pipeline(s, Tables.documents(s, d)).orderBy("doc_id")
 
   val registry: Seq[Q] = Seq(
     Q("lang_id", langId, Some(langIdSql)),
     Q("text_quality", textQuality, Some(textQualitySql)),
     Q("token_count", tokenCount, Some(tokenCountSql)),
-    Q("doc_fingerprint", docFingerprint, None),
+    Q("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
     Q("dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("ngram_jaccard", ngramJaccard, Some(jaccardPairsSql)),
     Q("dedup_minhash", dedupMinhash, Some(jaccardPairsSql)),
-    Q("dedup_simhash", dedupSimhash, None),
-    Q("dedup_embedding", dedupEmbedding, None),
+    Q("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
+    Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
     Q("knn_bruteforce", knnBruteForce, Some(knnBruteForceSql)),
-    Q("knn_lsh", knnLsh, None),
-    Q("multimodal_meta", multimodalMeta, None))
+    Q("knn_lsh", knnLsh, Some(knnLshSql)),
+    Q("multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
+    Q("multimodal_features", multimodalFeatures, None))
 }

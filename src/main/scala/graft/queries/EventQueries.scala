@@ -35,8 +35,10 @@ object EventQueries {
                                        ORDER BY ts_us, event_id) AS prev_ts
             FROM e) t),
     sessions AS (
-      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_id
+      -- CAST: DuckDB integer SUM returns HUGEINT, which pandas canonicalizes
+      -- to float64 (1.0 != Spark's int64 1) — r1's one hash mismatch
+      SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged)
     SELECT user_id, session_id, MIN(ts_us) AS session_start_us,
            MAX(ts_us) AS session_end_us, COUNT(*) AS n_events,

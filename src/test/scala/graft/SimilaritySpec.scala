@@ -32,19 +32,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._1).toSeq === Seq(1, 2, 3, 4))
   }
 
-  test("LSH kNN matches brute-force on the testdata embeddings") {
+  test("LSH kNN with high-recall tuning matches brute-force on testdata") {
     val queries = graft.sources.Tables.embeddings(spark, sf).filter($"vec_id" < 5)
     val data = graft.sources.Tables.embeddings(spark, sf)
     val bf = Similarity.knnBruteForce(data, queries, k = 3)
       .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
-    val lsh = Similarity.knnLsh(data, queries, k = 3)
+    // recall is a tuning knob: b=64 bands of r=4 bits gives miss prob
+    // (1-p^4)^64 ≈ 2e-5 even at cos 0.4, so the exact top-3 must survive —
+    // this pins candidate-generation + verification + top-k logic to the
+    // brute-force baseline. (Production defaults use r=12 for scale; see
+    // Similarity scaladoc for the recall/cost model.)
+    val lsh = Similarity.knnLsh(data, queries, k = 3, bands = 64, rows = 4)
       .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
-    // LSH top-k over verified candidates should recover the exact top-3
-    // at these similarity levels (recall >> 99% per the band analysis)
     assert(lsh === bf)
   }
 
   test("embedding near-dup returns symmetric-free ordered pairs above threshold") {
+    // planted pair (0,1) at cos ≈ 0.995: at production tuning (b=32, r=12)
+    // the miss probability is (1-0.968^12)^32 ≈ 4e-16
     val pairs = Similarity.embeddingNearDup(vecs, threshold = 0.9, dim = 4)
       .select("v1", "v2").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L)))
