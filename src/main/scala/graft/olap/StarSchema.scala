@@ -51,6 +51,15 @@ object StarSchema {
     * map-side, no shuffle, collision odds ~n²/2⁶⁵. */
   def hashKey(cols: Column*): Column = xxhash64(cols: _*)
 
+  /** Live rows of a tombstone-carrying SCD1 state — the delete half of the
+    * reference worker's op=insert/update/delete protocol
+    * (worker_sync.py:96-101): deletes flow through [[scd1Latest]] like any
+    * other change (the state MUST keep tombstone rows, or a late-arriving
+    * older row would resurrect the key on the next merge); reading the
+    * current table filters keys whose latest change is a delete. */
+  def live(state: DataFrame, isDelete: Column): DataFrame =
+    state.filter(!isDelete)
+
   // ---------------------------------------------------------------------
   // Dimensions (on the TPC-H-ish test schema)
   // ---------------------------------------------------------------------
@@ -103,6 +112,24 @@ object StarSchema {
     part.select(col("p_partkey"), col("p_name"), col("p_brand"),
                 split(col("p_type"), " ").getItem(0).as("category"),
                 col("p_type"), col("p_size"), col("p_retailprice"))
+
+  /** Standalone category dimension — mirrors the reference's dim_categoria
+    * (its own table with id/name/attributes, sync_oltp_to_olap.py:71-80),
+    * rather than folding category into the product dim: distinct categories
+    * (head word of p_type) with aggregated descriptive attributes and a
+    * dense-rank surrogate (the post-aggregation input is ≤ dozens of rows,
+    * so the global sort is bounded). */
+  def dimCategory(part: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("category"))
+    part
+      .select(split(col("p_type"), " ").getItem(0).as("category"),
+              col("p_brand"))
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n_parts"),
+           countDistinct(col("p_brand")).as("n_brands"))
+      .withColumn("category_sk", dense_rank().over(w))
+      .select("category_sk", "category", "n_parts", "n_brands")
+  }
 
   /** Supplier dimension snowflaked through nation/region (broadcast). */
   def dimSupplier(supplier: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =

@@ -1,0 +1,74 @@
+package graft.olap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.{FileFormats, Tables}
+
+/** Full-sync orchestration — the Spark form of the reference's
+  * `sync_all` / `sync_oltp_to_olap()` (sync_oltp_to_olap.py:337-345,
+  * 352-414): build every dimension, then the fact, and write the whole star
+  * to a parquet OLAP area through the [[graft.sources.FileFormats]] sinks
+  * (dims single-file, fact partitioned by date_key and sorted within
+  * partitions on the natural key).
+  *
+  * This is the entry point a user of the reference runs first; downstream
+  * queries read the written star back (partition-pruned on date_key,
+  * broadcast-joining the dims).
+  */
+object StarSchemaJob {
+
+  /** One built (not yet written) star. */
+  final case class Star(
+      dimDate: DataFrame,
+      dimCustomer: DataFrame,
+      dimPart: DataFrame,
+      dimCategory: DataFrame,
+      dimSupplier: DataFrame,
+      dimPriority: DataFrame,
+      dimShipmode: DataFrame,
+      factSales: DataFrame) {
+    def dims: Map[String, DataFrame] = Map(
+      "dim_date" -> dimDate,
+      "dim_customer" -> dimCustomer,
+      "dim_part" -> dimPart,
+      "dim_category" -> dimCategory,
+      "dim_supplier" -> dimSupplier,
+      "dim_priority" -> dimPriority,
+      "dim_shipmode" -> dimShipmode)
+  }
+
+  /** Build every dimension + the fact from the OLTP-side tables in `dir`.
+    * Each member is one declarative plan; nothing is computed until
+    * written/consumed. */
+  def build(spark: SparkSession, dir: String): Star = {
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val part = Tables.part(spark, dir)
+    val supplier = Tables.supplier(spark, dir)
+    val nation = Tables.nation(spark, dir)
+    val region = Tables.region(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    Star(
+      dimDate = StarSchema.dimDate(orders, "o_orderdate"),
+      dimCustomer = StarSchema.dimCustomer(customer, nation, region, orders),
+      dimPart = StarSchema.dimPart(part),
+      dimCategory = StarSchema.dimCategory(part),
+      dimSupplier = StarSchema.dimSupplier(supplier, nation, region),
+      dimPriority = StarSchema.surrogateDenseRank(
+        orders, Seq("o_orderpriority"), "priority_sk"),
+      dimShipmode = StarSchema.surrogateDenseRank(
+        lineitem, Seq("l_returnflag", "l_linestatus"), "shipmode_sk"),
+      factSales = StarSchema.factSales(lineitem, orders, part, supplier))
+  }
+
+  /** Build and write the full star under `outDir` (`outDir/dim_*`,
+    * `outDir/fact_sales`). Dims first, fact last — same ordering contract as
+    * the reference (FK targets exist before the fact lands). */
+  def run(spark: SparkSession, srcDir: String, outDir: String): Star = {
+    val star = build(spark, srcDir)
+    star.dims.foreach { case (name, df) =>
+      FileFormats.writeDim(df, s"$outDir/$name")
+    }
+    FileFormats.writeFact(star.factSales, s"$outDir/fact_sales")
+    star
+  }
+}

@@ -109,14 +109,11 @@ object Dedup {
     * a*x+b modular form (which wraps 64-bit arithmetic and trips ANSI
     * overflow checks).
     *
-    * The signature is built codegen-style: explode shingles, hash each ONCE,
-    * then one hash-aggregate computing all 128 `min(xxhash64(h, i, seed))`
-    * columns — Spark's higher-order array functions (`transform`/
-    * `aggregate`) are CodegenFallback (interpreted per row), so the explode
-    * + HashAggregate formulation runs the 128-way permutation inside
-    * whole-stage codegen instead. Map-side partial aggregation collapses
-    * each doc to one 128-long signature row before the (narrow) doc_id
-    * shuffle.
+    * The perms×shingles permutation loop runs in the native codegen'd
+    * [[graft.functions.NativeExpressions.MinHashSignature]] expression —
+    * zero shuffle for the signature (the higher-order `transform`/
+    * `array_min` formulation is CodegenFallback and walks the array once
+    * per permutation, interpreted).
     *
     * Recall: with b=32, r=4 a pair at J=0.8 is missed with probability
     * (1-0.8^4)^32 ≈ 5e-8 — effectively total recall at the threshold, and
@@ -128,13 +125,9 @@ object Dedup {
     val sh = docs
       .select(col("doc_id"), shingles(TextAnalysis.tokens(col("text")), n).as("s"))
       .filter(size(col("s")) > 0)
-    val ex = sh.select(col("doc_id"), explode(col("s")).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("h"))
-    val mins = (0 until bands * rows).map(i =>
-      min(xxhash64(col("h"), lit(i.toLong), lit(seed))).as(s"m$i"))
-    val sig = ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        array((0 until bands * rows).map(i => col(s"m$i")): _*).as("sig"))
+    val sig = sh.select(col("doc_id"),
+      graft.functions.NativeExpressions.minhashSignature(
+        transform(col("s"), s => xxhash64(s)), bands * rows, seed).as("sig"))
     val banded = sig.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))))))

@@ -78,26 +78,18 @@ object Similarity {
     Seq.fill(planes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
-  /** The plane matrix as a nested-array literal column (broadcasts with the
-    * plan — fine up to thousands of planes). */
-  private[ops] def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Column =
-    array(planeMatrix(planes, dim, seed).map(p => array(p.map(lit): _*)): _*)
-
-  /** Sign-random-projection bit signature: bit i = [v · plane_i >= 0]. */
-  def srpSignature(emb: Column, planesCol: Column): Column =
-    transform(planesCol, p => when(dot(emb, p) >= 0, 1L).otherwise(0L))
-
   /** (id, band, band_val) triples: the signature split into `bands` bands of
-    * `rows` bits, each band packed into one bigint (so the candidate join key
-    * is a plain integer any engine reproduces — no engine-specific hash). */
+    * `rows` sign bits, each band packed into one bigint (so the candidate
+    * join key is a plain integer any engine reproduces — no engine-specific
+    * hash). The planes×dim dot-product loop runs in the native codegen'd
+    * [[graft.functions.NativeExpressions.SrpBandValues]] expression — the
+    * higher-order-function formulation is CodegenFallback and costs ~ms per
+    * vector at 384 planes. */
   private def bandValues(prepped: DataFrame, idCol: String,
-                         bands: Int, rows: Int, planes: Column): DataFrame =
+                         bands: Int, rows: Int, planes: Seq[Seq[Double]]): DataFrame =
     prepped
-      .select(col(idCol), srpSignature(col("emb"), planes).as("sig"))
       .select(col(idCol),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => aggregate(slice(col("sig"), b * rows + 1, lit(rows)),
-                         lit(0L), (acc, bit) => acc * 2 + bit))))
+        posexplode(graft.functions.NativeExpressions.srpBandValues(col("emb"), planes, rows)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
 
   /** Random-hyperplane LSH ANN: equality join on (band, band_val) generates
@@ -107,7 +99,7 @@ object Similarity {
     * background will see approximate results — that is the ANN contract. */
   def knnLsh(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
              bands: Int = 32, rows: Int = 12, dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(bands * rows, dim, seed)
+    val planes = planeMatrix(bands * rows, dim, seed)
     val data = prepared(embeddings)
     val q = prepared(queries)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
@@ -133,7 +125,7 @@ object Similarity {
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.4,
                        bands: Int = 32, rows: Int = 12, dim: Int = 64,
                        seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(bands * rows, dim, seed)
+    val planes = planeMatrix(bands * rows, dim, seed)
     val data = prepared(embeddings)
     val banded = bandValues(data, "vec_id", bands, rows, planes)
     val l = banded.toDF("v1", "band", "band_val")

@@ -52,18 +52,29 @@ object TextAnalysis {
 
   /** Quality scores: length, word count, punctuation ratio, stopword ratio,
     * mean word length. Per-row double arithmetic (IEEE-deterministic, matches
-    * the oracle bit-for-bit). */
+    * the oracle bit-for-bit).
+    *
+    * Shape: explode tokens + one hash-aggregate per doc. The per-row
+    * higher-order formulation (`filter(toks, isin)` + `aggregate`) is
+    * CodegenFallback — every token paid an interpreted 31-way isin walk;
+    * exploded, the stopword test compiles to an InSet hash probe and the
+    * whole pipeline stays in whole-stage codegen. Char-level metrics are
+    * computed once per doc BEFORE the explode and carried through. */
   def quality(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
     val allStops = stopwords.values.flatten.toSeq.distinct
     docs.select(
         col("doc_id"),
         length(col("text")).as("n_chars"),
-        size(toks).as("n_words"),
         length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).as("n_punct"),
-        stopHits(toks, allStops).as("n_stop"),
-        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("sum_word_len"))
-      .select(col("doc_id"), col("n_chars"), col("n_words"),
+        explode(tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_chars")).as("n_chars"),
+           first(col("n_punct")).as("n_punct"),
+           count(lit(1)).as("n_words"),
+           sum(when(col("t").isin(allStops: _*), 1L).otherwise(0L)).as("n_stop"),
+           sum(length(col("t"))).as("sum_word_len"))
+      .select(col("doc_id"), col("n_chars"),
+        col("n_words").cast("int").as("n_words"),
         (col("n_punct").cast("double") / col("n_chars")).as("punct_ratio"),
         (col("n_stop").cast("double") / col("n_words")).as("stopword_ratio"),
         (col("sum_word_len").cast("double") / col("n_words")).as("mean_word_len"))

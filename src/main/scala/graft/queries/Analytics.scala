@@ -228,12 +228,19 @@ object Analytics {
     */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.lineitem(spark, dir)
-      .groupBy($"l_returnflag")
+    // exact and HLL distincts deliberately run as SEPARATE aggregations
+    // joined on the (tiny) group set: mixing count(DISTINCT) with
+    // approx_count_distinct in one agg triggers the Expand-based
+    // multi-distinct rewrite, which drags the ~13KB HLL(rsd=0.01) buffer
+    // through the expanded-row aggregate — ~65× slower at sf0.1.
+    val li = Tables.lineitem(spark, dir)
+    val exact = li.groupBy($"l_returnflag")
       .agg(countDistinct($"l_partkey").as("exact_parts"),
-           approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
-           countDistinct($"l_orderkey").as("exact_orders"),
+           countDistinct($"l_orderkey").as("exact_orders"))
+    val approx = li.groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
            approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"))
+    exact.join(approx, "l_returnflag")
       .select($"l_returnflag", $"exact_parts", $"exact_orders",
         (abs($"approx_parts" - $"exact_parts") <= $"exact_parts" * 0.05)
           .as("parts_within_5pct"),

@@ -52,6 +52,17 @@ object StarQueries {
            p_type, p_size, p_retailprice
     FROM part ORDER BY p_partkey"""
 
+  private def dimCategory(s: SparkSession, d: String): DataFrame =
+    StarSchema.dimCategory(Tables.part(s, d)).orderBy("category")
+
+  private val dimCategorySql = """
+    SELECT dense_rank() OVER (ORDER BY category) AS category_sk, category,
+           n_parts, n_brands
+    FROM (SELECT string_split(p_type, ' ')[1] AS category, COUNT(*) AS n_parts,
+                 COUNT(DISTINCT p_brand) AS n_brands
+          FROM part GROUP BY 1) t
+    ORDER BY category"""
+
   private def dimSupplier(s: SparkSession, d: String): DataFrame =
     StarSchema.dimSupplier(Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))
       .orderBy("s_suppkey")
@@ -164,15 +175,74 @@ object StarQueries {
     WHERE o_custkey IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
     GROUP BY o_custkey ORDER BY o_custkey"""
 
+  /** CDC apply with delete semantics: the reference worker's
+    * op=insert/update/delete stream (worker_sync.py:96-101) modeled over the
+    * events table — 'error' events act as tombstones. Latest change wins per
+    * key; keys whose latest change is a delete drop from the live view. */
+  private def cdcApply(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val latest = StarSchema.scd1Latest(Tables.events(s, d), Seq("user_id"),
+      Seq($"event_id".desc))
+    StarSchema.live(latest, $"event_type" === "error")
+      .select($"user_id", $"event_id".as("last_event_id"),
+              unix_micros($"ts").as("last_ts_us"),
+              $"event_type".as("last_event_type"))
+      .orderBy("user_id")
+  }
+
+  private val cdcApplySql = """
+    SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS last_ts_us,
+           event_type AS last_event_type
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          FROM events) t
+    WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id"""
+
+  /** Full-sync roundtrip: run [[StarSchemaJob]] (build + write the whole
+    * star through the parquet sinks), then answer a category/year revenue
+    * query FROM THE WRITTEN STAR (partition-typed date_key, broadcast
+    * dim_part) — proving the sink layer end-to-end against an oracle that
+    * recomputes from the OLTP-side source tables. */
+  private def starRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_star_${math.abs(d.hashCode)}"
+    graft.olap.StarSchemaJob.run(s, d, out)
+    val fact = s.read.parquet(s"$out/fact_sales")
+    val dimPart = s.read.parquet(s"$out/dim_part")
+    fact.join(broadcast(dimPart), fact("l_partkey") === dimPart("p_partkey"))
+      .groupBy($"category", year($"date_key").as("sale_year"))
+      .agg(count(lit(1)).as("n_rows"),
+           dsum($"total_sale").as("sum_total"),
+           dsum($"margin").as("sum_margin"))
+      .orderBy("category", "sale_year")
+  }
+
+  private val starRoundtripSql = s"""
+    WITH f AS (
+      SELECT string_split(p_type, ' ')[1] AS category,
+             year(CAST(o_orderdate AS DATE)) AS sale_year,
+             l_extendedprice * (1.0 - l_discount) AS total_sale,
+             l_extendedprice - p_retailprice * l_quantity AS margin
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey)
+    SELECT category, sale_year, COUNT(*) AS n_rows,
+           ${sqlSum("total_sale")} AS sum_total,
+           ${sqlSum("margin")} AS sum_margin
+    FROM f GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val registry: Seq[Q] = Seq(
     Q("dim_date", dimDate, Some(dimDateSql)),
     Q("dim_customer", dimCustomer, Some(dimCustomerSql)),
     Q("dim_part", dimPart, Some(dimPartSql)),
+    Q("dim_category", dimCategory, Some(dimCategorySql)),
     Q("dim_supplier", dimSupplier, Some(dimSupplierSql)),
     Q("dim_priority", dimPriority, Some(dimPrioritySql)),
     Q("dim_shipmode", dimShipmode, Some(dimShipmodeSql)),
     Q("fact_sales", factSales, Some(factSalesSql)),
     Q("fact_ri_repair", factRiRepair, Some(factRiRepairSql)),
     Q("scd1_upsert", scd1Upsert, Some(scd1UpsertSql)),
-    Q("incremental_sync", incrementalSync, Some(incrementalSyncSql)))
+    Q("cdc_apply", cdcApply, Some(cdcApplySql)),
+    Q("incremental_sync", incrementalSync, Some(incrementalSyncSql)),
+    Q("star_roundtrip", starRoundtrip, Some(starRoundtripSql)))
 }

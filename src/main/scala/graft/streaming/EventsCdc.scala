@@ -31,7 +31,8 @@ object EventsCdc {
     events
       .withWatermark("ts", delay)
       .groupBy(window(col("ts"), every), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+           graft.queries.Exact.dsum(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
               col("n_events"), col("sum_value"))
 

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.olap.StarSchema
+import graft.ops.Events
+import graft.sources.Tables
+import graft.streaming.EventsCdc
+
+/** Structured-Streaming CDC pipeline specs: the streaming operators must
+  * agree with their batch twins (one set of semantics, two execution modes),
+  * and the SCD1 merge must honor delete tombstones without resurrection.
+  */
+class EventsCdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The events table split into 3 TIME-ORDERED parquet files (ascending
+    * modification times) so AvailableNow + maxFilesPerTrigger=1 replays it
+    * as 3 in-order micro-batches — each batch strictly newer than the
+    * previous watermark, so no row is ever late-dropped and the streaming
+    * result must equal the batch one. */
+  private def streamDir(): String = {
+    val dir = Files.createTempDirectory("graft_cdc_stream")
+    val ev = Tables.events(spark, sf).withColumn("b",
+      ntile(3).over(org.apache.spark.sql.expressions.Window
+        .orderBy($"ts", $"event_id")))
+    (1 to 3).foreach { i =>
+      val tmp = Files.createTempDirectory("graft_cdc_tmp").toString
+      ev.filter($"b" === i).drop("b").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, dir.resolve(s"$i.parquet"))
+      Thread.sleep(1000) // distinct mod times => deterministic replay order
+    }
+    dir.toString
+  }
+
+  test("streaming windowed counts agree with the batch operator on finalized windows") {
+    val dir = streamDir()
+    val src = spark.readStream
+      .schema(Tables.events(spark, sf).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = EventsCdc.runWindowed(src, "cdc_windowed")
+    q.awaitTermination()
+    val streamed = spark.table("cdc_windowed")
+      .select(unix_micros($"window_start").as("window_start_us"), $"event_type",
+              $"n_events", $"sum_value")
+      .as[(Long, String, Long, Double)].collect().toSet
+    val batch = Events.windowed(Tables.events(spark, sf))
+      .as[(Long, String, Long, Double)].collect().toSet
+    // append mode emits only watermark-finalized windows: a subset of batch,
+    // and every emitted row must match the batch result exactly
+    assert(streamed.nonEmpty, "no finalized windows emitted")
+    assert(streamed.subsetOf(batch),
+      s"streamed rows disagree with batch: ${streamed.diff(batch).take(3)}")
+  }
+
+  test("streaming SCD1 merge converges to the batch latest-state") {
+    val dir = streamDir()
+    val stateDir = Files.createTempDirectory("graft_cdc_state").toString
+    val ckpt = Files.createTempDirectory("graft_cdc_ckpt").toString
+    val src = spark.readStream
+      .schema(Tables.events(spark, sf).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = EventsCdc.runScd1(spark, src, stateDir, ckpt, keys = Seq("user_id"))
+    q.awaitTermination()
+    val versions = new java.io.File(stateDir).listFiles()
+      .filter(_.getName.startsWith("v=")).map(_.getName.stripPrefix("v=").toLong)
+    assert(versions.nonEmpty)
+    val finalState = spark.read.parquet(s"$stateDir/v=${versions.max}")
+      .select($"user_id", $"event_id").as[(Long, Long)].collect().toSet
+    val batchState = StarSchema.scd1Latest(
+        Tables.events(spark, sf), Seq("user_id"), Seq($"ts".desc, $"event_id".desc))
+      .select($"user_id", $"event_id").as[(Long, Long)].collect().toSet
+    assert(finalState === batchState)
+  }
+
+  test("SCD1 merge keeps tombstones so late-arriving older rows cannot resurrect") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-01 02:00:00")
+    def df(rows: (Long, Long, java.sql.Timestamp, String)*) =
+      rows.toDF("user_id", "event_id", "ts", "op")
+    // batch 1: insert user 1 and 2; batch 2: DELETE user 1;
+    // batch 3 replays an OLD update for user 1 (late arrival)
+    val b1 = df((1L, 10L, t0, "upsert"), (2L, 11L, t0, "upsert"))
+    val b2 = df((1L, 20L, t2, "delete"))
+    val b3 = df((1L, 15L, t1, "upsert"))
+    val keys = Seq("user_id")
+    val s1 = EventsCdc.mergeStep(None, b1, keys)
+    val s2 = EventsCdc.mergeStep(Some(s1), b2, keys)
+    val s3 = EventsCdc.mergeStep(Some(s2), b3, keys)
+    // tombstone survives the late replay...
+    assert(s3.filter($"user_id" === 1L).select($"op").as[String].head() === "delete")
+    // ...so the live view never resurrects user 1
+    val liveUsers = StarSchema.live(s3, $"op" === "delete")
+      .select($"user_id").as[Long].collect().toSet
+    assert(liveUsers === Set(2L))
+  }
+}
