@@ -144,6 +144,62 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** SimHash fingerprint over a token-hash array (duplicates = weights):
+    * bit i of the result is set iff Σ_tokens (±1 by bit i of the token
+    * hash) >= 0 — identical to `bits` signed bit-vote sum aggregates, but
+    * one tight loop and a few hundred bytes of generated code (the
+    * aggregate formulation janino-compiles a 60-column HashAggregate,
+    * seconds of compile time per plan). */
+  case class SimHashBits(child: Expression, bits: Int)
+      extends UnaryExpression {
+    require(bits > 0 && bits <= 64, s"bits must be in 1..64: $bits")
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint>, got $other")
+    }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash_bits"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val a = input.asInstanceOf[ArrayData]
+      val counts = new Array[Int](bits)
+      var s = 0
+      while (s < a.numElements()) {
+        val h = a.getLong(s)
+        var i = 0
+        while (i < bits) {
+          counts(i) += (if (((h >> i) & 1L) == 1L) 1 else -1)
+          i += 1
+        }
+        s += 1
+      }
+      var fp = 0L
+      var i = 0
+      while (i < bits) { if (counts(i) >= 0) fp |= (1L << i); i += 1 }
+      fp
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, arr => {
+        s"""
+        int[] gCounts = new int[$bits];
+        for (int s = 0; s < $arr.numElements(); s++) {
+          long h = $arr.getLong(s);
+          for (int i = 0; i < $bits; i++) {
+            gCounts[i] += (((h >> i) & 1L) == 1L) ? 1 : -1;
+          }
+        }
+        long gFp = 0L;
+        for (int i = 0; i < $bits; i++) { if (gCounts[i] >= 0) gFp |= (1L << i); }
+        ${ev.value} = gFp;
+        """
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): SimHashBits =
+      copy(child = newChild)
+  }
+
   /** Column wrapper: SRP band values of a double-array embedding column. */
   def srpBandValues(emb: Column, planes: Seq[Seq[Double]], rows: Int): Column =
     ColumnBridge.column(
@@ -152,4 +208,8 @@ object NativeExpressions {
   /** Column wrapper: minhash signature of a long-array shingle-hash column. */
   def minhashSignature(hashes: Column, perms: Int, seed: Long): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(hashes), perms, seed))
+
+  /** Column wrapper: simhash fingerprint of a long-array token-hash column. */
+  def simhashBits(hashes: Column, bits: Int): Column =
+    ColumnBridge.column(SimHashBits(ColumnBridge.expression(hashes), bits))
 }

@@ -62,12 +62,19 @@ object StarSchemaJob {
 
   /** Build and write the full star under `outDir` (`outDir/dim_*`,
     * `outDir/fact_sales`). Dims first, fact last — same ordering contract as
-    * the reference (FK targets exist before the fact lands). */
+    * the reference (FK targets exist before the fact lands). The dim writes
+    * are independent Spark jobs, so they are submitted concurrently
+    * (driver threads; the scheduler interleaves their stages across the
+    * cluster instead of running seven small jobs back-to-back). */
   def run(spark: SparkSession, srcDir: String, outDir: String): Star = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
     val star = build(spark, srcDir)
-    star.dims.foreach { case (name, df) =>
-      FileFormats.writeDim(df, s"$outDir/$name")
+    val dimWrites = star.dims.toSeq.map { case (name, df) =>
+      Future(FileFormats.writeDim(df, s"$outDir/$name"))
     }
+    Await.result(Future.sequence(dimWrites), Duration.Inf)
     FileFormats.writeFact(star.factSales, s"$outDir/fact_sales")
     star
   }

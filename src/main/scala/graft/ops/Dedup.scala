@@ -20,13 +20,22 @@ object Dedup {
   def normText(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
-  /** Distinct word n-gram shingle set of a token array (empty when the doc is
-    * shorter than n words). */
-  def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
-      .otherwise(array().cast("array<string>"))
+  /** Distinct word n-gram shingles as (doc_id, g) rows: tokens are exploded
+    * once and shingle strings assembled with `lead` windows (all codegen;
+    * the per-row `transform`+`concat_ws` array formulation is
+    * CodegenFallback and costs ~45µs per shingle interpreted). Docs shorter
+    * than n words emit no rows. */
+  def shingleRows(docs: DataFrame, n: Int): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs.select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))))
+      .toDF("doc_id", "pos", "t")
+      .select(col("doc_id"),
+        concat_ws(" ", (0 until n).map(j => lead(col("t"), j).over(byDoc)): _*).as("g"),
+        lead(col("t"), n - 1).over(byDoc).isNotNull.as("full"))
+      .filter(col("full"))
+      .select(col("doc_id"), col("g"))
+      .distinct()
+  }
 
   /** Exact dedup: every doc mapped to the smallest doc_id sharing its
     * normalized text. The shuffle carries only (hash128, doc_id) — never the
@@ -68,18 +77,16 @@ object Dedup {
     * all-pairs oracle); only the candidate count changes.
     */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), shingles(TextAnalysis.tokens(col("text")), n).as("s"))
-      .filter(size(col("s")) > 0)
-    val ex = sh.select(col("doc_id"), size(col("s")).as("sz"), explode(col("s")).as("g"))
-      .select(col("doc_id"), col("sz"), xxhash64(col("g")).as("h"))
+    val sr = shingleRows(docs, n)
+    val ex = sr.select(col("doc_id"), xxhash64(col("g")).as("h"))
+    val sz = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
     val prefixes = ex.join(dfreq, "h")
-      .groupBy(col("doc_id"), col("sz"))
-      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ordered"))
-      .select(col("doc_id"), col("sz"),
-        explode(slice(col("ordered.h"), lit(1),
-          (col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 1))).as("h"))
+      .withColumn("rk", row_number().over(byRarity))
+      .join(sz, "doc_id")
+      .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 1)
+      .select(col("doc_id"), col("sz"), col("h"))
     val a = prefixes.toDF("d1", "sz1", "h")
     val b = prefixes.toDF("d2", "sz2", "h")
     val candidates = a.join(b,
@@ -87,15 +94,21 @@ object Dedup {
         b("sz2") >= ceil(lit(threshold) * a("sz1")) &&
         a("sz1") >= ceil(lit(threshold) * b("sz2")))
       .select(col("d1"), col("d2")).distinct()
-    verifyJaccard(candidates, sh, threshold)
+    verifyJaccard(candidates, sr, threshold)
   }
 
   /** Attach both sides' shingle sets to candidate (d1, d2) pairs and keep
-    * pairs whose exact Jaccard clears the threshold. */
-  private def verifyJaccard(candidates: DataFrame, sh: DataFrame,
+    * pairs whose exact Jaccard clears the threshold. Shingle sets are
+    * collected ONLY for docs that appear in some candidate pair (semijoin
+    * first) — at corpus scale the verify step touches a vanishing fraction
+    * of documents. */
+  private def verifyJaccard(candidates: DataFrame, sr: DataFrame,
                             threshold: Double): DataFrame = {
-    val s1 = sh.select(col("doc_id").as("d1"), col("s").as("s1"))
-    val s2 = sh.select(col("doc_id").as("d2"), col("s").as("s2"))
+    val cd = candidates.select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
+    val shc = sr.join(cd, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_list(col("g")).as("s"))
+    val s1 = shc.select(col("doc_id").as("d1"), col("s").as("s1"))
+    val s2 = shc.select(col("doc_id").as("d2"), col("s").as("s2"))
     candidates.join(s1, "d1").join(s2, "d2")
       .select(col("d1"), col("d2"), jaccard(col("s1"), col("s2")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -109,11 +122,13 @@ object Dedup {
     * a*x+b modular form (which wraps 64-bit arithmetic and trips ANSI
     * overflow checks).
     *
-    * The perms×shingles permutation loop runs in the native codegen'd
-    * [[graft.functions.NativeExpressions.MinHashSignature]] expression —
-    * zero shuffle for the signature (the higher-order `transform`/
-    * `array_min` formulation is CodegenFallback and walks the array once
-    * per permutation, interpreted).
+    * Shingles arrive as [[shingleRows]] (codegen'd lead-window assembly);
+    * per-doc hash arrays are collected with one narrow doc_id shuffle
+    * (longs only) and the perms×shingles permutation loop runs in the
+    * native codegen'd
+    * [[graft.functions.NativeExpressions.MinHashSignature]] expression (the
+    * higher-order `transform`/`array_min` formulation is CodegenFallback
+    * and walks the array once per permutation, interpreted).
     *
     * Recall: with b=32, r=4 a pair at J=0.8 is missed with probability
     * (1-0.8^4)^32 ≈ 5e-8 — effectively total recall at the threshold, and
@@ -122,12 +137,13 @@ object Dedup {
     * text. */
   def minhashLsh(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                  bands: Int = 32, rows: Int = 4, seed: Long = 42L): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), shingles(TextAnalysis.tokens(col("text")), n).as("s"))
-      .filter(size(col("s")) > 0)
-    val sig = sh.select(col("doc_id"),
-      graft.functions.NativeExpressions.minhashSignature(
-        transform(col("s"), s => xxhash64(s)), bands * rows, seed).as("sig"))
+    val sr = shingleRows(docs, n)
+    val sig = sr
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+      .groupBy(col("doc_id")).agg(collect_list(col("h")).as("hs"))
+      .select(col("doc_id"),
+        graft.functions.NativeExpressions.minhashSignature(
+          col("hs"), bands * rows, seed).as("sig"))
     val banded = sig.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))))))
@@ -137,7 +153,7 @@ object Dedup {
     val candidates = l.join(r, Seq("band", "band_hash"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
-    verifyJaccard(candidates, sh, threshold)
+    verifyJaccard(candidates, sr, threshold)
   }
 
   /** 64-bit SimHash (Charikar; Manku et al., WWW'07): per token-hash bit,
@@ -159,11 +175,12 @@ object Dedup {
     * (chunk index, chunk value) is lossless. Verification is a bit_count
     * over XOR.
     *
-    * Fingerprints are built codegen-style (explode tokens → hash each once
-    * → one HashAggregate with `bits` signed bit-vote sums) rather than with
-    * per-row `aggregate()` higher-order calls, which are CodegenFallback —
-    * see [[minhashLsh]]. Map-side partial aggregation keeps the doc_id
-    * shuffle narrow (one `bits`-column row per doc per partition).
+    * Fingerprints are built by exploding tokens, hashing each once
+    * (codegen'd), collecting per-doc hash arrays through one narrow doc_id
+    * shuffle, and running the bits×tokens vote loop in the native
+    * [[graft.functions.NativeExpressions.SimHashBits]] expression (the
+    * per-row `aggregate()` higher-order form is CodegenFallback, and a
+    * `bits`-column vote aggregate spends seconds in janino per plan).
     *
     * @param tokenHash 64-bit-ish hash expression per token. Default
     *                  xxhash64; pass an md5-derived hash (and bits=60) when
@@ -178,13 +195,9 @@ object Dedup {
     val chunkBits = bits / 4
     val ex = docs.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("t"))
       .select(col("doc_id"), tokenHash(col("t")).as("h"))
-    val votes = (0 until bits).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b$i"))
-    val withSim = ex.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val withSim = ex.groupBy(col("doc_id")).agg(collect_list(col("h")).as("hs"))
       .select(col("doc_id"),
-        (0 until bits).map(i =>
-          when(col(s"b$i") >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-          .reduce(_ bitwiseOR _).as("simhash"))
+        graft.functions.NativeExpressions.simhashBits(col("hs"), bits).as("simhash"))
     val chunked = withSim.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(c =>
           shiftright(col("simhash"), c * chunkBits)

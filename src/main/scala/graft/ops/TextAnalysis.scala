@@ -66,6 +66,11 @@ object TextAnalysis {
         col("doc_id"),
         length(col("text")).as("n_chars"),
         length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).as("n_punct"),
+        col("text"))
+      // explode in a SEPARATE projection: an expression selected alongside a
+      // generator is placed in the Project above the Generate and re-runs
+      // per exploded row — the regexp would execute once per token
+      .select(col("doc_id"), col("n_chars"), col("n_punct"),
         explode(tokens(col("text"))).as("t"))
       .groupBy(col("doc_id"))
       .agg(first(col("n_chars")).as("n_chars"),

@@ -25,14 +25,18 @@ object FileFormats {
 
   /** Fact-table sink: partitioned by the date key (so every downstream
     * date-range query prunes partitions at the source) and sorted within
-    * partitions on the join keys (run-length-friendly encoding, rowgroup
-    * skipping via parquet min/max on the sort prefix). */
+    * partitions on (partition col, join keys). The partition column leads
+    * the sort deliberately: the V1 dynamic-partition writer requires rows
+    * sorted by partition columns and would otherwise INSERT ITS OWN sort,
+    * discarding the join-key order — leading with it satisfies the writer
+    * and keeps rowgroups orderkey-ordered (run-length-friendly encoding,
+    * parquet min/max skipping on the sort prefix). */
   def writeFact(fact: DataFrame, outDir: String,
                 partitionCol: String = "date_key",
                 sortCols: Seq[String] = Seq("l_orderkey", "l_linenumber")): Unit =
     fact
       .repartition(col(partitionCol))
-      .sortWithinPartitions(sortCols.map(col): _*)
+      .sortWithinPartitions((partitionCol +: sortCols).map(col): _*)
       .write.mode("overwrite")
       .partitionBy(partitionCol)
       .parquet(outDir)
