@@ -78,6 +78,34 @@ class EventsCdcSpec extends SparkSpec {
     assert(finalState === batchState)
   }
 
+  test("streaming sessionization equals batch minus each user's still-open session") {
+    val dir = streamDir()
+    val src = spark.readStream
+      .schema(Tables.events(spark, sf).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = graft.streaming.StreamingSessionize.sessions(src)
+      .writeStream.format("memory").queryName("cdc_sessions")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("cdc_sessions")
+      .select("user_id", "session_id", "session_start_us", "session_end_us",
+              "n_events", "sum_value")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    val batch = Events.sessionize(Tables.events(spark, sf))
+      .select("user_id", "session_id", "session_start_us", "session_end_us",
+              "n_events", "sum_value")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    // the stream can never emit a user's LAST session (it is still open in
+    // state when the data ends); everything else must match exactly,
+    // decimal-exact sums included
+    val lastPerUser = batch.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val expected = batch.filterNot { r => lastPerUser(r._1) == r._2 }
+    assert(streamed === expected)
+  }
+
   test("SCD1 merge keeps tombstones so late-arriving older rows cannot resurrect") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val t1 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00")
