@@ -1,6 +1,7 @@
 package graft.olap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.sources.{FileFormats, Tables}
 
 /** Full-sync orchestration — the Spark form of the reference's
@@ -77,5 +78,44 @@ object StarSchemaJob {
     Await.result(Future.sequence(dimWrites), Duration.Inf)
     FileFormats.writeFact(star.factSales, s"$outDir/fact_sales")
     star
+  }
+
+  /** Targeted incremental re-sync — the worker's per-record path
+    * (worker_sync.py:94-108, sync_oltp_to_olap.py:367-404) at partition
+    * grain: rebuild ONLY the fact slices whose customers changed and
+    * overwrite JUST those date partitions in place (dynamic partition
+    * overwrite — untouched partitions keep their files; a full-table
+    * overwrite at 100 TB for a handful of changed orders would be absurd).
+    *
+    * The changed-key set is tiny → broadcast semijoin prunes the rebuild to
+    * matching orders before the fact joins run.
+    *
+    * @return the number of fact rows rewritten
+    */
+  def syncIncremental(spark: SparkSession, srcDir: String, outDir: String,
+                      changedCustKeys: DataFrame): Long = {
+    val orders = Tables.orders(spark, srcDir)
+    // partition-grain rebuild: a date partition is rewritten WHOLE (all
+    // customers on that date), or not at all — overwriting a partition with
+    // only the changed customers' rows would silently drop everyone else's
+    val changedDates = orders
+      .join(broadcast(changedCustKeys.select(col("user_id"))),
+            col("o_custkey") === col("user_id"), "left_semi")
+      .select(to_date(col("o_orderdate")).as("changed_date")).distinct()
+    val ordersOnDates = orders
+      .join(broadcast(changedDates),
+            to_date(col("o_orderdate")) === col("changed_date"), "left_semi")
+    val slice = StarSchema.factSales(
+      Tables.lineitem(spark, srcDir), ordersOnDates,
+      Tables.part(spark, srcDir), Tables.supplier(spark, srcDir))
+    val n = slice.count()
+    slice
+      .repartition(col("date_key"))
+      .sortWithinPartitions(col("date_key"), col("l_orderkey"), col("l_linenumber"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("date_key")
+      .parquet(s"$outDir/fact_sales")
+    n
   }
 }

@@ -46,4 +46,23 @@ class SourcesSpec extends SparkSpec {
     val plan = planOf(fact.filter($"date_key" === java.sql.Date.valueOf("1995-01-01")))
     assert(plan.contains("PartitionFilters") && plan.contains("date_key"))
   }
+
+  test("incremental sync rewrites only affected partitions and preserves the star") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("graft_star_inc").toString
+    graft.olap.StarSchemaJob.run(spark, sf, out)
+    def checksum() = spark.read.parquet(s"$out/fact_sales")
+      .agg(count(lit(1)), graft.queries.Exact.dsum($"total_sale"),
+           graft.queries.Exact.dsum($"margin"))
+      .as[(Long, Double, Double)].head()
+    val before = checksum()
+    // source unchanged => the partition-grain rewrite must be a no-op in
+    // content: identical row count and exact sums, nothing clobbered
+    val changed = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase").select($"user_id").distinct()
+    val rewritten = graft.olap.StarSchemaJob.syncIncremental(spark, sf, out, changed)
+    assert(rewritten > 0 && rewritten < before._1,
+      s"re-sync should touch a strict subset of rows ($rewritten of ${before._1})")
+    assert(checksum() === before)
+  }
 }
