@@ -85,6 +85,33 @@ object TextAnalysis {
         (col("sum_word_len").cast("double") / col("n_words")).as("mean_word_len"))
   }
 
+  /** Repetition-based quality signals (the Gopher-style filters a
+    * training-data pipeline runs to drop degenerate/templated text):
+    * duplicate-word fraction (1 - distinct/total) and the frequency share
+    * of the single most repeated word bigram. Explode + lead windows + two
+    * hash aggregates — all codegen, shuffles keyed on doc_id only. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val ex = docs.select(col("doc_id"), posexplode(tokens(col("text"))))
+      .toDF("doc_id", "pos", "t")
+      .select(col("doc_id"), col("pos"), col("t"),
+        concat_ws(" ", col("t"), lead(col("t"), 1).over(byDoc)).as("bg"),
+        lead(col("t"), 1).over(byDoc).isNotNull.as("has_bg"))
+    val words = ex.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+           countDistinct(col("t")).as("n_distinct"))
+    val topBigram = ex.filter(col("has_bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_bigram_count"), sum(col("c")).as("n_bigrams"))
+    words.join(topBigram, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
+          .as("dup_word_ratio"),
+        (col("top_bigram_count").cast("double") / col("n_bigrams"))
+          .as("top_bigram_ratio"))
+  }
+
   /** Token counts: whitespace tokens plus a BPE-ish regex segmentation
     * (letter runs | digit runs | single non-alnum marks). */
   def tokenCount(docs: DataFrame): DataFrame =

@@ -48,6 +48,39 @@ object DocQueries {
   private def tokenCount(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tokenCount(Tables.documents(s, d)).orderBy("doc_id")
 
+  private def qualityRepetition(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetition(Tables.documents(s, d)).orderBy("doc_id")
+
+  private val qualityRepetitionSql = """
+    WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+    words AS (SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct FROM t),
+    bg AS (SELECT doc_id,
+             unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+           FROM t),
+    hist AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    top AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_count,
+                   CAST(SUM(c) AS BIGINT) AS n_bigrams
+            FROM hist GROUP BY doc_id)
+    SELECT w.doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+           1.0 - n_distinct::DOUBLE / n_tokens AS dup_word_ratio,
+           top_bigram_count::DOUBLE / n_bigrams AS top_bigram_ratio
+    FROM words w LEFT JOIN top USING (doc_id) ORDER BY doc_id"""
+
+  /** Corpus-level token frequency head — the vocabulary/Zipf stats a
+    * pipeline inspects before tokenizer training. */
+  private def tokenTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(explode(TextAnalysis.tokens($"text")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token").limit(100)
+  }
+
+  private val tokenTopKSql = """
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS token FROM documents)
+    GROUP BY token ORDER BY n DESC, token LIMIT 100"""
+
   private val tokenCountSql = raw"""
     SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
            len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens
@@ -240,6 +273,8 @@ object DocQueries {
     Q("lang_id", langId, Some(langIdSql)),
     Q("text_quality", textQuality, Some(textQualitySql)),
     Q("token_count", tokenCount, Some(tokenCountSql)),
+    Q("quality_repetition", qualityRepetition, Some(qualityRepetitionSql)),
+    Q("token_topk", tokenTopK, Some(tokenTopKSql)),
     Q("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
     Q("dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("ngram_jaccard", ngramJaccard, Some(jaccardPairsSql)),

@@ -42,6 +42,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Int]("bpe_tokens") === 8)
   }
 
+  test("repetition signals: duplicated text scores high, diverse text low") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"),
+      (2L, "four distinct words here")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(docs).orderBy("doc_id").collect()
+    assert(r(0).getAs[Int]("n_tokens") === 4)
+    assert(math.abs(r(0).getAs[Double]("dup_word_ratio") - 0.75) < 1e-12)
+    assert(math.abs(r(0).getAs[Double]("top_bigram_ratio") - 1.0) < 1e-12)
+    assert(r(1).getAs[Double]("dup_word_ratio") === 0.0)
+    assert(math.abs(r(1).getAs[Double]("top_bigram_ratio") - 1.0 / 3) < 1e-12)
+  }
+
   test("fingerprints are deterministic and match iff content matches") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"),
