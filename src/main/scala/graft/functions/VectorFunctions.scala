@@ -4,8 +4,12 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Vector math over `array<float|double>` embedding columns, built from
-  * codegen'd higher-order functions (`zip_with`/`aggregate`) — no UDFs, no
-  * serialization boundary, runs inside whole-stage codegen.
+  * higher-order functions (`zip_with`/`aggregate`) — no UDFs, no
+  * serialization boundary. Note Spark's higher-order functions are
+  * CodegenFallback (interpreted lambdas): fine here because these run on
+  * candidate-sized inputs (post-LSH pairs, broadcast query sets); the
+  * signature-building hot loops live in
+  * [[graft.functions.NativeExpressions]] with real `doGenCode`.
   *
   * All folds accumulate left-to-right in double, so results are
   * IEEE-deterministic and reproducible across engines that reduce in the

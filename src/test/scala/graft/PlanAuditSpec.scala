@@ -1,0 +1,55 @@
+package graft
+
+/** Whole-registry physical-plan audit — the 100 TB posture checks that
+  * don't show up in row-level correctness: no accidental cross products, no
+  * unintended nested-loop joins, and scans pruned to the columns an
+  * operator actually uses (documents carries lang/source/n_chars and
+  * embeddings a label column precisely so sloppy scans would be caught).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private lazy val plans: Seq[(String, String)] =
+    SparkEntry.registry.map(q => q.name -> planOf(q.run(spark, sf)))
+
+  test("no query plans a cartesian product") {
+    plans.foreach { case (name, p) =>
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+    }
+  }
+
+  test("nested-loop joins only where the operator intends one") {
+    // knn_bruteforce intentionally broadcast-NL-joins the (tiny) query set
+    // against every vector — that IS the brute-force contract
+    plans.filterNot(_._1 == "knn_bruteforce").foreach { case (name, p) =>
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
+    }
+  }
+
+  test("text operators scan only (doc_id, text) from documents") {
+    Seq("lang_id", "text_quality", "token_count", "doc_fingerprint",
+        "dedup_exact", "ngram_jaccard", "dedup_minhash", "dedup_simhash",
+        "quality_repetition").foreach { name =>
+      val p = plans.toMap.apply(name)
+      assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+        s"$name reads more than (doc_id, text) from documents")
+    }
+    // token_topk needs only text
+    assert(plans.toMap.apply("token_topk").contains("ReadSchema: struct<text:string>"))
+  }
+
+  test("vector operators scan only (vec_id, embedding) from embeddings") {
+    Seq("knn_bruteforce", "knn_lsh", "dedup_embedding").foreach { name =>
+      val p = plans.toMap.apply(name)
+      assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
+        s"$name reads more than (vec_id, embedding) from embeddings")
+    }
+  }
+
+  test("event operators do not read the props payload column") {
+    Seq("events_windowed", "events_sessionize", "scd1_upsert", "cdc_apply")
+      .foreach { name =>
+        val p = plans.toMap.apply(name)
+        assert(!p.contains("props"), s"$name reads events.props needlessly")
+      }
+  }
+}
