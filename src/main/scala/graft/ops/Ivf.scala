@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the second scale path
+  * next to [[Similarity.knnLsh]]: partition the vector space with k-means,
+  * search only the `nprobe` lists whose centroids are closest to each
+  * query. Recall scales smoothly with nprobe (nprobe = nLists ⇒ exact
+  * brute force), and at 100 TB the lists can be written as a bucketed
+  * table so a probe is a partition-pruned scan.
+  *
+  * Everything is deterministic (seed-free): initial centroids are the
+  * lowest vec_ids, Lloyd iterations are a fixed count, ties in assignment
+  * break by centroid id — so index builds are reproducible run to run.
+  *
+  * All steps are DataFrame plans: assignment is a broadcast of the (tiny)
+  * centroid set against the vectors; the centroid update is
+  * explode-by-dimension + one hash aggregate — no driver-side math over
+  * collected vectors.
+  */
+object Ivf {
+
+  /** A fitted index: `centroids` (centroid_id, cvec, cnrm) — small,
+    * broadcastable — and `assignments` (vec_id, centroid_id). */
+  final case class IvfModel(centroids: DataFrame, assignments: DataFrame)
+
+  private def prepared(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+
+  /** Nearest centroid per vector by cosine (ties by centroid id). */
+  private def assign(data: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("centroid_id"))
+    data.join(broadcast(centroids))
+      .select(col("vec_id"), col("centroid_id"),
+        cosinePrenormed(col("emb"), col("cvec"), col("nrm"), col("cnrm")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"))
+  }
+
+  /** Recompute centroids as the per-dimension mean of their members:
+    * explode each member vector by dimension, aggregate (centroid, dim),
+    * re-assemble arrays in dimension order. */
+  private def updateCentroids(data: DataFrame, assignments: DataFrame): DataFrame =
+    data.join(assignments, "vec_id")
+      .select(col("centroid_id"), posexplode(col("emb")))
+      .groupBy(col("centroid_id"), col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .groupBy(col("centroid_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dims"))
+      .select(col("centroid_id"), col("dims.m").as("cvec"))
+      .withColumn("cnrm", norm(col("cvec")))
+
+  /** Build the index: lowest-`nLists` vec_ids seed the centroids, then
+    * `iters` Lloyd rounds. Centroid count should be ~√n; each round is two
+    * linear passes. */
+  def fit(embeddings: DataFrame, nLists: Int, iters: Int = 3): IvfModel = {
+    val data = prepared(embeddings)
+    var centroids = data.orderBy(col("vec_id")).limit(nLists)
+      .select(col("vec_id").as("centroid_id"), col("emb").as("cvec"),
+              col("nrm").as("cnrm"))
+    var assignments: DataFrame = null
+    (1 to iters).foreach { _ =>
+      assignments = assign(data, centroids)
+      centroids = updateCentroids(data, assignments)
+    }
+    IvfModel(centroids, assign(data, centroids))
+  }
+
+  /** Top-k by exact cosine among the members of each query's `nprobe`
+    * closest lists. */
+  def search(model: IvfModel, embeddings: DataFrame, queries: DataFrame,
+             k: Int = 5, nprobe: Int = 4): DataFrame = {
+    val data = prepared(embeddings)
+    val q = prepared(queries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("centroid_id"))
+    val probed = q.join(broadcast(model.centroids))
+      .select(col("query_id"), col("centroid_id"),
+        cosinePrenormed(col("q_emb"), col("cvec"), col("q_nrm"), col("cnrm")).as("ccos"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("centroid_id"))
+    val candidates = model.assignments.join(broadcast(probed), "centroid_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val scored = candidates
+      .join(data, "vec_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosinePrenormed(col("emb"), col("q_emb"), col("nrm"), col("q_nrm")).as("cos"))
+    Similarity.topKPerQuery(scored, k)
+  }
+}

@@ -58,7 +58,7 @@ object Similarity {
 
   /** Two-stage top-k: partial top-k per (partition, query), then a final
     * per-query merge of the k-bounded partials. */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[ops] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val row = struct(col("cos"), (-col("neighbor_id")).as("negid"))
     val partial = scored
       .groupBy(spark_partition_id().as("pid"), col("query_id"))

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.Similarity
+import graft.ops.{Ivf, Similarity}
 import graft.functions.VectorFunctions
 
 class SimilaritySpec extends SparkSpec {
@@ -45,6 +45,29 @@ class SimilaritySpec extends SparkSpec {
     val lsh = Similarity.knnLsh(data, queries, k = 3, bands = 64, rows = 4)
       .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
     assert(lsh === bf)
+  }
+
+  test("IVF search: deterministic, recall rises with nprobe, full probe = brute force") {
+    val data = graft.sources.Tables.embeddings(spark, sf)
+    val queries = data.filter($"vec_id" < 5)
+    val bf = Similarity.knnBruteForce(data, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val model = Ivf.fit(data, nLists = 8, iters = 2)
+    assert(model.centroids.count() === 8)
+    def recallAt(nprobe: Int): Double = {
+      val got = Ivf.search(model, data, queries, k = 5, nprobe = nprobe)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      got.intersect(bf).size.toDouble / bf.size
+    }
+    // probing every list searches every vector => exact
+    assert(recallAt(8) === 1.0)
+    val r2 = recallAt(2)
+    assert(r2 > 0.2, s"nprobe=2 recall unreasonably low: $r2")
+    assert(recallAt(8) >= r2)
+    // determinism: rebuilding the index reproduces the same assignments
+    val again = Ivf.fit(data, nLists = 8, iters = 2)
+    assert(again.assignments.orderBy("vec_id").collect()
+      === model.assignments.orderBy("vec_id").collect())
   }
 
   test("embedding near-dup returns symmetric-free ordered pairs above threshold") {
