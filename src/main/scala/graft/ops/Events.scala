@@ -45,6 +45,28 @@ object Events {
            graft.queries.Exact.dsum(col("value")).as("sum_value"))
   }
 
+  /** Gap-based sessionization through Spark's NATIVE session_window
+    * aggregation (one shuffle, streaming-compatible state shape) — same
+    * session semantics as [[sessionize]] (a gap strictly greater than
+    * `gap` breaks the session) but grouped by the built-in operator
+    * instead of lag/sum windows; emits the same measures minus the
+    * session ordinal (session identity is the window itself).
+    *
+    * Note the boundary convention: session_window merges events strictly
+    * less than `gap` apart, [[sessionize]] keeps ties (delta == gap) in
+    * the same session — identical outputs unless two events land exactly
+    * gap apart (microsecond data: measure-zero; the oracle mirrors
+    * [[sessionize]]'s convention, so a collision would surface as a diff). */
+  def sessionizeNative(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(min(unix_micros(col("ts"))).as("session_start_us"),
+           max(unix_micros(col("ts"))).as("session_end_us"),
+           count(lit(1)).as("n_events"),
+           graft.queries.Exact.dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_start_us"), col("session_end_us"),
+              col("n_events"), col("sum_value"))
+
   /** As-of join: attach to each left row the latest right row whose time is
     * at-or-before the left's, per key — composed from a tagged union + one
     * `last(ignoreNulls)` running window. This is the merge-join formulation:

@@ -203,6 +203,48 @@ object Analytics {
     GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
     ORDER BY order_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
 
+  /** TPC-H Q4-shaped EXISTS: orders with at least one returned lineitem,
+    * counted by priority — planned as a LEFT SEMI join on the orderkey the
+    * filtered lineitem side is already clustered by (no decorrelation
+    * gymnastics, no double-counting risk from a plain join). */
+  def q4PrioritySemi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val returned = Tables.lineitem(spark, dir)
+      .filter($"l_returnflag" === "R").select($"l_orderkey")
+    Tables.orders(spark, dir)
+      .join(returned, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q4PrioritySemiSql: String = """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+    GROUP BY 1 ORDER BY 1"""
+
+  /** NOT EXISTS: customers with no urgent order, by market segment — a
+    * LEFT ANTI join (the set-difference workhorse; at scale the filtered
+    * order-key side is small enough to broadcast). */
+  def customersNoUrgent(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val urgent = Tables.orders(spark, dir)
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+    Tables.customer(spark, dir)
+      .join(broadcast(urgent), $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val customersNoUrgentSql: String = """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY 1 ORDER BY 1"""
+
   /** Exact distinct counts (the approx/HLL variant is the separate
     * rows-only query `approx_distinct`). */
   def distinctCount(spark: SparkSession, dir: String): DataFrame = {
@@ -260,6 +302,8 @@ object Analytics {
     Q("q3_shipping_priority", q3ShippingPriority, Some(q3ShippingPrioritySql)),
     Q("q5_local_supplier", q5LocalSupplier, Some(q5LocalSupplierSql)),
     Q("q6_forecast_revenue", q6ForecastRevenue, Some(q6ForecastRevenueSql)),
+    Q("q4_priority_semi", q4PrioritySemi, Some(q4PrioritySemiSql)),
+    Q("customers_no_urgent", customersNoUrgent, Some(customersNoUrgentSql)),
     Q("topn_per_group", topnPerGroup, Some(topnPerGroupSql)),
     Q("running_total", runningTotal, Some(runningTotalSql)),
     Q("rollup_sales", rollupSales, Some(rollupSalesSql)),

@@ -45,6 +45,27 @@ object EventQueries {
            ${sqlSum("value")} AS sum_value
     FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id"""
 
+  private def eventsSessionizeNative(s: SparkSession, d: String): DataFrame =
+    Events.sessionizeNative(Tables.events(s, d))
+      .orderBy("user_id", "session_start_us")
+
+  private val eventsSessionizeNativeSql = s"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+    flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM (SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+                                       ORDER BY ts_us, event_id) AS prev_ts
+            FROM e) t),
+    sessions AS (
+      SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM flagged)
+    SELECT user_id, MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+           COUNT(*) AS n_events, ${sqlSum("value")} AS sum_value
+    FROM sessions GROUP BY user_id, sid ORDER BY user_id, session_start_us"""
+
   /** Each event matched to the latest order at-or-before it for that
     * customer. Orders are pre-reduced to one per (custkey, day) so the match
     * is deterministic; the oracle uses DuckDB's native ASOF JOIN. */
@@ -80,5 +101,6 @@ object EventQueries {
   val registry: Seq[Q] = Seq(
     Q("events_windowed", eventsWindowed, Some(eventsWindowedSql)),
     Q("events_sessionize", eventsSessionize, Some(eventsSessionizeSql)),
+    Q("events_sessionize_native", eventsSessionizeNative, Some(eventsSessionizeNativeSql)),
     Q("asof_join", asofJoinQ, Some(asofJoinSql)))
 }
