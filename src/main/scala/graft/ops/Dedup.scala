@@ -53,8 +53,6 @@ object Dedup {
               (col("doc_id") =!= col("canonical_id")).as("is_dup"))
   }
 
-  private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
   /** Exact n-gram Jaccard similarity join via lossless prefix filtering
     * (Chaudhuri et al., SSJoin; Bayardo et al., WWW'07 "Scaling Up All
@@ -97,20 +95,30 @@ object Dedup {
     verifyJaccard(candidates, sr, threshold)
   }
 
-  /** Attach both sides' shingle sets to candidate (d1, d2) pairs and keep
-    * pairs whose exact Jaccard clears the threshold. Shingle sets are
-    * collected ONLY for docs that appear in some candidate pair (semijoin
-    * first) — at corpus scale the verify step touches a vanishing fraction
-    * of documents. */
+  /** Exact-Jaccard verification of candidate (d1, d2) pairs by
+    * inclusion-exclusion over EXPLODED shingle rows:
+    * |A∩B| counted with two equi-joins on (doc, shingle-hash), then
+    * J = |A∩B| / (|A| + |B| - |A∩B|). No per-doc arrays are ever
+    * materialized or shipped — the array formulation duplicates a hub
+    * document's whole shingle set onto every pair it appears in, which is
+    * exactly the row a dedup job meets most (one canonical doc × thousands
+    * of near-copies). Zero-intersection candidates drop out of the count
+    * join, which is semantically free: they cannot clear any positive
+    * threshold. */
   private def verifyJaccard(candidates: DataFrame, sr: DataFrame,
                             threshold: Double): DataFrame = {
-    val cd = candidates.select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
-    val shc = sr.join(cd, Seq("doc_id"), "left_semi")
-      .groupBy(col("doc_id")).agg(collect_list(col("g")).as("s"))
-    val s1 = shc.select(col("doc_id").as("d1"), col("s").as("s1"))
-    val s2 = shc.select(col("doc_id").as("d2"), col("s").as("s2"))
-    candidates.join(s1, "d1").join(s2, "d2")
-      .select(col("d1"), col("d2"), jaccard(col("s1"), col("s2")).as("jaccard"))
+    val ex = sr.select(col("doc_id"), xxhash64(col("g")).as("h"))
+    val sz = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = candidates
+      .join(ex.toDF("d1", "h"), "d1")
+      .join(ex.toDF("d2", "h"), Seq("d2", "h"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.toDF("d1", "sz1"), "d1")
+      .join(sz.toDF("d2", "sz2"), "d2")
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
