@@ -6,13 +6,14 @@ package graft
   *
   *   spark-submit --class graft.SyncMain graft.jar full <srcDir> <outDir>
   *   spark-submit --class graft.SyncMain graft.jar incremental <srcDir> <outDir>
+  *   spark-submit --class graft.SyncMain graft.jar status <srcDir> <outDir>
   *
   * Incremental mode derives the changed-customer set from the events change
   * stream (purchase events), mirroring the worker's NOTIFY-driven re-sync.
   */
 object SyncMain {
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: SyncMain full|incremental <srcDir> <outDir>")
+    require(args.length == 3, "usage: SyncMain full|incremental|status <srcDir> <outDir>")
     val Array(mode, srcDir, outDir) = args
     val spark = GraftSession.get(s"graft-sync-$mode")
     try {
@@ -27,6 +28,8 @@ object SyncMain {
             .select(col("user_id")).distinct()
           val n = graft.olap.StarSchemaJob.syncIncremental(spark, srcDir, outDir, changed)
           println(s"incremental sync rewrote $n fact rows in $outDir")
+        case "status" =>
+          graft.olap.StarSchemaJob.status(spark, outDir).show(truncate = false)
         case other =>
           throw new IllegalArgumentException(s"unknown mode: $other")
       }

@@ -80,6 +80,23 @@ object StarSchemaJob {
     star
   }
 
+  /** Sync-status report over a written star — the library form of the
+    * reference's health endpoint (main.py reports per-table row counts):
+    * one row per star table with its current count. Parquet count() is
+    * metadata-only (footer row counts), so this is cheap even on a 100 TB
+    * star. */
+  def status(spark: SparkSession, outDir: String): DataFrame = {
+    import spark.implicits._
+    val tables = Seq("dim_date", "dim_customer", "dim_part", "dim_category",
+      "dim_supplier", "dim_priority", "dim_shipmode", "fact_sales")
+    tables.map { t =>
+      val n = try spark.read.parquet(s"$outDir/$t").count() catch {
+        case _: org.apache.spark.sql.AnalysisException => -1L
+      }
+      (t, n)
+    }.toDF("table_name", "n_rows")
+  }
+
   /** Targeted incremental re-sync — the worker's per-record path
     * (worker_sync.py:94-108, sync_oltp_to_olap.py:367-404) at partition
     * grain: rebuild ONLY the fact slices whose customers changed and

@@ -45,6 +45,11 @@ class SourcesSpec extends SparkSpec {
     // a date filter must prune partitions at the source, not post-filter
     val plan = planOf(fact.filter($"date_key" === java.sql.Date.valueOf("1995-01-01")))
     assert(plan.contains("PartitionFilters") && plan.contains("date_key"))
+    // health surface: every table present with its true count
+    val status = graft.olap.StarSchemaJob.status(spark, out)
+      .as[(String, Long)].collect().toMap
+    assert(status("fact_sales") === fact.count())
+    assert(status.size === 8 && status.values.forall(_ > 0))
   }
 
   test("incremental sync rewrites only affected partitions and preserves the star") {
