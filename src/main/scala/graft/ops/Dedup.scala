@@ -84,13 +84,22 @@ object Dedup {
       .withColumn("rk", row_number().over(byRarity))
       .join(sz, "doc_id")
       .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 1)
-      .select(col("doc_id"), col("sz"), col("h"))
-    val a = prefixes.toDF("d1", "sz1", "h")
-    val b = prefixes.toDF("d2", "sz2", "h")
+      .select(col("doc_id"), col("sz"), col("rk"), col("h"))
+    val a = prefixes.toDF("d1", "sz1", "rk1", "h")
+    val b = prefixes.toDF("d2", "sz2", "rk2", "h")
+    // positional filter (PPJoin, Xiao et al. WWW'08): a token matched at
+    // sorted positions (rk1, rk2) bounds the overlap by
+    // 1 + min(sz1-rk1, sz2-rk2); J >= t needs overlap >= t/(1+t)·(sz1+sz2).
+    // The pair's FIRST common token in the global order always sees a valid
+    // bound, so keeping pairs where ANY match passes is lossless (the 1e-9
+    // slack only ever relaxes the bound against float rounding).
+    val minOverlap =
+      ceil(lit(threshold / (1 + threshold)) * (col("sz1") + col("sz2")) - lit(1e-9))
     val candidates = a.join(b,
         a("h") === b("h") && a("d1") < b("d2") &&
         b("sz2") >= ceil(lit(threshold) * a("sz1")) &&
-        a("sz1") >= ceil(lit(threshold) * b("sz2")))
+        a("sz1") >= ceil(lit(threshold) * b("sz2")) &&
+        lit(1) + least(col("sz1") - col("rk1"), col("sz2") - col("rk2")) >= minOverlap)
       .select(col("d1"), col("d2")).distinct()
     verifyJaccard(candidates, sr, threshold)
   }
