@@ -56,20 +56,19 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** Two-stage top-k: partial top-k per (partition, query), then a final
-    * per-query merge of the k-bounded partials. */
-  private[ops] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
-    val row = struct(col("cos"), (-col("neighbor_id")).as("negid"))
-    val partial = scored
-      .groupBy(spark_partition_id().as("pid"), col("query_id"))
-      .agg(slice(reverse(array_sort(collect_list(row))), 1, k).as("top"))
-    partial
+  /** Per-query top-k through the bounded [[graft.functions.TopKAggregate]]
+    * aggregate: partial state is AT MOST k (cos, id) pairs per query at
+    * every stage — map-side partials, the shuffle, and the final merge.
+    * (The composed collect_list→sort→slice formulation buffers every scored
+    * row of a partition per query before slicing: an OOM on the billion-row
+    * partitions this operator exists for.) */
+  private[ops] def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored
       .groupBy(col("query_id"))
-      .agg(slice(reverse(array_sort(flatten(collect_list(col("top"))))), 1, k).as("top"))
+      .agg(graft.functions.TopKAggregate.topKBy(col("cos"), col("neighbor_id"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + 1).as("rank"),
-        (-col("col.negid")).as("neighbor_id"), col("col.cos").as("cos"))
-  }
+        col("col.neighbor_id").as("neighbor_id"), col("col.cos").as("cos"))
 
   /** Deterministic Rademacher (±1) hyperplane matrix — the plane list both
     * the Spark plan and the cross-engine oracle SQL embed. */
