@@ -38,13 +38,12 @@ object Similarity {
       .withColumn("nrm", norm(col("emb")))
 
   /** Exact brute-force cosine top-k: the (small) query set is broadcast and
-    * every data partition scores its vectors locally, keeping a per-partition
-    * top-k per query before the final per-query merge — so the shuffle
+    * every data partition scores its vectors locally; the bounded top-k
+    * aggregate keeps at most k pairs per query per partial, so the shuffle
     * carries at most numPartitions × |queries| × k rows, never the full
     * |queries| × n score matrix.
     *
-    * Deterministic: ties broken by neighbor id (descending sort on
-    * (cos, -neighbor_id) structs).
+    * Deterministic: ties broken by the smaller neighbor id.
     */
   def knnBruteForce(embeddings: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
     val data = prepared(embeddings)
