@@ -39,6 +39,21 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty, "testdata should contain planted near-dup pairs")
   }
 
+  test("dup-heavy corpus: ngram and minhash agree and find every twin") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val dupHeavy = docs.unionByName(
+      docs.withColumn("doc_id", $"doc_id" + 1000000L))
+    val ngram = Dedup.ngramJaccard(dupHeavy)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val mh = Dedup.minhashLsh(dupHeavy)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    // the hub-heavy regime a dedup job actually meets: identical pair sets
+    // from the lossless-prefix join and the LSH path, and no twin missed
+    assert(ngram === mh)
+    val ids = docs.select($"doc_id").as[Long].collect()
+    assert(ids.forall(i => ngram.contains((i, i + 1000000L))))
+  }
+
   test("identical texts have identical simhash; hamming to near-dup is small") {
     val sims = corpus.select($"doc_id", Dedup.simhash(TextAnalysis.tokens($"text")).as("s"))
       .as[(Long, Long)].collect().toMap
