@@ -47,6 +47,28 @@ object Multimodal {
       hex(substring(col("payload"), 1, 4)).as("magic_hex"),
       md5(col("payload")).as("checksum_md5"))
 
+  /** Deterministic frame sampling over the opaque payload — the Spark-side
+    * shape of video frame-sampling: `nFrames` evenly-spaced fixed-size byte
+    * windows per media row, exploded to (doc_id, frame_idx, frame) rows
+    * that a batched decoder consumes downstream. Pure byte slicing (no
+    * codec), so any engine can recompute the frames from the same bytes —
+    * the registry oracle checks per-frame length + md5. */
+  def sampleFrames(media: DataFrame, nFrames: Int = 4, frameBytes: Int = 32): DataFrame = {
+    val g = greatest(length(col("payload")).cast("long") - frameBytes, lit(0L))
+    media
+      .select(col("doc_id"), col("payload"), g.as("g"))
+      .select(col("doc_id"), col("payload"), col("g"),
+        posexplode(sequence(lit(0), lit(nFrames - 1))))
+      .toDF("doc_id", "payload", "g", "frame_idx", "i")
+      .withColumn("off",
+        (floor(col("i").cast("double") * col("g") / lit(math.max(nFrames - 1, 1))) + 1)
+          .cast("int"))
+      .select(col("doc_id"), col("frame_idx"),
+        expr(s"substring(payload, off, $frameBytes)").as("frame"))
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame")).as("frame_len"), md5(col("frame")).as("frame_md5"))
+  }
+
   /** Deterministic stand-in for a media decoder + feature extractor: folds
     * payload bytes into `dim` float accumulators. STUB — replace with a real
     * codec; everything around it (batching, schema, distribution) is real. */

@@ -269,6 +269,23 @@ object DocQueries {
   private def multimodalFeatures(s: SparkSession, d: String): DataFrame =
     Multimodal.pipeline(s, Tables.documents(s, d)).orderBy("doc_id")
 
+  /** Frame sampling over the synthesized payloads; oracle recomputes the
+    * byte windows from the same bytes (corpus is ASCII, so DuckDB's
+    * char-based substr equals byte slicing — asserted by frame_md5). */
+  private def multimodalFrames(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrames(Multimodal.withPayload(Tables.documents(s, d)))
+      .orderBy("doc_id", "frame_idx")
+
+  private val multimodalFramesSql = """
+    WITH t AS (SELECT doc_id, 'GRFT' || text AS payload,
+                      greatest(strlen(text) + 4 - 32, 0) AS g
+               FROM documents),
+    f AS (SELECT doc_id, i AS frame_idx,
+                 substr(payload, CAST(floor(i * g / 3.0) AS INTEGER) + 1, 32) AS frame
+          FROM (SELECT doc_id, payload, g, unnest([0,1,2,3]) AS i FROM t))
+    SELECT doc_id, frame_idx, strlen(frame) AS frame_len, md5(frame) AS frame_md5
+    FROM f ORDER BY doc_id, frame_idx"""
+
   val registry: Seq[Q] = Seq(
     Q("lang_id", langId, Some(langIdSql)),
     Q("text_quality", textQuality, Some(textQualitySql)),
@@ -284,5 +301,6 @@ object DocQueries {
     Q("knn_bruteforce", knnBruteForce, Some(knnBruteForceSql)),
     Q("knn_lsh", knnLsh, Some(knnLshSql)),
     Q("multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
+    Q("multimodal_frames", multimodalFrames, Some(multimodalFramesSql)),
     Q("multimodal_features", multimodalFeatures, None))
 }
