@@ -67,20 +67,33 @@ object NativeExpressions {
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
       nullSafeCodeGen(ctx, ev, arr => {
+        // every local is freshName'd: this snippet can be inlined into
+        // Spark's own generated projections (e.g. the ObjectHashAggregate
+        // result projection), whose writer loops declare their own locals —
+        // fixed names collide, janino rejects the class, and the whole
+        // projection silently falls back to interpreted mode
+        val out = ctx.freshName("srpOut")
+        val b = ctx.freshName("srpB")
+        val v = ctx.freshName("srpV")
+        val r = ctx.freshName("srpR")
+        val p = ctx.freshName("srpP")
+        val n = ctx.freshName("srpN")
+        val dot = ctx.freshName("srpDot")
+        val d = ctx.freshName("srpD")
         s"""
-        long[] gOut = new long[$bands];
-        for (int b = 0; b < $bands; b++) {
-          long v = 0L;
-          for (int r = 0; r < $rows; r++) {
-            double[] p = $planesRef[b * $rows + r];
-            int n = java.lang.Math.min($arr.numElements(), p.length);
-            double dot = 0.0;
-            for (int d = 0; d < n; d++) { dot += $arr.getDouble(d) * p[d]; }
-            v = v * 2 + (dot >= 0 ? 1L : 0L);
+        long[] $out = new long[$bands];
+        for (int $b = 0; $b < $bands; $b++) {
+          long $v = 0L;
+          for (int $r = 0; $r < $rows; $r++) {
+            double[] $p = $planesRef[$b * $rows + $r];
+            int $n = java.lang.Math.min($arr.numElements(), $p.length);
+            double $dot = 0.0;
+            for (int $d = 0; $d < $n; $d++) { $dot += $arr.getDouble($d) * $p[$d]; }
+            $v = $v * 2 + ($dot >= 0 ? 1L : 0L);
           }
-          gOut[b] = v;
+          $out[$b] = $v;
         }
-        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(gOut);
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
         """
       })
     }
@@ -125,17 +138,23 @@ object NativeExpressions {
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val xxh = classOf[XXH64].getName
       nullSafeCodeGen(ctx, ev, arr => {
+        // freshName'd locals — see SrpBandValues.doGenCode for why
+        val out = ctx.freshName("mhOut")
+        val s = ctx.freshName("mhS")
+        val base = ctx.freshName("mhBase")
+        val i = ctx.freshName("mhI")
+        val v = ctx.freshName("mhV")
         s"""
-        long[] gOut = new long[$perms];
-        java.util.Arrays.fill(gOut, Long.MAX_VALUE);
-        for (int s = 0; s < $arr.numElements(); s++) {
-          long base = $xxh.hashLong($arr.getLong(s), 42L);
-          for (int i = 0; i < $perms; i++) {
-            long v = $xxh.hashLong(${seed}L, $xxh.hashLong((long) i, base));
-            if (v < gOut[i]) gOut[i] = v;
+        long[] $out = new long[$perms];
+        java.util.Arrays.fill($out, Long.MAX_VALUE);
+        for (int $s = 0; $s < $arr.numElements(); $s++) {
+          long $base = $xxh.hashLong($arr.getLong($s), 42L);
+          for (int $i = 0; $i < $perms; $i++) {
+            long $v = $xxh.hashLong(${seed}L, $xxh.hashLong((long) $i, $base));
+            if ($v < $out[$i]) $out[$i] = $v;
           }
         }
-        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(gOut);
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
         """
       })
     }
@@ -182,17 +201,24 @@ object NativeExpressions {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, arr => {
+        // freshName'd locals — see SrpBandValues.doGenCode for why
+        val counts = ctx.freshName("shCounts")
+        val s = ctx.freshName("shS")
+        val h = ctx.freshName("shH")
+        val i = ctx.freshName("shI")
+        val fp = ctx.freshName("shFp")
+        val j = ctx.freshName("shJ")
         s"""
-        int[] gCounts = new int[$bits];
-        for (int s = 0; s < $arr.numElements(); s++) {
-          long h = $arr.getLong(s);
-          for (int i = 0; i < $bits; i++) {
-            gCounts[i] += (((h >> i) & 1L) == 1L) ? 1 : -1;
+        int[] $counts = new int[$bits];
+        for (int $s = 0; $s < $arr.numElements(); $s++) {
+          long $h = $arr.getLong($s);
+          for (int $i = 0; $i < $bits; $i++) {
+            $counts[$i] += ((($h >> $i) & 1L) == 1L) ? 1 : -1;
           }
         }
-        long gFp = 0L;
-        for (int i = 0; i < $bits; i++) { if (gCounts[i] >= 0) gFp |= (1L << i); }
-        ${ev.value} = gFp;
+        long $fp = 0L;
+        for (int $j = 0; $j < $bits; $j++) { if ($counts[$j] >= 0) $fp |= (1L << $j); }
+        ${ev.value} = $fp;
         """
       })
 
