@@ -1,27 +1,75 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main: one JSON line with per-query wall times at
+  * `SPARK_GRAFT_SF_DIR`.
+  *
+  * Every query runs TWICE in deterministic registry order: the first (cold)
+  * run absorbs plan compilation (janino time lands on the query that
+  * triggers it — run-order noise was r2's biggest bench artifact), the
+  * second (warm) run is the reported number. `value` is the warm total.
+  * Failures are never swallowed: a query that throws is reported as -1 in
+  * both maps plus an entry in `errors`, so a fast failure can't read as a
+  * fast success.
+  */
 object Bench {
+
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\n\\r\\t]", " ") + "\""
+
+  private def jmap(m: Seq[(String, String)]): String =
+    m.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+
+  /** Bench-only extras (not in the correctness registry): the production
+    * xxhash64 winnowing fingerprint next to the registry's portable-md5
+    * variant, so the headline number also covers the path real pipelines
+    * run (the md5 variant exists for DuckDB oracle replay). */
+  private def extras: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "doc_fingerprint_fast" -> ((s, d) =>
+      graft.ops.TextAnalysis.fingerprintHashes(graft.sources.Tables.documents(s, d))))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get("graft-bench")
     // absorb one-time session costs (scheduler init, noop committer,
-    // codegen compiler warmup) so they don't land on whichever query the
-    // Map happens to iterate first
+    // codegen compiler warmup) so they don't land on the first query
     spark.range(1000).selectExpr("sum(id) AS s")
       .write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val entries = SparkEntry.registry.map(q => q.name -> q.run) ++ extras
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val cold = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val warm = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    def once(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
-      // noop sink materializes every output column (count() would let
-      // Catalyst prune projections and drop sorts, under-measuring map-heavy
-      // queries)
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        // noop sink materializes every output column (count() would let
+        // Catalyst prune projections and drop sorts, under-measuring
+        // map-heavy queries)
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case t: Throwable =>
+          errors.getOrElseUpdate(name,
+            t.getClass.getName + ": " + Option(t.getMessage).getOrElse("").take(300))
+          -1.0
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    entries.foreach { case (name, fn) =>
+      cold(name) = once(name, fn)
+      warm(name) = if (cold(name) < 0) -1.0 else once(name, fn)
+    }
+
+    val total = warm.values.filter(_ >= 0).sum
+    val qs = jmap(warm.toSeq.map { case (k, v) => k -> v.toString })
+    val cs = jmap(cold.toSeq.map { case (k, v) => k -> v.toString })
+    val es = jmap(errors.toSeq.map { case (k, v) => k -> jstr(v) })
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cs,"errors":$es,"n_errors":${errors.size},"sf":${jstr(sfDir)}}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }
