@@ -15,9 +15,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bench {
 
-  private def jstr(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replaceAll("[\\n\\r\\t]", " ") + "\""
+  private def jstr(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '\\'           => sb.append("\\\\")
+      case '"'            => sb.append("\\\"")
+      case c if c < 0x20  => sb.append(f"\\u${c.toInt}%04x")
+      case c              => sb.append(c)
+    }
+    sb.append('"').toString
+  }
 
   private def jmap(m: Seq[(String, String)]): String =
     m.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
@@ -64,11 +71,13 @@ object Bench {
       warm(name) = if (cold(name) < 0) -1.0 else once(name, fn)
     }
 
-    val total = warm.values.filter(_ >= 0).sum
+    // a partial total would read as "faster than a green run" — report -1
+    // for the headline when anything failed (per-query warm times remain)
+    val total = if (errors.nonEmpty) -1.0 else warm.values.sum
     val qs = jmap(warm.toSeq.map { case (k, v) => k -> v.toString })
     val cs = jmap(cold.toSeq.map { case (k, v) => k -> v.toString })
     val es = jmap(errors.toSeq.map { case (k, v) => k -> jstr(v) })
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cs,"errors":$es,"n_errors":${errors.size},"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","partial":${errors.nonEmpty},"queries":$qs,"cold":$cs,"errors":$es,"n_errors":${errors.size},"sf":${jstr(sfDir)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

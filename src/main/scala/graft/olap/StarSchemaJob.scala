@@ -125,14 +125,17 @@ object StarSchemaJob {
     val slice = StarSchema.factSales(
       Tables.lineitem(spark, srcDir), ordersOnDates,
       Tables.part(spark, srcDir), Tables.supplier(spark, srcDir))
-    val n = slice.count()
+    // row count comes from an observe() metric on the write itself — a
+    // separate count() action would run the whole semijoin+star-join twice
+    val obs = org.apache.spark.sql.Observation("incremental_sync")
     slice
+      .observe(obs, count(lit(1)).as("n_rows"))
       .repartition(col("date_key"))
       .sortWithinPartitions(col("date_key"), col("l_orderkey"), col("l_linenumber"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("date_key")
       .parquet(s"$outDir/fact_sales")
-    n
+    obs.get("n_rows").asInstanceOf[Long]
   }
 }

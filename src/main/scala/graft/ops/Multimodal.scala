@@ -70,16 +70,21 @@ object Multimodal {
   }
 
   /** Deterministic stand-in for a media decoder + feature extractor: folds
-    * payload bytes into `dim` float accumulators. STUB — replace with a real
-    * codec; everything around it (batching, schema, distribution) is real. */
+    * payload bytes into `dim` accumulators. STUB — replace with a real codec;
+    * everything around it (batching, schema, distribution) is real.
+    *
+    * Accumulation is exact (integer byte sums per dim) with ONE float
+    * rounding at the end — so the output is bit-reproducible by any engine
+    * (a float32 add per byte would make the result depend on accumulation
+    * order, unverifiable cross-engine). */
   private[ops] def fakeDecodeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
-    val acc = new Array[Float](dim)
+    val acc = new Array[Long](dim)
     var i = 0
     while (i < payload.length) {
-      acc(i % dim) += (payload(i) & 0xFF) / 255.0f
+      acc(i % dim) += (payload(i) & 0xFF).toLong
       i += 1
     }
-    acc
+    acc.map(s => (s / 255.0).toFloat)
   }
 
   /** Batched feature extraction over partitions: each executor thread walks
@@ -110,10 +115,12 @@ object Multimodal {
 
   /** End-to-end multimodal pipeline on the documents table: payload
     * synthesis → batched feature extraction, summarized to verifiable
-    * per-doc scalars. Metadata columns are oracle-checkable (any engine can
-    * recompute byte_len/magic/md5 from the same bytes); `feature_sum` comes
-    * from the stubbed decoder, so it is verified by spec tests rather than a
-    * SQL oracle. */
+    * per-doc scalars. EVERY column is oracle-checkable from the same bytes:
+    * metadata (byte_len/magic/md5) directly, and `feature_sum` because the
+    * stub decoder accumulates exactly — per-dim integer byte sums scaled
+    * once to float32, then summed in double. The 8 float32-valued terms sum
+    * exactly in a 53-bit double significand, so the total is
+    * order-independent and any engine reproduces it bit-for-bit. */
   def pipeline(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     extractFeatures(withPayload(docs)).toDF()

@@ -75,6 +75,37 @@ object EventsCdc {
       .foreachBatch(scd1MergeBatch(spark, stateDir, keys) _)
       .start()
 
+  /** One liveness/health row per streaming query — the library form of the
+    * reference worker's heartbeat file (worker_sync.py:63-70 writes
+    * `worker_status.json` with state + timestamp on an interval). Values
+    * come from `StreamingQuery.lastProgress`, so this is metadata-only: no
+    * job runs, safe to poll on any cadence. A monitoring loop can write
+    * this DataFrame to its status sink as-is. */
+  final case class StreamHealth(
+      query_name: String,
+      query_id: String,
+      is_active: Boolean,
+      last_batch_id: Long,
+      num_input_rows: Long,
+      total_state_rows: Long,
+      last_progress_ts: String)
+
+  def health(spark: SparkSession, queries: Seq[StreamingQuery]): DataFrame = {
+    import spark.implicits._
+    queries.map { q =>
+      val p = Option(q.lastProgress)
+      StreamHealth(
+        query_name = Option(q.name).getOrElse(""),
+        query_id = q.id.toString,
+        is_active = q.isActive,
+        last_batch_id = p.map(_.batchId).getOrElse(-1L),
+        num_input_rows = p.map(_.numInputRows).getOrElse(0L),
+        total_state_rows =
+          p.map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L),
+        last_progress_ts = p.map(_.timestamp).getOrElse(""))
+    }.toDF()
+  }
+
   /** Launch the windowed-aggregate pipeline into an in-memory or file sink
     * name/path (append mode — only finalized windows are emitted). */
   def runWindowed(events: DataFrame, queryName: String,

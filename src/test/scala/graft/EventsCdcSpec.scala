@@ -106,6 +106,25 @@ class EventsCdcSpec extends SparkSpec {
     assert(streamed === expected)
   }
 
+  test("health reports a liveness row from lastProgress after a run") {
+    val dir = streamDir()
+    val stateDir = Files.createTempDirectory("graft_cdc_state_h").toString
+    val ckpt = Files.createTempDirectory("graft_cdc_ckpt_h").toString
+    val src = spark.readStream
+      .schema(Tables.events(spark, sf).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = EventsCdc.runScd1(spark, src, stateDir, ckpt, keys = Seq("user_id"))
+    q.awaitTermination()
+    val row = EventsCdc.health(spark, Seq(q))
+      .select("query_id", "is_active", "last_batch_id", "num_input_rows")
+      .as[(String, Boolean, Long, Long)].head()
+    assert(row._1 === q.id.toString)
+    assert(!row._2) // AvailableNow run has terminated
+    assert(row._3 >= 0L, "no progress recorded")
+    assert(row._4 > 0L, "heartbeat should report processed input rows")
+  }
+
   test("SCD1 merge keeps tombstones so late-arriving older rows cannot resurrect") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val t1 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00")

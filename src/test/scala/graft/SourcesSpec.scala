@@ -4,9 +4,11 @@ import java.nio.file.Files
 import org.apache.spark.sql.types.DateType
 import graft.sources.{FileFormats, Jdbc, Tables}
 
-/** §2D source/sink layer: JDBC upsert statement shape (no live database in
-  * the container — the statement is a pure function), CSV/JSON explicit-
-  * schema readers, and the StarSchemaJob parquet star sink (typed partition
+/** §2D source/sink layer: JDBC upsert (statement shape as a pure function,
+  * plus the real `foreachPartition` executor path run against an embedded
+  * DuckDB — no Postgres in the container, but the batching/commit/
+  * idempotency semantics are engine-independent), CSV/JSON explicit-schema
+  * readers, and the StarSchemaJob parquet star sink (typed partition
   * column, partition-pruned read-back). */
 class SourcesSpec extends SparkSpec {
   import spark.implicits._
@@ -19,6 +21,44 @@ class SourcesSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] {
       Jdbc.upsertSql("t", Seq("a"), Seq("missing"))
     }
+  }
+
+  test("upsert runs for real against an embedded DuckDB: insert, conflict-update, idempotent rerun") {
+    val db = Files.createTempDirectory("graft-duckdb").resolve("olap.db").toString
+    val conn = Jdbc.ConnInfo(s"jdbc:duckdb:$db", "", "", "org.duckdb.DuckDBDriver")
+    // ON CONFLICT needs an arbiter index — same as the reference's Postgres DDL
+    Class.forName(conn.driver)
+    val ddl = java.sql.DriverManager.getConnection(conn.url)
+    try ddl.createStatement().execute(
+      "CREATE TABLE dim_customer (c_custkey BIGINT PRIMARY KEY, name VARCHAR, acctbal DOUBLE)")
+    finally ddl.close()
+
+    // Spark's generic JDBC dialect maps DuckDB's BIGINT to DECIMAL(20,0);
+    // cast back for the typed compare (values are unaffected)
+    def readBack(): Seq[(Long, String, Double)] =
+      Jdbc.readTable(spark, conn, "dim_customer")
+        .select($"c_custkey".cast("long"), $"name", $"acctbal")
+        .orderBy("c_custkey").as[(Long, String, Double)].collect().toSeq
+
+    // initial load over multiple partitions (concurrent executor connections)
+    val base = Seq((1L, "alice", 10.0), (2L, "bob", 20.0), (3L, "carol", 30.0))
+    Jdbc.upsert(base.toDF("c_custkey", "name", "acctbal").repartition(2),
+      conn, "dim_customer", Seq("c_custkey"), batchSize = 2)
+    assert(readBack() === base)
+
+    // conflicting keys take the new values (SCD1), fresh keys insert
+    val v2 = Seq((2L, "bob", 25.0), (4L, "dave", 40.0))
+    Jdbc.upsert(v2.toDF("c_custkey", "name", "acctbal"),
+      conn, "dim_customer", Seq("c_custkey"))
+    val merged = Seq((1L, "alice", 10.0), (2L, "bob", 25.0),
+                     (3L, "carol", 30.0), (4L, "dave", 40.0))
+    assert(readBack() === merged)
+
+    // re-running the identical upsert is a no-op — the task-retry /
+    // at-least-once safety the reference's ON CONFLICT semantics promise
+    Jdbc.upsert(v2.toDF("c_custkey", "name", "acctbal"),
+      conn, "dim_customer", Seq("c_custkey"))
+    assert(readBack() === merged)
   }
 
   test("csv and json readers roundtrip with explicit schemas") {
