@@ -229,4 +229,59 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Connected components over a verified near-dup pair set — the clustering
+    * step a dedup pipeline runs after pair generation: every doc in a
+    * component maps to the component's smallest doc_id (`cluster_id`), so
+    * "keep one canonical doc per cluster" is the filter
+    * `doc_id = cluster_id`.
+    *
+    * Min-label propagation with a pointer-jumping step each round (label :=
+    * min over neighbor labels, then label := label's own label), converging
+    * in O(log diameter) rounds instead of O(diameter) — the shape of the
+    * two-phase star algorithms used for web-scale components. Every round
+    * shuffles ids only (no payloads), and `localCheckpoint` truncates the
+    * iterative lineage so the plan does not grow with rounds (the same
+    * reason Pregel-style loops checkpoint). Near-dup components are
+    * overwhelmingly pairs/triples, so the fixpoint count exits the loop
+    * after ~2 rounds regardless of corpus size.
+    *
+    * @param pairs verified duplicate pairs as (d1, d2), d1 < d2
+    * @return (doc_id, cluster_id, cluster_size) for every doc in some pair
+    */
+  def clusters(pairs: DataFrame, maxRounds: Int = 16): DataFrame = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val nbr = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nbr_label"))
+      val stepped = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // pointer jump: follow the new label to ITS new label (labels are doc
+      // ids of this same set, so the self-join always matches)
+      val jumped = stepped
+        .join(stepped.select(col("id").as("label"), col("label").as("label2")),
+              Seq("label"), "left")
+        .select(col("id"), coalesce(col("label2"), col("label")).as("label"))
+        .localCheckpoint(true)
+      changed = jumped.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev")).count()
+      labels = jumped
+      round += 1
+    }
+    edges.unpersist()
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+              col("cluster_size"))
+  }
 }

@@ -172,4 +172,30 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("fp_hash"))).as("fingerprint"),
            count(lit(1)).as("n_hashes"))
+
+  /** PII patterns shared by the Spark plan and the DuckDB oracle. Kept to
+    * the regex subset with identical semantics in java.util.regex and RE2
+    * (no backreferences/lookaround; `\b` is ASCII word boundary in both).
+    * Deliberately non-overlapping: emails carry '@', IPs dots, phones
+    * dashes — so redaction order cannot change the result. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""",
+    "ip"    -> """\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b""",
+    "phone" -> """\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b""")
+
+  /** PII scrub — the redaction pass a training-data pipeline runs before
+    * anything else sees the text: per-doc match counts for each PII class
+    * plus the redacted text (matches replaced by `<CLASS>` placeholders).
+    * Pure per-row regex expressions: codegen'd, no shuffle, scan-speed.
+    * The registry variant returns md5(redacted) instead of the full text so
+    * the oracle compare stays compact. */
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val redacted = piiPatterns.foldLeft(col("text")) { case (acc, (name, re)) =>
+      regexp_replace(acc, re, s"<${name.toUpperCase}>")
+    }
+    val counts = piiPatterns.map { case (name, re) =>
+      size(regexp_extract_all(col("text"), lit(re), lit(0))).as(s"n_${name}s")
+    }
+    docs.select(col("doc_id") +: counts :+ redacted.as("redacted_text"): _*)
+  }
 }

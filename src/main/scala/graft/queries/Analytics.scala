@@ -297,6 +297,120 @@ object Analytics {
            TRUE AS parts_within_5pct, TRUE AS orders_within_5pct
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** Classic OLAP pivot: revenue by nation (rows) × order year (columns).
+    * The pivot values are DECLARED (1992-1998), not discovered — an
+    * unconstrained `pivot` first runs a distinct job over the pivot column
+    * just to learn the output schema, a full extra pass over the fact at
+    * 100 TB. With declared values the pivot compiles to ONE hash aggregate
+    * keyed on n_name with a decimal accumulator per year: a single shuffle,
+    * map-side partials included. */
+  def pivotSales(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", year($"o_orderdate").as("o_year"),
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+      .groupBy($"n_name")
+      .pivot("o_year", (1992 to 1998).map(Integer.valueOf))
+      .agg(dsum($"rev"))
+      .orderBy($"n_name")
+  }
+
+  val pivotSalesSql: String = {
+    val cols = (1992 to 1998).map { y =>
+      sqlSum(s"CASE WHEN year(o_orderdate) = $y THEN l_extendedprice * (1.0 - l_discount) END") +
+        s""" AS "$y""""
+    }.mkString(",\n      ")
+    s"""
+    SELECT n_name,
+      $cols
+    FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name"""
+  }
+
+  /** Exact interpolated percentiles next to t-digest-style approximations —
+    * the `approx_distinct` pattern applied to quantiles: the exact columns
+    * are hash-checked against the oracle, the approx estimates are asserted
+    * within 1% of exact as boolean flag columns (the approx sketch is
+    * engine-specific; its ERROR BOUND is the portable contract). At 100 TB
+    * only approx_percentile is runnable — it is a bounded-size mergeable
+    * sketch; exact percentile needs the whole column per group. */
+  def approxQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_extendedprice".cast("double").as("p"))
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(p, 0.5)").as("p50"),
+        expr("percentile(p, 0.95)").as("p95"),
+        expr("approx_percentile(p, 0.5, 10000)").as("ap50"),
+        expr("approx_percentile(p, 0.95, 10000)").as("ap95"))
+      .select($"l_returnflag", $"p50", $"p95",
+        (abs($"ap50" - $"p50") <= $"p50" * 0.01).as("p50_within_1pct"),
+        (abs($"ap95" - $"p95") <= $"p95" * 0.01).as("p95_within_1pct"))
+      .orderBy($"l_returnflag")
+  }
+
+  val approxQuantilesSql: String = """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice::DOUBLE, 0.5) AS p50,
+           quantile_cont(l_extendedprice::DOUBLE, 0.95) AS p95,
+           TRUE AS p50_within_1pct, TRUE AS p95_within_1pct
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** Brand revenue through the salted fact⋈part join — result provably
+    * identical to the plain join (the oracle IS the plain join), only the
+    * shuffle layout changes. See [[graft.ops.Skew.saltedJoin]] for when to
+    * reach for this over AQE's skew split. */
+  def saltedJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fact = Tables.lineitem(spark, dir)
+      .select($"l_partkey",
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+    val dim = Tables.part(spark, dir)
+      .select($"p_partkey".as("l_partkey"), $"p_brand")
+    graft.ops.Skew.saltedJoin(fact, dim, "l_partkey", salts = 8)
+      .groupBy($"p_brand")
+      .agg(dsum($"rev").as("brand_rev"), count(lit(1)).as("n_items"))
+      .orderBy($"p_brand")
+  }
+
+  val saltedJoinSql: String = s"""
+    SELECT p_brand, ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS brand_rev,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand ORDER BY p_brand"""
+
+  /** Deterministic stratified sample of orders: URGENT keeps 50%, HIGH 20%,
+    * the bulk 5%. Membership is a pure function of the key (portable md5
+    * bucket), so the oracle reproduces the exact sample — and a re-run on
+    * retried tasks cannot drift. Map-side filter; no shuffle. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.ops.Sampling.stratified(
+        Tables.orders(spark, dir).select($"o_orderkey", $"o_orderpriority"),
+        $"o_orderpriority", $"o_orderkey",
+        rates = Map("1-URGENT" -> 50, "2-HIGH" -> 20), defaultRate = 5)
+      .orderBy($"o_orderkey")
+  }
+
+  val stratifiedSampleSql: String = """
+    WITH b AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 100
+                  AS INTEGER) AS sample_bucket
+      FROM orders)
+    SELECT o_orderkey, o_orderpriority, sample_bucket
+    FROM b
+    WHERE sample_bucket < CASE o_orderpriority WHEN '1-URGENT' THEN 50
+                                               WHEN '2-HIGH' THEN 20 ELSE 5 END
+    ORDER BY o_orderkey"""
+
   val registry: Seq[Q] = Seq(
     Q("q1_pricing_summary", q1PricingSummary, Some(q1PricingSummarySql)),
     Q("q3_shipping_priority", q3ShippingPriority, Some(q3ShippingPrioritySql)),
@@ -308,5 +422,9 @@ object Analytics {
     Q("running_total", runningTotal, Some(runningTotalSql)),
     Q("rollup_sales", rollupSales, Some(rollupSalesSql)),
     Q("distinct_count", distinctCount, Some(distinctCountSql)),
-    Q("approx_distinct", approxDistinct, Some(approxDistinctSql)))
+    Q("approx_distinct", approxDistinct, Some(approxDistinctSql)),
+    Q("pivot_sales", pivotSales, Some(pivotSalesSql)),
+    Q("approx_quantiles", approxQuantiles, Some(approxQuantilesSql)),
+    Q("salted_join", saltedJoinQ, Some(saltedJoinSql)),
+    Q("stratified_sample", stratifiedSample, Some(stratifiedSampleSql)))
 }

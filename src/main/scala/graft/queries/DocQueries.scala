@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Ivf, Multimodal, Similarity, TextAnalysis}
 
 /** SparkEntry wrappers + DuckDB oracles for the LLM-data-pipeline block
   * (SURVEY.md §2C): text analysis, dedup, similarity search, multimodal
@@ -105,6 +105,58 @@ object DocQueries {
           FROM h)
     SELECT doc_id, unnest(fp) AS fp_hash FROM f ORDER BY doc_id, fp_hash"""
 
+  /** PII scrub over the corpus — counts per class + md5 of the redacted
+    * text (compact proof the two engines produced byte-identical redacted
+    * output). Patterns are embedded from the same Scala list the Spark plan
+    * uses, in the same application order, so they cannot drift. */
+  private def piiRedact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.piiRedact(Tables.documents(s, d))
+      .select($"doc_id", $"n_emails", $"n_ips", $"n_phones",
+              md5($"redacted_text".cast("binary")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  private lazy val piiRedactSql: String = {
+    val counts = TextAnalysis.piiPatterns.map { case (name, re) =>
+      s"len(regexp_extract_all(text, '$re')) AS n_${name}s"
+    }.mkString(",\n           ")
+    val redacted = TextAnalysis.piiPatterns.foldLeft("text") {
+      case (acc, (name, re)) =>
+        s"regexp_replace($acc, '$re', '<${name.toUpperCase}>', 'g')"
+    }
+    s"""
+    SELECT doc_id,
+           $counts,
+           md5($redacted) AS redacted_md5
+    FROM documents ORDER BY doc_id"""
+  }
+
+  /** Corpus-level adjacent-token-pair frequencies — the statistic the first
+    * BPE merge iteration of tokenizer training maximizes. Pairs are built
+    * with per-doc lead windows (tokens exploded once, codegen'd), counted
+    * with a map-side-partial hash aggregate, and the head taken with
+    * TakeOrdered — the full pair histogram is never collected. */
+  private def bpePairCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    Tables.documents(s, d)
+      .select($"doc_id", posexplode(TextAnalysis.tokens($"text")))
+      .toDF("doc_id", "pos", "t")
+      .select(concat_ws(" ", $"t", lead($"t", 1).over(byDoc)).as("pair"),
+              lead($"t", 1).over(byDoc).isNotNull.as("full"))
+      .filter($"full")
+      .groupBy($"pair").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"pair").limit(50)
+  }
+
+  private val bpePairCountsSql = """
+    SELECT pair, COUNT(*) AS n
+    FROM (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS pair
+          FROM (SELECT string_split(lower(trim(text)), ' ') AS w FROM documents))
+    GROUP BY pair ORDER BY n DESC, pair LIMIT 50"""
+
   private def dedupExact(s: SparkSession, d: String): DataFrame =
     Dedup.exact(Tables.documents(s, d)).orderBy("doc_id")
 
@@ -117,8 +169,7 @@ object DocQueries {
   /** Shared oracle for the two near-dup text joins: exact all-pairs word-3gram
     * Jaccard at sf scale (the engines must find the same pair set; the Spark
     * side never materializes all pairs). */
-  private val jaccardPairsSql = """
-    WITH sh AS (
+  private val jaccardPairsCtes = """sh AS (
       SELECT doc_id,
              list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)]) AS s
       FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents)
@@ -127,7 +178,10 @@ object DocQueries {
       SELECT a.doc_id AS d1, b.doc_id AS d2,
              len(list_intersect(a.s, b.s))::DOUBLE
                / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)"""
+
+  private val jaccardPairsSql = s"""
+    WITH $jaccardPairsCtes
     SELECT d1, d2, jaccard FROM p WHERE jaccard >= 0.8 ORDER BY d1, d2"""
 
   private def ngramJaccard(s: SparkSession, d: String): DataFrame =
@@ -139,6 +193,29 @@ object DocQueries {
   /** SimHash with the portable md5-derived 60-bit token hash (15 hex chars →
     * bigint), so DuckDB can replay the exact fingerprint + pigeonhole
     * bucketing. Production default stays xxhash64/64-bit. */
+  /** Duplicate-cluster assignment: connected components over the verified
+    * MinHash-LSH pair set. The oracle recomputes the same components from
+    * the exact all-pairs Jaccard pairs (== the LSH pair set, itself
+    * oracle-checked by `dedup_minhash`) with a recursive transitive-closure
+    * CTE — trivially affordable at oracle scale, while the engine side runs
+    * the O(log diameter) label-propagation loop that scales. */
+  private def dedupClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.clusters(Dedup.minhashLsh(Tables.documents(s, d))).orderBy("doc_id")
+
+  private val dedupClustersSql = s"""
+    WITH RECURSIVE $jaccardPairsCtes,
+    jp AS (SELECT d1, d2 FROM p WHERE jaccard >= 0.8),
+    e AS (SELECT d1 AS src, d2 AS dst FROM jp UNION SELECT d2, d1 FROM jp),
+    reach AS (
+      SELECT src AS id, dst AS r FROM e
+      UNION
+      SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+    lab AS (SELECT id, least(id, MIN(r)) AS cluster_id FROM reach GROUP BY id)
+    SELECT id AS doc_id, cluster_id, CAST(n AS BIGINT) AS cluster_size
+    FROM lab JOIN (SELECT cluster_id, COUNT(*) AS n FROM lab GROUP BY 1) c
+      USING (cluster_id)
+    ORDER BY doc_id"""
+
   private def dedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashDup(Tables.documents(s, d),
         tokenHash = t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"),
@@ -250,6 +327,17 @@ object DocQueries {
     Similarity.knnLsh(Tables.embeddings(s, d), queries(s, d))
       .orderBy("query_id", "rank")
 
+  /** IVF ANN through the registry at full probe (nprobe = nLists): probing
+    * every list searches every vector, so the exact brute-force oracle
+    * applies bit-for-bit (SimilaritySpec separately proves the recall ramp
+    * at partial probe — the production setting is nprobe ≪ nLists ≈ √n). */
+  private def knnIvf(s: SparkSession, d: String): DataFrame = {
+    val data = Tables.embeddings(s, d)
+    val model = Ivf.fit(data, nLists = 8, iters = 2)
+    Ivf.search(model, data, queries(s, d), k = 5, nprobe = 8)
+      .orderBy("query_id", "rank")
+  }
+
   /** Metadata half of the multimodal pipeline — every column recomputable by
     * the oracle from the same bytes (payload = 4-byte 'GRFT' magic + UTF-8
     * text; DuckDB strlen counts UTF-8 bytes, md5 hashes them). */
@@ -262,12 +350,29 @@ object DocQueries {
            md5('GRFT' || text) AS checksum_md5
     FROM documents ORDER BY doc_id"""
 
-  /** Full pipeline incl. the stubbed batched decoder — feature_sum is not
-    * SQL-oracle-expressible (stub decoder), so this entry is rows-only; the
-    * metadata columns it shares with multimodal_meta ARE oracle-checked
-    * there, and MultimodalSpec pins the two paths to each other. */
+  /** Full pipeline incl. the stubbed batched decoder. The stub accumulates
+    * exact integer byte sums per dim and rounds to float32 once, so the
+    * oracle replays it byte-for-byte: payload hex = 'GRFT' magic + UTF-8
+    * text, byte i from the hex pairs, grouped by i mod 8. The final
+    * `feature_sum` adds 8 float32-valued doubles — exact in a 53-bit
+    * significand, hence aggregation-order-independent across engines. */
   private def multimodalFeatures(s: SparkSession, d: String): DataFrame =
     Multimodal.pipeline(s, Tables.documents(s, d)).orderBy("doc_id")
+
+  private val multimodalFeaturesSql = """
+    WITH h AS (SELECT doc_id, '47524654' || upper(hex(encode(text))) AS hx
+               FROM documents),
+    e AS (SELECT doc_id,
+            unnest([{'d': (i-1)%8, 'v': ('0x' || substr(hx, 2*i-1, 2))::BIGINT}
+                    for i in range(1, length(hx)//2 + 1)]) AS u
+          FROM h),
+    pd AS (SELECT doc_id, u.d AS d, SUM(u.v) AS s FROM e GROUP BY doc_id, u.d),
+    fs AS (SELECT doc_id,
+             SUM(CAST(CAST(CAST(s AS DOUBLE)/255.0 AS REAL) AS DOUBLE)) AS feature_sum
+           FROM pd GROUP BY doc_id)
+    SELECT d.doc_id, 4 + strlen(d.text) AS byte_len, '47524654' AS magic_hex,
+           md5('GRFT' || d.text) AS checksum_md5, fs.feature_sum
+    FROM documents d JOIN fs USING (doc_id) ORDER BY doc_id"""
 
   /** Frame sampling over the synthesized payloads; oracle recomputes the
     * byte windows from the same bytes (corpus is ASCII, so DuckDB's
@@ -292,15 +397,19 @@ object DocQueries {
     Q("token_count", tokenCount, Some(tokenCountSql)),
     Q("quality_repetition", qualityRepetition, Some(qualityRepetitionSql)),
     Q("token_topk", tokenTopK, Some(tokenTopKSql)),
+    Q("pii_redact", piiRedact, Some(piiRedactSql)),
+    Q("bpe_pair_counts", bpePairCounts, Some(bpePairCountsSql)),
     Q("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
     Q("dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("ngram_jaccard", ngramJaccard, Some(jaccardPairsSql)),
     Q("dedup_minhash", dedupMinhash, Some(jaccardPairsSql)),
+    Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
     Q("knn_bruteforce", knnBruteForce, Some(knnBruteForceSql)),
     Q("knn_lsh", knnLsh, Some(knnLshSql)),
     Q("multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
     Q("multimodal_frames", multimodalFrames, Some(multimodalFramesSql)),
-    Q("multimodal_features", multimodalFeatures, None))
+    Q("multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),
+    Q("knn_ivf", knnIvf, Some(knnBruteForceSql)))
 }

@@ -98,9 +98,40 @@ object EventQueries {
     ASOF LEFT JOIN o ON e.user_id = o.k AND epoch_us(e.ts) >= o.t_us
     ORDER BY e.event_id"""
 
+  /** Interval/range join: per order, the same customer's repeat purchases
+    * STRICTLY within the following 30 days (the classic retention/repeat-
+    * purchase window). The equality key (custkey) carries the shuffle —
+    * Spark plans a sort-merge join on it with the time range as a
+    * join-level filter, so matching stays within each customer's rows (no
+    * cross product; PlanAuditSpec enforces that registry-wide). At 100 TB
+    * both sides bucket by the key and the join goes shuffle-free. */
+  private def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val month = 30L * 24 * 3600 * 1000000L
+    def o(pre: String) = Tables.orders(s, d).select(
+      $"o_orderkey".as(s"${pre}k"), $"o_custkey".as(s"${pre}c"),
+      unix_micros($"o_orderdate".cast("timestamp")).as(s"${pre}t"),
+      $"o_totalprice".as(s"${pre}p"))
+    o("a").join(o("b"),
+        $"ac" === $"bc" && $"bt" > $"at" && $"bt" <= $"at" + lit(month))
+      .groupBy($"ak".as("o_orderkey"))
+      .agg(count(lit(1)).as("n_followups"), dsum($"bp").as("followup_revenue"))
+      .orderBy($"o_orderkey")
+  }
+
+  private val rangeJoinSql = s"""
+    SELECT a.o_orderkey, COUNT(*) AS n_followups,
+           ${sqlSum("b.o_totalprice")} AS followup_revenue
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND epoch_us(b.o_orderdate) > epoch_us(a.o_orderdate)
+     AND epoch_us(b.o_orderdate) <= epoch_us(a.o_orderdate) + 2592000000000
+    GROUP BY a.o_orderkey ORDER BY a.o_orderkey"""
+
   val registry: Seq[Q] = Seq(
     Q("events_windowed", eventsWindowed, Some(eventsWindowedSql)),
     Q("events_sessionize", eventsSessionize, Some(eventsSessionizeSql)),
     Q("events_sessionize_native", eventsSessionizeNative, Some(eventsSessionizeNativeSql)),
-    Q("asof_join", asofJoinQ, Some(asofJoinSql)))
+    Q("asof_join", asofJoinQ, Some(asofJoinSql)),
+    Q("range_join", rangeJoin, Some(rangeJoinSql)))
 }

@@ -68,4 +68,34 @@ class DedupSpec extends SparkSpec {
       .select("d1", "d2").as[(Long, Long)].collect().toSet
     assert(pairs === Set((1L, 2L), (1L, 5L), (2L, 5L)))
   }
+
+  test("clusters: components over pair sets, including long chains") {
+    // two small components, plus a 9-node path (1 pair-step per hop) that
+    // needs transitive closure — exercises the pointer-jumping convergence
+    val chain = (30L until 38L).map(i => (i, i + 1))
+    val pairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L)) ++ chain).toDF("d1", "d2")
+    val got = Dedup.clusters(pairs)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().toSet
+    val expected =
+      Seq(1L, 2L, 3L).map(d => (d, 1L, 3L)).toSet ++
+        Seq(10L, 11L).map(d => (d, 10L, 2L)) ++
+        (30L to 38L).map(d => (d, 30L, 9L))
+    assert(got === expected)
+  }
+
+  test("clusters on the twinned corpus: every twin pair is its own cluster of 2") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").filter($"doc_id" < 200)
+    val twinned = docs.unionByName(
+      docs.select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+    val clustered = Dedup.clusters(Dedup.minhashLsh(twinned))
+    // every doc pairs with its twin; identical texts always share a cluster
+    val byDoc = clustered.select("doc_id", "cluster_id")
+      .as[(Long, Long)].collect().toMap
+    docs.select("doc_id").as[Long].collect().foreach { d =>
+      assert(byDoc.get(d).isDefined && byDoc(d) === byDoc(d + 1000000L),
+        s"doc $d and its twin landed in different clusters")
+    }
+  }
 }

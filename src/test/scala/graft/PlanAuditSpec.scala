@@ -19,10 +19,13 @@ class PlanAuditSpec extends SparkSpec {
 
   test("nested-loop joins only where the operator intends one") {
     // knn_bruteforce intentionally broadcast-NL-joins the (tiny) query set
-    // against every vector — that IS the brute-force contract
-    plans.filterNot(_._1 == "knn_bruteforce").foreach { case (name, p) =>
-      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
-    }
+    // against every vector — that IS the brute-force contract; knn_ivf
+    // likewise broadcast-NL-joins the tiny centroid set for assignment/probe
+    // scoring (every vector scores every centroid by design)
+    plans.filterNot(p => Set("knn_bruteforce", "knn_ivf")(p._1))
+      .foreach { case (name, p) =>
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
+      }
   }
 
   test("text operators scan only (doc_id, text) from documents") {

@@ -66,6 +66,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(1L).nonEmpty && fp(1L) === fp(1L).sorted)
   }
 
+  test("piiRedact counts and scrubs planted emails, IPs, and phone numbers") {
+    val docs = Seq(
+      (1L, "contact bob.smith+spam@example.co.uk or 10.0.255.3 now"),
+      (2L, "call 555-867-5309 x 555-867-5309 plain text"),
+      (3L, "nothing sensitive here at all"),
+      (4L, "mixed a@b.io 1.2.3.4 999-111-2222 end")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiRedact(docs)
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted_text")
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, 1, 1, 0, "contact <EMAIL> or <IP> now")))
+    assert(got(1) === ((2L, 0, 0, 2, "call <PHONE> x <PHONE> plain text")))
+    assert(got(2) === ((3L, 0, 0, 0, "nothing sensitive here at all")))
+    assert(got(3) === ((4L, 1, 1, 1, "mixed <EMAIL> <IP> <PHONE> end")))
+  }
+
   test("winnowing guarantee: docs sharing a long run share a fingerprint hash") {
     // k=3, w=4 -> any shared run of >= w+k-1 = 6 words shares a hash
     val docs = Seq(
