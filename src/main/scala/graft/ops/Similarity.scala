@@ -139,4 +139,23 @@ object Similarity {
         cosinePrenormed(col("emb1"), col("emb2"), col("nrm1"), col("nrm2")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Per-label centroids as exploded (label, dim, centroid, n_vecs) rows —
+    * the class-prototype computation behind cluster summaries,
+    * nearest-class-mean classification, and IVF seeding. Explode-by-
+    * dimension into ONE hash aggregate: map-side partial sums per
+    * (label, dim), nothing vector-shaped ever collected or buffered. Sums
+    * accumulate in DECIMAL(38,6) (exact, associative) so the centroid is
+    * reduction-order-independent — double accumulation would drift between
+    * partitionings and engines. */
+  def labelCentroids(embeddings: DataFrame): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
+    embeddings
+      .select(col("label"), posexplode(col("embedding")))
+      .toDF("label", "dim", "x")
+      .groupBy(col("label"), col("dim"))
+      .agg((sum(col("x").cast("double").cast(d38)).cast("double") / count(col("x")))
+             .as("centroid"),
+           count(lit(1)).as("n_vecs"))
+  }
 }

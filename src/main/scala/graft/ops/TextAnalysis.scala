@@ -173,6 +173,31 @@ object TextAnalysis {
       .agg(sort_array(collect_list(col("fp_hash"))).as("fingerprint"),
            count(lit(1)).as("n_hashes"))
 
+  /** Composite quality gate — the decision layer a training-data pipeline
+    * runs over the per-doc signals: keep/drop plus the FIRST failing rule
+    * as a reason (reasons make filter-rate dashboards and ablations
+    * possible; a bare boolean does not). Composes the langId, quality and
+    * repetition operators by doc_id joins — each signal pass prunes its
+    * scan to (doc_id, text) and shuffles on doc_id only; a pipeline
+    * computing many signal families would cache the exploded-token frame
+    * they share. */
+  def qualityFilter(docs: DataFrame, minWords: Int = 20,
+                    maxDupWordRatio: Double = 0.65): DataFrame = {
+    val lang = langId(docs).select(col("doc_id"), col("predicted_lang"))
+    val qual = quality(docs).select(col("doc_id"), col("n_words"))
+    val rep = repetition(docs).select(col("doc_id"), col("dup_word_ratio"))
+    qual.join(lang, "doc_id").join(rep, "doc_id")
+      .select(col("doc_id"), col("predicted_lang"), col("n_words"),
+        col("dup_word_ratio"),
+        when(col("predicted_lang") === "unknown", "lang")
+          .when(col("n_words") < minWords, "too_short")
+          .when(col("dup_word_ratio") > maxDupWordRatio, "repetition")
+          .otherwise("ok").as("reason"),
+        (col("predicted_lang") =!= "unknown" &&
+          col("n_words") >= minWords &&
+          col("dup_word_ratio") <= maxDupWordRatio).as("keep"))
+  }
+
   /** PII patterns shared by the Spark plan and the DuckDB oracle. Kept to
     * the regex subset with identical semantics in java.util.regex and RE2
     * (no backreferences/lookaround; `\b` is ASCII word boundary in both).

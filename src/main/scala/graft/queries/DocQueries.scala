@@ -105,6 +105,41 @@ object DocQueries {
           FROM h)
     SELECT doc_id, unnest(fp) AS fp_hash FROM f ORDER BY doc_id, fp_hash"""
 
+  /** Composite keep/drop gate with reasons — the oracle reuses the three
+    * signal queries' SQL verbatim as subqueries (single source of truth:
+    * if a signal's SQL drifts from its Spark twin, BOTH this and the
+    * signal's own registry row fail). */
+  private def qualityFilter(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityFilter(Tables.documents(s, d)).orderBy("doc_id")
+
+  private lazy val qualityFilterSql = s"""
+    SELECT q.doc_id, l.predicted_lang, q.n_words, r.dup_word_ratio,
+           CASE WHEN l.predicted_lang = 'unknown' THEN 'lang'
+                WHEN q.n_words < 20 THEN 'too_short'
+                WHEN r.dup_word_ratio > 0.65 THEN 'repetition'
+                ELSE 'ok' END AS reason,
+           (l.predicted_lang <> 'unknown' AND q.n_words >= 20
+             AND r.dup_word_ratio <= 0.65) AS keep
+    FROM ($textQualitySql) q
+      JOIN ($langIdSql) l USING (doc_id)
+      JOIN ($qualityRepetitionSql) r USING (doc_id)
+    ORDER BY doc_id"""
+
+  /** Per-label centroid rows; exact-decimal per-dimension means. */
+  private def embeddingCentroids(s: SparkSession, d: String): DataFrame =
+    Similarity.labelCentroids(Tables.embeddings(s, d)).orderBy("label", "dim")
+
+  private val embeddingCentroidsSql = """
+    SELECT label, u.dim AS dim,
+           CAST(SUM(CAST(CAST(u.x AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(u.x) AS centroid,
+           COUNT(*) AS n_vecs
+    FROM (SELECT label,
+                 unnest([{'dim': i-1, 'x': embedding[i]}
+                         for i in range(1, len(embedding)+1)]) AS u
+          FROM embeddings)
+    GROUP BY label, u.dim ORDER BY label, dim"""
+
   /** PII scrub over the corpus — counts per class + md5 of the redacted
     * text (compact proof the two engines produced byte-identical redacted
     * output). Patterns are embedded from the same Scala list the Spark plan
@@ -399,6 +434,8 @@ object DocQueries {
     Q("token_topk", tokenTopK, Some(tokenTopKSql)),
     Q("pii_redact", piiRedact, Some(piiRedactSql)),
     Q("bpe_pair_counts", bpePairCounts, Some(bpePairCountsSql)),
+    Q("quality_filter", qualityFilter, Some(qualityFilterSql)),
+    Q("embedding_centroids", embeddingCentroids, Some(embeddingCentroidsSql)),
     Q("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
     Q("dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("ngram_jaccard", ngramJaccard, Some(jaccardPairsSql)),

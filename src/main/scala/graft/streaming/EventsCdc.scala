@@ -75,6 +75,17 @@ object EventsCdc {
       .foreachBatch(scd1MergeBatch(spark, stateDir, keys) _)
       .start()
 
+  /** Streaming exact dedup — the at-least-once guard in front of every
+    * CDC/file/queue source: duplicate event_ids (source replays, task
+    * retries, re-listed files) are dropped within the watermark horizon,
+    * so state is bounded by the delay window instead of accreting every id
+    * ever seen (what a plain streaming dropDuplicates would do). Choose
+    * `delay` >= the source's maximum replay lag; replays older than the
+    * horizon re-emit — the downstream SCD1 merge is idempotent to absorb
+    * exactly that. */
+  def dedupStream(events: DataFrame, delay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+
   /** One liveness/health row per streaming query — the library form of the
     * reference worker's heartbeat file (worker_sync.py:63-70 writes
     * `worker_status.json` with state + timestamp on an interval). Values

@@ -106,6 +106,41 @@ class EventsCdcSpec extends SparkSpec {
     assert(streamed === expected)
   }
 
+  test("streaming dedup drops source replays within the watermark horizon") {
+    // batch 1 = first third of events; batch 2 = the SAME file replayed
+    // plus the second third — an at-least-once source re-delivering
+    val ev = Tables.events(spark, sf).withColumn("b",
+      ntile(3).over(org.apache.spark.sql.expressions.Window
+        .orderBy($"ts", $"event_id")))
+    val dir = Files.createTempDirectory("graft_dedup_stream")
+    def writeFile(name: String, filter: org.apache.spark.sql.Column): Unit = {
+      val tmp = Files.createTempDirectory("graft_dedup_tmp").toString
+      ev.filter(filter).drop("b").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, dir.resolve(name))
+      Thread.sleep(1000)
+    }
+    writeFile("1.parquet", $"b" === 1)
+    writeFile("2.parquet", $"b" === 1 || $"b" === 2) // full replay of batch 1
+    val src = spark.readStream
+      .schema(Tables.events(spark, sf).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    // horizon covers the whole stream => the replay must dedup exactly
+    val q = EventsCdc.dedupStream(src, delay = "3650 days")
+      .writeStream.format("memory").queryName("cdc_dedup")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("cdc_dedup").select("event_id").as[Long].collect().toSeq
+    val expected = ev.filter($"b" === 1 || $"b" === 2)
+      .select("event_id").as[Long].collect().toSeq
+    assert(got.length === got.distinct.length, "a replayed event was emitted twice")
+    assert(got.toSet === expected.toSet)
+  }
+
   test("health reports a liveness row from lastProgress after a run") {
     val dir = streamDir()
     val stateDir = Files.createTempDirectory("graft_cdc_state_h").toString
