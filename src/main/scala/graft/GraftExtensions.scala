@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import graft.functions.NativeExpressions.{MinHashSignature, SimHashBits, SrpBandValues}
+import graft.functions.NativeExpressions.{DotProduct, MinHashSignature, SimHashBits, SrpBandValues}
 
 /** SparkSessionExtensions hook registering the engine's native expressions
   * as SQL functions, so `spark.sql` users (and external SQL tooling) reach
@@ -13,6 +13,7 @@ import graft.functions.NativeExpressions.{MinHashSignature, SimHashBits, SrpBand
   *   - `graft_simhash_bits(array<bigint>, bits)`
   *   - `graft_minhash_signature(array<bigint>, perms, seed)`
   *   - `graft_srp_band_values(array<double>, array<array<double>>, rows)`
+  *   - `graft_dot(array<double>, array<double>)`
   *
   * Wire up via `GraftSession.builder` (already applied) or
   * `--conf spark.sql.extensions=graft.GraftExtensions` on a stock session.
@@ -85,6 +86,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 3, "graft_srp_band_values(emb, planes, rows)")
         SrpBandValues(args(0), constPlanes(args(1), "planes"), constInt(args(2), "rows"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_dot(a, b)")
+        DotProduct(args(0), args(1))
       }))
   }
 }

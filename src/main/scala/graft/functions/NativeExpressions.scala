@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftglue.ColumnBridge
@@ -226,6 +226,54 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Dot product of two double arrays with LEFT-TO-RIGHT accumulation —
+    * bit-identical to `aggregate(zip_with(a, b, (x,y) => x*y), 0.0,
+    * (acc,v) => acc+v)` (same IEEE op sequence), but a tight generated
+    * loop instead of two interpreted lambda walks per pair. This is the
+    * exact-cosine hot loop of every candidate-verification stage
+    * (knn/LSH/embedding-dedup): candidates × dim multiplications per
+    * batch. Folds over min(len) — callers compare same-width embeddings. */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two array<double>, got $other")
+      }
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "dot_product"
+
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        // freshName'd locals — see SrpBandValues.doGenCode for why
+        val n = ctx.freshName("dpN")
+        val acc = ctx.freshName("dpAcc")
+        val i = ctx.freshName("dpI")
+        s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) { $acc += $a.getDouble($i) * $b.getDouble($i); }
+        ${ev.value} = $acc;
+        """
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): DotProduct =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Column wrapper: SRP band values of a double-array embedding column. */
   def srpBandValues(emb: Column, planes: Seq[Seq[Double]], rows: Int): Column =
     ColumnBridge.column(
@@ -238,4 +286,9 @@ object NativeExpressions {
   /** Column wrapper: simhash fingerprint of a long-array token-hash column. */
   def simhashBits(hashes: Column, bits: Int): Column =
     ColumnBridge.column(SimHashBits(ColumnBridge.expression(hashes), bits))
+
+  /** Column wrapper: native dot product of two double-array columns. */
+  def dotProduct(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

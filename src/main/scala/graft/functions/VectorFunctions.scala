@@ -3,30 +3,28 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<float|double>` embedding columns, built from
-  * higher-order functions (`zip_with`/`aggregate`) — no UDFs, no
-  * serialization boundary. Note Spark's higher-order functions are
-  * CodegenFallback (interpreted lambdas): fine here because these run on
-  * candidate-sized inputs (post-LSH pairs, broadcast query sets); the
-  * signature-building hot loops live in
-  * [[graft.functions.NativeExpressions]] with real `doGenCode`.
-  *
-  * All folds accumulate left-to-right in double, so results are
-  * IEEE-deterministic and reproducible across engines that reduce in the
-  * same order (the DuckDB oracles mirror the fold shape).
+/** Vector math over `array<float|double>` embedding columns — no UDFs, no
+  * serialization boundary. The dot-product/norm folds run through the
+  * native [[NativeExpressions.DotProduct]] expression (real `doGenCode`):
+  * exact cosine over candidates is the hot loop of every verification
+  * stage, and Spark's higher-order-function formulation
+  * (`aggregate`/`zip_with`) is CodegenFallback — an interpreted lambda
+  * walk per pair. The native expression runs the IDENTICAL left-to-right
+  * double accumulation, so results are bit-equal to the HOF form
+  * (SimilaritySpec pins this) and the cross-engine DuckDB oracles that
+  * mirror the fold shape are unaffected.
   */
 object VectorFunctions {
 
   /** Elementwise cast to double (embeddings ship as float32). */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Dot product: left-to-right double fold over the zipped products. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Dot product: left-to-right double fold, native codegen'd. */
+  def dot(a: Column, b: Column): Column = NativeExpressions.dotProduct(a, b)
 
-  /** Squared L2 norm. */
-  def normSq(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+  /** Squared L2 norm (= dot(a, a): same op sequence as the
+    * `aggregate(a, 0.0, acc + x*x)` fold it replaces). */
+  def normSq(a: Column): Column = NativeExpressions.dotProduct(a, a)
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(normSq(a))

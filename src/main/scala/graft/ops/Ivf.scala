@@ -64,34 +64,76 @@ object Ivf {
     var centroids = data.orderBy(col("vec_id")).limit(nLists)
       .select(col("vec_id").as("centroid_id"), col("emb").as("cvec"),
               col("nrm").as("cnrm"))
-    var assignments: DataFrame = null
     (1 to iters).foreach { _ =>
-      assignments = assign(data, centroids)
-      centroids = updateCentroids(data, assignments)
+      // localCheckpoint truncates the per-iteration lineage: without it the
+      // final plan re-derives every Lloyd round from scratch (plan size and
+      // scheduler cost grow linearly with iters)
+      centroids = updateCentroids(data, assign(data, centroids))
+        .localCheckpoint(true)
     }
     IvfModel(centroids, assign(data, centroids))
   }
+
+  /** (query_id, centroid_id) pairs for each query's `nprobe` closest lists. */
+  private def probes(q: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("centroid_id"))
+    q.join(broadcast(centroids))
+      .select(col("query_id"), col("centroid_id"),
+        cosinePrenormed(col("q_emb"), col("cvec"), col("q_nrm"), col("cnrm")).as("ccos"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("centroid_id"))
+  }
+
+  private def preparedQueries(queries: DataFrame): DataFrame =
+    prepared(queries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
 
   /** Top-k by exact cosine among the members of each query's `nprobe`
     * closest lists. */
   def search(model: IvfModel, embeddings: DataFrame, queries: DataFrame,
              k: Int = 5, nprobe: Int = 4): DataFrame = {
     val data = prepared(embeddings)
-    val q = prepared(queries)
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("ccos").desc, col("centroid_id"))
-    val probed = q.join(broadcast(model.centroids))
-      .select(col("query_id"), col("centroid_id"),
-        cosinePrenormed(col("q_emb"), col("cvec"), col("q_nrm"), col("cnrm")).as("ccos"))
-      .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("centroid_id"))
+    val q = preparedQueries(queries)
+    val probed = probes(q, model.centroids, nprobe)
     val candidates = model.assignments.join(broadcast(probed), "centroid_id")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
     val scored = candidates
       .join(data, "vec_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosinePrenormed(col("emb"), col("q_emb"), col("nrm"), col("q_nrm")).as("cos"))
+    Similarity.topKPerQuery(scored, k)
+  }
+
+  /** Persist the fitted index as the 100 TB layout: every vector CO-LOCATED
+    * with its list — `dir/lists` parquet partitioned by centroid_id (norms
+    * precomputed, one directory per list) plus the tiny `dir/centroids`
+    * table. A probe then touches only the probed lists' directories. */
+  def writeIndex(model: IvfModel, embeddings: DataFrame, dir: String): Unit = {
+    prepared(embeddings).join(model.assignments, "vec_id")
+      .repartition(col("centroid_id"))
+      .sortWithinPartitions(col("centroid_id"), col("vec_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$dir/lists")
+    model.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Search the on-disk index. The candidate join broadcasts the (tiny)
+    * probe set against the partition column, so Spark's dynamic partition
+    * pruning restricts the scan to the probed lists' directories — the
+    * "probe = pruned scan" promise made physical; unprobed lists are never
+    * read. Results are identical to [[search]] on the in-memory model. */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  queries: DataFrame, k: Int = 5, nprobe: Int = 4): DataFrame = {
+    val lists = spark.read.parquet(s"$dir/lists")
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val q = preparedQueries(queries)
+    val probed = probes(q, centroids, nprobe)
+    val scored = lists.join(broadcast(probed), "centroid_id")
+      .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(q), "query_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosinePrenormed(col("emb"), col("q_emb"), col("nrm"), col("q_nrm")).as("cos"))

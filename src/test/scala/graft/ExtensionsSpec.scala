@@ -29,6 +29,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(fromSql === fromApi)
   }
 
+  test("graft_dot is SQL-callable and matches the Scala API") {
+    val fromSql = spark.sql(
+      "SELECT graft_dot(array(0.5D, -1.5D, 2.0D), array(1.0D, 2.0D, 0.25D)) AS d")
+      .as[Double].head()
+    val fromApi = Seq((Seq(0.5, -1.5, 2.0), Seq(1.0, 2.0, 0.25))).toDF("a", "b")
+      .select(NativeExpressions.dotProduct($"a", $"b").as("d"))
+      .as[Double].head()
+    assert(fromSql === fromApi)
+    assert(fromSql === 0.5 * 1.0 + -1.5 * 2.0 + 2.0 * 0.25)
+  }
+
   test("graft_srp_band_values is SQL-callable and matches the Scala API") {
     val planes = Similarity.planeMatrix(8, 4, 42L)
     val planesSql = planes

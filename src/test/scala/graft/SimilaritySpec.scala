@@ -47,6 +47,22 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh === bf)
   }
 
+  test("native dot product is bit-identical to the higher-order-function fold") {
+    val data = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", VectorFunctions.toDouble($"embedding").as("emb"))
+    val both = data
+      .select(
+        VectorFunctions.dot($"emb", $"emb").as("native"),
+        aggregate(zip_with($"emb", $"emb", (x, y) => x * y), lit(0.0),
+          (acc, v) => acc + v).as("hof"))
+      .as[(Double, Double)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (n, h) =>
+      assert(java.lang.Double.doubleToLongBits(n) ===
+        java.lang.Double.doubleToLongBits(h))
+    }
+  }
+
   test("IVF search: deterministic, recall rises with nprobe, full probe = brute force") {
     val data = graft.sources.Tables.embeddings(spark, sf)
     val queries = data.filter($"vec_id" < 5)
@@ -68,6 +84,29 @@ class SimilaritySpec extends SparkSpec {
     val again = Ivf.fit(data, nLists = 8, iters = 2)
     assert(again.assignments.orderBy("vec_id").collect()
       === model.assignments.orderBy("vec_id").collect())
+  }
+
+  test("on-disk IVF index: partition-pruned probe, results equal in-memory search") {
+    val data = graft.sources.Tables.embeddings(spark, sf)
+    val queries = data.filter($"vec_id" < 5)
+    val model = Ivf.fit(data, nLists = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Ivf.writeIndex(model, data, dir)
+    // one directory per list on disk
+    val listDirs = new java.io.File(s"$dir/lists").listFiles()
+      .filter(_.getName.startsWith("centroid_id=")).length
+    assert(listDirs === 8)
+    val onDisk = Ivf.searchIndex(spark, dir, queries, k = 5, nprobe = 2)
+    // the probe join must partition-prune the lists scan (dynamic pruning
+    // on the partition column from the broadcast probe set)
+    assert(planOf(onDisk).contains("dynamicpruning"),
+      "lists scan is not dynamically partition-pruned")
+    val inMem = Ivf.search(model, data, queries, k = 5, nprobe = 2)
+    val a = onDisk.select("query_id", "rank", "neighbor_id", "cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val b = inMem.select("query_id", "rank", "neighbor_id", "cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(a === b)
   }
 
   test("embedding near-dup returns symmetric-free ordered pairs above threshold") {
