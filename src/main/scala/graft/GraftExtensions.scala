@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import graft.functions.NativeExpressions.{DotProduct, MinHashSignature, SimHashBits, SrpBandValues}
+import graft.functions.NativeExpressions.{DotProduct, MinHashSignature, NfcNormalize, SimHashBits, SrpBandValues}
 
 /** SparkSessionExtensions hook registering the engine's native expressions
   * as SQL functions, so `spark.sql` users (and external SQL tooling) reach
@@ -14,6 +14,7 @@ import graft.functions.NativeExpressions.{DotProduct, MinHashSignature, SimHashB
   *   - `graft_minhash_signature(array<bigint>, perms, seed)`
   *   - `graft_srp_band_values(array<double>, array<array<double>>, rows)`
   *   - `graft_dot(array<double>, array<double>)`
+  *   - `graft_nfc_normalize(string)`
   *
   * Wire up via `GraftSession.builder` (already applied) or
   * `--conf spark.sql.extensions=graft.GraftExtensions` on a stock session.
@@ -93,6 +94,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_dot(a, b)")
         DotProduct(args(0), args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_nfc_normalize(s)")
+        NfcNormalize(args(0))
       }))
   }
 }

@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftglue.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions (with `doGenCode`) for the hot per-row loops
   * of the LSH operators. Spark's higher-order array functions
@@ -274,6 +275,49 @@ object NativeExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Unicode NFC normalization — the canonicalization pass text pipelines
+    * run before hashing/dedup (composed vs decomposed code points hash
+    * differently; "café" has two byte encodings). A native expression keeps
+    * it inside whole-stage codegen — a Scala UDF here would add a
+    * serialization boundary around every row of a corpus-wide scan.
+    * Backed by `java.text.Normalizer` (ICU-equivalent for NFC). */
+  case class NfcNormalize(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got $other")
+    }
+    override def dataType: DataType = StringType
+    override def prettyName: String = "nfc_normalize"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      // fast path: Normalizer.isNormalized avoids allocating for the
+      // overwhelmingly-already-NFC case
+      if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) input
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        // freshName'd locals — see SrpBandValues.doGenCode for why
+        val s = ctx.freshName("nfcS")
+        s"""
+        String $s = $c.toString();
+        if (java.text.Normalizer.isNormalized($s, java.text.Normalizer.Form.NFC)) {
+          ${ev.value} = $c;
+        } else {
+          ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+            java.text.Normalizer.normalize($s, java.text.Normalizer.Form.NFC));
+        }
+        """
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+      copy(child = newChild)
+  }
+
   /** Column wrapper: SRP band values of a double-array embedding column. */
   def srpBandValues(emb: Column, planes: Seq[Seq[Double]], rows: Int): Column =
     ColumnBridge.column(
@@ -291,4 +335,8 @@ object NativeExpressions {
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column wrapper: Unicode NFC normalization of a string column. */
+  def nfcNormalize(s: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(s)))
 }

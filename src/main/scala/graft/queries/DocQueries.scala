@@ -105,6 +105,24 @@ object DocQueries {
           FROM h)
     SELECT doc_id, unnest(fp) AS fp_hash FROM f ORDER BY doc_id, fp_hash"""
 
+  /** Unicode NFC canonicalization over the corpus (native codegen'd
+    * expression): changed flag + md5 of the normalized text. Both engines
+    * implement Unicode NFC (java.text.Normalizer / DuckDB nfc_normalize) —
+    * one standard, byte-identical output, md5-compared. */
+  private def textNormalize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val norm = graft.functions.NativeExpressions.nfcNormalize($"text")
+    Tables.documents(s, d)
+      .select($"doc_id", (norm =!= $"text").as("changed"),
+              md5(norm.cast("binary")).as("norm_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val textNormalizeSql = """
+    SELECT doc_id, nfc_normalize(text) <> text AS changed,
+           md5(nfc_normalize(text)) AS norm_md5
+    FROM documents ORDER BY doc_id"""
+
   /** Composite keep/drop gate with reasons — the oracle reuses the three
     * signal queries' SQL verbatim as subqueries (single source of truth:
     * if a signal's SQL drifts from its Spark twin, BOTH this and the
@@ -435,6 +453,7 @@ object DocQueries {
     Q("pii_redact", piiRedact, Some(piiRedactSql)),
     Q("bpe_pair_counts", bpePairCounts, Some(bpePairCountsSql)),
     Q("quality_filter", qualityFilter, Some(qualityFilterSql)),
+    Q("text_normalize", textNormalize, Some(textNormalizeSql)),
     Q("embedding_centroids", embeddingCentroids, Some(embeddingCentroidsSql)),
     Q("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
     Q("dedup_exact", dedupExact, Some(dedupExactSql)),

@@ -40,6 +40,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(fromSql === 0.5 * 1.0 + -1.5 * 2.0 + 2.0 * 0.25)
   }
 
+  test("graft_nfc_normalize is SQL-callable and matches the Scala API") {
+    val fromSql = spark.sql("SELECT graft_nfc_normalize('café') AS n")
+      .as[String].head()
+    val fromApi = Seq("café").toDF("s")
+      .select(NativeExpressions.nfcNormalize($"s").as("n"))
+      .as[String].head()
+    assert(fromSql === fromApi)
+    assert(fromSql === "café")
+  }
+
   test("graft_srp_band_values is SQL-callable and matches the Scala API") {
     val planes = Similarity.planeMatrix(8, 4, 42L)
     val planesSql = planes

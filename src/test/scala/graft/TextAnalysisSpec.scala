@@ -66,6 +66,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(1L).nonEmpty && fp(1L) === fp(1L).sorted)
   }
 
+  test("NFC normalization composes decomposed code points, leaves NFC text alone") {
+    import graft.functions.NativeExpressions.nfcNormalize
+    val composed = "café"            // é as one code point
+    val decomposed = "café"         // e + combining acute
+    val docs = Seq((1L, decomposed), (2L, composed), (3L, "plain ascii"))
+      .toDF("doc_id", "text")
+    val got = docs
+      .select($"doc_id", nfcNormalize($"text").as("norm"),
+              (nfcNormalize($"text") =!= $"text").as("changed"))
+      .as[(Long, String, Boolean)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, composed, true)))  // decomposed -> composed
+    assert(got(1) === ((2L, composed, false)))
+    assert(got(2) === ((3L, "plain ascii", false)))
+  }
+
   test("piiRedact counts and scrubs planted emails, IPs, and phone numbers") {
     val docs = Seq(
       (1L, "contact bob.smith+spam@example.co.uk or 10.0.255.3 now"),
