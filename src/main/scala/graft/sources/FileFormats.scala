@@ -45,4 +45,22 @@ object FileFormats {
     * partitioning (dims broadcast at read time anyway). */
   def writeDim(dim: DataFrame, outDir: String): Unit =
     dim.coalesce(1).write.mode("overwrite").parquet(outDir)
+
+  /** Bucketed sink for recurring equi-joins: two tables written with the
+    * SAME bucket count on their join keys are join-co-located — Spark
+    * plans the sort-merge join with NO Exchange on either side (bucket i
+    * only ever meets bucket i). This is the 100 TB layout for the SCD1
+    * state table and any fact⋈fact recurring join: the shuffle is paid
+    * ONCE at write time, then every subsequent merge/join/groupBy on the
+    * bucket key is shuffle-free. `sortBy` pre-sorts within buckets so the
+    * merge phase needs no sort either. Registered as an EXTERNAL table
+    * (data lives at `path`); SourcesSpec proves the exchange-free plan. */
+  def writeBucketed(df: DataFrame, tableName: String, path: String,
+                    key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(tableName)
 }

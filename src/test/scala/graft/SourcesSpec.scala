@@ -61,6 +61,34 @@ class SourcesSpec extends SparkSpec {
     assert(readBack() === merged)
   }
 
+  test("bucketed tables join with zero exchanges and match the shuffle join") {
+    val ordersPath = Files.createTempDirectory("graft_bkt_o").toString
+    val liPath = Files.createTempDirectory("graft_bkt_l").toString
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    FileFormats.writeBucketed(
+      Tables.orders(spark, sf).select($"o_orderkey", $"o_orderpriority"),
+      "bkt_orders", ordersPath, "o_orderkey", buckets = 4)
+    FileFormats.writeBucketed(
+      Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity"),
+      "bkt_lineitem", liPath, "l_orderkey", buckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_lineitem")
+        .join(spark.table("bkt_orders"), $"l_orderkey" === $"o_orderkey")
+      val plan = planOf(joined)
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        "bucketed join should be shuffle-free on both sides")
+      // same result as the plain (shuffled) join over the raw parquet
+      val expected = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), $"l_orderkey" === $"o_orderkey")
+        .count()
+      assert(joined.count() === expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("csv and json readers roundtrip with explicit schemas") {
     val dir = Files.createTempDirectory("graft_ff").toString
     val df = Seq((1L, "a", 1.5), (2L, "b", -2.25)).toDF("id", "name", "x")
