@@ -35,7 +35,17 @@ object Bench {
     * run (the md5 variant exists for DuckDB oracle replay). */
   private def extras: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "doc_fingerprint_fast" -> ((s, d) =>
-      graft.ops.TextAnalysis.fingerprintHashes(graft.sources.Tables.documents(s, d))))
+      graft.ops.TextAnalysis.fingerprintHashes(graft.sources.Tables.documents(s, d))),
+    // production quantile path: the mergeable approx sketch alone — the
+    // registry variant also computes EXACT percentiles for the oracle,
+    // which buffers whole groups and is not the 100 TB plan
+    "approx_quantiles_fast" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.sources.Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("p"))
+        .groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(p, array(0.5, 0.95), 10000)").as("aps"))
+    }))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -256,9 +256,18 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
-    var changed = 1L
+    // convergence check: per-node labels only ever decrease, so the label
+    // sum strictly decreases until the fixpoint — one scalar aggregate per
+    // round instead of a join against the previous labels. DECIMAL sum:
+    // billions of 2^40-ish ids would overflow a long accumulator.
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast(
+        org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0))))
+        .head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var changed = true
     var round = 0
-    while (changed > 0 && round < maxRounds) {
+    while (changed && round < maxRounds) {
       val nbr = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
@@ -273,8 +282,9 @@ object Dedup {
               Seq("label"), "left")
         .select(col("id"), coalesce(col("label2"), col("label")).as("label"))
         .localCheckpoint(true)
-      changed = jumped.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev")).count()
+      val newSum = labelSum(jumped)
+      changed = newSum.compareTo(prevSum) != 0
+      prevSum = newSum
       labels = jumped
       round += 1
     }

@@ -31,21 +31,31 @@ class PlanAuditSpec extends SparkSpec {
   test("text operators scan only (doc_id, text) from documents") {
     Seq("lang_id", "text_quality", "token_count", "doc_fingerprint",
         "dedup_exact", "ngram_jaccard", "dedup_minhash", "dedup_simhash",
-        "quality_repetition").foreach { name =>
+        "quality_repetition", "pii_redact", "text_normalize",
+        "quality_filter").foreach { name =>
+      // (dedup_clusters' final plan starts from localCheckpointed label
+      // RDDs — its upstream scans are audited via dedup_minhash)
       val p = plans.toMap.apply(name)
       assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
         s"$name reads more than (doc_id, text) from documents")
     }
-    // token_topk needs only text
-    assert(plans.toMap.apply("token_topk").contains("ReadSchema: struct<text:string>"))
+    // corpus-level heads need only text
+    Seq("token_topk", "bpe_pair_counts").foreach { name =>
+      assert(plans.toMap.apply(name).contains("ReadSchema: struct<text:string>"),
+        s"$name reads more than (text) from documents")
+    }
   }
 
   test("vector operators scan only (vec_id, embedding) from embeddings") {
-    Seq("knn_bruteforce", "knn_lsh", "dedup_embedding").foreach { name =>
+    Seq("knn_bruteforce", "knn_lsh", "knn_ivf", "dedup_embedding").foreach { name =>
       val p = plans.toMap.apply(name)
       assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
         s"$name reads more than (vec_id, embedding) from embeddings")
     }
+    // centroids group by the label column, nothing else beyond it
+    assert(plans.toMap.apply("embedding_centroids")
+      .contains("ReadSchema: struct<embedding:array<float>,label:int>"),
+      "embedding_centroids reads more than (embedding, label)")
   }
 
   test("event operators do not read the props payload column") {
