@@ -87,7 +87,14 @@ object Bench {
     val qs = jmap(warm.toSeq.map { case (k, v) => k -> v.toString })
     val cs = jmap(cold.toSeq.map { case (k, v) => k -> v.toString })
     val es = jmap(errors.toSeq.map { case (k, v) => k -> jstr(v) })
-    println(s"""{"metric":"total","value":$total,"unit":"sec","partial":${errors.nonEmpty},"queries":$qs,"cold":$cs,"errors":$es,"n_errors":${errors.size},"sf":${jstr(sfDir)}}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","partial":${errors.nonEmpty},"queries":$qs,"cold":$cs,"errors":$es,"n_errors":${errors.size},"sf":${jstr(sfDir)}}"""
+    println(line)
+    // stdout capture can truncate to a tail (r4 lost the whole warm map that
+    // way) — also persist the full line next to the sources
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: java.io.IOException => () /* read-only cwd: stdout only */ }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -233,7 +233,10 @@ object NativeExpressions {
     * loop instead of two interpreted lambda walks per pair. This is the
     * exact-cosine hot loop of every candidate-verification stage
     * (knn/LSH/embedding-dedup): candidates × dim multiplications per
-    * batch. Folds over min(len) — callers compare same-width embeddings. */
+    * batch. Width-mismatched inputs return NULL — a mismatch signals an
+    * upstream bug, and the zip_with/aggregate fold this replaces surfaced
+    * it as NULL too (a min-length partial fold would be a plausible-looking
+    * wrong cosine instead). */
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
@@ -245,11 +248,14 @@ object NativeExpressions {
       }
     override def dataType: DataType = DoubleType
     override def prettyName: String = "dot_product"
+    // null on width mismatch even when both inputs are non-nullable
+    override def nullable: Boolean = true
 
     override protected def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
-      val n = math.min(a.numElements(), b.numElements())
+      val n = a.numElements()
+      if (n != b.numElements()) return null
       var acc = 0.0
       var i = 0
       while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
@@ -263,10 +269,14 @@ object NativeExpressions {
         val acc = ctx.freshName("dpAcc")
         val i = ctx.freshName("dpI")
         s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $acc = 0.0;
-        for (int $i = 0; $i < $n; $i++) { $acc += $a.getDouble($i) * $b.getDouble($i); }
-        ${ev.value} = $acc;
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) { $acc += $a.getDouble($i) * $b.getDouble($i); }
+          ${ev.value} = $acc;
+        }
         """
       })
 

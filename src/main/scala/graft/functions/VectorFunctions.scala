@@ -19,7 +19,8 @@ object VectorFunctions {
   /** Elementwise cast to double (embeddings ship as float32). */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Dot product: left-to-right double fold, native codegen'd. */
+  /** Dot product: left-to-right double fold, native codegen'd. NULL on
+    * width mismatch (as the zip_with fold it replaces was). */
   def dot(a: Column, b: Column): Column = NativeExpressions.dotProduct(a, b)
 
   /** Squared L2 norm (= dot(a, a): same op sequence as the

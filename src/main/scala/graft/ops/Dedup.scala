@@ -259,11 +259,13 @@ object Dedup {
     // convergence check: per-node labels only ever decrease, so the label
     // sum strictly decreases until the fixpoint — one scalar aggregate per
     // round instead of a join against the previous labels. DECIMAL sum:
-    // billions of 2^40-ish ids would overflow a long accumulator.
+    // billions of 2^40-ish ids would overflow a long accumulator. sum() over
+    // zero rows is NULL — a clean corpus (no near-dup pairs) is legal input,
+    // so map it to ZERO (first round then converges trivially).
     def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast(
+      Option(df.agg(sum(col("label").cast(
         org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0))))
-        .head.getDecimal(0)
+        .head.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var changed = true
     var round = 0
@@ -285,10 +287,13 @@ object Dedup {
       val newSum = labelSum(jumped)
       changed = newSum.compareTo(prevSum) != 0
       prevSum = newSum
+      // round N is materialized (eager checkpoint) — release round N-1's
+      // blocks so storage stays one label table, not rounds × labels
+      Checkpoints.unpersist(labels)
       labels = jumped
       round += 1
     }
-    edges.unpersist()
+    edges.unpersist(blocking = true)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),

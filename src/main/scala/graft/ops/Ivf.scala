@@ -67,9 +67,13 @@ object Ivf {
     (1 to iters).foreach { _ =>
       // localCheckpoint truncates the per-iteration lineage: without it the
       // final plan re-derives every Lloyd round from scratch (plan size and
-      // scheduler cost grow linearly with iters)
-      centroids = updateCentroids(data, assign(data, centroids))
+      // scheduler cost grow linearly with iters). Each round supersedes the
+      // previous checkpoint — release its blocks (bounded storage over any
+      // iteration count)
+      val next = updateCentroids(data, assign(data, centroids))
         .localCheckpoint(true)
+      Checkpoints.unpersist(centroids)
+      centroids = next
     }
     IvfModel(centroids, assign(data, centroids))
   }

@@ -145,9 +145,14 @@ object Similarity {
     * nearest-class-mean classification, and IVF seeding. Explode-by-
     * dimension into ONE hash aggregate: map-side partial sums per
     * (label, dim), nothing vector-shaped ever collected or buffered. Sums
-    * accumulate in DECIMAL(38,6) (exact, associative) so the centroid is
-    * reduction-order-independent — double accumulation would drift between
-    * partitionings and engines. */
+    * accumulate in DECIMAL(38,6) — exact and associative over the
+    * 1e-6-QUANTIZED inputs (each component rounds once at 1e-6, then the
+    * sum is reduction-order-independent; double accumulation would drift
+    * between partitionings). Scale 6 is deliberate, not timid: float32
+    * values are terminating binary fractions, so exact .5 rounding ties —
+    * where Spark (HALF_UP) and other engines (half-even) disagree — get
+    * MORE likely as scale grows (measured: scale 12 breaks the DuckDB
+    * hash match on sf0.01, scale 6 never has). */
   def labelCentroids(embeddings: DataFrame): DataFrame = {
     val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
     embeddings

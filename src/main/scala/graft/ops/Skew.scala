@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, MapType, StructType, ArrayType}
 
 /** Skew-mitigation join: explicit key salting.
   *
@@ -17,20 +18,42 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** xxhash64 rejects MapType (no canonical entry order) at analysis — skip
+    * such columns when deriving the salt. */
+  private def hashable(dt: DataType): Boolean = dt match {
+    case _: MapType     => false
+    case s: StructType  => s.fields.forall(f => hashable(f.dataType))
+    case a: ArrayType   => hashable(a.elementType)
+    case _              => true
+  }
+
   /** Inner equi-join of `fact` and `dim` on `key`, salted `salts` ways.
-    * The salt is a deterministic hash of the whole fact row (not a RNG), so
-    * retries and re-runs produce identical partitioning. Result equals the
-    * plain `fact.join(dim, key)` bit-for-bit — only the shuffle layout
-    * changes. */
+    * The salt is a deterministic hash of the fact row's hash-supported
+    * columns (not a RNG), so retries and re-runs produce identical
+    * partitioning, and the internal salt column name is chosen to never
+    * collide with either side's columns. Result equals the plain
+    * `fact.join(dim, key)` bit-for-bit — only the shuffle layout changes.
+    *
+    * Limitation (inherent to content-derived salts): rows of a hot key that
+    * are fully identical across all hashable columns share one salt and
+    * still co-locate. If the skewed workload is exact-duplicate rows,
+    * deduplicate (or aggregate) them upstream first — that shrinks the hot
+    * key outright, which beats any salting.
+    */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
+    val salt = Iterator.iterate("__salt")(_ + "_")
+      .dropWhile(n => fact.columns.contains(n) || dim.columns.contains(n))
+      .next()
+    val saltSrc = fact.schema.fields.filter(f => hashable(f.dataType)) match {
+      case Array() => Array(col(key)) // degenerate: all-map schema
+      case fs      => fs.map(f => col(f.name))
+    }
     val saltedFact = fact.withColumn(
-      "__salt",
-      pmod(xxhash64(fact.columns.toIndexedSeq.map(col): _*), lit(salts.toLong))
-        .cast("int"))
-    val repDim = dim.withColumn(
-      "__salt", explode(sequence(lit(0), lit(salts - 1))))
-    saltedFact.join(repDim, Seq(key, "__salt")).drop("__salt")
+      salt,
+      pmod(xxhash64(saltSrc.toIndexedSeq: _*), lit(salts.toLong)).cast("int"))
+    val repDim = dim.withColumn(salt, explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(repDim, Seq(key, salt)).drop(salt)
   }
 }

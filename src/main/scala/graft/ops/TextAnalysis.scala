@@ -201,8 +201,11 @@ object TextAnalysis {
   /** PII patterns shared by the Spark plan and the DuckDB oracle. Kept to
     * the regex subset with identical semantics in java.util.regex and RE2
     * (no backreferences/lookaround; `\b` is ASCII word boundary in both).
-    * Deliberately non-overlapping: emails carry '@', IPs dots, phones
-    * dashes — so redaction order cannot change the result. */
+    * Application order matters at the margins: a dotted quad inside an
+    * email's local part matches the IP pattern too, so counts are taken on
+    * the PROGRESSIVELY redacted text (class i counted after classes 1..i-1
+    * replaced) — counts then always agree with what the redacted output
+    * shows. */
   val piiPatterns: Seq[(String, String)] = Seq(
     "email" -> """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""",
     "ip"    -> """\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b""",
@@ -211,16 +214,19 @@ object TextAnalysis {
   /** PII scrub — the redaction pass a training-data pipeline runs before
     * anything else sees the text: per-doc match counts for each PII class
     * plus the redacted text (matches replaced by `<CLASS>` placeholders).
-    * Pure per-row regex expressions: codegen'd, no shuffle, scan-speed.
-    * The registry variant returns md5(redacted) instead of the full text so
-    * the oracle compare stays compact. */
+    * Each class is counted on the text with the PRIOR classes already
+    * redacted, so n_X is exactly the number of `<X>` placeholders in the
+    * output. Pure per-row regex expressions: codegen'd, no shuffle,
+    * scan-speed. The registry variant returns md5(redacted) instead of the
+    * full text so the oracle compare stays compact. */
   def piiRedact(docs: DataFrame): DataFrame = {
-    val redacted = piiPatterns.foldLeft(col("text")) { case (acc, (name, re)) =>
+    // stages(i) = text after the first i patterns are applied
+    val stages = piiPatterns.scanLeft(col("text")) { case (acc, (name, re)) =>
       regexp_replace(acc, re, s"<${name.toUpperCase}>")
     }
-    val counts = piiPatterns.map { case (name, re) =>
-      size(regexp_extract_all(col("text"), lit(re), lit(0))).as(s"n_${name}s")
+    val counts = piiPatterns.zipWithIndex.map { case ((name, re), i) =>
+      size(regexp_extract_all(stages(i), lit(re), lit(0))).as(s"n_${name}s")
     }
-    docs.select(col("doc_id") +: counts :+ redacted.as("redacted_text"): _*)
+    docs.select(col("doc_id") +: counts :+ stages.last.as("redacted_text"): _*)
   }
 }

@@ -171,13 +171,16 @@ object DocQueries {
   }
 
   private lazy val piiRedactSql: String = {
-    val counts = TextAnalysis.piiPatterns.map { case (name, re) =>
-      s"len(regexp_extract_all(text, '$re')) AS n_${name}s"
-    }.mkString(",\n           ")
-    val redacted = TextAnalysis.piiPatterns.foldLeft("text") {
+    // mirror the Spark side's progressive counting: class i is counted on
+    // the text with classes 1..i-1 already redacted (stages(i))
+    val stages = TextAnalysis.piiPatterns.scanLeft("text") {
       case (acc, (name, re)) =>
         s"regexp_replace($acc, '$re', '<${name.toUpperCase}>', 'g')"
     }
+    val counts = TextAnalysis.piiPatterns.zipWithIndex.map { case ((name, re), i) =>
+      s"len(regexp_extract_all(${stages(i)}, '$re')) AS n_${name}s"
+    }.mkString(",\n           ")
+    val redacted = stages.last
     s"""
     SELECT doc_id,
            $counts,
@@ -391,6 +394,23 @@ object DocQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF ANN through the ON-DISK index layout (ops/Ivf.writeIndex +
+    * searchIndex): lists persisted partitioned by centroid_id, probe
+    * executed as a broadcast join against the partition column so dynamic
+    * partition pruning restricts the scan to the probed lists' directories
+    * (SimilaritySpec asserts the dynamicpruning filter in this plan). At
+    * full probe every list is read, so the same exact brute-force oracle
+    * applies bit-for-bit — correctness of the DPP path itself, not just the
+    * in-memory search. */
+  private def knnIvfDisk(s: SparkSession, d: String): DataFrame = {
+    val data = Tables.embeddings(s, d)
+    val model = Ivf.fit(data, nLists = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    Ivf.writeIndex(model, data, dir)
+    Ivf.searchIndex(s, dir, queries(s, d), k = 5, nprobe = 8)
+      .orderBy("query_id", "rank")
+  }
+
   /** Metadata half of the multimodal pipeline — every column recomputable by
     * the oracle from the same bytes (payload = 4-byte 'GRFT' magic + UTF-8
     * text; DuckDB strlen counts UTF-8 bytes, md5 hashes them). */
@@ -467,5 +487,6 @@ object DocQueries {
     Q("multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
     Q("multimodal_frames", multimodalFrames, Some(multimodalFramesSql)),
     Q("multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),
-    Q("knn_ivf", knnIvf, Some(knnBruteForceSql)))
+    Q("knn_ivf", knnIvf, Some(knnBruteForceSql)),
+    Q("knn_ivf_disk", knnIvfDisk, Some(knnBruteForceSql)))
 }

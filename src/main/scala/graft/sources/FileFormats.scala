@@ -41,10 +41,23 @@ object FileFormats {
       .partitionBy(partitionCol)
       .parquet(outDir)
 
-  /** Dimension sink: small tables, single coalesced file each, no
-    * partitioning (dims broadcast at read time anyway). */
-  def writeDim(dim: DataFrame, outDir: String): Unit =
-    dim.coalesce(1).write.mode("overwrite").parquet(outDir)
+  /** Dimension sink, size-tiered. Small dims (the default) coalesce to one
+    * file — they broadcast at read time and a single footer beats a
+    * thousand tiny files. `large = true` is for dims that mirror an OLTP
+    * giant (a 100 TB deployment's customer dim is billions of rows): the
+    * write keeps its parallelism and caps rows per file, because a
+    * single-task single-file write is as wrong there as a broadcast join
+    * would be. Tiering is declared by the caller — a row-count probe at
+    * write time would cost an extra job, and the caller knows which dims
+    * mirror giants. For the join side of large dims, see [[writeBucketed]]:
+    * bucket fact and dim on the join key and the recurring fact⋈dim join
+    * runs as a zero-Exchange sort-merge join. */
+  def writeDim(dim: DataFrame, outDir: String, large: Boolean = false,
+               maxRecordsPerFile: Long = 4L * 1000 * 1000): Unit =
+    (if (large) dim else dim.coalesce(1))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .parquet(outDir)
 
   /** Bucketed sink for recurring equi-joins: two tables written with the
     * SAME bucket count on their join keys are join-co-located — Spark

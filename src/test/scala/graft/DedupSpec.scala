@@ -84,6 +84,26 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("clusters on an empty pair set returns an empty frame (clean corpus is legal)") {
+    val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    val out = Dedup.clusters(empty)
+    assert(out.columns.toSeq === Seq("doc_id", "cluster_id", "cluster_size"))
+    assert(out.count() === 0L)
+  }
+
+  test("clusters keeps checkpoint storage bounded across fixpoint rounds") {
+    // the 9-hop chain needs several pointer-jumping rounds; each round's
+    // eager localCheckpoint must release its predecessor or a long-running
+    // dedup pins rounds × label-table storage on the executors
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val chain = (50L until 80L).map(i => (i, i + 1)).toDF("d1", "d2")
+    Dedup.clusters(chain).count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // at most the final round's labels (+ nothing else) may remain pinned
+    assert(after - before <= 1,
+      s"clusters leaked checkpointed rounds: $before persistent RDDs before, $after after")
+  }
+
   test("clusters on the twinned corpus: every twin pair is its own cluster of 2") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select($"doc_id", $"text").filter($"doc_id" < 200)

@@ -19,10 +19,10 @@ class PlanAuditSpec extends SparkSpec {
 
   test("nested-loop joins only where the operator intends one") {
     // knn_bruteforce intentionally broadcast-NL-joins the (tiny) query set
-    // against every vector — that IS the brute-force contract; knn_ivf
-    // likewise broadcast-NL-joins the tiny centroid set for assignment/probe
-    // scoring (every vector scores every centroid by design)
-    plans.filterNot(p => Set("knn_bruteforce", "knn_ivf")(p._1))
+    // against every vector — that IS the brute-force contract; knn_ivf and
+    // knn_ivf_disk likewise broadcast-NL-join the tiny centroid set for
+    // assignment/probe scoring (every vector scores every centroid by design)
+    plans.filterNot(p => Set("knn_bruteforce", "knn_ivf", "knn_ivf_disk")(p._1))
       .foreach { case (name, p) =>
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
       }
@@ -32,15 +32,17 @@ class PlanAuditSpec extends SparkSpec {
     Seq("lang_id", "text_quality", "token_count", "doc_fingerprint",
         "dedup_exact", "ngram_jaccard", "dedup_minhash", "dedup_simhash",
         "quality_repetition", "pii_redact", "text_normalize",
-        "quality_filter").foreach { name =>
+        "quality_filter", "bpe_pair_counts").foreach { name =>
       // (dedup_clusters' final plan starts from localCheckpointed label
-      // RDDs — its upstream scans are audited via dedup_minhash)
+      // RDDs — its upstream scans are audited via dedup_minhash;
+      // bpe_pair_counts builds pairs per-doc with lead windows keyed by
+      // doc_id — pairs must not span document boundaries)
       val p = plans.toMap.apply(name)
       assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
         s"$name reads more than (doc_id, text) from documents")
     }
     // corpus-level heads need only text
-    Seq("token_topk", "bpe_pair_counts").foreach { name =>
+    Seq("token_topk").foreach { name =>
       assert(plans.toMap.apply(name).contains("ReadSchema: struct<text:string>"),
         s"$name reads more than (text) from documents")
     }

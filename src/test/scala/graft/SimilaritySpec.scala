@@ -80,8 +80,13 @@ class SimilaritySpec extends SparkSpec {
     val r2 = recallAt(2)
     assert(r2 > 0.2, s"nprobe=2 recall unreasonably low: $r2")
     assert(recallAt(8) >= r2)
-    // determinism: rebuilding the index reproduces the same assignments
+    // determinism: rebuilding the index reproduces the same assignments —
+    // and Lloyd rounds release superseded checkpoints (bounded storage:
+    // at most the final round's centroids stay pinned per fit)
+    val before = spark.sparkContext.getPersistentRDDs.size
     val again = Ivf.fit(data, nLists = 8, iters = 2)
+    assert(spark.sparkContext.getPersistentRDDs.size - before <= 1,
+      "Ivf.fit leaked superseded Lloyd-round checkpoints")
     assert(again.assignments.orderBy("vec_id").collect()
       === model.assignments.orderBy("vec_id").collect())
   }

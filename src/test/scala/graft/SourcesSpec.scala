@@ -61,6 +61,84 @@ class SourcesSpec extends SparkSpec {
     assert(readBack() === merged)
   }
 
+  test("partitioned JDBC read runs for real: range slices + pushed predicate against embedded DuckDB") {
+    val db = Files.createTempDirectory("graft-duckdb-src").resolve("oltp.db").toString
+    val conn = Jdbc.ConnInfo(s"jdbc:duckdb:$db", "", "", "org.duckdb.DuckDBDriver")
+    Class.forName(conn.driver)
+    val ddl = java.sql.DriverManager.getConnection(conn.url)
+    try ddl.createStatement().execute(
+      "CREATE TABLE orden AS SELECT r AS orden_id, r % 7 AS cliente_id, r * 1.5 AS total " +
+        "FROM range(1, 1001) t(r)")
+    finally ddl.close()
+
+    // the reference reads the OLTP table through one cursor
+    // (sync_oltp_to_olap.py:194-260); here the same table arrives as range
+    // slices — one remote query per partition, executed concurrently
+    val df = Jdbc.readPartitioned(spark, conn, "orden",
+      partitionColumn = "orden_id", lower = 1L, upper = 1000L, numPartitions = 4)
+    assert(df.rdd.getNumPartitions === 4, "range read must split into 4 slices")
+
+    val filtered = df.filter($"cliente_id" === 3).select($"orden_id", $"total")
+    // the predicate must ride the remote SQL, not run Spark-side
+    val plan = planOf(filtered)
+    assert(plan.contains("PushedFilters") && plan.contains("cliente_id"),
+      s"predicate not pushed into the JDBC scan:\n$plan")
+    val got = filtered.select($"orden_id".cast("long")).as[Long].collect().toSet
+    assert(got === (1L to 1000L).filter(_ % 7 == 3).toSet)
+  }
+
+  test("changed-key JDBC read pushes the key list into the remote subquery") {
+    val db = Files.createTempDirectory("graft-duckdb-chg").resolve("oltp.db").toString
+    val conn = Jdbc.ConnInfo(s"jdbc:duckdb:$db", "", "", "org.duckdb.DuckDBDriver")
+    Class.forName(conn.driver)
+    val ddl = java.sql.DriverManager.getConnection(conn.url)
+    try ddl.createStatement().execute(
+      "CREATE TABLE clientes AS SELECT r AS cliente_id, 'c' || r AS nombre FROM range(1, 101) t(r)")
+    finally ddl.close()
+    // the CDC worker path (worker_sync.py:94-108): only the notified keys
+    // leave the OLTP store
+    val changed = Jdbc.readChanged(spark, conn, "clientes", "cliente_id", Seq(7L, 42L, 99L))
+    assert(changed.select($"cliente_id".cast("long")).as[Long].collect().toSet
+      === Set(7L, 42L, 99L))
+  }
+
+  test("size-tiered star: a forced-large dim writes bucketed multi-file and joins the fact SMJ with zero exchanges") {
+    val out = Files.createTempDirectory("graft_star_tiered").toString
+    spark.sql("DROP TABLE IF EXISTS star_dim_customer")
+    spark.sql("DROP TABLE IF EXISTS bkt_fact_cust")
+    // declare dim_customer large (it mirrors the OLTP clientes giant):
+    // written through the bucketed sink on its join key instead of
+    // single-file + broadcast
+    val star = graft.olap.StarSchemaJob.run(spark, sf, out,
+      largeDims = Map("dim_customer" -> "c_custkey"), buckets = 4)
+    val dimFiles = new java.io.File(s"$out/dim_customer").listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+    assert(dimFiles.length > 1, "a large dim must not be a single file")
+
+    // the fact copy clustered for customer-grain joins: same bucket count
+    val factPath = Files.createTempDirectory("graft_bkt_factc").toString
+    FileFormats.writeBucketed(
+      star.factSales.select($"o_custkey", $"total_sale"),
+      "bkt_fact_cust", factPath, "o_custkey", buckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_fact_cust")
+        .join(spark.table("star_dim_customer"), $"o_custkey" === $"c_custkey")
+      val plan = planOf(joined)
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ, not broadcast:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"fact⋈large-dim must be co-located (zero exchanges):\n$plan")
+      // and the multi-file non-bucketed path caps rows per file
+      val dimDir = Files.createTempDirectory("graft_dim_large").toString
+      FileFormats.writeDim(star.dimCustomer, dimDir, large = true,
+        maxRecordsPerFile = 50)
+      val files = new java.io.File(dimDir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+      assert(files.length > 1, "maxRecordsPerFile must split the large dim")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bucketed tables join with zero exchanges and match the shuffle join") {
     val ordersPath = Files.createTempDirectory("graft_bkt_o").toString
     val liPath = Files.createTempDirectory("graft_bkt_l").toString
