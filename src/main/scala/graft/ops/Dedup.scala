@@ -230,6 +230,37 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Train/eval decontamination — the overlap check every LLM pipeline runs
+    * before training: flag training documents that share any word n-gram
+    * with a benchmark/eval set (the standard n-gram-collision definition of
+    * contamination, as in the GPT-3/PaLM eval-contamination appendices;
+    * n defaults to 8 — long enough that chance collisions vanish, short
+    * enough to catch paraphrased leakage).
+    *
+    * Shapes for 100 TB: both sides shingle through the codegen'd
+    * [[shingleRows]] lead-window assembly and reduce to 64-bit hashes
+    * map-side; the benchmark's distinct shingle set (eval sets are tiny
+    * next to a corpus) BROADCASTS, so the corpus never shuffles — the
+    * whole check is a scan + broadcast semi-join + one doc_id-keyed count.
+    * Corpus documents with fewer than n words emit no shingles and are
+    * reported clean.
+    *
+    * @return one row per corpus doc: (doc_id, n_contaminated_ngrams —
+    *         distinct benchmark-colliding shingles — and the contaminated
+    *         flag)
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
+    val d = shingleRows(docs, n).select(col("doc_id"), xxhash64(col("g")).as("h"))
+    val b = shingleRows(benchmark, n).select(xxhash64(col("g")).as("h")).distinct()
+    val hits = d.join(broadcast(b), Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("__n_hits"))
+    docs.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__n_hits"), lit(0L)).as("n_contaminated_ngrams"),
+        (coalesce(col("__n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Connected components over a verified near-dup pair set — the clustering
     * step a dedup pipeline runs after pair generation: every doc in a
     * component maps to the component's smallest doc_id (`cluster_id`), so

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data pipelines.
@@ -34,5 +35,33 @@ object Sampling {
     }
     df.withColumn("sample_bucket", bucket(idCol))
       .filter(col("sample_bucket") < rate)
+  }
+
+  /** Domain-mix rebalancing with DATA-DERIVED rates — the "equalize
+    * domains" step of training-data mixing: every stratum (source domain)
+    * downsamples toward the smallest one, rate_g = ⌊100·min_count/count_g⌋
+    * percent (the smallest domain keeps 100%). Rates come from one tiny
+    * aggregate over the stratum column (domains number in the dozens even
+    * at 100 TB) broadcast back onto the scan; membership stays the same
+    * portable md5 bucket as [[stratified]], so the sample is deterministic
+    * across retries and engines and downstream bucket-range splits remain
+    * valid. Equalization is percent-granular by construction (a rate is an
+    * integer percent) — the contract is reproducibility, not exact counts.
+    */
+  def balanceDomains(df: DataFrame, stratumCol: Column, idCol: Column): DataFrame = {
+    val counts = df.groupBy(stratumCol.as("__stratum"))
+      .agg(count(lit(1)).as("__cnt"))
+    // min over the (tiny) per-stratum counts; window over one partition is
+    // fine HERE because its input is |domains| rows, never the data
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = counts
+      .withColumn("keep_rate",
+        floor(lit(100.0) * min(col("__cnt")).over(w) / col("__cnt")).cast("int"))
+      .select(col("__stratum"), col("keep_rate"))
+    df.withColumn("sample_bucket", bucket(idCol))
+      .join(broadcast(rates), stratumCol === col("__stratum"))
+      .filter(col("sample_bucket") < col("keep_rate"))
+      .drop("__stratum")
   }
 }

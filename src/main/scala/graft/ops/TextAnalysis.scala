@@ -198,6 +198,38 @@ object TextAnalysis {
           col("dup_word_ratio") <= maxDupWordRatio).as("keep"))
   }
 
+  /** Concat-and-chunk sequence packing — the pretraining batch layout:
+    * within each shard, documents are laid end-to-end in deterministic
+    * doc_id order and the token stream is cut into fixed `ctxLen` windows
+    * (the GPT-style packing that wastes zero tokens to padding). Per doc:
+    * its first token's offset in the shard stream (`tok_start`), the chunk
+    * it starts in (`seq_id`), its offset inside that chunk, and whether it
+    * crosses a chunk boundary (split docs are where downstream writers
+    * reset the attention mask).
+    *
+    * Packing is PER SHARD on purpose: shards pack independently and in
+    * parallel (one cumsum window per shard partition), exactly how real
+    * pipelines pack per output file — a single corpus-wide ordering would
+    * serialize the cumulative sum onto one reducer at 100 TB. Token counts
+    * here are whitespace tokens; swap the counter column for real tokenizer
+    * counts without touching the layout logic. */
+  def packSequences(docs: DataFrame, ctxLen: Int,
+                    shardCol: String = "source"): DataFrame = {
+    require(ctxLen > 0, s"ctxLen must be positive: $ctxLen")
+    val before = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), col(shardCol).as("shard"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+      .withColumn("tok_start",
+        coalesce(sum(col("n_tokens")).over(before), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("tok_start"),
+        floor(col("tok_start") / ctxLen).cast("long").as("seq_id"),
+        pmod(col("tok_start"), lit(ctxLen.toLong)).cast("int").as("seq_offset"),
+        (floor((col("tok_start") + col("n_tokens") - 1) / ctxLen) >
+          floor(col("tok_start") / ctxLen)).as("spans_boundary"))
+  }
+
   /** PII patterns shared by the Spark plan and the DuckDB oracle. Kept to
     * the regex subset with identical semantics in java.util.regex and RE2
     * (no backreferences/lookaround; `\b` is ASCII word boundary in both).

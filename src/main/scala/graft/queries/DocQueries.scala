@@ -394,6 +394,83 @@ object DocQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Train/eval decontamination: every 10th doc stands in for the benchmark
+    * set (spread across the corpus so planted near-dups cross the split),
+    * the rest are the training corpus. The Spark side joins on xxhash64 of
+    * the 8-gram; the oracle joins on the 8-gram STRING — identical
+    * membership (the hash is injective on the join outcome short of 64-bit
+    * collisions), so the per-doc distinct-hit counts match exactly. */
+  private def decontaminate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val all = Tables.documents(s, d)
+    Dedup.decontaminate(
+        all.filter($"doc_id" % 10 =!= 0), all.filter($"doc_id" % 10 === 0), n = 8)
+      .orderBy("doc_id")
+  }
+
+  private val decontaminateSql = """
+    WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+            unnest([list_aggregate(w[i:i+7], 'string_agg', ' ')
+                    for i in range(1, len(w)-6)]) AS g8
+          FROM t WHERE len(w) >= 8),
+    bench AS (SELECT DISTINCT g8 FROM g WHERE doc_id % 10 = 0),
+    hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+             FROM (SELECT DISTINCT doc_id, g8 FROM g WHERE doc_id % 10 <> 0) c
+             WHERE g8 IN (SELECT g8 FROM bench) GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(n, 0) AS n_contaminated_ngrams,
+           COALESCE(n, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+      LEFT JOIN hits USING (doc_id)
+    ORDER BY doc_id"""
+
+  /** Concat-and-chunk sequence packing at ctxLen=512, sharded by source —
+    * per-shard token cumsum replayed verbatim by the oracle window. */
+  private def seqPacking(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.packSequences(Tables.documents(s, d), ctxLen = 512)
+      .orderBy("doc_id")
+
+  private val seqPackingSql = raw"""
+    WITH t AS (SELECT doc_id, source AS shard,
+                 len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+               FROM documents),
+    c AS (SELECT *,
+            CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              AS tok_start
+          FROM t)
+    SELECT doc_id, shard, n_tokens, tok_start,
+           CAST(tok_start // 512 AS BIGINT) AS seq_id,
+           CAST(tok_start % 512 AS INTEGER) AS seq_offset,
+           (tok_start + n_tokens - 1) // 512 > tok_start // 512 AS spans_boundary
+    FROM c ORDER BY doc_id"""
+
+  /** Language-mix rebalancing: the corpus is ~3.5× English-heavy, so every
+    * language downsamples toward the smallest one (data-derived integer
+    * rates) via the portable md5 bucket — the oracle reproduces exact
+    * sample membership. */
+  private def domainBalance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Sampling.balanceDomains(
+        Tables.documents(s, d).select($"doc_id", $"lang"),
+        $"lang", $"doc_id")
+      .select($"doc_id", $"lang", $"sample_bucket", $"keep_rate")
+      .orderBy("doc_id")
+  }
+
+  private val domainBalanceSql = """
+    WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+    r AS (SELECT lang,
+            CAST(FLOOR(100.0 * (SELECT MIN(cnt) FROM c) / cnt) AS INTEGER) AS keep_rate
+          FROM c),
+    b AS (SELECT doc_id, lang,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+                 AS INTEGER) AS sample_bucket
+          FROM documents)
+    SELECT doc_id, lang, sample_bucket, keep_rate
+    FROM b JOIN r USING (lang)
+    WHERE sample_bucket < keep_rate ORDER BY doc_id"""
+
   /** IVF ANN through the ON-DISK index layout (ops/Ivf.writeIndex +
     * searchIndex): lists persisted partitioned by centroid_id, probe
     * executed as a broadcast join against the partition column so dynamic
@@ -488,5 +565,8 @@ object DocQueries {
     Q("multimodal_frames", multimodalFrames, Some(multimodalFramesSql)),
     Q("multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),
     Q("knn_ivf", knnIvf, Some(knnBruteForceSql)),
-    Q("knn_ivf_disk", knnIvfDisk, Some(knnBruteForceSql)))
+    Q("knn_ivf_disk", knnIvfDisk, Some(knnBruteForceSql)),
+    Q("decontaminate", decontaminate, Some(decontaminateSql)),
+    Q("seq_packing", seqPacking, Some(seqPackingSql)),
+    Q("domain_balance", domainBalance, Some(domainBalanceSql)))
 }

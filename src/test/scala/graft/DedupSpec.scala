@@ -118,4 +118,27 @@ class DedupSpec extends SparkSpec {
         s"doc $d and its twin landed in different clusters")
     }
   }
+
+  test("decontaminate flags only docs sharing an 8-gram with the benchmark") {
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      // copies an 8-word run from the benchmark doc -> contaminated
+      (1L, "intro words then alpha beta gamma delta epsilon zeta eta theta and more"),
+      // shares only a 7-word run -> clean at n=8
+      (2L, "alpha beta gamma delta epsilon zeta eta outro"),
+      (3L, "completely unrelated text with no overlap at all whatsoever here"),
+      (4L, "short doc")  // fewer than 8 words: no shingles, reported clean
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, bench, n = 8)
+      .select("doc_id", "n_contaminated_ngrams", "contaminated")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.map(r => r._1 -> r._3).toMap ===
+      Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+    // doc 1's copied run is exactly 8 words ending before 'and', so exactly
+    // ONE of its 8-gram windows (the run itself) appears in the benchmark
+    assert(out.find(_._1 == 1L).get._2 === 1L)
+  }
+
 }

@@ -32,7 +32,7 @@ class PlanAuditSpec extends SparkSpec {
     Seq("lang_id", "text_quality", "token_count", "doc_fingerprint",
         "dedup_exact", "ngram_jaccard", "dedup_minhash", "dedup_simhash",
         "quality_repetition", "pii_redact", "text_normalize",
-        "quality_filter", "bpe_pair_counts").foreach { name =>
+        "quality_filter", "bpe_pair_counts", "decontaminate").foreach { name =>
       // (dedup_clusters' final plan starts from localCheckpointed label
       // RDDs — its upstream scans are audited via dedup_minhash;
       // bpe_pair_counts builds pairs per-doc with lead windows keyed by

@@ -46,4 +46,33 @@ class SamplingSkewSpec extends SparkSpec {
       .as[(Long, Long, String)].collect().sorted.toSeq
     assert(salted === plain)
   }
+
+  test("balanceDomains equalizes skewed strata with data-derived rates, smallest kept whole") {
+    // 200 'en' rows vs 20 'fr' rows: fr must keep 100%, en ~10%
+    val rows = (1L to 200L).map(i => (i, "en")) ++ (201L to 220L).map(i => (i, "fr"))
+    val df = rows.toDF("id", "lang")
+    val out = Sampling.balanceDomains(df, col("lang"), col("id"))
+      .select($"id", $"lang", $"sample_bucket", $"keep_rate")
+      .as[(Long, String, Int, Int)].collect()
+    val byLang = out.groupBy(_._2)
+    // rates derive from the data: floor(100*20/200)=10 for en, 100 for fr
+    assert(out.filter(_._2 == "en").forall(_._4 == 10))
+    assert(out.filter(_._2 == "fr").forall(_._4 == 100))
+    assert(byLang("fr").length === 20, "smallest stratum keeps every row")
+    // membership is exactly bucket < rate — replayed here from first
+    // principles (plain JVM md5, no Spark), proving the bucket is portable
+    def bucketOf(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16) % 100).toInt
+    }
+    val expectedEn = (1L to 200L).filter(i => bucketOf(i) < 10).toSet
+    assert(byLang("en").map(_._1).toSet === expectedEn)
+    // deterministic: a second run returns the identical sample
+    val again = Sampling.balanceDomains(df, col("lang"), col("id"))
+      .select($"id").as[Long].collect().toSet
+    assert(again === out.map(_._1).toSet)
+  }
+
 }

@@ -105,4 +105,25 @@ class TextAnalysisSpec extends SparkSpec {
       .select($"doc_id", $"fingerprint").as[(Long, Seq[Long])].collect().toMap
     assert(fp(1L).intersect(fp(2L)).nonEmpty)
   }
+
+  test("packSequences lays docs end-to-end per shard and cuts at ctxLen") {
+    // shard A: token counts 4, 3, 5 with ctxLen 8 ->
+    //   doc 1 starts at 0 (seq 0), doc 2 at 4 (seq 0, no span: 4+3-1=6 < 8),
+    //   doc 3 at 7 (seq 0, spans into seq 1)
+    // shard B packs independently from offset 0
+    val docs = Seq(
+      (1L, "a b c d", "A"), (2L, "e f g", "A"), (3L, "h i j k l", "A"),
+      (4L, "x y", "B")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.packSequences(docs, ctxLen = 8)
+      .select($"doc_id", $"shard", $"n_tokens", $"tok_start", $"seq_id",
+              $"seq_offset", $"spans_boundary")
+      .as[(Long, String, Int, Long, Long, Int, Boolean)].collect()
+      .sortBy(_._1)
+    assert(out(0) === ((1L, "A", 4, 0L, 0L, 0, false)))
+    assert(out(1) === ((2L, "A", 3, 4L, 0L, 4, false)))
+    assert(out(2) === ((3L, "A", 5, 7L, 0L, 7, true)))
+    assert(out(3) === ((4L, "B", 2, 0L, 0L, 0, false)))
+  }
+
 }
