@@ -17,10 +17,34 @@ object EventsCdc {
 
   /** File-based change stream: the `events` parquet schema consumed as a
     * stream (each new file under `dir` is a micro-batch — the parquet
-    * analogue of the NOTIFY queue). */
-  def readEventStream(spark: SparkSession, dir: String,
-                      schemaFrom: DataFrame): DataFrame =
-    spark.readStream.schema(schemaFrom.schema).parquet(dir)
+    * analogue of the NOTIFY queue). `maxFilesPerTrigger` > 0 caps files per
+    * micro-batch (deterministic replay in specs; backpressure in prod). */
+  def readEventStream(spark: SparkSession, dir: String, schemaFrom: DataFrame,
+                      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val reader = spark.readStream.schema(schemaFrom.schema)
+    (if (maxFilesPerTrigger > 0)
+       reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+     else reader).parquet(dir)
+  }
+
+  /** The reference worker's FULL loop (worker_sync.py:71-108) as one
+    * streaming pipeline: file-arrival change stream → exactly-once guard →
+    * tombstone-aware SCD1 state maintenance. Each new file plays a NOTIFY
+    * delivery; [[dedupStream]] absorbs the at-least-once re-deliveries a
+    * real queue/file source produces; the [[runScd1]] merge keeps the
+    * newest row per key with deletes preserved as tombstones (read the live
+    * view via [[graft.olap.StarSchema.live]]). One call, continuously
+    * current state — the library form of the worker process. */
+  def runWorker(spark: SparkSession, srcDir: String, schemaFrom: DataFrame,
+                stateDir: String, checkpointDir: String,
+                keys: Seq[String] = Seq("user_id"),
+                dedupDelay: String = "2 hours",
+                maxFilesPerTrigger: Int = 0,
+                trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    runScd1(spark,
+      dedupStream(readEventStream(spark, srcDir, schemaFrom, maxFilesPerTrigger),
+                  dedupDelay),
+      stateDir, checkpointDir, keys, trigger)
 
   /** Watermarked tumbling-window aggregation: the streaming mirror of
     * `Events.windowed`. The watermark bounds state — windows older than

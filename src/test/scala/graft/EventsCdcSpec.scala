@@ -160,6 +160,50 @@ class EventsCdcSpec extends SparkSpec {
     assert(row._4 > 0L, "heartbeat should report processed input rows")
   }
 
+  test("full worker loop end-to-end: file arrivals → dedup → tombstone-aware state") {
+    // the whole worker_sync loop in one query: file 1 arrives, then file 2
+    // REPLAYS file 1's rows (at-least-once source) plus new rows
+    val ev = Tables.events(spark, sf).withColumn("b",
+      ntile(3).over(org.apache.spark.sql.expressions.Window
+        .orderBy($"ts", $"event_id")))
+    val dir = Files.createTempDirectory("graft_worker_src")
+    def writeFile(name: String, filter: org.apache.spark.sql.Column): Unit = {
+      val tmp = Files.createTempDirectory("graft_worker_tmp").toString
+      ev.filter(filter).drop("b").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, dir.resolve(name))
+      Thread.sleep(1000)
+    }
+    writeFile("1.parquet", $"b" === 1)
+    writeFile("2.parquet", $"b" === 1 || $"b" === 2) // full replay + new rows
+    val stateDir = Files.createTempDirectory("graft_worker_state").toString
+    val ckpt = Files.createTempDirectory("graft_worker_ckpt").toString
+    val q = EventsCdc.runWorker(spark, dir.toString, Tables.events(spark, sf),
+      stateDir, ckpt, keys = Seq("user_id"),
+      dedupDelay = "3650 days", maxFilesPerTrigger = 1)
+    q.awaitTermination()
+    // final state must equal the batch SCD1 over the DISTINCT delivered
+    // events — the replay must not perturb it
+    val versions = new java.io.File(stateDir).listFiles()
+      .filter(_.getName.startsWith("v=")).map(_.getName.stripPrefix("v=").toLong)
+    val finalState = spark.read.parquet(s"$stateDir/v=${versions.max}")
+    val batchState = StarSchema.scd1Latest(
+      ev.filter($"b" === 1 || $"b" === 2).drop("b"),
+      Seq("user_id"), Seq($"ts".desc, $"event_id".desc))
+    val got = finalState.select($"user_id", $"event_id", $"event_type")
+      .as[(Long, Long, String)].collect().toSet
+    val expected = batchState.select($"user_id", $"event_id", $"event_type")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got === expected)
+    // tombstones ('error' as delete op) stay IN state, OUT of the live view
+    val live = StarSchema.live(finalState, $"event_type" === "error")
+      .select($"user_id").as[Long].collect().toSet
+    val all = finalState.select($"user_id").as[Long].collect().toSet
+    assert(live.subsetOf(all) && live.size < all.size,
+      "expected at least one tombstoned user held out of the live view")
+  }
+
   test("SCD1 merge keeps tombstones so late-arriving older rows cannot resurrect") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val t1 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00")
