@@ -198,6 +198,34 @@ object TextAnalysis {
           col("dup_word_ratio") <= maxDupWordRatio).as("keep"))
   }
 
+  /** TF-IDF-style top terms per document — the keyword-extraction pass
+    * behind corpus tagging, topic routing, and quality heuristics. One
+    * token explode feeds BOTH aggregates (per-doc tf, corpus df); the tiny
+    * df/N side joins back by term. The rarity weight is the RATIONAL
+    * (N+1)/(df+1) rather than its log: monotone-identical ranking per term,
+    * and tf·(N+1) is integer-valued in a double, so one IEEE division is
+    * the only rounding — bit-identical across engines, where `ln` differs
+    * in the last ulp between libm implementations and flips near-tie ranks.
+    * Top `k` per doc by (score desc, term asc) — fully deterministic. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val ex = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = ex.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = ex.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf
+      .join(df, "term")
+      .join(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf") * (col("n_docs") + 1) / (col("df") + 1)).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf").cast("long").as("tf"),
+              col("df").cast("long").as("df"), col("score"))
+  }
+
   /** Concat-and-chunk sequence packing — the pretraining batch layout:
     * within each shard, documents are laid end-to-end in deterministic
     * doc_id order and the token stream is cut into fixed `ctxLen` windows

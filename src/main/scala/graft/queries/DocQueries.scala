@@ -445,6 +445,25 @@ object DocQueries {
            (tok_start + n_tokens - 1) // 512 > tok_start // 512 AS spans_boundary
     FROM c ORDER BY doc_id"""
 
+  /** TF-IDF top-3 terms per doc; rational rarity weight (see
+    * TextAnalysis.tfidfTopTerms scaladoc for why not log). */
+  private def tfidfTopTerms(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(Tables.documents(s, d), k = 3)
+      .orderBy("doc_id", "rank")
+
+  private val tfidfTopTermsSql = """
+    WITH ex AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+                FROM documents),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM ex GROUP BY 1, 2),
+    df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM ex GROUP BY 1),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+    s AS (SELECT doc_id, term, tf, df, tf * (n_docs + 1) / (df + 1) AS score
+          FROM tf JOIN df USING (term) CROSS JOIN n),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term) AS rank FROM s)
+    SELECT doc_id, rank, term, tf, df, score FROM r WHERE rank <= 3
+    ORDER BY doc_id, rank"""
+
   /** Language-mix rebalancing: the corpus is ~3.5× English-heavy, so every
     * language downsamples toward the smallest one (data-derived integer
     * rates) via the portable md5 bucket — the oracle reproduces exact
@@ -568,5 +587,6 @@ object DocQueries {
     Q("knn_ivf_disk", knnIvfDisk, Some(knnBruteForceSql)),
     Q("decontaminate", decontaminate, Some(decontaminateSql)),
     Q("seq_packing", seqPacking, Some(seqPackingSql)),
-    Q("domain_balance", domainBalance, Some(domainBalanceSql)))
+    Q("domain_balance", domainBalance, Some(domainBalanceSql)),
+    Q("tfidf_topterms", tfidfTopTerms, Some(tfidfTopTermsSql)))
 }

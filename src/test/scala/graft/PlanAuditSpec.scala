@@ -21,8 +21,11 @@ class PlanAuditSpec extends SparkSpec {
     // knn_bruteforce intentionally broadcast-NL-joins the (tiny) query set
     // against every vector — that IS the brute-force contract; knn_ivf and
     // knn_ivf_disk likewise broadcast-NL-join the tiny centroid set for
-    // assignment/probe scoring (every vector scores every centroid by design)
-    plans.filterNot(p => Set("knn_bruteforce", "knn_ivf", "knn_ivf_disk")(p._1))
+    // assignment/probe scoring (every vector scores every centroid by
+    // design); tfidf_topterms broadcast-NL-joins the single-row corpus
+    // count N onto the tf×df rows
+    plans.filterNot(p =>
+        Set("knn_bruteforce", "knn_ivf", "knn_ivf_disk", "tfidf_topterms")(p._1))
       .foreach { case (name, p) =>
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
       }
@@ -32,7 +35,8 @@ class PlanAuditSpec extends SparkSpec {
     Seq("lang_id", "text_quality", "token_count", "doc_fingerprint",
         "dedup_exact", "ngram_jaccard", "dedup_minhash", "dedup_simhash",
         "quality_repetition", "pii_redact", "text_normalize",
-        "quality_filter", "bpe_pair_counts", "decontaminate").foreach { name =>
+        "quality_filter", "bpe_pair_counts", "decontaminate",
+        "tfidf_topterms").foreach { name =>
       // (dedup_clusters' final plan starts from localCheckpointed label
       // RDDs — its upstream scans are audited via dedup_minhash;
       // bpe_pair_counts builds pairs per-doc with lead windows keyed by
@@ -58,6 +62,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(plans.toMap.apply("embedding_centroids")
       .contains("ReadSchema: struct<embedding:array<float>,label:int>"),
       "embedding_centroids reads more than (embedding, label)")
+  }
+
+  test("round-5 operators keep their intended shuffle shapes") {
+    val m = plans.toMap
+    // decontaminate: the benchmark shingle set must BROADCAST into a semi
+    // join — a shuffled semi join would move the whole corpus's shingles
+    val decon = m("decontaminate")
+    assert(decon.contains("BroadcastHashJoin") && decon.contains("LeftSemi"),
+      s"decontaminate should broadcast-semi-join the benchmark shingles:\n$decon")
+    // domain_balance: the tiny rate table broadcasts onto the scan; the
+    // sample filter itself is map-side (no aggregate after the join)
+    assert(m("domain_balance").contains("BroadcastHashJoin"),
+      "domain_balance should broadcast the per-stratum rates")
+    // seq_packing: exactly ONE exchange — the per-shard repartition feeding
+    // the cumsum window; anything more means the packing gained a shuffle
+    val packExchanges = "Exchange hashpartitioning".r
+      .findAllIn(m("seq_packing")).length
+    assert(packExchanges === 1,
+      s"seq_packing should shuffle once (per-shard), found $packExchanges")
   }
 
   test("event operators do not read the props payload column") {

@@ -106,6 +106,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(1L).intersect(fp(2L)).nonEmpty)
   }
 
+  test("tfidfTopTerms ranks rare frequent terms first, ties broken by term") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry durian cherry")
+    ).toDF("doc_id", "text")
+    // N=3; df: apple 1, banana 2, cherry 2, durian 1
+    // doc1: apple 2*4/2=4.0 > banana 1*4/3; doc2: banana vs cherry TIE at
+    // 4/3 -> term order; doc3: cherry 2*4/3 > durian 1*4/2=2.0
+    val out = TextAnalysis.tfidfTopTerms(docs, k = 1)
+      .select($"doc_id", $"term", $"score")
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(out === Array(
+      (1L, "apple", 4.0), (2L, "banana", 4.0 / 3), (3L, "cherry", 8.0 / 3)))
+  }
+
   test("packSequences lays docs end-to-end per shard and cuts at ctxLen") {
     // shard A: token counts 4, 3, 5 with ctxLen 8 ->
     //   doc 1 starts at 0 (seq 0), doc 2 at 4 (seq 0, no span: 4+3-1=6 < 8),
