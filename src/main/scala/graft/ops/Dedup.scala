@@ -155,21 +155,83 @@ object Dedup {
   def minhashLsh(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                  bands: Int = 32, rows: Int = 4, seed: Long = 42L): DataFrame = {
     val sr = shingleRows(docs, n)
-    val sig = sr
-      .select(col("doc_id"), xxhash64(col("g")).as("h"))
-      .groupBy(col("doc_id")).agg(collect_list(col("h")).as("hs"))
-      .select(col("doc_id"),
-        graft.functions.NativeExpressions.minhashSignature(
-          col("hs"), bands * rows, seed).as("sig"))
-    val banded = sig.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))))))
-      .toDF("doc_id", "band", "band_hash")
+    val banded = bandRows(docs, n, bands, rows, seed)
     val l = banded.toDF("d1", "band", "band_hash")
     val r = banded.toDF("d2", "band", "band_hash")
     val candidates = l.join(r, Seq("band", "band_hash"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
+    verifyJaccard(candidates, sr, threshold)
+  }
+
+  /** The LSH banding stage as exploded (doc_id, band, band_hash) rows — the
+    * unit both the batch join ([[minhashLsh]]) and the persisted signature
+    * index ([[writeSignatureIndex]]/[[incrementalMinhash]]) operate on. */
+  def bandRows(docs: DataFrame, n: Int = 3,
+               bands: Int = 32, rows: Int = 4, seed: Long = 42L): DataFrame =
+    shingleRows(docs, n)
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+      .groupBy(col("doc_id")).agg(collect_list(col("h")).as("hs"))
+      .select(col("doc_id"),
+        graft.functions.NativeExpressions.minhashSignature(
+          col("hs"), bands * rows, seed).as("sig"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))))))
+      .toDF("doc_id", "band", "band_hash")
+
+  /** Persist the corpus's LSH band rows as the standing signature index a
+    * recurring dedup job probes. Sorted within files by (band, band_hash)
+    * so parquet min/max skipping prunes row groups under a band probe. */
+  def writeSignatureIndex(docs: DataFrame, dir: String, n: Int = 3,
+                          bands: Int = 32, rows: Int = 4, seed: Long = 42L): Unit =
+    bandRows(docs, n, bands, rows, seed)
+      .repartition(col("band_hash"))
+      .sortWithinPartitions(col("band"), col("band_hash"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** Incremental near-dup detection — the arrival path of a standing 100 TB
+    * dedup: a (daily-sized) batch of new documents is checked against the
+    * CORPUS'S PERSISTED SIGNATURE INDEX without touching old text. New docs
+    * band through the same native minhash; old↔new candidates come from the
+    * index joined against the BROADCAST new bands (the index scans, the
+    * corpus never re-shingles); new↔new candidates from self-joining the
+    * new bands. Only documents that appear in some candidate pair are
+    * re-shingled for exact-Jaccard verification — old-corpus text is read
+    * through a semi-join prune, proportional to candidate count, not corpus
+    * size. Returns exactly the pairs [[minhashLsh]] over (old ∪ new) would
+    * return that involve at least one new doc (old↔old pairs were already
+    * found when the index was built; DedupSpec pins the equality).
+    *
+    * After the run, append the new docs' band rows to the index
+    * ([[bandRows]]) to absorb the batch into the standing corpus.
+    */
+  def incrementalMinhash(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String, oldDocs: DataFrame, newDocs: DataFrame,
+                         n: Int = 3, threshold: Double = 0.8,
+                         bands: Int = 32, rows: Int = 4,
+                         seed: Long = 42L): DataFrame = {
+    val newBands = bandRows(newDocs, n, bands, rows, seed)
+    val stored = spark.read.parquet(indexDir)
+    val oldNew = stored.toDF("da", "band", "band_hash")
+      .join(broadcast(newBands.toDF("db", "band", "band_hash")),
+            Seq("band", "band_hash"))
+      .select(least(col("da"), col("db")).as("d1"),
+              greatest(col("da"), col("db")).as("d2"))
+    val nl = newBands.toDF("d1", "band", "band_hash")
+    val nr = newBands.toDF("d2", "band", "band_hash")
+    val newNew = nl.join(nr, Seq("band", "band_hash"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+    val candidates = oldNew.union(newNew)
+      .filter(col("d1") =!= col("d2")).distinct()
+    // re-shingle ONLY docs that appear in a candidate pair
+    val involved = candidates.select(col("d1").as("doc_id"))
+      .union(candidates.select(col("d2").as("doc_id"))).distinct()
+    val touchedOld = oldDocs.join(involved, Seq("doc_id"), "left_semi")
+    val sr = shingleRows(
+      touchedOld.select(col("doc_id"), col("text"))
+        .unionByName(newDocs.select(col("doc_id"), col("text"))), n)
     verifyJaccard(candidates, sr, threshold)
   }
 

@@ -243,6 +243,27 @@ object DocQueries {
   private def ngramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccard(Tables.documents(s, d)).orderBy("d1", "d2")
 
+  /** Incremental dedup: docs < 400 are the standing corpus (signature index
+    * persisted to disk), docs >= 400 the day's arrivals probed against it.
+    * Oracle = the exact all-pairs Jaccard restricted to pairs that involve
+    * an arrival (d1 < d2 and arrivals hold the top ids, so `d2 >= 400` ⇔
+    * "involves a new doc"). Old↔old pairs are deliberately absent — they
+    * were found when the index was built. */
+  private def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val all = Tables.documents(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sig_idx").toString
+    Dedup.writeSignatureIndex(all.filter($"doc_id" < 400), dir)
+    Dedup.incrementalMinhash(s, dir,
+        all.filter($"doc_id" < 400), all.filter($"doc_id" >= 400))
+      .orderBy("d1", "d2")
+  }
+
+  private lazy val incrementalDedupSql = s"""
+    WITH $jaccardPairsCtes
+    SELECT d1, d2, jaccard FROM p
+    WHERE jaccard >= 0.8 AND d2 >= 400 ORDER BY d1, d2"""
+
   private def dedupMinhash(s: SparkSession, d: String): DataFrame =
     Dedup.minhashLsh(Tables.documents(s, d)).orderBy("d1", "d2")
 
@@ -588,5 +609,6 @@ object DocQueries {
     Q("decontaminate", decontaminate, Some(decontaminateSql)),
     Q("seq_packing", seqPacking, Some(seqPackingSql)),
     Q("domain_balance", domainBalance, Some(domainBalanceSql)),
-    Q("tfidf_topterms", tfidfTopTerms, Some(tfidfTopTermsSql)))
+    Q("tfidf_topterms", tfidfTopTerms, Some(tfidfTopTermsSql)),
+    Q("incremental_dedup", incrementalDedup, Some(incrementalDedupSql)))
 }

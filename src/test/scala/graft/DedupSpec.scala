@@ -119,6 +119,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental minhash vs the persisted index equals the batch run on arrival pairs") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val standing = docs.filter($"doc_id" < 400)
+    val arrivals = docs.filter($"doc_id" >= 400)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sig_spec").toString
+    Dedup.writeSignatureIndex(standing, dir)
+    val inc = Dedup.incrementalMinhash(spark, dir, standing, arrivals)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val full = Dedup.minhashLsh(docs)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    // exactly the full-corpus pairs that involve an arrival — no more
+    // (no stale old–old rediscovery), no fewer (nothing missed by probing
+    // the index instead of re-banding the corpus)
+    val expected = full.filter(p => p._1 >= 400 || p._2 >= 400)
+    assert(inc === expected)
+    assert(inc.nonEmpty, "testdata should plant near-dups crossing the split")
+  }
+
   test("decontaminate flags only docs sharing an 8-gram with the benchmark") {
     val bench = Seq(
       (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
