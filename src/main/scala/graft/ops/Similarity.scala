@@ -140,6 +140,29 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Symmetric int8 quantization of the embedding column, exploded to
+    * (vec_id, dim, q, scale) rows — the 4×-smaller storage/bandwidth layout
+    * a 100 TB vector store actually ships (q ∈ [-127, 127], x̂ = q·scale,
+    * scale = max|x|/127 per vector; per-component error ≤ scale/2).
+    *
+    * Explode + one vec_id window keeps the whole computation codegen'd
+    * (max over the partition, then a map-side rounding) — no per-row array
+    * lambdas. Zero vectors quantize to all-zero with scale 0. The rounding
+    * is plain double math (x·127/max|x|, HALF_UP) — both engines replay it
+    * bit-for-bit, which the oracle checks. */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val byVec = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+    embeddings
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .toDF("vec_id", "dim", "x")
+      .select(col("vec_id"), col("dim"), col("x").cast("double").as("x"))
+      .withColumn("m", max(abs(col("x"))).over(byVec))
+      .select(col("vec_id"), col("dim"),
+        when(col("m") === 0.0, lit(0))
+          .otherwise(round(col("x") * 127 / col("m")).cast("int")).as("q"),
+        (col("m") / 127).as("scale"))
+  }
+
   /** Per-label centroids as exploded (label, dim, centroid, n_vecs) rows —
     * the class-prototype computation behind cluster summaries,
     * nearest-class-mean classification, and IVF seeding. Explode-by-

@@ -511,6 +511,24 @@ object DocQueries {
     FROM b JOIN r USING (lang)
     WHERE sample_bucket < keep_rate ORDER BY doc_id"""
 
+  /** Symmetric int8 quantization of every embedding (exploded rows); both
+    * engines replay the identical double math incl. HALF_UP rounding. */
+  private def embeddingQuantize(s: SparkSession, d: String): DataFrame =
+    Similarity.quantizeInt8(Tables.embeddings(s, d)).orderBy("vec_id", "dim")
+
+  private val embeddingQuantizeSql = """
+    WITH e AS (SELECT vec_id,
+                 unnest([{'dim': i-1, 'x': CAST(embedding[i] AS DOUBLE)}
+                         for i in range(1, len(embedding)+1)]) AS u
+               FROM embeddings),
+    w AS (SELECT vec_id, u.dim AS dim, u.x AS x,
+                 MAX(ABS(u.x)) OVER (PARTITION BY vec_id) AS m
+          FROM e)
+    SELECT vec_id, dim,
+           CASE WHEN m = 0 THEN 0 ELSE CAST(ROUND(x * 127 / m) AS INTEGER) END AS q,
+           m / 127 AS scale
+    FROM w ORDER BY vec_id, dim"""
+
   /** IVF ANN through the ON-DISK index layout (ops/Ivf.writeIndex +
     * searchIndex): lists persisted partitioned by centroid_id, probe
     * executed as a broadcast join against the partition column so dynamic
@@ -610,5 +628,6 @@ object DocQueries {
     Q("seq_packing", seqPacking, Some(seqPackingSql)),
     Q("domain_balance", domainBalance, Some(domainBalanceSql)),
     Q("tfidf_topterms", tfidfTopTerms, Some(tfidfTopTermsSql)),
-    Q("incremental_dedup", incrementalDedup, Some(incrementalDedupSql)))
+    Q("incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
+    Q("embedding_quantize", embeddingQuantize, Some(embeddingQuantizeSql)))
 }

@@ -53,7 +53,8 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("vector operators scan only (vec_id, embedding) from embeddings") {
-    Seq("knn_bruteforce", "knn_lsh", "knn_ivf", "dedup_embedding").foreach { name =>
+    Seq("knn_bruteforce", "knn_lsh", "knn_ivf", "dedup_embedding",
+        "embedding_quantize").foreach { name =>
       val p = plans.toMap.apply(name)
       assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
         s"$name reads more than (vec_id, embedding) from embeddings")

@@ -114,6 +114,27 @@ class SimilaritySpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("int8 quantization: reconstruction within half a step, extremes hit ±127") {
+    val data = graft.sources.Tables.embeddings(spark, sf)
+    val q = Similarity.quantizeInt8(data)
+    val joined = q.join(
+      data.select($"vec_id", posexplode($"embedding")).toDF("vec_id", "dim", "x"),
+      Seq("vec_id", "dim"))
+      .select($"vec_id", $"q", $"scale", $"x".cast("double").as("x"))
+      .as[(Long, Int, Double, Double)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (vid, qv, scale, x) =>
+      assert(qv >= -127 && qv <= 127, s"vec $vid q out of range: $qv")
+      assert(math.abs(x - qv * scale) <= scale / 2 + 1e-12,
+        s"vec $vid reconstruction off by more than half a step")
+    }
+    // every vector's max-|x| component must quantize to exactly ±127
+    val extremes = joined.groupBy(_._1).forall { case (_, rows) =>
+      rows.map(r => math.abs(r._2)).max == 127
+    }
+    assert(extremes, "the max-magnitude component must map to ±127")
+  }
+
   test("embedding near-dup returns symmetric-free ordered pairs above threshold") {
     // planted pair (0,1) at cos ≈ 0.995: at production tuning (b=32, r=12)
     // the miss probability is (1-0.968^12)^32 ≈ 4e-16
