@@ -14,10 +14,16 @@ object Checkpoints {
   /** Release the executor blocks behind `df`'s eager localCheckpoint once a
     * newer round supersedes it. Blocking, so storage is bounded the moment
     * the call returns (and specs can assert `getPersistentRDDs` counts
-    * deterministically). No-op for non-checkpointed frames.
-    */
-  def unpersist(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collect {
-      case lr: LogicalRDD => lr.rdd.unpersist(blocking = true)
-    }
+    * deterministically).
+    *
+    * Deliberately matches ONLY a frame whose plan root IS the checkpoint
+    * (what `localCheckpoint(true)` returns) — walking the whole plan for
+    * LogicalRDD leaves would also release checkpoints the CALLER still
+    * owns (e.g. a caller-checkpointed input feeding round 0's derived
+    * frame), and a truncated-lineage checkpoint cannot be recomputed.
+    * No-op for any other frame. */
+  def unpersist(df: DataFrame): Unit = df.queryExecution.analyzed match {
+    case lr: LogicalRDD => lr.rdd.unpersist(blocking = true)
+    case _              => ()
+  }
 }

@@ -181,13 +181,17 @@ object Dedup {
       .toDF("doc_id", "band", "band_hash")
 
   /** Persist the corpus's LSH band rows as the standing signature index a
-    * recurring dedup job probes. Sorted within files by (band, band_hash)
-    * so parquet min/max skipping prunes row groups under a band probe. */
+    * recurring dedup job probes. Clustered by band_hash (hash-partitioned
+    * AND sort-led within files), so row-group min/max stats are tight on
+    * band_hash: a probe variant that PUSHES a band_hash filter (a
+    * non-broadcastable arrival batch joining shuffled) skips row groups;
+    * the broadcast probe in [[incrementalMinhash]] reads the index once
+    * sequentially either way. */
   def writeSignatureIndex(docs: DataFrame, dir: String, n: Int = 3,
                           bands: Int = 32, rows: Int = 4, seed: Long = 42L): Unit =
     bandRows(docs, n, bands, rows, seed)
       .repartition(col("band_hash"))
-      .sortWithinPartitions(col("band"), col("band_hash"))
+      .sortWithinPartitions(col("band_hash"), col("band"))
       .write.mode("overwrite").parquet(dir)
 
   /** Incremental near-dup detection — the arrival path of a standing 100 TB
@@ -225,14 +229,15 @@ object Dedup {
       .select(col("d1"), col("d2"))
     val candidates = oldNew.union(newNew)
       .filter(col("d1") =!= col("d2")).distinct()
-    // re-shingle ONLY docs that appear in a candidate pair
+    // re-shingle ONLY docs that appear in a candidate pair — old AND new:
+    // an arrival with no candidates contributes nothing to verification,
+    // so tokenizing it again would be pure waste
     val involved = candidates.select(col("d1").as("doc_id"))
       .union(candidates.select(col("d2").as("doc_id"))).distinct()
-    val touchedOld = oldDocs.join(involved, Seq("doc_id"), "left_semi")
-    val sr = shingleRows(
-      touchedOld.select(col("doc_id"), col("text"))
-        .unionByName(newDocs.select(col("doc_id"), col("text"))), n)
-    verifyJaccard(candidates, sr, threshold)
+    val touched = oldDocs.select(col("doc_id"), col("text"))
+      .unionByName(newDocs.select(col("doc_id"), col("text")))
+      .join(involved, Seq("doc_id"), "left_semi")
+    verifyJaccard(candidates, shingleRows(touched, n), threshold)
   }
 
   /** 64-bit SimHash (Charikar; Manku et al., WWW'07): per token-hash bit,

@@ -59,8 +59,11 @@ object Sampling {
       .withColumn("keep_rate",
         floor(lit(100.0) * min(col("__cnt")).over(w) / col("__cnt")).cast("int"))
       .select(col("__stratum"), col("keep_rate"))
+    // null-SAFE join: a NULL stratum (untagged rows) is a legitimate group —
+    // groupBy already counts it, so a null-unsafe join would let it drive
+    // min(__cnt) while silently dropping its rows from the output
     df.withColumn("sample_bucket", bucket(idCol))
-      .join(broadcast(rates), stratumCol === col("__stratum"))
+      .join(broadcast(rates), stratumCol <=> col("__stratum"))
       .filter(col("sample_bucket") < col("keep_rate"))
       .drop("__stratum")
   }

@@ -210,8 +210,11 @@ object TextAnalysis {
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     val ex = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = ex.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = ex.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // df DERIVES from tf (each tf row is one distinct (doc, term)), so the
+    // corpus is scanned and tokenized exactly once — a separate
+    // ex.groupBy(term) branch would re-run the whole explode (different
+    // output partitioning, no exchange reuse)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
     val scored = tf
       .join(df, "term")

@@ -75,4 +75,20 @@ class SamplingSkewSpec extends SparkSpec {
     assert(again === out.map(_._1).toSet)
   }
 
+  test("balanceDomains treats a NULL stratum as its own group, not a row sink") {
+    // untagged rows are a legitimate (and here smallest) group: they set the
+    // floor AND stay in the output — a null-unsafe join would let them
+    // drive min(cnt) while silently dropping every one of them
+    val rows = (1L to 200L).map(i => (i, Some("en"))) ++
+      (201L to 205L).map(i => (i, Option.empty[String]))
+    val df = rows.toDF("id", "lang")
+    val out = Sampling.balanceDomains(df, col("lang"), col("id"))
+      .select($"id", $"lang", $"keep_rate")
+      .as[(Long, Option[String], Int)].collect()
+    val nullRows = out.filter(_._2.isEmpty)
+    assert(nullRows.length === 5, "the NULL stratum must keep all 5 rows (rate 100)")
+    assert(nullRows.forall(_._3 === 100))
+    assert(out.filter(_._2.contains("en")).forall(_._3 === 2)) // floor(100*5/200)
+  }
+
 }
