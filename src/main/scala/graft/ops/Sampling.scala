@@ -37,6 +37,28 @@ object Sampling {
       .filter(col("sample_bucket") < rate)
   }
 
+  /** Deterministic train/val/test assignment from the SAME portable bucket
+    * as [[stratified]]/[[balanceDomains]]: each row's split is a pure
+    * function of its id (contiguous bucket ranges in declaration order), so
+    * membership never drifts across runs, engines, or retries, and stays
+    * consistent with any earlier bucket-based sampling decision — a row
+    * sampled at rate r and assigned 'train' today gets the identical
+    * labels in every future build. Map-side projection, no shuffle.
+    *
+    * @param splits (name, percent) in declaration order; percents must sum
+    *               to exactly 100 so every row lands in exactly one split.
+    */
+  def split(df: DataFrame, idCol: Column, splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "splits must be positive")
+    require(splits.map(_._2).sum == 100, "split percents must sum to 100")
+    val bounds = splits.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
+    val b = bucket(idCol)
+    val expr = splits.zip(bounds).reverse.tail.foldLeft(lit(splits.last._1)) {
+      case (acc, ((name, _), hi)) => when(b < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn("sample_bucket", b).withColumn("split", expr)
+  }
+
   /** Domain-mix rebalancing with DATA-DERIVED rates — the "equalize
     * domains" step of training-data mixing: every stratum (source domain)
     * downsamples toward the smallest one, rate_g = ⌊100·min_count/count_g⌋

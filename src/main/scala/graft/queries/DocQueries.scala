@@ -511,6 +511,48 @@ object DocQueries {
     FROM b JOIN r USING (lang)
     WHERE sample_bucket < keep_rate ORDER BY doc_id"""
 
+  /** Deterministic train/val/test assignment — contiguous ranges of the
+    * same portable md5 bucket the sampling operators use, so split
+    * membership is stable across runs/engines and consistent with every
+    * bucket-based sampling decision. */
+  private def datasetSplit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Sampling.split(Tables.documents(s, d).select($"doc_id"), $"doc_id",
+        Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .orderBy("doc_id")
+  }
+
+  private val datasetSplitSql = """
+    WITH b AS (SELECT doc_id,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+                 AS INTEGER) AS sample_bucket
+          FROM documents)
+    SELECT doc_id, sample_bucket,
+           CASE WHEN sample_bucket < 90 THEN 'train'
+                WHEN sample_bucket < 95 THEN 'val' ELSE 'test' END AS split
+    FROM b ORDER BY doc_id"""
+
+  /** Docs↔embeddings reconciliation: every doc must carry its embedding
+    * before ANN jobs run; orphan embeddings mean an upstream delete never
+    * propagated. One id-only full outer join → one summary row. */
+  private def auditCoverage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Audit.coverage(
+      Tables.documents(s, d), $"doc_id",
+      Tables.embeddings(s, d), $"vec_id")
+  }
+
+  private val auditCoverageSql = """
+    WITH l AS (SELECT DISTINCT doc_id FROM documents),
+    r AS (SELECT DISTINCT vec_id FROM embeddings),
+    j AS (SELECT doc_id, vec_id FROM l FULL OUTER JOIN r ON doc_id = vec_id)
+    SELECT CAST(COUNT(doc_id) AS BIGINT) AS n_left,
+           CAST(COUNT(vec_id) AS BIGINT) AS n_right,
+           CAST(COUNT(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL THEN 1 END) AS BIGINT) AS n_matched,
+           CAST(COUNT(CASE WHEN vec_id IS NULL THEN 1 END) AS BIGINT) AS n_left_only,
+           CAST(COUNT(CASE WHEN doc_id IS NULL THEN 1 END) AS BIGINT) AS n_right_only
+    FROM j"""
+
   /** Symmetric int8 quantization of every embedding (exploded rows); both
     * engines replay the identical double math incl. HALF_UP rounding. */
   private def embeddingQuantize(s: SparkSession, d: String): DataFrame =
@@ -629,5 +671,7 @@ object DocQueries {
     Q("domain_balance", domainBalance, Some(domainBalanceSql)),
     Q("tfidf_topterms", tfidfTopTerms, Some(tfidfTopTermsSql)),
     Q("incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
-    Q("embedding_quantize", embeddingQuantize, Some(embeddingQuantizeSql)))
+    Q("embedding_quantize", embeddingQuantize, Some(embeddingQuantizeSql)),
+    Q("dataset_split", datasetSplit, Some(datasetSplitSql)),
+    Q("audit_coverage", auditCoverage, Some(auditCoverageSql)))
 }

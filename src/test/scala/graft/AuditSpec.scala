@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Audit, Sampling}
+
+/** Cross-table reconciliation + split-assignment specs. */
+class AuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("coverage counts matched, missing, and orphan ids exactly") {
+    val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val vecs = Seq(3L, 4L, 5L).toDF("vec_id")
+    val row = Audit.coverage(docs, $"doc_id", vecs, $"vec_id")
+      .as[(Long, Long, Long, Long, Long)].head()
+    // 4 docs, 3 vecs, {3,4} matched, {1,2} missing embeddings, {5} orphan
+    assert(row === ((4L, 3L, 2L, 2L, 1L)))
+  }
+
+  test("coverage deduplicates ids before counting") {
+    val docs = Seq(1L, 1L, 2L).toDF("doc_id")
+    val vecs = Seq(2L, 2L).toDF("vec_id")
+    val row = Audit.coverage(docs, $"doc_id", vecs, $"vec_id")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(row === ((2L, 1L, 1L, 1L, 0L)))
+  }
+
+  test("split assigns contiguous bucket ranges in declaration order, covering every row") {
+    val df = (1L to 1000L).toDF("id")
+    val out = Sampling.split(df, $"id", Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .select($"id", $"sample_bucket", $"split")
+      .as[(Long, Int, String)].collect()
+    assert(out.length === 1000)
+    out.foreach { case (id, b, s) =>
+      val expected = if (b < 90) "train" else if (b < 95) "val" else "test"
+      assert(s === expected, s"id $id bucket $b labeled $s")
+    }
+    // every split nonempty and ratios roughly honored on 1000 uniform ids
+    val sizes = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes.keySet === Set("train", "val", "test"))
+    assert(sizes("train") > 800 && sizes("val") > 10 && sizes("test") > 10)
+    // membership is a pure function of the id: stable across runs
+    val again = Sampling.split(df, $"id", Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    assert(out.forall { case (id, _, s) => again(id) === s })
+    // misdeclared percents are rejected, not silently renormalized
+    assertThrows[IllegalArgumentException] {
+      Sampling.split(df, $"id", Seq("train" -> 90, "val" -> 5))
+    }
+  }
+}
