@@ -59,6 +59,22 @@ object FileFormats {
       .option("maxRecordsPerFile", maxRecordsPerFile.toString)
       .parquet(outDir)
 
+  /** Range-sorted sink: `repartitionByRange` + in-partition sort on `key`
+    * yields files whose key ranges are DISJOINT and ordered — so any
+    * range/point predicate on the key prunes whole files (and row groups
+    * within them) via parquet min/max stats, without directory-per-value
+    * partitioning (which explodes at high cardinality). This is the layout
+    * for range-scanned high-cardinality keys — event time, order ids —
+    * where `partitionBy` would create millions of directories and a hash
+    * layout scatters every range across all files. The range exchange
+    * samples the key distribution, so files are balanced under skew.
+    * SourcesSpec asserts the disjoint-ordered property file by file. */
+  def writeRangeSorted(df: DataFrame, outDir: String, key: String,
+                       numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, col(key))
+      .sortWithinPartitions(col(key))
+      .write.mode("overwrite").parquet(outDir)
+
   /** Bucketed sink for recurring equi-joins: two tables written with the
     * SAME bucket count on their join keys are join-co-located — Spark
     * plans the sort-merge join with NO Exchange on either side (bucket i

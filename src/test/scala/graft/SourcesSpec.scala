@@ -167,6 +167,36 @@ class SourcesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("range-sorted sink writes disjoint, ordered file ranges that prune") {
+    import org.apache.spark.sql.functions.{max, min}
+    val dir = Files.createTempDirectory("graft_rangesort").toString
+    FileFormats.writeRangeSorted(
+      Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity"),
+      dir, "l_orderkey", numFiles = 8)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length > 1, "range write should produce multiple files")
+    // per-file key ranges must be disjoint — the property that makes
+    // min/max stats prune whole files for any range predicate
+    val ranges = files.flatMap { f =>
+      val d = spark.read.parquet(f)
+      if (d.isEmpty) None
+      else Some(d.agg(min($"l_orderkey"), max($"l_orderkey"))
+        .as[(Long, Long)].head())
+    }
+    ranges.foreach { case (lo, hi) => assert(lo <= hi) }
+    ranges.sortBy(_._1).sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"file ranges overlap: $hi1 > $lo2")
+      case _ =>
+    }
+    // and a point read returns exactly the plain-scan result
+    val k = Tables.lineitem(spark, sf).agg(max($"l_orderkey")).as[Long].head()
+    val expected = Tables.lineitem(spark, sf)
+      .filter($"l_orderkey" === k).count()
+    assert(spark.read.parquet(dir).filter($"l_orderkey" === k).count() === expected)
+  }
+
   test("csv and json readers roundtrip with explicit schemas") {
     val dir = Files.createTempDirectory("graft_ff").toString
     val df = Seq((1L, "a", 1.5), (2L, "b", -2.25)).toDF("id", "name", "x")
