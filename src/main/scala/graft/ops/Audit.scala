@@ -17,11 +17,17 @@ object Audit {
   /** Coverage summary between a left table and a right table keyed by
     * possibly-different id columns: total/matched/missing counts, as one
     * row. `n_left_only` = left rows with no right match (e.g. docs missing
-    * embeddings); `n_right_only` = unmatched right rows (orphans). */
+    * embeddings); `n_right_only` = unmatched right rows (orphans).
+    *
+    * NULL ids are EXCLUDED from every count: a null key can never join, so
+    * through a full outer join it would surface as a phantom row counted
+    * in BOTH "only" columns while missing from the totals — breaking
+    * n_matched + n_left_only = n_left. Audit null keys separately with a
+    * plain `isNull` count; this reconciliation is about id linkage. */
   def coverage(left: DataFrame, leftId: Column,
                right: DataFrame, rightId: Column): DataFrame = {
-    val l = left.select(leftId.as("__lid")).distinct()
-    val r = right.select(rightId.as("__rid")).distinct()
+    val l = left.select(leftId.as("__lid")).filter(col("__lid").isNotNull).distinct()
+    val r = right.select(rightId.as("__rid")).filter(col("__rid").isNotNull).distinct()
     l.join(r, col("__lid") === col("__rid"), "full_outer")
       .agg(
         count(col("__lid")).as("n_left"),

@@ -16,6 +16,16 @@ class AuditSpec extends SparkSpec {
     assert(row === ((4L, 3L, 2L, 2L, 1L)))
   }
 
+  test("coverage excludes NULL ids so the count invariants hold") {
+    val docs = Seq(Some(1L), None, Some(2L)).toDF("doc_id")
+    val vecs = Seq(Option.empty[Long], Some(2L)).toDF("vec_id")
+    val row = Audit.coverage(docs, $"doc_id", vecs, $"vec_id")
+      .as[(Long, Long, Long, Long, Long)].head()
+    // null keys can never join — counting them would yield phantom rows in
+    // BOTH "only" columns and break n_matched + n_left_only = n_left
+    assert(row === ((2L, 1L, 1L, 1L, 0L)))
+  }
+
   test("coverage deduplicates ids before counting") {
     val docs = Seq(1L, 1L, 2L).toDF("doc_id")
     val vecs = Seq(2L, 2L).toDF("vec_id")

@@ -26,12 +26,18 @@ class SourcesSpec extends SparkSpec {
   test("upsert runs for real against an embedded DuckDB: insert, conflict-update, idempotent rerun") {
     val db = Files.createTempDirectory("graft-duckdb").resolve("olap.db").toString
     val conn = Jdbc.ConnInfo(s"jdbc:duckdb:$db", "", "", "org.duckdb.DuckDBDriver")
-    // ON CONFLICT needs an arbiter index — same as the reference's Postgres DDL
+    // ON CONFLICT needs an arbiter index — same as the reference's Postgres DDL.
+    // Keep this connection OPEN for the whole test: duckdb-java shares one
+    // native database instance per file only while some connection holds it;
+    // letting the instance shut down between operations makes the next two
+    // CONCURRENT executor opens race to re-create it (observed: lost writes
+    // and a native SIGSEGV). A pinned connection is also the realistic
+    // shape — a live OLAP warehouse is never instance-per-statement.
     Class.forName(conn.driver)
     val ddl = java.sql.DriverManager.getConnection(conn.url)
-    try ddl.createStatement().execute(
-      "CREATE TABLE dim_customer (c_custkey BIGINT PRIMARY KEY, name VARCHAR, acctbal DOUBLE)")
-    finally ddl.close()
+    try {
+      ddl.createStatement().execute(
+        "CREATE TABLE dim_customer (c_custkey BIGINT PRIMARY KEY, name VARCHAR, acctbal DOUBLE)")
 
     // Spark's generic JDBC dialect maps DuckDB's BIGINT to DECIMAL(20,0);
     // cast back for the typed compare (values are unaffected)
@@ -59,47 +65,52 @@ class SourcesSpec extends SparkSpec {
     Jdbc.upsert(v2.toDF("c_custkey", "name", "acctbal"),
       conn, "dim_customer", Seq("c_custkey"))
     assert(readBack() === merged)
+    } finally ddl.close()
   }
 
   test("partitioned JDBC read runs for real: range slices + pushed predicate against embedded DuckDB") {
     val db = Files.createTempDirectory("graft-duckdb-src").resolve("oltp.db").toString
     val conn = Jdbc.ConnInfo(s"jdbc:duckdb:$db", "", "", "org.duckdb.DuckDBDriver")
     Class.forName(conn.driver)
+    // pinned open across the concurrent partition reads (see upsert test)
     val ddl = java.sql.DriverManager.getConnection(conn.url)
-    try ddl.createStatement().execute(
-      "CREATE TABLE orden AS SELECT r AS orden_id, r % 7 AS cliente_id, r * 1.5 AS total " +
-        "FROM range(1, 1001) t(r)")
-    finally ddl.close()
+    try {
+      ddl.createStatement().execute(
+        "CREATE TABLE orden AS SELECT r AS orden_id, r % 7 AS cliente_id, r * 1.5 AS total " +
+          "FROM range(1, 1001) t(r)")
 
-    // the reference reads the OLTP table through one cursor
-    // (sync_oltp_to_olap.py:194-260); here the same table arrives as range
-    // slices — one remote query per partition, executed concurrently
-    val df = Jdbc.readPartitioned(spark, conn, "orden",
-      partitionColumn = "orden_id", lower = 1L, upper = 1000L, numPartitions = 4)
-    assert(df.rdd.getNumPartitions === 4, "range read must split into 4 slices")
+      // the reference reads the OLTP table through one cursor
+      // (sync_oltp_to_olap.py:194-260); here the same table arrives as range
+      // slices — one remote query per partition, executed concurrently
+      val df = Jdbc.readPartitioned(spark, conn, "orden",
+        partitionColumn = "orden_id", lower = 1L, upper = 1000L, numPartitions = 4)
+      assert(df.rdd.getNumPartitions === 4, "range read must split into 4 slices")
 
-    val filtered = df.filter($"cliente_id" === 3).select($"orden_id", $"total")
-    // the predicate must ride the remote SQL, not run Spark-side
-    val plan = planOf(filtered)
-    assert(plan.contains("PushedFilters") && plan.contains("cliente_id"),
-      s"predicate not pushed into the JDBC scan:\n$plan")
-    val got = filtered.select($"orden_id".cast("long")).as[Long].collect().toSet
-    assert(got === (1L to 1000L).filter(_ % 7 == 3).toSet)
+      val filtered = df.filter($"cliente_id" === 3).select($"orden_id", $"total")
+      // the predicate must ride the remote SQL, not run Spark-side
+      val plan = planOf(filtered)
+      assert(plan.contains("PushedFilters") && plan.contains("cliente_id"),
+        s"predicate not pushed into the JDBC scan:\n$plan")
+      val got = filtered.select($"orden_id".cast("long")).as[Long].collect().toSet
+      assert(got === (1L to 1000L).filter(_ % 7 == 3).toSet)
+    } finally ddl.close()
   }
 
   test("changed-key JDBC read pushes the key list into the remote subquery") {
     val db = Files.createTempDirectory("graft-duckdb-chg").resolve("oltp.db").toString
     val conn = Jdbc.ConnInfo(s"jdbc:duckdb:$db", "", "", "org.duckdb.DuckDBDriver")
     Class.forName(conn.driver)
+    // pinned open across the read (see upsert test)
     val ddl = java.sql.DriverManager.getConnection(conn.url)
-    try ddl.createStatement().execute(
-      "CREATE TABLE clientes AS SELECT r AS cliente_id, 'c' || r AS nombre FROM range(1, 101) t(r)")
-    finally ddl.close()
-    // the CDC worker path (worker_sync.py:94-108): only the notified keys
-    // leave the OLTP store
-    val changed = Jdbc.readChanged(spark, conn, "clientes", "cliente_id", Seq(7L, 42L, 99L))
-    assert(changed.select($"cliente_id".cast("long")).as[Long].collect().toSet
-      === Set(7L, 42L, 99L))
+    try {
+      ddl.createStatement().execute(
+        "CREATE TABLE clientes AS SELECT r AS cliente_id, 'c' || r AS nombre FROM range(1, 101) t(r)")
+      // the CDC worker path (worker_sync.py:94-108): only the notified keys
+      // leave the OLTP store
+      val changed = Jdbc.readChanged(spark, conn, "clientes", "cliente_id", Seq(7L, 42L, 99L))
+      assert(changed.select($"cliente_id".cast("long")).as[Long].collect().toSet
+        === Set(7L, 42L, 99L))
+    } finally ddl.close()
   }
 
   test("size-tiered star: a forced-large dim writes bucketed multi-file and joins the fact SMJ with zero exchanges") {
@@ -185,9 +196,12 @@ class SourcesSpec extends SparkSpec {
         .as[(Long, Long)].head())
     }
     ranges.foreach { case (lo, hi) => assert(lo <= hi) }
+    // STRICTLY disjoint: range partitioning keeps all copies of a key in
+    // one partition, so a shared boundary key across two files would mean
+    // the layout (and its pruning guarantee) is broken
     ranges.sortBy(_._1).sliding(2).foreach {
       case Array((_, hi1), (lo2, _)) =>
-        assert(hi1 <= lo2, s"file ranges overlap: $hi1 > $lo2")
+        assert(hi1 < lo2, s"file ranges not disjoint: $hi1 >= $lo2")
       case _ =>
     }
     // and a point read returns exactly the plain-scan result

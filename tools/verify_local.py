@@ -40,6 +40,9 @@ def main(sf_dir, out_dir, skip=()):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    unknown = [s for s in skip if s not in oracles]
+    if unknown:
+        print(f"WARN --skip names not in the oracle registry (typo?): {unknown}")
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         if name in skip:
@@ -82,9 +85,17 @@ def main(sf_dir, out_dir, skip=()):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--skip")]
-    skip = ()
-    for a in sys.argv[1:]:
+    argv = sys.argv[1:]
+    skip, args = (), []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--skip="):
             skip = tuple(a.split("=", 1)[1].split(","))
+        elif a == "--skip":          # space-separated form
+            i += 1
+            skip = tuple(argv[i].split(",")) if i < len(argv) else ()
+        else:
+            args.append(a)
+        i += 1
     sys.exit(main(args[0], args[1], skip))
