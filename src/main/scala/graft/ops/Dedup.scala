@@ -363,7 +363,7 @@ object Dedup {
     def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("label").cast(
         org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0))))
-        .head.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+        .head().getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var changed = true
     var round = 0
@@ -396,5 +396,32 @@ object Dedup {
     labels.join(sizes, "label")
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),
               col("cluster_size"))
+  }
+
+  /** Pair-set evaluation — the measurement step a dedup pipeline runs when
+    * tuning an approximate matcher: given the ground-truth pair set (an
+    * exact method on a sample) and a candidate pair set (the cheap/scalable
+    * method), one summary row of |truth|, |candidate|, |intersection| and
+    * the derived precision/recall. Sound tuning is measured, not guessed —
+    * this is how you pick bands/rows/hamming radius before a 100 TB run.
+    *
+    * Single pass: one full outer join on the (d1, d2) keys with membership
+    * flags, then one global aggregate — no per-set counts, no repeated
+    * scans. Both inputs are id-pair tables (tiny next to the corpus), so
+    * the join shuffles ids only. */
+  def evalPairs(truth: DataFrame, candidate: DataFrame): DataFrame = {
+    val t = truth.select(col("d1"), col("d2")).withColumn("in_t", lit(1L))
+    val c = candidate.select(col("d1"), col("d2")).withColumn("in_c", lit(1L))
+    t.join(c, Seq("d1", "d2"), "full_outer")
+      .agg(coalesce(sum(col("in_t")), lit(0L)).as("n_truth"),
+           coalesce(sum(col("in_c")), lit(0L)).as("n_candidate"),
+           coalesce(sum(col("in_t") * col("in_c")), lit(0L)).as("n_both"))
+      .select(col("n_truth"), col("n_candidate"), col("n_both"),
+        when(col("n_candidate") === 0, lit(null))
+          .otherwise(col("n_both").cast("double") / col("n_candidate"))
+          .as("pair_precision"),
+        when(col("n_truth") === 0, lit(null))
+          .otherwise(col("n_both").cast("double") / col("n_truth"))
+          .as("pair_recall"))
   }
 }

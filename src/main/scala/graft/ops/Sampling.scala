@@ -89,4 +89,19 @@ object Sampling {
       .filter(col("sample_bucket") < col("keep_rate"))
       .drop("__stratum")
   }
+
+  /** Quality-weighted deterministic sampling: keep probability proportional
+    * to a per-row [0,1] quality score — high-quality rows survive at up to
+    * 100%, junk at (near) 0% — the soft alternative to a hard quality-gate
+    * cutoff when building a mixed-quality corpus. `keep_rate =
+    * round(100·score)` compared against the same portable md5 bucket as
+    * every other sampling decision, so membership is reproducible across
+    * engines/retries and consistent with stratified/split choices. The
+    * score is typically itself a deterministic aggregate (e.g. stopword
+    * ratio); given the same score, the decision is a map-side predicate —
+    * no shuffle beyond whatever computed the score. */
+  def qualityWeighted(df: DataFrame, scoreCol: Column, idCol: Column): DataFrame =
+    df.withColumn("keep_rate", round(scoreCol * 100).cast("int"))
+      .withColumn("sample_bucket", bucket(idCol))
+      .filter(col("sample_bucket") < col("keep_rate"))
 }

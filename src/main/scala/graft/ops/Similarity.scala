@@ -186,4 +186,31 @@ object Similarity {
              .as("centroid"),
            count(lit(1)).as("n_vecs"))
   }
+
+  /** Per-vector QA stats — the sanity pass a pipeline runs before trusting
+    * an embedding column at scale: dimensionality (ragged widths are
+    * upstream bugs), exact squared L2 norm, and the two flags that matter
+    * (all-zero vectors — failed encoder calls; near-unit norm — whether
+    * the corpus is already normalized, deciding if cosine can be computed
+    * as a plain dot product downstream).
+    *
+    * norm² instead of norm: it answers both questions without a sqrt, and
+    * stays exactly cross-engine-reproducible — each x·x is one IEEE
+    * multiply of float32-derived doubles (exact), accumulated in
+    * DECIMAL(38,6) (associative, reduction-order-independent). One
+    * posexplode + one hash aggregate keyed on vec_id: map-side partial
+    * aggs, whole-stage codegen, a single shuffle of (vec_id, partial). */
+  def normStats(embeddings: DataFrame): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
+    embeddings
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .toDF("vec_id", "dim", "x")
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dims"),
+           sum((col("x").cast("double") * col("x").cast("double")).cast(d38))
+             .cast("double").as("norm_sq"))
+      .select(col("vec_id"), col("n_dims"), col("norm_sq"),
+        (col("norm_sq") === 0.0).as("is_zero"),
+        (abs(col("norm_sq") - 1.0) <= 0.02).as("near_unit"))
+  }
 }

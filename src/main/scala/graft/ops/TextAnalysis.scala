@@ -229,6 +229,42 @@ object TextAnalysis {
               col("df").cast("long").as("df"), col("score"))
   }
 
+  /** Bigram association strength for vocabulary/merge-rule building — the
+    * PMI ratio p(xy)/(p(x)p(y)) = n_xy·N / (n_x·n_y), kept as the RATIONAL
+    * (not its log) for the same reason as [[tfidfTopTerms]]: log is
+    * monotone, so ranking by the ratio ranks by PMI, and the ratio is two
+    * IEEE multiplies and one divide — bit-identical across engines, where
+    * libm `ln` differs in the last ulp and flips near-tie ranks. Computed
+    * in double (not int64 products) because n_xy·N overflows 64 bits at
+    * corpus scale.
+    *
+    * Plan shape: one tokenize/explode feeds both the bigram counts (lead
+    * window per doc — pairs never span documents) and the unigram counts;
+    * the `minCount` filter drops the hapax tail BEFORE the joins, so the
+    * two vocabulary joins see only frequent pairs; the 1-row total
+    * broadcasts. */
+  def bigramPmi(docs: DataFrame, minCount: Long = 5, k: Int = 50): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = docs.select(col("doc_id"), posexplode(tokens(col("text"))))
+      .toDF("doc_id", "pos", "t")
+    val uni = toks.groupBy(col("t").as("w")).agg(count(lit(1)).as("n_w"))
+    val total = uni.agg(sum(col("n_w")).as("n_total"))
+    val pairs = toks
+      .select(col("t").as("w1"), lead(col("t"), 1).over(byDoc).as("w2"))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= minCount)
+    pairs
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_y")), "w2")
+      .join(broadcast(total))
+      .select(col("w1"), col("w2"), col("n_xy"), col("n_x"), col("n_y"),
+        ((col("n_xy").cast("double") * col("n_total")) /
+         (col("n_x").cast("double") * col("n_y"))).as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Concat-and-chunk sequence packing — the pretraining batch layout:
     * within each shard, documents are laid end-to-end in deterministic
     * doc_id order and the token stream is cut into fixed `ctxLen` windows
@@ -291,5 +327,36 @@ object TextAnalysis {
       size(regexp_extract_all(stages(i), lit(re), lit(0))).as(s"n_${name}s")
     }
     docs.select(col("doc_id") +: counts :+ stages.last.as("redacted_text"): _*)
+  }
+
+  /** CCNet-style per-language length terciles: each document lands in the
+    * head (longest third), middle, or tail of ITS language's length
+    * distribution — the bucketing CCNet uses to rank web text by quality
+    * proxy before sampling (head-heavy mixes train better).
+    *
+    * Two passes, both scale-safe: (1) a per-language aggregate computes the
+    * exact interpolated 1/3 and 2/3 length percentiles — `percentile`'s
+    * buffer is a count-map over DISTINCT values, and document lengths have
+    * bounded cardinality (≤ max doc bytes), so the buffer stays small no
+    * matter how many rows; for unbounded metrics swap in approx_percentile.
+    * (2) the tiny (one row per language) threshold table broadcast-joins
+    * back onto the corpus and bucket assignment is a map-side CASE — the
+    * corpus itself never shuffles.
+    *
+    * Thresholds are interpolated doubles; both probability arguments are
+    * single IEEE divisions (1.0/3, 2.0/3) so any engine reproduces the
+    * exact thresholds and therefore the exact bucket membership. */
+  def lengthBuckets(docs: DataFrame,
+                    lenCol: String = "n_chars"): DataFrame = {
+    val thresholds = docs
+      .groupBy(col("lang"))
+      .agg(percentile(col(lenCol).cast("double"), lit(1.0 / 3)).as("t1"),
+           percentile(col(lenCol).cast("double"), lit(2.0 / 3)).as("t2"))
+    docs.select(col("doc_id"), col("lang"), col(lenCol))
+      .join(broadcast(thresholds), "lang")
+      .select(col("doc_id"), col("lang"), col(lenCol), col("t1"), col("t2"),
+        when(col(lenCol) <= col("t1"), "tail")
+          .when(col(lenCol) <= col("t2"), "middle")
+          .otherwise("head").as("bucket"))
   }
 }

@@ -301,7 +301,11 @@ object DocQueries {
 
   private val SimhashBits = 60
 
-  private lazy val dedupSimhashSql: String = {
+  /** CTE body replaying the portable simhash pipeline; last CTE `sp` =
+    * bucket-collision candidate pairs with both fingerprints. CTE names are
+    * s-prefixed so this body composes with [[jaccardPairsCtes]] (sh, p) in
+    * one WITH clause (dedup_eval). */
+  private lazy val simhashPairsCtes: String = {
     val chunkBits = SimhashBits / 4
     val votes = (0 until SimhashBits)
       .map(i => s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
@@ -309,22 +313,55 @@ object DocQueries {
     val fp = (0 until SimhashBits)
       .map(i => s"(CASE WHEN b$i >= 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END)")
       .mkString(" | ")
-    s"""
-    WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
-    e AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
-          FROM (SELECT doc_id, unnest(w) AS tok FROM t)),
-    v AS (SELECT doc_id, $votes FROM e GROUP BY doc_id),
-    f AS (SELECT doc_id, $fp AS simhash FROM v),
-    c AS (SELECT doc_id, simhash, chunk,
+    s"""st AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+    se AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+          FROM (SELECT doc_id, unnest(w) AS tok FROM st)),
+    sv AS (SELECT doc_id, $votes FROM se GROUP BY doc_id),
+    sf AS (SELECT doc_id, $fp AS simhash FROM sv),
+    sc AS (SELECT doc_id, simhash, chunk,
             (simhash >> (chunk * $chunkBits)) & ${(1L << chunkBits) - 1} AS chunk_val
-          FROM f, range(0, 4) r(chunk)),
-    p AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2,
+          FROM sf, range(0, 4) r(chunk)),
+    sp AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2,
                  l.simhash AS s1, r.simhash AS s2
-          FROM c l JOIN c r ON l.chunk = r.chunk AND l.chunk_val = r.chunk_val
-                            AND l.doc_id < r.doc_id)
-    SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming FROM p
-    WHERE bit_count(xor(s1, s2)) <= 3 ORDER BY d1, d2"""
+          FROM sc l JOIN sc r ON l.chunk = r.chunk AND l.chunk_val = r.chunk_val
+                              AND l.doc_id < r.doc_id)"""
   }
+
+  private lazy val dedupSimhashSql: String = s"""
+    WITH $simhashPairsCtes
+    SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming FROM sp
+    WHERE bit_count(xor(s1, s2)) <= 3 ORDER BY d1, d2"""
+
+  /** SimHash-vs-exact evaluation: how well does hamming ≤ 3 on the 60-bit
+    * portable fingerprint approximate "n-gram Jaccard ≥ 0.8"? Truth = the
+    * exact all-pairs Jaccard pairs, candidate = the simhash pairs, both
+    * already individually oracle-checked; this op measures their overlap —
+    * the tuning loop for picking a hamming radius before a full-corpus
+    * run. */
+  private def dedupEval(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.evalPairs(
+      Dedup.ngramJaccard(docs),
+      Dedup.simhashDup(docs,
+        tokenHash = t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"),
+        bits = SimhashBits))
+  }
+
+  private lazy val dedupEvalSql: String = s"""
+    WITH $jaccardPairsCtes,
+    $simhashPairsCtes,
+    ex AS (SELECT d1, d2 FROM p WHERE jaccard >= 0.8),
+    sm AS (SELECT d1, d2 FROM sp WHERE bit_count(xor(s1, s2)) <= 3),
+    m AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS n_truth,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM sm) AS n_candidate,
+                 (SELECT CAST(COUNT(*) AS BIGINT)
+                  FROM ex JOIN sm USING (d1, d2)) AS n_both)
+    SELECT n_truth, n_candidate, n_both,
+           CASE WHEN n_candidate = 0 THEN NULL
+                ELSE n_both::DOUBLE / n_candidate END AS pair_precision,
+           CASE WHEN n_truth = 0 THEN NULL
+                ELSE n_both::DOUBLE / n_truth END AS pair_recall
+    FROM m"""
 
   private def dedupEmbedding(s: SparkSession, d: String): DataFrame =
     Similarity.embeddingNearDup(Tables.embeddings(s, d)).orderBy("v1", "v2")
@@ -641,6 +678,89 @@ object DocQueries {
     SELECT doc_id, frame_idx, strlen(frame) AS frame_len, md5(frame) AS frame_md5
     FROM f ORDER BY doc_id, frame_idx"""
 
+  /** CCNet-style per-language length terciles (see TextAnalysis
+    * .lengthBuckets): thresholds are exact interpolated percentiles —
+    * `percentile` vs `quantile_cont` already hash-match in
+    * approx_quantiles; the probability args are single IEEE divisions so
+    * both engines see identical thresholds, hence identical buckets. */
+  private def ccnetLengthBuckets(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.lengthBuckets(Tables.documents(s, d)).orderBy("doc_id")
+
+  private val ccnetLengthBucketsSql = """
+    WITH t AS (SELECT lang,
+                 quantile_cont(n_chars::DOUBLE, 1.0::DOUBLE/3) AS t1,
+                 quantile_cont(n_chars::DOUBLE, 2.0::DOUBLE/3) AS t2
+               FROM documents GROUP BY lang)
+    SELECT doc_id, lang, n_chars, t1, t2,
+           CASE WHEN n_chars <= t1 THEN 'tail'
+                WHEN n_chars <= t2 THEN 'middle'
+                ELSE 'head' END AS bucket
+    FROM documents JOIN t USING (lang) ORDER BY doc_id"""
+
+  /** Quality-weighted sampling: keep probability = round(100·stopword
+    * ratio) vs the portable md5 bucket — natural-language-rich docs
+    * survive at higher rates. The oracle recomputes the ratio with the
+    * same stopword list and replays the exact membership. */
+  private def qualityWeightedSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Sampling.qualityWeighted(
+        TextAnalysis.quality(Tables.documents(s, d)),
+        $"stopword_ratio", $"doc_id")
+      .select($"doc_id", $"stopword_ratio", $"keep_rate", $"sample_bucket")
+      .orderBy("doc_id")
+  }
+
+  private lazy val qualityWeightedSampleSql = s"""
+    WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+    q AS (SELECT doc_id,
+            len(list_filter(w, x -> list_contains(${sqlList(TextAnalysis.stopwords.values.flatten.toSeq.distinct)}, x)))::DOUBLE
+              / len(w) AS stopword_ratio
+          FROM t),
+    b AS (SELECT doc_id, stopword_ratio,
+            CAST(round(stopword_ratio * 100) AS INTEGER) AS keep_rate,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+                 AS INTEGER) AS sample_bucket
+          FROM q)
+    SELECT doc_id, stopword_ratio, keep_rate, sample_bucket
+    FROM b WHERE sample_bucket < keep_rate ORDER BY doc_id"""
+
+  /** Bigram PMI-ratio head (see TextAnalysis.bigramPmi). */
+  private def bigramPmiQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bigramPmi(Tables.documents(s, d))
+
+  private val bigramPmiSql = """
+    WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+    uni AS (SELECT tkn AS w, CAST(COUNT(*) AS BIGINT) AS n_w
+            FROM (SELECT unnest(w) AS tkn FROM t) GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_total FROM uni),
+    pr AS (SELECT pr, CAST(COUNT(*) AS BIGINT) AS n_xy
+           FROM (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS pr
+                 FROM t)
+           GROUP BY pr HAVING COUNT(*) >= 5),
+    sp2 AS (SELECT string_split(pr, ' ')[1] AS w1, string_split(pr, ' ')[2] AS w2, n_xy
+            FROM pr),
+    sc2 AS (SELECT w1, w2, n_xy, ux.n_w AS n_x, uy.n_w AS n_y,
+              (n_xy::DOUBLE * n_total) / (ux.n_w::DOUBLE * uy.n_w) AS pmi_ratio
+            FROM sp2 JOIN uni ux ON sp2.w1 = ux.w
+                     JOIN uni uy ON sp2.w2 = uy.w
+                     CROSS JOIN tot)
+    SELECT w1, w2, n_xy, n_x, n_y, pmi_ratio FROM sc2
+    ORDER BY pmi_ratio DESC, w1, w2 LIMIT 50"""
+
+  /** Per-vector QA stats (see Similarity.normStats). */
+  private def embeddingNormStats(s: SparkSession, d: String): DataFrame =
+    Similarity.normStats(Tables.embeddings(s, d)).orderBy("vec_id")
+
+  private val embeddingNormStatsSql = """
+    WITH x AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v FROM embeddings),
+    a AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dims,
+            CAST(SUM(CAST(v*v AS DECIMAL(38,6))) AS DOUBLE) AS norm_sq
+          FROM x GROUP BY vec_id)
+    SELECT vec_id, n_dims, norm_sq,
+           norm_sq = 0 AS is_zero,
+           abs(norm_sq - 1.0) <= 0.02 AS near_unit
+    FROM a ORDER BY vec_id"""
+
   val registry: Seq[Q] = Seq(
     Q("lang_id", langId, Some(langIdSql)),
     Q("text_quality", textQuality, Some(textQualitySql)),
@@ -673,5 +793,10 @@ object DocQueries {
     Q("incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     Q("embedding_quantize", embeddingQuantize, Some(embeddingQuantizeSql)),
     Q("dataset_split", datasetSplit, Some(datasetSplitSql)),
-    Q("audit_coverage", auditCoverage, Some(auditCoverageSql)))
+    Q("audit_coverage", auditCoverage, Some(auditCoverageSql)),
+    Q("ccnet_length_buckets", ccnetLengthBuckets, Some(ccnetLengthBucketsSql)),
+    Q("quality_weighted_sample", qualityWeightedSample, Some(qualityWeightedSampleSql)),
+    Q("bigram_pmi", bigramPmiQ, Some(bigramPmiSql)),
+    Q("embedding_norm_stats", embeddingNormStats, Some(embeddingNormStatsSql)),
+    Q("dedup_eval", dedupEval, Some(dedupEvalSql)))
 }

@@ -23,6 +23,43 @@ object FileFormats {
   def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
 
+  /** ORC with an explicit schema — the interchange format when the OLAP
+    * estate is Hive/Trino-centric; columnar with min/max stripes, so the
+    * same pushdown/pruning posture as parquet applies. */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def writeOrc(df: DataFrame, outDir: String): Unit =
+    df.write.mode("overwrite").orc(outDir)
+
+  /** Small-file compaction — the maintenance pass every long-lived table
+    * needs: incremental syncs and streaming sinks accrete kilobyte files,
+    * and at read time every file costs a task launch, a footer fetch, and
+    * a seek — a million-file table spends longer scheduling than scanning.
+    * Rewrites the directory into ceil(totalBytes / targetBytes) files via
+    * `coalesce` (a NARROW repartition: input files are grouped onto
+    * output tasks with no shuffle — compaction is IO-bound and must not
+    * pay an exchange).
+    *
+    * Sizes come from the Hadoop FileSystem API, so the same call works on
+    * HDFS/S3A/local. Writes to `outDir` rather than in place: the swap is
+    * the caller's (atomic rename / metastore repoint) — a failed in-place
+    * overwrite would destroy the only copy. For a date-partitioned table,
+    * run per partition directory (only fresh partitions need compacting).
+    *
+    * @return number of output files chosen */
+  def compact(spark: SparkSession, dir: String, outDir: String,
+              targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = fs.listStatus(p)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    spark.read.parquet(dir).coalesce(n)
+      .write.mode("overwrite").parquet(outDir)
+    n
+  }
+
   /** Fact-table sink: partitioned by the date key (so every downstream
     * date-range query prunes partitions at the source) and sorted within
     * partitions on (partition col, join keys). The partition column leads

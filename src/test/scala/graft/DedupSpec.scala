@@ -159,4 +159,20 @@ class DedupSpec extends SparkSpec {
     assert(out.find(_._1 == 1L).get._2 === 1L)
   }
 
+  test("evalPairs: counts, precision and recall over truth vs candidate pair sets") {
+    import spark.implicits._
+    val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("d1", "d2")
+    val cand  = Seq((1L, 2L), (3L, 4L), (7L, 8L), (9L, 10L)).toDF("d1", "d2")
+    val row = Dedup.evalPairs(truth, cand)
+      .as[(Long, Long, Long, Option[Double], Option[Double])].head()
+    assert(row._1 === 3L && row._2 === 4L && row._3 === 2L)
+    assert(row._4 === Some(0.5))       // 2 of 4 candidates are real
+    assert(row._5 === Some(2.0 / 3))   // 2 of 3 true pairs found
+    // an empty candidate set yields zero counts and NULL precision, not a crash
+    val empty = Dedup.evalPairs(truth, cand.filter($"d1" < 0))
+      .as[(Long, Long, Long, Option[Double], Option[Double])].head()
+    assert(empty._1 === 3L && empty._2 === 0L && empty._3 === 0L)
+    assert(empty._4.isEmpty && empty._5 === Some(0.0))
+  }
+
 }

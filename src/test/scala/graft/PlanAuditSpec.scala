@@ -22,10 +22,11 @@ class PlanAuditSpec extends SparkSpec {
     // against every vector — that IS the brute-force contract; knn_ivf and
     // knn_ivf_disk likewise broadcast-NL-join the tiny centroid set for
     // assignment/probe scoring (every vector scores every centroid by
-    // design); tfidf_topterms broadcast-NL-joins the single-row corpus
-    // count N onto the tf×df rows
+    // design); tfidf_topterms and bigram_pmi broadcast-NL-join their
+    // single-row corpus totals onto the scored rows
     plans.filterNot(p =>
-        Set("knn_bruteforce", "knn_ivf", "knn_ivf_disk", "tfidf_topterms")(p._1))
+        Set("knn_bruteforce", "knn_ivf", "knn_ivf_disk", "tfidf_topterms",
+            "bigram_pmi")(p._1))
       .foreach { case (name, p) =>
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
       }
@@ -36,7 +37,8 @@ class PlanAuditSpec extends SparkSpec {
         "dedup_exact", "ngram_jaccard", "dedup_minhash", "dedup_simhash",
         "quality_repetition", "pii_redact", "text_normalize",
         "quality_filter", "bpe_pair_counts", "decontaminate",
-        "tfidf_topterms").foreach { name =>
+        "tfidf_topterms", "bigram_pmi", "quality_weighted_sample",
+        "dedup_eval").foreach { name =>
       // (dedup_clusters' final plan starts from localCheckpointed label
       // RDDs — its upstream scans are audited via dedup_minhash;
       // bpe_pair_counts builds pairs per-doc with lead windows keyed by
@@ -54,7 +56,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("vector operators scan only (vec_id, embedding) from embeddings") {
     Seq("knn_bruteforce", "knn_lsh", "knn_ivf", "dedup_embedding",
-        "embedding_quantize").foreach { name =>
+        "embedding_quantize", "embedding_norm_stats").foreach { name =>
       val p = plans.toMap.apply(name)
       assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
         s"$name reads more than (vec_id, embedding) from embeddings")
@@ -82,6 +84,11 @@ class PlanAuditSpec extends SparkSpec {
       .findAllIn(m("seq_packing")).length
     assert(packExchanges === 1,
       s"seq_packing should shuffle once (per-shard), found $packExchanges")
+    // ccnet_length_buckets: the per-language threshold table broadcasts
+    // back onto the corpus — the corpus itself must not shuffle for the
+    // bucket assignment
+    assert(m("ccnet_length_buckets").contains("BroadcastHashJoin"),
+      "ccnet_length_buckets should broadcast the per-language thresholds")
   }
 
   test("event operators do not read the props payload column") {

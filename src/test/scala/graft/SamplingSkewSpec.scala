@@ -91,4 +91,22 @@ class SamplingSkewSpec extends SparkSpec {
     assert(out.filter(_._2.contains("en")).forall(_._3 === 2)) // floor(100*5/200)
   }
 
+  test("qualityWeighted keeps everything at score 1, nothing at 0, and is deterministic") {
+    val rows = (1L to 300L).map(i =>
+      (i, if (i <= 100) 0.0 else if (i <= 200) 1.0 else 0.5))
+    val df = rows.toDF("id", "score")
+    val out = Sampling.qualityWeighted(df, col("score"), col("id"))
+      .select($"id", $"keep_rate").as[(Long, Int)].collect()
+    val kept = out.map(_._1).toSet
+    assert(kept.intersect((1L to 100L).toSet).isEmpty, "score 0 must never survive")
+    assert((101L to 200L).forall(kept), "score 1 must always survive")
+    val mid = kept.count(id => id > 200)
+    assert(out.filter(_._1 > 200).forall(_._2 === 50))
+    assert(mid > 25 && mid < 75, s"score 0.5 should keep ~half, kept $mid")
+    // pure function of (id, score): a second run is bit-identical
+    val again = Sampling.qualityWeighted(df, col("score"), col("id"))
+      .select($"id").as[Long].collect().toSet
+    assert(again === kept)
+  }
+
 }

@@ -144,4 +144,21 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.forall(p => p._1 < p._2))
     assert(!pairs.contains((0L, 4L)) && !pairs.contains((0L, 2L)))
   }
+
+  test("normStats: exact norm², dims, and the zero / near-unit flags") {
+    val data = Seq(
+      (1L, Array(0f, 0f, 0f)),          // failed-encoder shape
+      (2L, Array(0.6f, 0.8f, 0f)),      // exactly unit: 0.36+0.64
+      (3L, Array(1f, 2f, 2f)),          // norm² = 9
+      (4L, Array(0.1f, 0.1f, 0.1f))     // small but nonzero, far from unit
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.normStats(data)
+      .select($"vec_id", $"n_dims", $"norm_sq", $"is_zero", $"near_unit")
+      .as[(Long, Long, Double, Boolean, Boolean)].collect().sortBy(_._1)
+    assert(out.map(_._2).toSeq === Seq(3L, 3L, 3L, 3L))
+    assert(out(0) === ((1L, 3L, 0.0, true, false)))
+    assert(out(1)._3 === 1.0 && out(1)._5, "0.6/0.8 is exactly unit in float32")
+    assert(out(2)._3 === 9.0 && !out(2)._4 && !out(2)._5)
+    assert(!out(3)._4 && !out(3)._5)
+  }
 }

@@ -222,6 +222,37 @@ class SourcesSpec extends SparkSpec {
       .orderBy("id").collect() === df.orderBy("id").collect())
   }
 
+  test("orc sink/source roundtrips with an explicit schema") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", -2.25)).toDF("id", "name", "x")
+    FileFormats.writeOrc(df, s"$dir/orc")
+    assert(FileFormats.orc(spark, s"$dir/orc", df.schema)
+      .orderBy("id").collect() === df.orderBy("id").collect())
+  }
+
+  test("compact merges a many-small-file table into few size-targeted files, shuffle-free") {
+    val dir = Files.createTempDirectory("graft_compact").toString
+    // simulate streaming-sink accretion: 24 tiny files
+    val df = spark.range(0, 24000).select($"id",
+      org.apache.spark.sql.functions.md5($"id".cast("string")).as("payload"))
+    df.repartition(24).write.parquet(s"$dir/small")
+    val smallFiles = new java.io.File(s"$dir/small").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(smallFiles.length === 24)
+    val target = smallFiles.map(_.length()).sum / 3  // aim for ~3 files
+    val n = FileFormats.compact(spark, s"$dir/small", s"$dir/big", target)
+    val bigFiles = new java.io.File(s"$dir/big").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(n >= 3 && n <= 4 && bigFiles.length === n,
+      s"expected ~3 compacted files, got $n planned / ${bigFiles.length} written")
+    // content survives byte-for-byte
+    assert(spark.read.parquet(s"$dir/big").orderBy("id").collect()
+      === df.orderBy("id").collect())
+    // coalesce is narrow: the compaction job must plan no exchange
+    val plan = planOf(spark.read.parquet(s"$dir/small").coalesce(3))
+    assert(!plan.contains("Exchange"), s"compaction must not shuffle:\n$plan")
+  }
+
   test("StarSchemaJob writes a readable star: typed partitions, pruned scans") {
     val out = Files.createTempDirectory("graft_star_spec").toString
     val star = graft.olap.StarSchemaJob.run(spark, sf, out)

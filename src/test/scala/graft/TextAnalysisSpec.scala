@@ -142,4 +142,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3) === ((4L, "B", 2, 0L, 0L, 0, false)))
   }
 
+  test("lengthBuckets splits each language into even head/middle/tail terciles") {
+    // 9 distinct lengths per language -> exactly 3 docs per bucket, and
+    // the two languages bucket independently (en lengths 10..90, de 1000+)
+    val docs = ((1 to 9).map(i => (i.toLong, "en", i * 10L)) ++
+                (1 to 9).map(i => (100L + i, "de", 1000L + i)))
+      .toDF("doc_id", "lang", "n_chars")
+    val out = TextAnalysis.lengthBuckets(docs)
+      .select($"doc_id", $"lang", $"bucket").as[(Long, String, String)].collect()
+    assert(out.length === 18)
+    val byLangBucket = out.groupBy(r => (r._2, r._3)).view.mapValues(_.length).toMap
+    for (lang <- Seq("en", "de"); b <- Seq("tail", "middle", "head"))
+      assert(byLangBucket((lang, b)) === 3, s"$lang/$b")
+    // buckets follow the length order: the 3 shortest en docs are the tail
+    val enTail = out.filter(r => r._2 == "en" && r._3 == "tail").map(_._1).toSet
+    assert(enTail === Set(1L, 2L, 3L))
+  }
+
+  test("bigramPmi ranks tight collocations above frequent-word pairs and never spans docs") {
+    // 'san francisco' only ever co-occur; 'the' also appears next to five
+    // different words (doc 3), diluting its association with 'cat'. Doc 4
+    // ends with 'san' and doc 5 starts with 'francisco' — if pairs spanned
+    // documents n_xy would be 7, not 6.
+    val docs = Seq(
+      (1L, ("san francisco " * 6).trim),
+      (2L, ("the cat " * 6).trim),
+      (3L, "the dog the pig the cow the fox the hen"),
+      (4L, "x y san"), (5L, "francisco z w")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramPmi(docs, minCount = 5, k = 10)
+      .select($"w1", $"w2", $"n_xy", $"pmi_ratio")
+      .as[(String, String, Long, Double)].collect()
+    val sf = out.find(r => r._1 == "san" && r._2 == "francisco").get
+    assert(sf._3 === 6L, "doc-spanning would make it 7")
+    // the exclusive collocation outranks the diluted one:
+    // 6·40/(7·7) ≈ 4.9 for san-francisco vs 6·40/(11·6) ≈ 3.6 for the-cat
+    assert(out.head._1 === "san" && out.head._2 === "francisco")
+    val theCat = out.find(r => r._1 == "the" && r._2 == "cat").get
+    assert(sf._4 > theCat._4)
+    // scores are descending
+    assert(out.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
 }
