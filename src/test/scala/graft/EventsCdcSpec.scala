@@ -67,8 +67,7 @@ class EventsCdcSpec extends SparkSpec {
       .parquet(dir)
     val q = EventsCdc.runScd1(spark, src, stateDir, ckpt, keys = Seq("user_id"))
     q.awaitTermination()
-    val versions = new java.io.File(stateDir).listFiles()
-      .filter(_.getName.startsWith("v=")).map(_.getName.stripPrefix("v=").toLong)
+    val versions = EventsCdc.stateVersions(spark, stateDir)
     assert(versions.nonEmpty)
     val finalState = spark.read.parquet(s"$stateDir/v=${versions.max}")
       .select($"user_id", $"event_id").as[(Long, Long)].collect().toSet
@@ -177,16 +176,21 @@ class EventsCdcSpec extends SparkSpec {
     }
     writeFile("1.parquet", $"b" === 1)
     writeFile("2.parquet", $"b" === 1 || $"b" === 2) // full replay + new rows
-    val stateDir = Files.createTempDirectory("graft_worker_state").toString
+    // state dir as an explicit file:/ Hadoop URI — proves the version
+    // listing goes through the Hadoop FS API (java.io.File can't open it)
+    val stateDir = "file:" + Files.createTempDirectory("graft_worker_state").toString
     val ckpt = Files.createTempDirectory("graft_worker_ckpt").toString
     val q = EventsCdc.runWorker(spark, dir.toString, Tables.events(spark, sf),
       stateDir, ckpt, keys = Seq("user_id"),
       dedupDelay = "3650 days", maxFilesPerTrigger = 1)
     q.awaitTermination()
     // final state must equal the batch SCD1 over the DISTINCT delivered
-    // events — the replay must not perturb it
-    val versions = new java.io.File(stateDir).listFiles()
-      .filter(_.getName.startsWith("v=")).map(_.getName.stripPrefix("v=").toLong)
+    // events — the replay must not perturb it. Two micro-batches ran, so
+    // batch 1's merge MUST have seen batch 0's state (v=0 < v=1).
+    val versions = EventsCdc.stateVersions(spark, stateDir)
+    assert(versions.size > 1 && versions.min === 0L,
+      s"expected multiple versions from v=0 via the Hadoop FS listing (so " +
+        s"later merges saw prior state), got $versions")
     val finalState = spark.read.parquet(s"$stateDir/v=${versions.max}")
     val batchState = StarSchema.scd1Latest(
       ev.filter($"b" === 1 || $"b" === 2).drop("b"),
@@ -202,6 +206,72 @@ class EventsCdcSpec extends SparkSpec {
     val all = finalState.select($"user_id").as[Long].collect().toSet
     assert(live.subsetOf(all) && live.size < all.size,
       "expected at least one tombstoned user held out of the live view")
+  }
+
+  test("co-located merge: bucketed state side plans no Exchange and matches mergeStep") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val ev = Tables.events(spark, sf).withColumn("b",
+      ntile(3).over(org.apache.spark.sql.expressions.Window
+        .orderBy($"ts", $"event_id")))
+    val state0 = StarSchema.scd1Latest(ev.filter($"b" === 1).drop("b"),
+      Seq("user_id"), Seq($"ts".desc, $"event_id".desc))
+    val path = Files.createTempDirectory("graft_bkt_state").toString
+    spark.sql("DROP TABLE IF EXISTS cdc_bkt_state_v0")
+    graft.sources.FileFormats.writeBucketed(
+      state0, "cdc_bkt_state_v0", path, "user_id", buckets = 4)
+    val batch = ev.filter($"b" === 2).drop("b")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // deterministic plan shape for the side-specific shuffle assertion
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val merged = EventsCdc.mergeStepCoLocated(
+        spark.table("cdc_bkt_state_v0"), batch, Seq("user_id"))
+      val smjs = merged.queryExecution.executedPlan.collect {
+        case j: SortMergeJoinExec => j
+      }
+      assert(smjs.length === 1, s"expected exactly one SMJ:\n${planOf(merged)}")
+      val stateSide =
+        if (smjs.head.left.toString.contains("cdc_bkt_state_v0")) smjs.head.left
+        else smjs.head.right
+      assert(stateSide.toString.contains("cdc_bkt_state_v0"),
+        s"bucketed state scan not found under the join:\n${planOf(merged)}")
+      assert(stateSide.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"the state side of the merge must not shuffle:\n$stateSide")
+      // bit-identical to the union+window mergeStep
+      val expected = EventsCdc.mergeStep(Some(state0), batch, Seq("user_id"))
+        .select($"user_id", $"event_id", $"event_type")
+        .as[(Long, Long, String)].collect().toSet
+      val got = merged.select($"user_id", $"event_id", $"event_type")
+        .as[(Long, Long, String)].collect().toSet
+      assert(got === expected)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  test("bucketed worker loop converges to batch SCD1 with bounded retained versions") {
+    val dir = streamDir()
+    val statePath = Files.createTempDirectory("graft_bkt_worker_state").toString
+    val ckpt = Files.createTempDirectory("graft_bkt_worker_ckpt").toString
+    (0 to 5).foreach(v => spark.sql(s"DROP TABLE IF EXISTS cdc_wbkt_v$v"))
+    val q = EventsCdc.runWorkerBucketed(spark, dir, Tables.events(spark, sf),
+      "cdc_wbkt", statePath, ckpt, keys = Seq("user_id"), buckets = 4,
+      dedupDelay = "3650 days", maxFilesPerTrigger = 1)
+    q.awaitTermination()
+    val versions = EventsCdc.stateVersions(spark, statePath)
+    assert(versions.nonEmpty && versions.size <= 2,
+      s"retention (retain=2) must bound the kept versions, got $versions")
+    val finalState = spark.table(s"cdc_wbkt_v${versions.max}")
+      .select($"user_id", $"event_id").as[(Long, Long)].collect().toSet
+    val batchState = StarSchema.scd1Latest(
+        Tables.events(spark, sf), Seq("user_id"),
+        Seq($"ts".desc, $"event_id".desc))
+      .select($"user_id", $"event_id").as[(Long, Long)].collect().toSet
+    assert(finalState === batchState)
   }
 
   test("SCD1 merge keeps tombstones so late-arriving older rows cannot resurrect") {
