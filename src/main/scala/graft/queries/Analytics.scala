@@ -411,6 +411,52 @@ object Analytics {
                                                WHEN '2-HIGH' THEN 20 ELSE 5 END
     ORDER BY o_orderkey"""
 
+  /** TPC-H Q17-shaped correlated scalar subquery: revenue from lineitems
+    * whose quantity is below 20% of their part's average quantity — the
+    * reference's per-record lookup loop (sync_oltp_to_olap.py:241-260) is
+    * the row-at-a-time form of exactly this shape. Re-expressed Spark-first
+    * as decorrelation BY HAND: one aggregate computes every part's
+    * threshold, then a broadcast join-back applies it — the fact table is
+    * scanned once and never shuffled (both its joins are broadcast), so at
+    * 100 TB this is a scan + two map-side joins, not a per-row subquery or
+    * a BNLJ. The threshold side is small by construction (≤ the filtered
+    * part count), which is what makes the broadcast legal. */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = Tables.part(spark, dir)
+      .filter($"p_brand".isin("Brand#11", "Brand#22", "Brand#33"))
+      .select($"p_partkey", $"p_brand")
+    val flagged = Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+    val thresholds = flagged
+      .groupBy($"l_partkey".as("t_partkey"))
+      .agg((lit(0.2) * davg($"l_quantity")).as("qty_threshold"))
+    flagged.join(broadcast(thresholds), $"l_partkey" === $"t_partkey")
+      .filter($"l_quantity" < $"qty_threshold")
+      .groupBy($"p_brand")
+      .agg((dsum($"l_extendedprice") / lit(7.0)).as("avg_yearly"),
+           count(lit(1)).as("n_small"))
+      .orderBy($"p_brand")
+  }
+
+  val q17SmallQuantitySql: String = s"""
+    WITH flagged AS (
+      SELECT l_partkey, l_quantity, l_extendedprice, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+    ), thresholds AS (
+      SELECT l_partkey AS t_partkey,
+             0.2 * (${sqlAvg("l_quantity")}) AS qty_threshold
+      FROM flagged GROUP BY l_partkey
+    )
+    SELECT p_brand,
+           ${sqlSum("l_extendedprice")} / 7.0 AS avg_yearly,
+           COUNT(*) AS n_small
+    FROM flagged JOIN thresholds ON l_partkey = t_partkey
+    WHERE l_quantity < qty_threshold
+    GROUP BY p_brand ORDER BY p_brand"""
+
   val registry: Seq[Q] = Seq(
     Q("q1_pricing_summary", q1PricingSummary, Some(q1PricingSummarySql)),
     Q("q3_shipping_priority", q3ShippingPriority, Some(q3ShippingPrioritySql)),
@@ -426,5 +472,6 @@ object Analytics {
     Q("pivot_sales", pivotSales, Some(pivotSalesSql)),
     Q("approx_quantiles", approxQuantiles, Some(approxQuantilesSql)),
     Q("salted_join", saltedJoinQ, Some(saltedJoinSql)),
-    Q("stratified_sample", stratifiedSample, Some(stratifiedSampleSql)))
+    Q("stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
+    Q("q17_small_quantity", q17SmallQuantity, Some(q17SmallQuantitySql)))
 }

@@ -678,6 +678,29 @@ object DocQueries {
     SELECT doc_id, frame_idx, strlen(frame) AS frame_len, md5(frame) AS frame_md5
     FROM f ORDER BY doc_id, frame_idx"""
 
+  /** REAL decoder over the multimodal column: synthesize a valid PNG
+    * (signature + IHDR with text-derived dimensions + real CRC-32), then
+    * decode width/height/depth/color back out of the raw bytes per the
+    * public PNG spec. The oracle derives the EXPECTED decode output
+    * independently from the text columns — if the byte-offset parse were
+    * wrong in any way (endianness, off-by-one, signature slip) the hashes
+    * diverge, so this checks the decoder, not just the roundtrip. */
+  private def multimodalPng(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodePngMeta(Multimodal.withPngPayload(
+        Tables.documents(s, d).select(col("doc_id"), col("text"))))
+      .orderBy("doc_id")
+
+  private val multimodalPngSql = """
+    SELECT doc_id,
+           TRUE AS is_png,
+           TRUE AS has_ihdr,
+           CAST(1 + length(text) % 512 AS INTEGER) AS width,
+           CAST(1 + length(text) % 256 AS INTEGER) AS height,
+           CAST(8 AS INTEGER) AS bit_depth,
+           CAST(6 AS INTEGER) AS color_type,
+           CAST(33 + strlen(text) AS INTEGER) AS byte_len
+    FROM documents ORDER BY doc_id"""
+
   /** CCNet-style per-language length terciles (see TextAnalysis
     * .lengthBuckets): thresholds are exact interpolated percentiles —
     * `percentile` vs `quantile_cont` already hash-match in
@@ -784,6 +807,7 @@ object DocQueries {
     Q("multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
     Q("multimodal_frames", multimodalFrames, Some(multimodalFramesSql)),
     Q("multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),
+    Q("multimodal_png", multimodalPng, Some(multimodalPngSql)),
     Q("knn_ivf", knnIvf, Some(knnBruteForceSql)),
     Q("knn_ivf_disk", knnIvfDisk, Some(knnBruteForceSql)),
     Q("decontaminate", decontaminate, Some(decontaminateSql)),

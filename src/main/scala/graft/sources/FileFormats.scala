@@ -60,6 +60,51 @@ object FileFormats {
     n
   }
 
+  /** Swap a verified compacted rewrite into place. The guard encodes the
+    * destroyed-only-copy hazard [[compact]]'s scaladoc hands to callers: if
+    * the rewrite's row count differs from `expectedRows`, the swap is
+    * REFUSED — the original directory is untouched and the rewrite is
+    * deleted. On success the original moves aside to `<dir>.compact_old`,
+    * the rewrite renames in, and only then is the old data deleted; a
+    * failed second rename restores the original. Renames go through the
+    * Hadoop FS API (atomic metadata moves on HDFS/local; on S3A rename is
+    * a copy — repoint a metastore there instead). */
+  private[graft] def swapCompacted(spark: SparkSession, dir: String,
+                                   tmpDir: String, expectedRows: Long): Unit = {
+    val src = new org.apache.hadoop.fs.Path(dir)
+    val tmp = new org.apache.hadoop.fs.Path(tmpDir)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rewritten = spark.read.parquet(tmpDir).count()
+    if (rewritten != expectedRows) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"compaction swap refused: rewrite has $rewritten rows, source has " +
+          s"$expectedRows — original directory left untouched")
+    }
+    val old = new org.apache.hadoop.fs.Path(dir + ".compact_old")
+    fs.delete(old, true) // stale leftover from an interrupted prior swap
+    if (!fs.rename(src, old))
+      throw new java.io.IOException(s"could not move $dir aside to $old")
+    if (!fs.rename(tmp, src)) {
+      fs.rename(old, src) // restore — the original is still the only copy
+      throw new java.io.IOException(s"could not move $tmpDir into $dir")
+    }
+    fs.delete(old, true)
+  }
+
+  /** [[compact]] plus the atomic swap: rewrite into `<dir>.compact_tmp`,
+    * verify the row count survived, then rename into place (refusing the
+    * swap — original untouched — on any row-count mismatch).
+    * @return number of output files chosen */
+  def compactAndSwap(spark: SparkSession, dir: String,
+                     targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val expected = spark.read.parquet(dir).count()
+    val tmpDir = dir + ".compact_tmp"
+    val n = compact(spark, dir, tmpDir, targetBytes)
+    swapCompacted(spark, dir, tmpDir, expected)
+    n
+  }
+
   /** Fact-table sink: partitioned by the date key (so every downstream
     * date-range query prunes partitions at the source) and sorted within
     * partitions on (partition col, join keys). The partition column leads

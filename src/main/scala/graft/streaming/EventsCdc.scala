@@ -195,6 +195,28 @@ object EventsCdc {
         scd1MergeBatchBucketed(spark, stateTable, statePath, keys, buckets) _)
       .start()
 
+  /** Stream-stream interval join — the streaming twin of the batch
+    * `range_join`: each event joined to the SAME user's events strictly
+    * within the following `window`. Both sides carry watermarks and the
+    * join condition bounds event-time distance, which is what lets Spark
+    * evict buffered rows once the watermark passes their match window —
+    * state is O(events per window), not the stream's history. Inner join
+    * ⇒ append output: a pair emits as soon as both rows have arrived. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   key: String = "user_id", window: String = "30 minutes",
+                   delay: String = "2 hours"): DataFrame = {
+    val a = left.withWatermark("ts", delay).select(
+      col(key).as("a_key"), col("ts").as("a_ts"),
+      col("event_id").as("a_event_id"))
+    val b = right.withWatermark("ts", delay).select(
+      col(key).as("b_key"), col("ts").as("b_ts"),
+      col("event_id").as("b_event_id"), col("value").as("b_value"))
+    a.join(b,
+      col("a_key") === col("b_key") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $window"))
+  }
+
   /** Streaming exact dedup — the at-least-once guard in front of every
     * CDC/file/queue source: duplicate event_ids (source replays, task
     * retries, re-listed files) are dropped within the watermark horizon,

@@ -274,6 +274,35 @@ class EventsCdcSpec extends SparkSpec {
     assert(finalState === batchState)
   }
 
+  test("stream-stream interval join matches the batch range join on in-order micro-batches") {
+    val dir = streamDir()
+    def src = spark.readStream
+      .schema(Tables.events(spark, sf).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    // horizon covers the whole stream: no buffered row is evicted before
+    // its last possible match, so streaming must equal batch exactly
+    val q = EventsCdc.intervalJoin(src, src,
+        window = "30 minutes", delay = "3650 days")
+      .writeStream.format("memory").queryName("cdc_interval")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("cdc_interval").select("a_event_id", "b_event_id")
+      .as[(Long, Long)].collect().toSet
+    val ev = Tables.events(spark, sf)
+    val a = ev.select($"user_id".as("a_key"), $"ts".as("a_ts"),
+      $"event_id".as("a_event_id"))
+    val b = ev.select($"user_id".as("b_key"), $"ts".as("b_ts"),
+      $"event_id".as("b_event_id"))
+    val expected = a.join(b, $"a_key" === $"b_key" && $"b_ts" > $"a_ts" &&
+        $"b_ts" <= $"a_ts" + expr("INTERVAL 30 minutes"))
+      .select("a_event_id", "b_event_id").as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty, "expected some interval matches")
+    assert(got === expected)
+  }
+
   test("SCD1 merge keeps tombstones so late-arriving older rows cannot resurrect") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val t1 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00")

@@ -89,6 +89,22 @@ class PlanAuditSpec extends SparkSpec {
     // bucket assignment
     assert(m("ccnet_length_buckets").contains("BroadcastHashJoin"),
       "ccnet_length_buckets should broadcast the per-language thresholds")
+    // incremental_dedup: the arrival batch's bands BROADCAST onto the
+    // persisted index scan and old text is touched only through a semi
+    // join — the standing corpus must never shuffle on arrival
+    val inc = m("incremental_dedup")
+    assert(inc.contains("BroadcastHashJoin"),
+      s"incremental_dedup should broadcast the new-arrival bands onto the index:\n$inc")
+    assert(inc.contains("LeftSemi"),
+      s"incremental_dedup should prune old text via a semi join:\n$inc")
+  }
+
+  test("q17 decorrelates to broadcast join-backs: one fact scan pass, no fact shuffle") {
+    val p = plans.toMap.apply("q17_small_quantity")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q17 should broadcast the part filter and the threshold join-back:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q17 must not shuffle the fact for its joins:\n$p")
   }
 
   test("event operators do not read the props payload column") {

@@ -253,6 +253,32 @@ class SourcesSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"compaction must not shuffle:\n$plan")
   }
 
+  test("compactAndSwap rewrites in place atomically and refuses a lossy swap") {
+    val dir = Files.createTempDirectory("graft_swap").toString + "/t"
+    val df = spark.range(0, 8000).select($"id",
+      org.apache.spark.sql.functions.md5($"id".cast("string")).as("payload"))
+    df.repartition(8).write.parquet(dir)
+    val before = spark.read.parquet(dir).count()
+    val n = FileFormats.compactAndSwap(spark, dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length === n && n < 8, s"expected <8 files, got ${files.length}")
+    assert(spark.read.parquet(dir).count() === before)
+    assert(!new java.io.File(dir + ".compact_old").exists(), "old copy must be gone")
+    assert(!new java.io.File(dir + ".compact_tmp").exists(), "tmp must be gone")
+
+    // failure path: a rewrite that lost rows is refused — the original
+    // directory must be byte-identical and the bad rewrite cleaned up
+    val tmp = dir + ".compact_tmp"
+    spark.read.parquet(dir).limit(10).write.mode("overwrite").parquet(tmp)
+    val ex = intercept[IllegalStateException] {
+      FileFormats.swapCompacted(spark, dir, tmp, before)
+    }
+    assert(ex.getMessage.contains("refused"))
+    assert(spark.read.parquet(dir).count() === before, "original must survive")
+    assert(!new java.io.File(tmp).exists(), "refused rewrite must be cleaned up")
+  }
+
   test("StarSchemaJob writes a readable star: typed partitions, pruned scans") {
     val out = Files.createTempDirectory("graft_star_spec").toString
     val star = graft.olap.StarSchemaJob.run(spark, sf, out)
