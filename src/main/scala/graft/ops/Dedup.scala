@@ -328,6 +328,74 @@ object Dedup {
         (coalesce(col("__n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Graded contamination — [[decontaminate]]'s boolean flag refined to the
+    * per-doc FRACTION of distinct n-grams that collide with the benchmark
+    * set (the overlap-percentage definition used when a pipeline wants a
+    * removable threshold, not just a flag: "drop if >X% of the doc's
+    * 8-grams appear in an eval set").
+    *
+    * Same 100 TB shape as [[decontaminate]]: both sides reduce shingles to
+    * 64-bit hashes map-side and the benchmark side BROADCASTS; the corpus
+    * side shuffles only (doc_id, hash) pairs for the doc_id-keyed counts
+    * (shingles arrive distinct from [[shingleRows]]) — bodies never move. The
+    * score is an integer/integer IEEE division, bit-identical across
+    * engines. Docs with fewer than n words have no shingles and score 0.
+    */
+  def contaminationScore(docs: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
+    val d = shingleRows(docs, n) // already distinct (doc_id, g)
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+    val b = shingleRows(benchmark, n)
+      .select(xxhash64(col("g")).as("h")).distinct()
+      .withColumn("__hit", lit(1))
+    val scored = d.join(broadcast(b), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct_ngrams"),
+           count(col("__hit")).as("n_hit_ngrams"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_distinct_ngrams"), lit(0L)).as("n_distinct_ngrams"),
+        coalesce(col("n_hit_ngrams"), lit(0L)).as("n_hit_ngrams"),
+        when(col("n_distinct_ngrams").isNull, lit(0.0))
+          .otherwise(col("n_hit_ngrams").cast("double") / col("n_distinct_ngrams"))
+          .as("contamination_score"))
+  }
+
+  /** Shared-span detection — doc pairs sharing at least `minShared`
+    * winnowing fingerprints (the MOSS-style proxy for exact-substring
+    * duplication: a shared fingerprint witnesses a shared k-token span, so
+    * pairs with several are near-certain copy/paste or template overlap —
+    * the signal exact-substring dedup pipelines act on).
+    *
+    * Candidate generation is the fingerprint self-join — a shuffle keyed by
+    * fp_hash carrying ids only. The quadratic hazard is HOT fingerprints
+    * (site boilerplate shared by thousands of docs ⇒ df² pairs per hash);
+    * fingerprints with document frequency above `maxDf` are dropped first —
+    * the standard stop-fingerprint cut (they witness boilerplate, not
+    * pairwise duplication). Bucket fan-out is then bounded by maxDf² per
+    * hash. Counting shared fingerprints per pair needs no payloads either:
+    * the whole operator moves (hash, id) and (id, id) tuples end to end.
+    *
+    * @param shingleHash as in [[TextAnalysis.fingerprintHashes]]; the md5
+    *                    variant makes every minimum replayable by the oracle
+    */
+  def spanDedup(docs: DataFrame, k: Int = 3, w: Int = 4, minShared: Int = 2,
+                maxDf: Int = 16,
+                shingleHash: Column => Column = xxhash64(_)): DataFrame = {
+    val fp = TextAnalysis.fingerprintHashes(docs, k, w, shingleHash)
+    val rare = fp.groupBy(col("fp_hash"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("fp_hash"))
+    val pruned = fp.join(rare, Seq("fp_hash"))
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.fp_hash") === col("b.fp_hash") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Connected components over a verified near-dup pair set — the clustering
     * step a dedup pipeline runs after pair generation: every doc in a
     * component maps to the component's smallest doc_id (`cluster_id`), so

@@ -457,6 +457,98 @@ object Analytics {
     WHERE l_quantity < qty_threshold
     GROUP BY p_brand ORDER BY p_brand"""
 
+  /** Full CUBE over (market segment × order year) — all four grouping
+    * combinations in one pass (the companion to `rollup_sales`'s
+    * hierarchy-only ROLLUP). One broadcast join to the 2-column customer
+    * projection, then a single Expand+HashAggregate: the fact shuffles once
+    * on the cube keys, never per grouping set. */
+  def cubeSales(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir).select($"c_custkey", $"c_mktsegment")
+    Tables.orders(spark, dir)
+      .select($"o_custkey", year($"o_orderdate").as("order_year"), $"o_totalprice")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .cube($"c_mktsegment", $"order_year")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_total"))
+      .orderBy($"c_mktsegment".asc_nulls_first, $"order_year".asc_nulls_first)
+  }
+
+  val cubeSalesSql: String = s"""
+    SELECT c_mktsegment, year(o_orderdate) AS order_year,
+           COUNT(*) AS n_orders, ${sqlSum("o_totalprice")} AS sum_total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE (c_mktsegment, year(o_orderdate))
+    ORDER BY c_mktsegment ASC NULLS FIRST, order_year ASC NULLS FIRST"""
+
+  /** Frame-based moving statistics per customer: 3-order moving average
+    * (ROWS 2 PRECEDING) and the delta vs the previous order. One shuffle on
+    * the partition key; the frame sum accumulates in exact decimal so every
+    * prefix matches the oracle bit-for-bit, and the delta is a plain IEEE
+    * double subtraction (deterministic, identical across engines). */
+  def windowMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey").orderBy($"o_orderkey")
+    val frame = w.rowsBetween(-2, 0)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+        (sum($"o_totalprice".cast(dec)).over(frame).cast("double")
+          / count(lit(1)).over(frame)).as("moving_avg"),
+        ($"o_totalprice" - lag($"o_totalprice", 1).over(w)).as("delta_prev"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val windowMovingAvgSql: String = """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg,
+           o_totalprice - lag(o_totalprice, 1)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS delta_prev
+    FROM orders ORDER BY o_custkey, o_orderkey"""
+
+  /** Catalog statistics collection over lineitem — the input a cost-based
+    * optimizer (or a data-quality monitor) needs: row count, per-column
+    * null counts, exact NDVs, and typed min/max. One global aggregate: the
+    * multi-column exact DISTINCTs plan as a single Expand+HashAggregate
+    * (one scan, k× expanded shuffle of the partial-agg rows only). At
+    * 100 TB swap the exact NDVs for one `approx_count_distinct` HLL per
+    * column — no Expand, pure one-pass — exactly the `approx_distinct`
+    * pattern; exact is kept here so the DuckDB oracle replays bit-for-bit.
+    */
+  def tableStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count($"l_orderkey")).as("orderkey_nulls"),
+      countDistinct($"l_orderkey").as("orderkey_ndv"),
+      min($"l_orderkey").as("orderkey_min"),
+      max($"l_orderkey").as("orderkey_max"),
+      countDistinct($"l_quantity").as("quantity_ndv"),
+      min($"l_quantity").as("quantity_min"),
+      max($"l_quantity").as("quantity_max"),
+      countDistinct($"l_returnflag").as("returnflag_ndv"),
+      min($"l_returnflag").as("returnflag_min"),
+      max($"l_returnflag").as("returnflag_max"),
+      min($"l_shipdate").as("shipdate_min"),
+      max($"l_shipdate").as("shipdate_max"))
+  }
+
+  val tableStatsSql: String = """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(l_orderkey) AS orderkey_nulls,
+           COUNT(DISTINCT l_orderkey) AS orderkey_ndv,
+           MIN(l_orderkey) AS orderkey_min, MAX(l_orderkey) AS orderkey_max,
+           COUNT(DISTINCT l_quantity) AS quantity_ndv,
+           MIN(l_quantity) AS quantity_min, MAX(l_quantity) AS quantity_max,
+           COUNT(DISTINCT l_returnflag) AS returnflag_ndv,
+           MIN(l_returnflag) AS returnflag_min, MAX(l_returnflag) AS returnflag_max,
+           MIN(l_shipdate) AS shipdate_min, MAX(l_shipdate) AS shipdate_max
+    FROM lineitem"""
+
   val registry: Seq[Q] = Seq(
     Q("q1_pricing_summary", q1PricingSummary, Some(q1PricingSummarySql)),
     Q("q3_shipping_priority", q3ShippingPriority, Some(q3ShippingPrioritySql)),
@@ -473,5 +565,8 @@ object Analytics {
     Q("approx_quantiles", approxQuantiles, Some(approxQuantilesSql)),
     Q("salted_join", saltedJoinQ, Some(saltedJoinSql)),
     Q("stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
-    Q("q17_small_quantity", q17SmallQuantity, Some(q17SmallQuantitySql)))
+    Q("q17_small_quantity", q17SmallQuantity, Some(q17SmallQuantitySql)),
+    Q("cube_sales", cubeSales, Some(cubeSalesSql)),
+    Q("window_moving_avg", windowMovingAvg, Some(windowMovingAvgSql)),
+    Q("table_stats", tableStats, Some(tableStatsSql)))
 }

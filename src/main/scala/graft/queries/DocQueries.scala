@@ -452,6 +452,91 @@ object DocQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Product quantization, fully oracle-replayed: the fit is deterministic
+    * (lowest-16 seeds, one exact-decimal Lloyd round) and every distance is
+    * a left-to-right double fold, so DuckDB recomputes codebooks, codes and
+    * ADC totals bit-for-bit. m=8 subspaces × 16 codes over the 64-dim
+    * vectors = 8 codes/vector (32× compression of the candidate set). */
+  private def pqFit(s: SparkSession, d: String): (graft.ops.Pq.PqModel, DataFrame) = {
+    val data = Tables.embeddings(s, d)
+    (graft.ops.Pq.fit(data, m = 8, ncodes = 16, iters = 1), data)
+  }
+
+  private def pqEncode(s: SparkSession, d: String): DataFrame = {
+    val (model, data) = pqFit(s, d)
+    graft.ops.Pq.encode(model, data).orderBy("vec_id", "sub")
+  }
+
+  private def knnPq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (model, data) = pqFit(s, d)
+    graft.ops.Pq.search(model, graft.ops.Pq.encode(model, data),
+        data.filter($"vec_id" < 20), k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Shared PQ replay: subvectors → seed codebooks → one Lloyd round
+    * (decimal-exact means) → final assignment. Mirrors Pq.fit/encode
+    * exactly — same folds, same tie-breaks, same rounding. */
+  private val pqBaseSql = """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+               FROM embeddings),
+    sv AS (SELECT vec_id, s.sub AS sub, emb[s.sub*8+1 : s.sub*8+8] AS svec
+           FROM v, (SELECT unnest(range(0, 8)) AS sub) s),
+    svn AS (SELECT vec_id, sub, svec,
+              list_sum(list_transform(svec, x -> x*x)) AS sn FROM sv),
+    seeds AS (SELECT sub,
+                CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS INTEGER) AS code,
+                svec AS cvec, sn AS cn
+              FROM svn
+              WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+    d0 AS (SELECT svn.vec_id, svn.sub, seeds.code,
+             svn.sn - 2.0 * list_sum(list_transform(range(1, 9),
+               i -> svn.svec[i] * seeds.cvec[i])) + seeds.cn AS d2
+           FROM svn JOIN seeds ON svn.sub = seeds.sub),
+    asg0 AS (SELECT vec_id, sub, code
+             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                                ORDER BY d2, code) AS rn FROM d0)
+             WHERE rn = 1),
+    cbdim AS (SELECT sub, code, u.pos AS pos,
+                CAST(SUM(CAST(u.x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(u.x) AS mv
+              FROM (SELECT a.sub, a.code,
+                      unnest([{'pos': i-1, 'x': n.svec[i]} for i in range(1, 9)]) AS u
+                    FROM asg0 a JOIN svn n ON a.vec_id = n.vec_id AND a.sub = n.sub)
+              GROUP BY sub, code, u.pos),
+    cbn AS (SELECT sub, code, cvec,
+              list_sum(list_transform(cvec, x -> x*x)) AS cn
+            FROM (SELECT sub, code, list(mv ORDER BY pos) AS cvec
+                  FROM cbdim GROUP BY sub, code)),
+    d1 AS (SELECT svn.vec_id, svn.sub, cbn.code,
+             svn.sn - 2.0 * list_sum(list_transform(range(1, 9),
+               i -> svn.svec[i] * cbn.cvec[i])) + cbn.cn AS d2
+           FROM svn JOIN cbn ON svn.sub = cbn.sub),
+    codes AS (SELECT vec_id, sub, code
+              FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                                 ORDER BY d2, code) AS rn FROM d1)
+              WHERE rn = 1)"""
+
+  private val pqEncodeSql = s"""$pqBaseSql
+    SELECT vec_id, sub, code FROM codes ORDER BY vec_id, sub"""
+
+  private val knnPqSql = s"""$pqBaseSql,
+    qsv AS (SELECT vec_id AS query_id, sub, svec, sn FROM svn WHERE vec_id < 20),
+    qtab AS (SELECT query_id, q.sub, cbn.code,
+               q.sn - 2.0 * list_sum(list_transform(range(1, 9),
+                 i -> q.svec[i] * cbn.cvec[i])) + cbn.cn AS d
+             FROM qsv q JOIN cbn ON q.sub = cbn.sub),
+    scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+                 CAST(SUM(CAST(d AS DECIMAL(38,6))) AS DOUBLE) AS adc_d2
+               FROM codes c JOIN qtab t ON c.sub = t.sub AND c.code = t.code
+               WHERE c.vec_id <> t.query_id
+               GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc_d2, neighbor_id) AS rank
+          FROM scored)
+    SELECT query_id, rank, neighbor_id, adc_d2 FROM r WHERE rank <= 5
+    ORDER BY query_id, rank"""
+
   /** Train/eval decontamination: every 10th doc stands in for the benchmark
     * set (spread across the corpus so planted near-dups cross the split),
     * the rest are the training corpus. The Spark side joins on xxhash64 of
@@ -481,6 +566,64 @@ object DocQueries {
     FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
       LEFT JOIN hits USING (doc_id)
     ORDER BY doc_id"""
+
+  /** Graded contamination over the same benchmark split as `decontaminate`:
+    * the per-doc fraction of distinct 8-grams colliding with the benchmark.
+    * Hash-vs-string join equivalence as in the decontaminate oracle; the
+    * score is an int/int IEEE division both engines compute identically. */
+  private def contaminationScore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val all = Tables.documents(s, d)
+    Dedup.contaminationScore(
+        all.filter($"doc_id" % 10 =!= 0), all.filter($"doc_id" % 10 === 0), n = 8)
+      .orderBy("doc_id")
+  }
+
+  private val contaminationScoreSql = """
+    WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+            unnest([list_aggregate(w[i:i+7], 'string_agg', ' ')
+                    for i in range(1, len(w)-6)]) AS g8
+          FROM t WHERE len(w) >= 8),
+    bench AS (SELECT DISTINCT g8 FROM g WHERE doc_id % 10 = 0),
+    sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct_ngrams,
+             CAST(SUM(CASE WHEN g8 IN (SELECT g8 FROM bench) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit_ngrams
+           FROM g WHERE doc_id % 10 <> 0 GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(n_distinct_ngrams, 0) AS n_distinct_ngrams,
+           COALESCE(n_hit_ngrams, 0) AS n_hit_ngrams,
+           CASE WHEN n_distinct_ngrams IS NULL THEN 0.0
+                ELSE n_hit_ngrams::DOUBLE / n_distinct_ngrams END AS contamination_score
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+      LEFT JOIN sc USING (doc_id)
+    ORDER BY doc_id"""
+
+  /** Shared-span pairs over md5 winnowing fingerprints so the oracle can
+    * replay every window minimum; the stop-fingerprint df cap and the
+    * shared-count threshold are both replayed in SQL. */
+  private def spanDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.spanDedup(Tables.documents(s, d), minShared = 2, maxDf = 16,
+        shingleHash = c => md5(c.cast("binary")))
+      .orderBy("d1", "d2")
+
+  private val spanDedupSql = """
+    WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+    h AS (SELECT doc_id,
+            [md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) for i in range(1, len(w)-1)] AS hs
+          FROM t WHERE len(w) >= 3),
+    f AS (SELECT doc_id, CASE WHEN len(hs) >= 4
+            THEN list_sort(list_distinct(
+                   [list_aggregate(hs[i:i+3], 'min') for i in range(1, len(hs)-2)]))
+            ELSE [list_aggregate(hs, 'min')] END AS fp
+          FROM h),
+    fp AS (SELECT doc_id, unnest(fp) AS fp_hash FROM f),
+    rare AS (SELECT fp_hash FROM fp GROUP BY fp_hash HAVING COUNT(*) <= 16),
+    fpf AS (SELECT doc_id, fp_hash FROM fp WHERE fp_hash IN (SELECT fp_hash FROM rare))
+    SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fpf a JOIN fpf b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ORDER BY d1, d2"""
 
   /** Concat-and-chunk sequence packing at ctxLen=512, sharded by source —
     * per-shard token cumsum replayed verbatim by the oracle window. */
@@ -822,5 +965,9 @@ object DocQueries {
     Q("quality_weighted_sample", qualityWeightedSample, Some(qualityWeightedSampleSql)),
     Q("bigram_pmi", bigramPmiQ, Some(bigramPmiSql)),
     Q("embedding_norm_stats", embeddingNormStats, Some(embeddingNormStatsSql)),
-    Q("dedup_eval", dedupEval, Some(dedupEvalSql)))
+    Q("dedup_eval", dedupEval, Some(dedupEvalSql)),
+    Q("contamination_score", contaminationScore, Some(contaminationScoreSql)),
+    Q("span_dedup", spanDedup, Some(spanDedupSql)),
+    Q("pq_encode", pqEncode, Some(pqEncodeSql)),
+    Q("knn_pq", knnPq, Some(knnPqSql)))
 }

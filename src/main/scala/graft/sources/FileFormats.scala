@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -156,6 +156,63 @@ object FileFormats {
     df.repartitionByRange(numFiles, col(key))
       .sortWithinPartitions(col(key))
       .write.mode("overwrite").parquet(outDir)
+
+  /** Morton (Z-order) interleave of two non-negative integer keys — the
+    * space-filling-curve value multi-dimensional clustering sorts by. Bits
+    * spread via the standard mask-and-shift sequence (each input's low 32
+    * bits interleaved into one 64-bit value), pure codegen'd bitwise ops.
+    * Keys of wildly different ranges should be ranked/scaled first — the
+    * curve locality only helps when both dimensions use comparable bit
+    * widths. */
+  def zValue(a: Column, b: Column): Column = {
+    def spread(c: Column): Column = {
+      var x = c.cast("long").bitwiseAND(lit(0xFFFFFFFFL))
+      x = x.bitwiseOR(shiftleft(x, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+      x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+      x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+      x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x3333333333333333L))
+      x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x5555555555555555L))
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** Z-ordered sink: range-partition + sort on the Morton interleave of TWO
+    * keys, so file (and row-group) min/max spans stay tight on BOTH columns
+    * — a point/range predicate on EITHER key prunes most files, where a
+    * plain sort on one key leaves the other scattered across every file.
+    * This is the layout for tables queried along two independent
+    * dimensions (user×time, part×supplier) — the same clustering Delta's
+    * OPTIMIZE ZORDER and Iceberg's sort orders apply, done here with a
+    * plain codegen'd expression and the stock range exchange (which
+    * samples the z-values, so files stay balanced under skew). The curve
+    * keys never persist — only the layout changes.
+    *
+    * Both keys are min-max scaled to a common 20-bit width before
+    * interleaving (Delta does the same via range ids): raw interleave of
+    * keys with unequal ranges degenerates to a single-key sort — the wider
+    * key owns every high bit and the narrow key stops clustering. Bounds
+    * come from one tiny min/max aggregate when not supplied; at 100 TB
+    * pass the known `bounds` (partition metadata, stats) and skip that
+    * scan. */
+  def writeZOrdered(df: DataFrame, outDir: String, c1: String, c2: String,
+                    numFiles: Int,
+                    bounds: Option[(Long, Long, Long, Long)] = None): Unit = {
+    val (lo1, hi1, lo2, hi2) = bounds.getOrElse {
+      val r = df.agg(
+        min(col(c1)).cast("long"), max(col(c1)).cast("long"),
+        min(col(c2)).cast("long"), max(col(c2)).cast("long")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    val bits = 20
+    def scaled(c: Column, lo: Long, hi: Long): Column = {
+      val factor = ((1L << bits) - 1).toDouble / math.max(1L, hi - lo)
+      ((c.cast("long") - lit(lo)).cast("double") * lit(factor)).cast("long")
+    }
+    val z = zValue(scaled(col(c1), lo1, hi1), scaled(col(c2), lo2, hi2))
+    df.repartitionByRange(numFiles, z)
+      .sortWithinPartitions(z)
+      .write.mode("overwrite").parquet(outDir)
+  }
 
   /** Bucketed sink for recurring equi-joins: two tables written with the
     * SAME bucket count on their join keys are join-co-located — Spark

@@ -159,6 +159,39 @@ class DedupSpec extends SparkSpec {
     assert(out.find(_._1 == 1L).get._2 === 1L)
   }
 
+  test("contaminationScore grades overlap as a fraction of distinct 8-grams") {
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      // 13 words -> 6 distinct 8-grams, exactly one of which is benchmark
+      (1L, "intro words then alpha beta gamma delta epsilon zeta eta theta and more"),
+      // 8 words, 7-word overlap only -> one shingle, zero hits
+      (2L, "alpha beta gamma delta epsilon zeta eta outro"),
+      (4L, "short doc") // no shingles: zero counts, score 0.0 (not NULL/NaN)
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminationScore(train, bench, n = 8)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toList
+    assert(out === List(
+      (1L, 6L, 1L, 1.0 / 6),
+      (2L, 1L, 0L, 0.0),
+      (4L, 0L, 0L, 0.0)))
+  }
+
+  test("spanDedup pairs docs on shared fingerprints; the df cap drops boilerplate") {
+    val pairs = Dedup.spanDedup(corpus, minShared = 2)
+      .select("d1", "d2", "n_shared").as[(Long, Long, Long)].collect()
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    // the three identical docs pair up with identical shared counts
+    assert(byPair.contains((1L, 2L)) && byPair.contains((1L, 5L)) && byPair.contains((2L, 5L)))
+    assert(byPair((1L, 2L)) === byPair((1L, 5L)) && byPair((1L, 5L)) === byPair((2L, 5L)))
+    // the unrelated doc shares no spans with anything
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // stop-fingerprint cut: at maxDf=1 every shared fingerprint (df >= 2 by
+    // definition of being shared) is dropped, so no pairs survive
+    assert(Dedup.spanDedup(corpus, minShared = 1, maxDf = 1).isEmpty)
+  }
+
   test("evalPairs: counts, precision and recall over truth vs candidate pair sets") {
     import spark.implicits._
     val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("d1", "d2")

@@ -38,7 +38,7 @@ class PlanAuditSpec extends SparkSpec {
         "quality_repetition", "pii_redact", "text_normalize",
         "quality_filter", "bpe_pair_counts", "decontaminate",
         "tfidf_topterms", "bigram_pmi", "quality_weighted_sample",
-        "dedup_eval").foreach { name =>
+        "dedup_eval", "contamination_score", "span_dedup").foreach { name =>
       // (dedup_clusters' final plan starts from localCheckpointed label
       // RDDs — its upstream scans are audited via dedup_minhash;
       // bpe_pair_counts builds pairs per-doc with lead windows keyed by
@@ -56,7 +56,8 @@ class PlanAuditSpec extends SparkSpec {
 
   test("vector operators scan only (vec_id, embedding) from embeddings") {
     Seq("knn_bruteforce", "knn_lsh", "knn_ivf", "dedup_embedding",
-        "embedding_quantize", "embedding_norm_stats").foreach { name =>
+        "embedding_quantize", "embedding_norm_stats", "pq_encode",
+        "knn_pq").foreach { name =>
       val p = plans.toMap.apply(name)
       assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
         s"$name reads more than (vec_id, embedding) from embeddings")
@@ -97,6 +98,35 @@ class PlanAuditSpec extends SparkSpec {
       s"incremental_dedup should broadcast the new-arrival bands onto the index:\n$inc")
     assert(inc.contains("LeftSemi"),
       s"incremental_dedup should prune old text via a semi join:\n$inc")
+  }
+
+  test("round-7 operators keep their intended shuffle shapes") {
+    val m = plans.toMap
+    // cube_sales: the 2-column customer projection broadcasts, and all four
+    // grouping sets come from ONE Expand over a single fact pass — never a
+    // union of per-grouping aggregates
+    val cube = m("cube_sales")
+    assert(cube.contains("BroadcastHashJoin"),
+      s"cube_sales should broadcast the customer projection:\n$cube")
+    assert(cube.contains("Expand"),
+      s"cube_sales should plan CUBE as one Expand, not unioned aggs:\n$cube")
+    // contamination_score: like decontaminate, the benchmark hash set
+    // broadcasts — the corpus side must not shuffle to discover hits
+    assert(m("contamination_score").contains("BroadcastHashJoin"),
+      "contamination_score should broadcast the benchmark shingle hashes")
+    // table_stats: the exact multi-column NDVs plan as one scan + one
+    // Expand (k-way row multiplication of id-width rows), not k scans
+    val stats = m("table_stats")
+    assert(stats.contains("Expand"),
+      s"table_stats should plan multi-distinct via Expand:\n$stats")
+    assert("Scan parquet".r.findAllIn(stats).length === 1,
+      s"table_stats should read the table exactly once:\n$stats")
+    // window_moving_avg: exactly one hash exchange — the o_custkey window
+    // partition; both frames and the lag ride the same sort
+    val mv = "Exchange hashpartitioning".r
+      .findAllIn(m("window_moving_avg")).length
+    assert(mv === 1,
+      s"window_moving_avg should shuffle once on o_custkey, found $mv")
   }
 
   test("q17 decorrelates to broadcast join-backs: one fact scan pass, no fact shuffle") {

@@ -91,6 +91,52 @@ class SimilaritySpec extends SparkSpec {
       === model.assignments.orderBy("vec_id").collect())
   }
 
+  test("PQ: deterministic fit, seeds self-encode at distance 0, ADC ranks sanely") {
+    import graft.ops.Pq
+    val data = graft.sources.Tables.embeddings(spark, sf)
+    // iters=0: the codebook IS the seed subvectors, so each seed vector
+    // must encode to its own code with EXACT zero distance in every
+    // subspace (x - 2x + x over identical folds is exactly 0.0 in IEEE)
+    val seedModel = Pq.fit(data, m = 8, ncodes = 16, iters = 0)
+    val selfCodes = Pq.encode(seedModel, data.filter($"vec_id" < 16))
+      .as[(Long, Int, Int)].collect()
+    assert(selfCodes.length === 16 * 8)
+    // seed with rank r (ordered by vec_id) carries code r in every subspace
+    selfCodes.foreach { case (vid, _, code) => assert(code === vid.toInt) }
+    // refined fit is reproducible and releases superseded checkpoints
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val m1 = Pq.fit(data, m = 8, ncodes = 16, iters = 1)
+    val m2 = Pq.fit(data, m = 8, ncodes = 16, iters = 1)
+    assert(spark.sparkContext.getPersistentRDDs.size - before <= 2,
+      "Pq.fit leaked superseded Lloyd-round checkpoints")
+    assert(m2.codebook.orderBy("sub", "code").collect()
+      === m1.codebook.orderBy("sub", "code").collect())
+    // ADC approximates true L2 — sanity: distances are non-negative (up
+    // to fp slack) and each query's ADC top-5 overlaps its exact-L2 top-5
+    val queries = data.filter($"vec_id" < 5)
+    val adc = Pq.search(m1, Pq.encode(m1, data), queries, k = 5)
+      .select("query_id", "neighbor_id", "adc_d2")
+      .as[(Long, Long, Double)].collect()
+    assert(adc.forall(_._3 >= -1e-9))
+    val prep = data.select($"vec_id",
+        VectorFunctions.toDouble($"embedding").as("emb"))
+      .withColumn("n2", VectorFunctions.normSq($"emb"))
+    val q = prep.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"emb".as("qe"), $"n2".as("qn2"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"d2", $"neighbor_id")
+    val exact = prep.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        ($"n2" - lit(2.0) * VectorFunctions.dot($"emb", $"qe") + $"qn2").as("d2"))
+      .withColumn("rn", row_number().over(wq)).filter($"rn" <= 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    adc.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._2).toSet.intersect(exact(qid)).nonEmpty,
+        s"query $qid: ADC top-5 shares nothing with exact-L2 top-5")
+    }
+  }
+
   test("on-disk IVF index: partition-pruned probe, results equal in-memory search") {
     val data = graft.sources.Tables.embeddings(spark, sf)
     val queries = data.filter($"vec_id" < 5)

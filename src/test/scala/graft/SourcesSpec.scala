@@ -211,6 +211,38 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(dir).filter($"l_orderkey" === k).count() === expected)
   }
 
+  test("z-ordered sink keeps tight per-file spans on BOTH keys") {
+    import org.apache.spark.sql.functions.{max, min}
+    val dir = Files.createTempDirectory("graft_zorder").toString
+    // l_orderkey and l_partkey have comparable bit widths — the regime
+    // where curve locality helps both dimensions (see zValue scaladoc)
+    val src = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_partkey", $"l_quantity")
+    FileFormats.writeZOrdered(src, dir, "l_orderkey", "l_partkey", numFiles = 16)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length > 4, "z-order write should produce multiple files")
+    val spans = files.map { f =>
+      spark.read.parquet(f)
+        .agg(min($"l_orderkey"), max($"l_orderkey"),
+             min($"l_partkey"), max($"l_partkey"))
+        .as[(Long, Long, Long, Long)].head()
+    }
+    // a point predicate on EITHER key must skip at least half the files on
+    // min/max stats alone — the property a single-key sort cannot give to
+    // both dimensions at once
+    val (probeO, probeP) = src
+      .agg((max($"l_orderkey") / 2).cast("long"), (max($"l_partkey") / 2).cast("long"))
+      .as[(Long, Long)].head()
+    val hitsO = spans.count { case (lo, hi, _, _) => lo <= probeO && probeO <= hi }
+    val hitsP = spans.count { case (_, _, lo, hi) => lo <= probeP && probeP <= hi }
+    assert(hitsO <= files.length / 2, s"orderkey probe hits $hitsO of ${files.length} files")
+    assert(hitsP <= files.length / 2, s"partkey probe hits $hitsP of ${files.length} files")
+    // layout only — content must be exactly the source
+    assert(spark.read.parquet(dir).count() === src.count())
+    val expected = src.filter($"l_partkey" === probeP).count()
+    assert(spark.read.parquet(dir).filter($"l_partkey" === probeP).count() === expected)
+  }
+
   test("csv and json readers roundtrip with explicit schemas") {
     val dir = Files.createTempDirectory("graft_ff").toString
     val df = Seq((1L, "a", 1.5), (2L, "b", -2.25)).toDF("id", "name", "x")
