@@ -367,14 +367,15 @@ object Dedup {
     * pairs with several are near-certain copy/paste or template overlap —
     * the signal exact-substring dedup pipelines act on).
     *
-    * Candidate generation is the fingerprint self-join — a shuffle keyed by
-    * fp_hash carrying ids only. The quadratic hazard is HOT fingerprints
-    * (site boilerplate shared by thousands of docs ⇒ df² pairs per hash);
-    * fingerprints with document frequency above `maxDf` are dropped first —
-    * the standard stop-fingerprint cut (they witness boilerplate, not
-    * pairwise duplication). Bucket fan-out is then bounded by maxDf² per
-    * hash. Counting shared fingerprints per pair needs no payloads either:
-    * the whole operator moves (hash, id) and (id, id) tuples end to end.
+    * Candidate generation groups the exploded fingerprints ONCE by fp_hash
+    * (ids only — never payloads) into per-hash doc lists, drops hashes
+    * seen in more than `maxDf` docs — the standard stop-fingerprint cut:
+    * HOT fingerprints witness site boilerplate shared by thousands of
+    * docs (⇒ df² pairs per hash), not pairwise duplication — and expands
+    * each surviving ≤maxDf-element list to its ordered pairs map-side.
+    * One shuffle on fp_hash, one on the (d1, d2) count; a fingerprint
+    * SELF-JOIN would instead evaluate the whole shingle→winnow subtree
+    * once per join branch (4× the scan work for identical output).
     *
     * @param shingleHash as in [[TextAnalysis.fingerprintHashes]]; the md5
     *                    variant makes every minimum replayable by the oracle
@@ -382,16 +383,15 @@ object Dedup {
   def spanDedup(docs: DataFrame, k: Int = 3, w: Int = 4, minShared: Int = 2,
                 maxDf: Int = 16,
                 shingleHash: Column => Column = xxhash64(_)): DataFrame = {
-    val fp = TextAnalysis.fingerprintHashes(docs, k, w, shingleHash)
-    val rare = fp.groupBy(col("fp_hash"))
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf)
-      .select(col("fp_hash"))
-    val pruned = fp.join(rare, Seq("fp_hash"))
-    pruned.as("a")
-      .join(pruned.as("b"),
-        col("a.fp_hash") === col("b.fp_hash") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val ids = col("ids")
+    TextAnalysis.fingerprintHashes(docs, k, w, shingleHash)
+      .groupBy(col("fp_hash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(ids).between(2, maxDf))
+      .select(explode(flatten(transform(ids, (d1, i) =>
+        transform(slice(ids, i + 2, lit(maxDf)),
+          d2 => struct(d1.as("d1"), d2.as("d2")))))).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }

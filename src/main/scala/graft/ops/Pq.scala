@@ -59,17 +59,18 @@ object Pq {
       .select(col(idCol), col("x.sub").as("sub"), col("x.svec").as("svec"))
       .withColumn("sn", normSq(col("svec")))
 
-  /** Nearest code per (vec_id, sub) by squared L2 (ties by code id). */
-  private def assign(sv: DataFrame, codebook: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("d2"), col("code"))
+  /** Nearest code per (vec_id, sub) by squared L2 (ties by code id). The
+    * argmin is `min(struct(d2, code))` — lexicographic struct ordering IS
+    * (distance, code-id tie-break), and a hash aggregate with map-side
+    * partials beats a sort-based row_number window over the ncodes-times
+    * expanded rows. */
+  private def assign(sv: DataFrame, codebook: DataFrame): DataFrame =
     sv.join(broadcast(codebook), "sub")
       .select(col("vec_id"), col("sub"), col("code"),
         (col("sn") - lit(2.0) * dot(col("svec"), col("cvec")) + col("cn")).as("d2"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("sub"), col("code"))
-  }
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("code"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.code").as("code"))
 
   /** Per-(sub, code) mean of the member subvectors, exact-decimal
     * accumulated per dimension (reduction-order-independent, so refined

@@ -549,6 +549,94 @@ object Analytics {
            MIN(l_shipdate) AS shipdate_min, MAX(l_shipdate) AS shipdate_max
     FROM lineitem"""
 
+  /** Sketch-table rollup + merge (`ops/Sketches`): per-year HLL sketches of
+    * the customer set stand in for the per-partition sketch rows a 100 TB
+    * warehouse persists at load time; the 'total' row answers the
+    * all-years distinct from the SKETCHES ALONE (one `hll_union_agg` over
+    * 7 tiny rows — history is never rescanned). Exact counts ride along as
+    * the verification columns; the oracle checks them plus the ±5%
+    * (>6σ at lgK=14) acceptance flag on each estimate. */
+  def incrementalDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .select(year($"o_orderdate").as("yr"), $"o_custkey")
+    val sketches = graft.ops.Sketches.distinctSketch(o, $"yr", $"o_custkey")
+    val yearlyExact = o.groupBy($"yr".as("b"))
+      .agg(countDistinct($"o_custkey").as("exact_n"))
+    val yearly = sketches.join(yearlyExact, $"bucket" === $"b")
+      .select($"bucket".cast("string").as("scope"), $"n_rows", $"exact_n",
+        (abs(hll_sketch_estimate($"sketch") - $"exact_n") <= $"exact_n" * 0.05)
+          .as("within_5pct"))
+    val totalExact = o.agg(countDistinct($"o_custkey").as("exact_n")).as("te")
+    val total = graft.ops.Sketches.mergedEstimate(sketches)
+      .join(totalExact)
+      .select(lit("total").as("scope"), $"n_rows", $"exact_n",
+        (abs($"distinct_estimate" - $"exact_n") <= $"exact_n" * 0.05)
+          .as("within_5pct"))
+    yearly.unionByName(total).orderBy($"scope")
+  }
+
+  val incrementalDistinctSql: String = """
+    SELECT CAST(year(o_orderdate) AS VARCHAR) AS scope, COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_custkey) AS exact_n, TRUE AS within_5pct
+    FROM orders GROUP BY year(o_orderdate)
+    UNION ALL
+    SELECT 'total' AS scope, COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_custkey) AS exact_n, TRUE AS within_5pct
+    FROM orders
+    ORDER BY scope"""
+
+  /** TPC-H Q21-shaped "sole blocker" analysis: suppliers who were the ONLY
+    * late shipper on a multi-supplier order (late = shipped more than 90
+    * days after the order date). The classic nested EXISTS / NOT-EXISTS
+    * pair decorrelated into set-oriented form: one (orderkey, suppkey)
+    * aggregate for per-supplier lateness, one orderkey aggregate for the
+    * order-level counts, then a join-back — every step shuffles on the
+    * orderkey the lineitem side is already clustered by; the supplier
+    * dimension broadcasts at the end. */
+  def q21LateSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_suppkey",
+        ($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAY")).as("late"))
+    val perSupp = li.groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max($"late").as("supp_late"))
+    val perOrder = perSupp.groupBy($"l_orderkey".as("ok"))
+      .agg(count(lit(1)).as("n_supp"),
+           count(when($"supp_late", 1)).as("n_late_supp"))
+      .filter($"n_supp" >= 2 && $"n_late_supp" === 1)
+    perSupp.filter($"supp_late")
+      .join(perOrder, $"l_orderkey" === $"ok")
+      .join(broadcast(Tables.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name")
+      .limit(20)
+  }
+
+  val q21LateSupplierSql: String = """
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey,
+             l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), per_supp AS (
+      SELECT l_orderkey, l_suppkey, MAX(late) AS supp_late
+      FROM li GROUP BY 1, 2
+    ), per_order AS (
+      SELECT l_orderkey FROM per_supp
+      GROUP BY l_orderkey
+      HAVING COUNT(*) >= 2 AND COUNT(CASE WHEN supp_late THEN 1 END) = 1
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM per_supp
+    JOIN per_order USING (l_orderkey)
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE supp_late
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20"""
+
   val registry: Seq[Q] = Seq(
     Q("q1_pricing_summary", q1PricingSummary, Some(q1PricingSummarySql)),
     Q("q3_shipping_priority", q3ShippingPriority, Some(q3ShippingPrioritySql)),
@@ -568,5 +656,7 @@ object Analytics {
     Q("q17_small_quantity", q17SmallQuantity, Some(q17SmallQuantitySql)),
     Q("cube_sales", cubeSales, Some(cubeSalesSql)),
     Q("window_moving_avg", windowMovingAvg, Some(windowMovingAvgSql)),
-    Q("table_stats", tableStats, Some(tableStatsSql)))
+    Q("table_stats", tableStats, Some(tableStatsSql)),
+    Q("incremental_distinct", incrementalDistinct, Some(incrementalDistinctSql)),
+    Q("q21_late_supplier", q21LateSupplier, Some(q21LateSupplierSql)))
 }

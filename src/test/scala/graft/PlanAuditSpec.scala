@@ -23,10 +23,11 @@ class PlanAuditSpec extends SparkSpec {
     // knn_ivf_disk likewise broadcast-NL-join the tiny centroid set for
     // assignment/probe scoring (every vector scores every centroid by
     // design); tfidf_topterms and bigram_pmi broadcast-NL-join their
-    // single-row corpus totals onto the scored rows
+    // single-row corpus totals onto the scored rows; incremental_distinct
+    // joins its single-row sketch-merge total to the single-row exact count
     plans.filterNot(p =>
         Set("knn_bruteforce", "knn_ivf", "knn_ivf_disk", "tfidf_topterms",
-            "bigram_pmi")(p._1))
+            "bigram_pmi", "incremental_distinct")(p._1))
       .foreach { case (name, p) =>
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
       }
