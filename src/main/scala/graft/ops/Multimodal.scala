@@ -166,6 +166,73 @@ object Multimodal {
         length(col("payload")).as("byte_len"))
   }
 
+  /** Little-endian serialization of an int-valued column to `nBytes` —
+    * RIFF's integer wire format: hex, left-pad to width, then reverse the
+    * byte pairs (all codegen'd string ops). */
+  private def leN(c: Column, nBytes: Int): Column = {
+    val h = lpad(hex(c), nBytes * 2, "0")
+    to_binary(concat((nBytes to 1 by -1).map(i =>
+      substring(h, (i - 1) * 2 + 1, 2)): _*), lit("hex"))
+  }
+
+  /** Synthesizes a VALID 44-byte canonical PCM WAV header per document
+    * (RIFF container, public format: RIFF size / WAVE / fmt-16 / PCM /
+    * channels / sample rate / byte rate / block align / bits / data size),
+    * followed by the UTF-8 text bytes standing in for the sample stream.
+    * All parameters derive deterministically from the text so an oracle
+    * can compute the expected decode independently of the byte path. */
+  def withWavPayload(docs: DataFrame): DataFrame = {
+    val len      = length(col("text"))
+    val channels = (lit(1) + pmod(len, lit(2))).cast("int")
+    val rate     = (lit(8000) + pmod(len, lit(100)) * 100).cast("int")
+    val bits     = lit(16)
+    val blockAlign = (channels * bits / lit(8)).cast("int")
+    val byteRate   = (rate * blockAlign).cast("int")
+    docs.select(col("doc_id"),
+      concat(
+        lit("RIFF").cast("binary"), leN(lit(36) + len, 4),
+        lit("WAVE").cast("binary"),
+        lit("fmt ").cast("binary"), leN(lit(16), 4), leN(lit(1), 2),
+        leN(channels, 2), leN(rate, 4), leN(byteRate, 4),
+        leN(blockAlign, 2), leN(bits, 2),
+        lit("data").cast("binary"), leN(len, 4),
+        col("text").cast("binary")).as("payload"))
+  }
+
+  /** REAL audio-container decode over the binary column — WAV/RIFF header
+    * parse per the public RIFF/WAVE layout: verify the RIFF/WAVE/fmt/data
+    * magics at their fixed offsets, then read the little-endian PCM
+    * fields. Pure offset arithmetic over the hex of the first 44 bytes,
+    * whole-stage codegen, scan-speed at any scale. `byte_rate_ok`
+    * cross-checks the stored byte rate against rate×channels×bits/8 —
+    * the consistency test a real ingest would gate on. Fields are NULL
+    * unless every magic checks out. */
+  def decodeWavMeta(media: DataFrame): DataFrame = {
+    def leInt(h: Column, byteOff: Int, nBytes: Int): Column =
+      conv(concat(((byteOff + nBytes - 1) to byteOff by -1).map(i =>
+        substring(h, (i - 1) * 2 + 1, 2)): _*), 16, 10).cast("int")
+    def magic(h: Column, byteOff: Int, ascii: String): Column =
+      substring(h, (byteOff - 1) * 2 + 1, ascii.length * 2) ===
+        ascii.getBytes("US-ASCII").map("%02X".format(_)).mkString
+    val h = col("__h")
+    val ok = magic(h, 1, "RIFF") && magic(h, 9, "WAVE") &&
+      magic(h, 13, "fmt ") && magic(h, 37, "data")
+    media
+      .select(col("doc_id"), col("payload"),
+        hex(substring(col("payload"), 1, 44)).as("__h"))
+      .select(
+        col("doc_id"),
+        ok.as("is_wav"),
+        when(ok, leInt(h, 23, 2)).as("n_channels"),
+        when(ok, leInt(h, 25, 4)).as("sample_rate"),
+        when(ok, leInt(h, 35, 2)).as("bits_per_sample"),
+        when(ok, leInt(h, 29, 4) ===
+          leInt(h, 25, 4) * leInt(h, 23, 2) * leInt(h, 35, 2) / lit(8))
+          .as("byte_rate_ok"),
+        when(ok, leInt(h, 41, 4)).as("data_size"),
+        length(col("payload")).as("byte_len"))
+  }
+
   /** End-to-end multimodal pipeline on the documents table: payload
     * synthesis → batched feature extraction, summarized to verifiable
     * per-doc scalars. EVERY column is oracle-checkable from the same bytes:

@@ -549,6 +549,41 @@ object Analytics {
            MIN(l_shipdate) AS shipdate_min, MAX(l_shipdate) AS shipdate_max
     FROM lineitem"""
 
+  /** RANGE-frame trailing window: each order's count and revenue over the
+    * SAME customer's orders in the trailing 30 days — a value-based frame
+    * (RANGE BETWEEN), where `window_moving_avg`'s ROWS frame counts
+    * neighbors. Event time is ordered as epoch seconds so both engines
+    * bound the frame with identical integer arithmetic; one shuffle on the
+    * customer key. */
+  def windowTrailing30d(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey").orderBy($"ts")
+      .rangeBetween(-30L * 86400, 0)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+              unix_timestamp($"o_orderdate").as("ts"))
+      .select($"o_custkey", $"o_orderkey",
+        count(lit(1)).over(w).as("n_trailing_30d"),
+        sum($"o_totalprice".cast(dec)).over(w).cast("double").as("rev_trailing_30d"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val windowTrailing30dSql: String = """
+    WITH t AS (SELECT o_custkey, o_orderkey, o_totalprice,
+                      CAST(epoch(o_orderdate) AS BIGINT) AS ts
+               FROM orders)
+    SELECT o_custkey, o_orderkey,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY ts
+                          RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+             AS n_trailing_30d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                OVER (PARTITION BY o_custkey ORDER BY ts
+                      RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS rev_trailing_30d
+    FROM t ORDER BY o_custkey, o_orderkey"""
+
   /** Sketch-table rollup + merge (`ops/Sketches`): per-year HLL sketches of
     * the customer set stand in for the per-partition sketch rows a 100 TB
     * warehouse persists at load time; the 'total' row answers the
@@ -658,5 +693,6 @@ object Analytics {
     Q("window_moving_avg", windowMovingAvg, Some(windowMovingAvgSql)),
     Q("table_stats", tableStats, Some(tableStatsSql)),
     Q("incremental_distinct", incrementalDistinct, Some(incrementalDistinctSql)),
-    Q("q21_late_supplier", q21LateSupplier, Some(q21LateSupplierSql)))
+    Q("q21_late_supplier", q21LateSupplier, Some(q21LateSupplierSql)),
+    Q("window_trailing_30d", windowTrailing30d, Some(windowTrailing30dSql)))
 }

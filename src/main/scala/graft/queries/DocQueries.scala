@@ -844,6 +844,28 @@ object DocQueries {
            CAST(33 + strlen(text) AS INTEGER) AS byte_len
     FROM documents ORDER BY doc_id"""
 
+  /** WAV/RIFF twin of the PNG decode: header synthesized from the text
+    * (channels/rate derive from the CHARACTER length; the byte stream is
+    * the UTF-8 text, so data_size and byte_len legitimately differ on
+    * multibyte docs) and parsed back per the public RIFF layout. DuckDB
+    * length() counts chars and strlen() counts bytes — mirroring Spark's
+    * length(string) vs length(binary). */
+  private def multimodalWav(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeWavMeta(Multimodal.withWavPayload(
+        Tables.documents(s, d).select(col("doc_id"), col("text"))))
+      .orderBy("doc_id")
+
+  private val multimodalWavSql = """
+    SELECT doc_id,
+           TRUE AS is_wav,
+           CAST(1 + length(text) % 2 AS INTEGER) AS n_channels,
+           CAST(8000 + (length(text) % 100) * 100 AS INTEGER) AS sample_rate,
+           CAST(16 AS INTEGER) AS bits_per_sample,
+           TRUE AS byte_rate_ok,
+           CAST(length(text) AS INTEGER) AS data_size,
+           CAST(44 + strlen(text) AS INTEGER) AS byte_len
+    FROM documents ORDER BY doc_id"""
+
   /** CCNet-style per-language length terciles (see TextAnalysis
     * .lengthBuckets): thresholds are exact interpolated percentiles —
     * `percentile` vs `quantile_cont` already hash-match in
@@ -969,5 +991,6 @@ object DocQueries {
     Q("contamination_score", contaminationScore, Some(contaminationScoreSql)),
     Q("span_dedup", spanDedup, Some(spanDedupSql)),
     Q("pq_encode", pqEncode, Some(pqEncodeSql)),
-    Q("knn_pq", knnPq, Some(knnPqSql)))
+    Q("knn_pq", knnPq, Some(knnPqSql)),
+    Q("multimodal_wav", multimodalWav, Some(multimodalWavSql)))
 }

@@ -243,6 +243,33 @@ object EventsCdc {
       total_state_rows: Long,
       last_progress_ts: String)
 
+  /** Streaming sketch-table maintenance — the streaming twin of
+    * [[graft.ops.Sketches]]: every micro-batch APPENDS one HLL sketch row
+    * per bucket (tagged with the batch id) to the sketch table; readers
+    * answer distinct-count questions over any bucket subset by merging
+    * sketches ([[graft.ops.Sketches.mergedEstimate]]) — history is never
+    * rescanned, and the per-batch write is a blind append (no
+    * read-modify-write, no streaming state). Replay-robust where it
+    * matters: a re-delivered batch unions in the SAME key set, and HLL
+    * union is idempotent — the distinct estimate is unaffected (the
+    * additive `n_rows` column double-counts on replay; treat it as
+    * at-least-once telemetry, the sketch as the truth). */
+  def runDistinctSketches(stream: DataFrame, sketchDir: String,
+                          checkpointDir: String,
+                          bucketCol: String, keyCol: String, lgK: Int = 14,
+                          trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Sketches.distinctSketch(batch, col(bucketCol), col(keyCol), lgK)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(sketchDir)
+        ()
+      }
+      .start()
+
   def health(spark: SparkSession, queries: Seq[StreamingQuery]): DataFrame = {
     import spark.implicits._
     queries.map { q =>

@@ -303,6 +303,53 @@ class EventsCdcSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("streaming sketch table: per-batch appends merge to the true distinct count") {
+    val ev = Tables.events(spark, sf).withColumn("b",
+      ntile(2).over(org.apache.spark.sql.expressions.Window
+        .orderBy($"ts", $"event_id")))
+    val dir = Files.createTempDirectory("graft_sk_src")
+    def writeFile(name: String, filter: org.apache.spark.sql.Column): Unit = {
+      val tmp = Files.createTempDirectory("graft_sk_tmp").toString
+      ev.filter(filter).drop("b").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, dir.resolve(name))
+      Thread.sleep(1000)
+    }
+    writeFile("1.parquet", $"b" === 1)
+    writeFile("2.parquet", $"b" === 2)
+    val sketchDir = Files.createTempDirectory("graft_sk_out").toString
+    val ckpt = Files.createTempDirectory("graft_sk_ckpt").toString
+    val q = EventsCdc.runDistinctSketches(
+      EventsCdc.readEventStream(spark, dir.toString, Tables.events(spark, sf),
+        maxFilesPerTrigger = 1),
+      sketchDir, ckpt, bucketCol = "event_type", keyCol = "user_id")
+    q.awaitTermination()
+    val sketches = spark.read.parquet(sketchDir)
+    // one sketch row per (batch, bucket): blind appends, tagged per batch
+    assert(sketches.select($"batch_id").distinct().count() === 2)
+    // merged estimate over ALL batch sketches lands within the >6-sigma
+    // 5% bound of the exact distinct over the whole stream — answered
+    // from the sketch table alone, without rescanning the events
+    val est = graft.ops.Sketches.mergedEstimate(sketches)
+      .select($"distinct_estimate").as[Long].head()
+    val exact = Tables.events(spark, sf)
+      .select(countDistinct($"user_id")).as[Long].head()
+    assert(math.abs(est - exact) <= exact * 0.05,
+      s"merged estimate $est vs exact $exact")
+    // and a bucket-subset question uses only that subset's sketch rows
+    val oneType = Tables.events(spark, sf).select($"event_type")
+      .distinct().as[String].head()
+    val subEst = graft.ops.Sketches.mergedEstimate(
+        sketches.filter($"bucket" === oneType))
+      .select($"distinct_estimate").as[Long].head()
+    val subExact = Tables.events(spark, sf)
+      .filter($"event_type" === oneType)
+      .select(countDistinct($"user_id")).as[Long].head()
+    assert(math.abs(subEst - subExact) <= math.max(1L, (subExact * 0.05).toLong),
+      s"bucket estimate $subEst vs exact $subExact")
+  }
+
   test("SCD1 merge keeps tombstones so late-arriving older rows cannot resurrect") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val t1 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00")

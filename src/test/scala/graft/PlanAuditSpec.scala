@@ -130,6 +130,37 @@ class PlanAuditSpec extends SparkSpec {
       s"window_moving_avg should shuffle once on o_custkey, found $mv")
   }
 
+  test("runtime bloom-filter pruning engages for non-broadcastable selective joins") {
+    // The 100 TB posture when a selective join side is too big to
+    // broadcast (the size-tiered incremental-sync case: millions of
+    // changed keys): Spark's InjectRuntimeFilter builds a bloom filter on
+    // the creation side and pushes a might_contain probe into the fact
+    // scan, cutting the shuffle before the SMJ. Pinned here so a Spark
+    // upgrade or conf drift that silently loses the rewrite is caught.
+    // Thresholds are lowered because test-scale tables are far below the
+    // 10 GB application-side default.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val olds = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions.col
+      val changed = graft.sources.Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val resync = graft.sources.Tables.lineitem(spark, sf)
+        .join(changed, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      val p = planOf(resync)
+      assert(p.contains("might_contain"),
+        s"runtime bloom filter did not inject into the semi-join plan:\n$p")
+    } finally olds.foreach { case (k, old) =>
+      old.fold(spark.conf.unset(k))(v => spark.conf.set(k, v))
+    }
+  }
+
   test("q17 decorrelates to broadcast join-backs: one fact scan pass, no fact shuffle") {
     val p = plans.toMap.apply("q17_small_quantity")
     assert(p.contains("BroadcastHashJoin"),
