@@ -94,6 +94,17 @@ object Ivf {
     prepared(queries)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
 
+  /** (query_id, vec_id) candidate pairs — the members of each query's
+    * `nprobe` closest lists, id-only. Shared by [[search]]-style exact
+    * re-ranking and the PQ ADC path ([[Pq.searchIvf]]). */
+  private[ops] def probeCandidates(model: IvfModel, queries: DataFrame,
+                                   nprobe: Int): DataFrame = {
+    val q = preparedQueries(queries)
+    model.assignments
+      .join(broadcast(probes(q, model.centroids, nprobe)), "centroid_id")
+      .select(col("query_id"), col("vec_id"))
+  }
+
   /** Top-k by exact cosine among the members of each query's `nprobe`
     * closest lists. */
   def search(model: IvfModel, embeddings: DataFrame, queries: DataFrame,

@@ -114,6 +114,35 @@ object Pq {
   def encode(model: PqModel, embeddings: DataFrame): DataFrame =
     assign(subvectors(embeddings, model.m, model.subDim), model.codebook)
 
+  /** IVF+PQ composed search — the FAISS IVFPQ layout: the IVF coarse
+    * quantizer prunes to each query's `nprobe` closest lists, and within
+    * the candidate lists distance is the PQ ADC sum — so a search touches
+    * only the probed lists' CODE rows (m bytes/vector), never a float
+    * vector. This is the production shape for billion-scale ANN: coarse
+    * pruning bounds the candidate count, PQ bounds the bytes per
+    * candidate. At `nprobe = nLists` the candidate set is every vector and
+    * the result equals [[search]] exactly (how the registry oracle checks
+    * this path); recall ramps with nprobe below that. */
+  def searchIvf(model: PqModel, ivf: Ivf.IvfModel, codes: DataFrame,
+                queries: DataFrame, k: Int = 5, nprobe: Int = 4): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding"))
+    val qsv = subvectors(q, model.m, model.subDim, idCol = "query_id")
+    val table = qsv.join(broadcast(model.codebook), "sub")
+      .select(col("query_id"), col("sub"), col("code"),
+        (col("sn") - lit(2.0) * dot(col("svec"), col("cvec")) + col("cn")).as("d"))
+    val candidates = Ivf.probeCandidates(ivf, queries, nprobe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2"), col("neighbor_id"))
+    codes.join(candidates, Seq("vec_id"))
+      .join(broadcast(table), Seq("sub", "code", "query_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("d").cast(D)).cast("double").as("adc_d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_d2"))
+  }
+
   /** ADC top-k: each query's distance table to every codebook entry (a
     * broadcastable m × ncodes × |queries| frame) joins the code table on
     * (sub, code); per-candidate totals sum the m lookups in exact decimal.

@@ -229,6 +229,47 @@ object TextAnalysis {
               col("df").cast("long").as("df"), col("score"))
   }
 
+  /** BM25 relevance of every document against a small query term set — the
+    * standard retrieval scorer (Robertson/Spärck Jones; k1 saturates term
+    * frequency, b normalizes by document length), used in training-data
+    * pipelines to mine corpus slices relevant to a reference set. The IDF
+    * is kept RATIONAL ((N − df + ½)/(df + ½) + 1, no log) for the
+    * [[tfidfTopTerms]] reason: log is monotone per term, and the rational
+    * form is bit-identical across engines (the classic log form differs in
+    * the last ulp and flips near-tie ranks). Deviation from textbook BM25
+    * is the dropped log only — df-monotonicity and the tf/length scaling
+    * are exactly BM25's.
+    *
+    * Plan shape: ONE tokenize/explode feeds document lengths, term
+    * frequencies and document frequencies; the per-term df table and the
+    * 1-row (N, avgdl) stats broadcast; per-term scores sum in exact
+    * decimal (order-free) and the final top-k is a TakeOrdered — no
+    * full-corpus sort. */
+  def bm25Rank(docs: DataFrame, queryTerms: Seq[String],
+               k1: Double = 1.2, b: Double = 0.75, k: Int = 50): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
+    val ex = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val dl = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl").cast(dec)).cast("double") / count(col("dl"))).as("avgdl"))
+    val qt = ex.filter(col("tok").isin(queryTerms.map(lit): _*))
+    val tf = qt.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = qt.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)
+    val tfScale = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / col("avgdl"))))
+    tf.join(broadcast(df), "tok")
+      .join(dl, "doc_id")
+      .join(broadcast(stats))
+      .select(col("doc_id"), (idf * tfScale).as("term_score"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_score").cast(dec)).cast("double").as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Bigram association strength for vocabulary/merge-rule building — the
     * PMI ratio p(xy)/(p(x)p(y)) = n_xy·N / (n_x·n_y), kept as the RATIONAL
     * (not its log) for the same reason as [[tfidfTopTerms]]: log is

@@ -537,6 +537,47 @@ object DocQueries {
     SELECT query_id, rank, neighbor_id, adc_d2 FROM r WHERE rank <= 5
     ORDER BY query_id, rank"""
 
+  /** IVFPQ at full probe: the coarse quantizer admits every list, so the
+    * candidate set is all vectors and the result must equal plain PQ ADC —
+    * the knn_pq oracle applies verbatim to the composed path (SimilaritySpec
+    * separately proves the partial-probe recall ramp). */
+  private def knnIvfPq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (model, data) = pqFit(s, d)
+    val ivf = graft.ops.Ivf.fit(data, nLists = 8, iters = 2)
+    graft.ops.Pq.searchIvf(model, ivf, graft.ops.Pq.encode(model, data),
+        data.filter($"vec_id" < 20), k = 5, nprobe = 8)
+      .orderBy("query_id", "rank")
+  }
+
+  /** BM25 against a fixed in-corpus query term set; rational IDF so both
+    * engines rank bit-identically (see TextAnalysis.bm25Rank). */
+  private def bm25Rank(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bm25Rank(Tables.documents(s, d),
+        Seq("table", "merge", "scan"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+
+  private val bm25RankSql = """
+    WITH t AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+               FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DOUBLE) / COUNT(dl) AS avgdl
+              FROM dl),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM t WHERE tok IN ('table', 'merge', 'scan') GROUP BY 1, 2),
+    df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+           FROM t WHERE tok IN ('table', 'merge', 'scan') GROUP BY tok),
+    scored AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(
+               (((n_docs - df + 0.5) / (df + 0.5)) + 1.0) *
+               ((tf * 2.2) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / avgdl))))
+             AS DECIMAL(38,6))) AS DOUBLE) AS bm25
+      FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), stats
+      GROUP BY doc_id)
+    SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 50"""
+
   /** Train/eval decontamination: every 10th doc stands in for the benchmark
     * set (spread across the corpus so planted near-dups cross the split),
     * the rest are the training corpus. The Spark side joins on xxhash64 of
@@ -992,5 +1033,7 @@ object DocQueries {
     Q("span_dedup", spanDedup, Some(spanDedupSql)),
     Q("pq_encode", pqEncode, Some(pqEncodeSql)),
     Q("knn_pq", knnPq, Some(knnPqSql)),
-    Q("multimodal_wav", multimodalWav, Some(multimodalWavSql)))
+    Q("multimodal_wav", multimodalWav, Some(multimodalWavSql)),
+    Q("knn_ivf_pq", knnIvfPq, Some(knnPqSql)),
+    Q("bm25_rank", bm25Rank, Some(bm25RankSql)))
 }

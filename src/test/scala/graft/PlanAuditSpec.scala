@@ -26,8 +26,9 @@ class PlanAuditSpec extends SparkSpec {
     // single-row corpus totals onto the scored rows; incremental_distinct
     // joins its single-row sketch-merge total to the single-row exact count
     plans.filterNot(p =>
-        Set("knn_bruteforce", "knn_ivf", "knn_ivf_disk", "tfidf_topterms",
-            "bigram_pmi", "incremental_distinct")(p._1))
+        Set("knn_bruteforce", "knn_ivf", "knn_ivf_disk", "knn_ivf_pq",
+            "tfidf_topterms", "bigram_pmi", "incremental_distinct",
+            "bm25_rank")(p._1))
       .foreach { case (name, p) =>
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
       }
@@ -39,7 +40,8 @@ class PlanAuditSpec extends SparkSpec {
         "quality_repetition", "pii_redact", "text_normalize",
         "quality_filter", "bpe_pair_counts", "decontaminate",
         "tfidf_topterms", "bigram_pmi", "quality_weighted_sample",
-        "dedup_eval", "contamination_score", "span_dedup").foreach { name =>
+        "dedup_eval", "contamination_score", "span_dedup",
+        "bm25_rank").foreach { name =>
       // (dedup_clusters' final plan starts from localCheckpointed label
       // RDDs — its upstream scans are audited via dedup_minhash;
       // bpe_pair_counts builds pairs per-doc with lead windows keyed by

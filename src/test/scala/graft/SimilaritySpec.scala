@@ -135,6 +135,19 @@ class SimilaritySpec extends SparkSpec {
       assert(rows.map(_._2).toSet.intersect(exact(qid)).nonEmpty,
         s"query $qid: ADC top-5 shares nothing with exact-L2 top-5")
     }
+    // IVFPQ composition: at full probe the coarse quantizer admits every
+    // list, so the composed search must EQUAL plain PQ ADC; at partial
+    // probe it still returns k ranked rows per query from probed lists
+    val ivf = Ivf.fit(data, nLists = 8, iters = 2)
+    val codes = Pq.encode(m1, data)
+    val full = Pq.searchIvf(m1, ivf, codes, queries, k = 5, nprobe = 8)
+      .orderBy("query_id", "rank").collect()
+    val plain = Pq.search(m1, codes, queries, k = 5)
+      .orderBy("query_id", "rank").collect()
+    assert(full === plain, "full-probe IVFPQ must equal plain PQ ADC")
+    val partial = Pq.searchIvf(m1, ivf, codes, queries, k = 5, nprobe = 2)
+    assert(partial.groupBy("query_id").count()
+      .select(min($"count")).as[Long].head() === 5L)
   }
 
   test("on-disk IVF index: partition-pruned probe, results equal in-memory search") {
