@@ -14,6 +14,55 @@ import org.apache.spark.sql.expressions.Window
   */
 object Events {
 
+  /** Strict sequential funnel: per user, the first `steps.head` event, then
+    * the first `steps(1)` event strictly AFTER it, and so on — the classic
+    * conversion-funnel question asked set-orientedly: one min-timestamp
+    * aggregate per step, each joined to the previous frontier (every
+    * shuffle is user-keyed; no per-user event sorting, no UDAF state).
+    * `stage` = how many steps the user completed in order.
+    *
+    * @return one row per user who reached step 1: (user_id, step_1_ts …
+    *         step_k_ts, stage); later steps NULL once the chain breaks */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty)
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("step_1_ts"))
+    // each frame is exactly (user_id, step_i_ts): the step-i frontier
+    val frames = steps.zipWithIndex.tail.scanLeft(first) {
+      case (prev, (step, i)) =>
+        events.filter(col("event_type") === step)
+          .join(prev, "user_id")
+          .filter(col("ts") > col(s"step_${i}_ts"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as(s"step_${i + 1}_ts"))
+    }
+    val joined = frames.tail.foldLeft(first) { (acc, f) =>
+      acc.join(f, Seq("user_id"), "left")
+    }
+    val tsCols = (1 to steps.size).map(i => col(s"step_${i}_ts"))
+    joined
+      .select(col("user_id") +: tsCols :+
+        tsCols.map(c => when(c.isNotNull, 1).otherwise(0)).reduce(_ + _).as("stage"): _*)
+  }
+
+  /** Weekly retention cohorts: users grouped by the week of their FIRST
+    * event; each (cohort week, weeks-since) cell counts the cohort's users
+    * active that week. Two user-keyed aggregates (first-event week, then
+    * distinct user-weeks) and one broadcastable join — the fact scans
+    * once; no per-user timelines are materialized. Weeks are
+    * `date_trunc('week', …)` Mondays in both engines, so the week index is
+    * an exact day-difference division. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val firstWeek = events.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+    val activeWeeks = events
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("active_week"))
+      .distinct()
+    activeWeeks.join(firstWeek, "user_id")
+      .groupBy(col("cohort_week"),
+        (datediff(col("active_week"), col("cohort_week")) / 7).cast("int").as("week_n"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Tumbling-window aggregation: one shuffle on (window, key); partial
     * aggregation happens map-side so the shuffle carries pre-reduced rows. */
   def windowed(events: DataFrame, every: String = "1 hour"): DataFrame =

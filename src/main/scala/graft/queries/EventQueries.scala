@@ -128,10 +128,61 @@ object EventQueries {
      AND epoch_us(b.o_orderdate) <= epoch_us(a.o_orderdate) + 2592000000000
     GROUP BY a.o_orderkey ORDER BY a.o_orderkey"""
 
+  /** Strict view→click→purchase conversion funnel; step timestamps exposed
+    * as epoch micros (the events-table convention — see asofJoinQ). */
+  private def eventsFunnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Events.funnel(Tables.events(s, d), Seq("view", "click", "purchase"))
+      .select($"user_id",
+        unix_micros($"step_1_ts").as("step_1_us"),
+        unix_micros($"step_2_ts").as("step_2_us"),
+        unix_micros($"step_3_ts").as("step_3_us"),
+        $"stage")
+      .orderBy("user_id")
+  }
+
+  private val eventsFunnelSql = """
+    WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS step_1_us
+                FROM events WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS step_2_us
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.step_1_us
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS step_3_us
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.step_2_us
+           GROUP BY e.user_id)
+    SELECT s1.user_id, step_1_us, step_2_us, step_3_us,
+           1 + CAST(step_2_us IS NOT NULL AS INTEGER)
+             + CAST(step_3_us IS NOT NULL AS INTEGER) AS stage
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    ORDER BY user_id"""
+
+  /** Weekly retention cohorts (both engines truncate weeks to Mondays, so
+    * the week index is an exact day-difference division). */
+  private def eventsRetention(s: SparkSession, d: String): DataFrame =
+    Events.retentionCohorts(Tables.events(s, d))
+      .orderBy("cohort_week", "week_n")
+
+  private val eventsRetentionSql = """
+    WITH fw AS (SELECT user_id,
+                  CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+                FROM events GROUP BY user_id),
+    aw AS (SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS active_week
+           FROM events)
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, active_week) / 7 AS INTEGER) AS week_n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM aw JOIN fw USING (user_id)
+    GROUP BY 1, 2 ORDER BY cohort_week, week_n"""
+
   val registry: Seq[Q] = Seq(
     Q("events_windowed", eventsWindowed, Some(eventsWindowedSql)),
     Q("events_sessionize", eventsSessionize, Some(eventsSessionizeSql)),
     Q("events_sessionize_native", eventsSessionizeNative, Some(eventsSessionizeNativeSql)),
     Q("asof_join", asofJoinQ, Some(asofJoinSql)),
-    Q("range_join", rangeJoin, Some(rangeJoinSql)))
+    Q("range_join", rangeJoin, Some(rangeJoinSql)),
+    Q("events_funnel", eventsFunnel, Some(eventsFunnelSql)),
+    Q("events_retention", eventsRetention, Some(eventsRetentionSql)))
 }
