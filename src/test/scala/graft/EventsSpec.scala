@@ -35,6 +35,48 @@ class EventsSpec extends SparkSpec {
     assert(out(1002L) === None)     // t=50 -> nothing at or before
   }
 
+  test("funnel: strictly-ordered steps; out-of-order events break the chain") {
+    val events = Seq(
+      // user 1 converts fully in order
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:05:00"), "click"),
+      (1L, ts("2024-01-01 10:10:00"), "purchase"),
+      // user 2: click BEFORE the first view — chain breaks at stage 1
+      (2L, ts("2024-01-01 09:00:00"), "click"),
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      // user 3: view then purchase but no click — stage 1 (strict order)
+      (3L, ts("2024-01-01 10:00:00"), "view"),
+      (3L, ts("2024-01-01 10:30:00"), "purchase"),
+      // user 4 never views — not in the funnel at all
+      (4L, ts("2024-01-01 10:00:00"), "click"),
+      // user 5: a later second view must not resurrect the chain, but a
+      // click after the FIRST view counts even with noise between
+      (5L, ts("2024-01-01 10:00:00"), "view"),
+      (5L, ts("2024-01-01 10:01:00"), "error"),
+      (5L, ts("2024-01-01 10:02:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Events.funnel(events, Seq("view", "click", "purchase"))
+      .select("user_id", "stage").as[(Long, Int)].collect().toMap
+    // user 2's only click precedes the first view, so the chain stops at 1
+    assert(out === Map(1L -> 3, 2L -> 1, 3L -> 1, 5L -> 2))
+    assert(!out.contains(4L), "user with no step-1 event is outside the funnel")
+  }
+
+  test("retentionCohorts counts distinct users per (cohort week, week offset)") {
+    val events = Seq(
+      // two users first seen week of Mon 2024-01-01; one returns in week 1
+      (1L, ts("2024-01-03 10:00:00")), (1L, ts("2024-01-10 10:00:00")),
+      (2L, ts("2024-01-04 10:00:00")),
+      // one user first seen the following week
+      (3L, ts("2024-01-09 10:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Events.retentionCohorts(events)
+      .select($"cohort_week".cast("string"), $"week_n", $"n_users")
+      .as[(String, Int, Long)].collect().toSet
+    assert(out === Set(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 1, 1L), ("2024-01-08", 0, 1L)))
+  }
+
   test("scd1Latest keeps exactly the newest row per key") {
     val df = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
       .toDF("k", "ver", "payload")
