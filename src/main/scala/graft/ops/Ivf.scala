@@ -111,10 +111,8 @@ object Ivf {
              k: Int = 5, nprobe: Int = 4): DataFrame = {
     val data = prepared(embeddings)
     val q = preparedQueries(queries)
-    val probed = probes(q, model.centroids, nprobe)
-    val candidates = model.assignments.join(broadcast(probed), "centroid_id")
+    val candidates = probeCandidates(model, queries, nprobe)
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"))
     val scored = candidates
       .join(data, "vec_id")
       .join(broadcast(q), "query_id")

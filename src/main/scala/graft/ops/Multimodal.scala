@@ -151,7 +151,10 @@ object Multimodal {
       conv(substring(h, (byteOff - 1) * 2 + 1, nBytes * 2), 16, 10).cast("int")
     val isPng   = col("__h").startsWith("89504E470D0A1A0A")
     val hasIhdr = substring(col("__h"), 25, 8) === "49484452" // "IHDR"
-    val ok = isPng && hasIhdr
+    // the magics cover bytes 1-16; the fields live at 17-26 — a payload
+    // truncated inside the IHDR body must yield NULL fields, not a conv()
+    // of whatever hex chars survived
+    val ok = isPng && hasIhdr && length(col("payload")) >= 26
     media
       .select(col("doc_id"), col("payload"),
         hex(substring(col("payload"), 1, 26)).as("__h"))

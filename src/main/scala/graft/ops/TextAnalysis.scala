@@ -240,23 +240,27 @@ object TextAnalysis {
     * is the dropped log only — df-monotonicity and the tf/length scaling
     * are exactly BM25's.
     *
-    * Plan shape: ONE tokenize/explode feeds document lengths, term
-    * frequencies and document frequencies; the per-term df table and the
-    * 1-row (N, avgdl) stats broadcast; per-term scores sum in exact
-    * decimal (order-free) and the final top-k is a TakeOrdered — no
-    * full-corpus sort. */
+    * Plan shape: ONE tokenize/explode builds the (doc, token) count table;
+    * document lengths, term frequencies and document frequencies all
+    * DERIVE from it (dl = per-doc sum, df = per-term row count — each tf
+    * row is one distinct (doc, term)), so the corpus is scanned and
+    * tokenized once via exchange reuse — the [[tfidfTopTerms]] shape. The
+    * per-term df table and the 1-row (N, avgdl) stats broadcast; per-term
+    * scores sum in exact decimal (order-free) and the final top-k is a
+    * TakeOrdered — no full-corpus sort. */
   def bm25Rank(docs: DataFrame, queryTerms: Seq[String],
                k1: Double = 1.2, b: Double = 0.75, k: Int = 50): DataFrame = {
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
-    val ex = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val dl = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tfAll = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val dl = tfAll.groupBy(col("doc_id")).agg(sum(col("cnt")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl").cast(dec)).cast("double") / count(col("dl"))).as("avgdl"))
-    val qt = ex.filter(col("tok").isin(queryTerms.map(lit): _*))
-    val tf = qt.groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-    val df = qt.groupBy(col("tok"))
-      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val tf = tfAll.filter(col("tok").isin(queryTerms.map(lit): _*))
+      .select(col("doc_id"), col("tok"), col("cnt").cast("double").as("tf"))
+    val df = tf.groupBy(col("tok"))
+      .agg(count(lit(1)).cast("double").as("df"))
     val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)
     val tfScale = (col("tf") * lit(k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / col("avgdl"))))

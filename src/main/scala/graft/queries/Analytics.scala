@@ -429,10 +429,18 @@ object Analytics {
     val flagged = Tables.lineitem(spark, dir)
       .select($"l_partkey", $"l_quantity", $"l_extendedprice")
       .join(broadcast(parts), $"l_partkey" === $"p_partkey")
-    val thresholds = flagged
-      .groupBy($"l_partkey".as("t_partkey"))
-      .agg((lit(0.2) * davg($"l_quantity")).as("qty_threshold"))
-    flagged.join(broadcast(thresholds), $"l_partkey" === $"t_partkey")
+    // the correlated scalar subquery as a per-part WINDOW over the
+    // brand-filtered subset: the fact is scanned ONCE (an agg + join-back
+    // would re-evaluate the whole scan subtree per branch — broadcast
+    // joins leave no exchange boundary to reuse) at the cost of one
+    // exchange over the ~12% brand slice — the cheaper side at 100 TB.
+    // Same exact-decimal mean as Exact.davg, window-shaped.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"l_partkey")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
+    val threshold = lit(0.2) *
+      (sum($"l_quantity".cast(dec)).over(w).cast("double") / count($"l_quantity").over(w))
+    flagged
+      .withColumn("qty_threshold", threshold)
       .filter($"l_quantity" < $"qty_threshold")
       .groupBy($"p_brand")
       .agg((dsum($"l_extendedprice") / lit(7.0)).as("avg_yearly"),

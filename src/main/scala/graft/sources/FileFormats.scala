@@ -86,7 +86,12 @@ object FileFormats {
     if (!fs.rename(src, old))
       throw new java.io.IOException(s"could not move $dir aside to $old")
     if (!fs.rename(tmp, src)) {
-      fs.rename(old, src) // restore — the original is still the only copy
+      // restore — the original is still the only copy; if even the restore
+      // fails, say exactly where the data is instead of implying it's back
+      if (!fs.rename(old, src))
+        throw new java.io.IOException(
+          s"could not move $tmpDir into $dir AND could not restore the " +
+            s"original — the data is intact at $old; move it back manually")
       throw new java.io.IOException(s"could not move $tmpDir into $dir")
     }
     fs.delete(old, true)
@@ -159,14 +164,17 @@ object FileFormats {
 
   /** Morton (Z-order) interleave of two non-negative integer keys — the
     * space-filling-curve value multi-dimensional clustering sorts by. Bits
-    * spread via the standard mask-and-shift sequence (each input's low 32
+    * spread via the standard mask-and-shift sequence (each input's low 31
     * bits interleaved into one 64-bit value), pure codegen'd bitwise ops.
-    * Keys of wildly different ranges should be ranked/scaled first — the
+    * 31 bits per key, not 32: the second key's bit 31 would land in the
+    * long's SIGN bit and a signed sort would order those rows before
+    * zero — silently destroying curve locality for upper-half keys. Keys
+    * of wildly different ranges should be ranked/scaled first — the
     * curve locality only helps when both dimensions use comparable bit
     * widths. */
   def zValue(a: Column, b: Column): Column = {
     def spread(c: Column): Column = {
-      var x = c.cast("long").bitwiseAND(lit(0xFFFFFFFFL))
+      var x = c.cast("long").bitwiseAND(lit(0x7FFFFFFFL))
       x = x.bitwiseOR(shiftleft(x, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
       x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
       x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
@@ -197,12 +205,19 @@ object FileFormats {
   def writeZOrdered(df: DataFrame, outDir: String, c1: String, c2: String,
                     numFiles: Int,
                     bounds: Option[(Long, Long, Long, Long)] = None): Unit = {
-    val (lo1, hi1, lo2, hi2) = bounds.getOrElse {
+    val computed = bounds.orElse {
       val r = df.agg(
         min(col(c1)).cast("long"), max(col(c1)).cast("long"),
         min(col(c2)).cast("long"), max(col(c2)).cast("long")).head()
-      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      // empty input or an all-null key: no curve to build — plain write
+      if (r.anyNull) None
+      else Some((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     }
+    if (computed.isEmpty) {
+      df.write.mode("overwrite").parquet(outDir)
+      return
+    }
+    val (lo1, hi1, lo2, hi2) = computed.get
     val bits = 20
     def scaled(c: Column, lo: Long, hi: Long): Column = {
       val factor = ((1L << bits) - 1).toDouble / math.max(1L, hi - lo)

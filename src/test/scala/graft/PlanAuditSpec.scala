@@ -163,12 +163,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("q17 decorrelates to broadcast join-backs: one fact scan pass, no fact shuffle") {
+  test("q17 decorrelates to a windowed threshold: one fact scan, no fact join shuffle") {
     val p = plans.toMap.apply("q17_small_quantity")
     assert(p.contains("BroadcastHashJoin"),
-      s"q17 should broadcast the part filter and the threshold join-back:\n$p")
+      s"q17 should broadcast the brand-filtered part side:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"q17 must not shuffle the fact for its joins:\n$p")
+    // the whole query reads exactly two tables once each — an agg +
+    // broadcast-join-back formulation re-evaluates the fact scan per branch
+    assert("Scan parquet".r.findAllIn(p).length === 2,
+      s"q17 should scan lineitem and part exactly once each:\n$p")
   }
 
   test("event operators do not read the props payload column") {
