@@ -680,6 +680,114 @@ object Analytics {
     ORDER BY numwait DESC, s_name
     LIMIT 20"""
 
+  /** Fixed-iteration PageRank over the symmetrized supplier↔customer
+    * co-purchase graph (`ops/Graph.pageRank`): nodes encode as
+    * custkey·2 / suppkey·2+1 (disjoint parities), 3 deterministic
+    * FIXED-POINT iterations (ranks as 10⁻¹⁵-unit integers, damping as the
+    * rational 85/100 — see Graph's scaladoc for why fp/decimal forms
+    * cannot be cross-engine-exact), so the oracle replays the whole
+    * computation as unrolled integer CTEs bit-for-bit. */
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey")
+      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
+      .distinct()
+    val edges = pairs.select($"c".as("src"), $"s".as("dst"))
+      .union(pairs.select($"s".as("src"), $"c".as("dst")))
+    graft.ops.Graph.pageRank(edges, iters = 3)
+      .select(
+        when($"node" % 2 === 0, "customer").otherwise("supplier").as("node_type"),
+        ($"node" / 2).cast("long").as("entity_id"),
+        $"node", $"rank")
+      .orderBy($"rank".desc, $"node")
+      .limit(100)
+      .drop("node")
+  }
+
+  val graphPagerankSql: String = {
+    // one fixed-point PageRank step as SQL, parameterized on the previous
+    // iterate — pure integer multiply/divide/sum, mirroring Graph.pageRank
+    // (DuckDB's SUM(BIGINT) is HUGEINT; the // arithmetic stays exact and
+    // equals the long math — nothing overflows either representation)
+    val u = "1000000000000000"
+    def step(prev: String, out: String) = s"""
+    $out AS (
+      SELECT n.node,
+             (15 * $u) // (100 * (SELECT COUNT(*) FROM nodes)) +
+               (85 * COALESCE(s.in_sum, 0)) // 100 AS rank_u
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank_u // d.out_deg) AS in_sum
+        FROM e JOIN $prev r ON e.src = r.node JOIN deg d ON e.src = d.src
+        GROUP BY e.dst) s ON n.node = s.node)"""
+    s"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    e AS (SELECT c AS src, s AS dst FROM pairs
+          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+    deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+    r0 AS (SELECT node, $u // (SELECT COUNT(*) FROM nodes) AS rank_u FROM nodes),
+    ${step("r0", "r1")},
+    ${step("r1", "r2")},
+    ${step("r2", "r3")}
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           CAST(node // 2 AS BIGINT) AS entity_id,
+           CAST(rank_u AS DOUBLE) / CAST($u AS DOUBLE) AS rank
+    FROM r3 ORDER BY rank DESC, node LIMIT 100"""
+  }
+
+  /** Per-group Pearson correlation from exact decimal moment sums: the six
+    * algebraic moments (n, Σx, Σy, Σxy, Σx², Σy²) accumulate in
+    * DECIMAL(38,4) — exact, order-free — and the correlation assembles in
+    * double from those exact values, so both engines compute the identical
+    * number (a running `corr()` aggregate is reduction-order-dependent and
+    * never hash-matches across engines). This is also the 100 TB shape:
+    * moments are map-side-combinable and mergeable across partitions,
+    * shards and incremental loads — the sketch-table idea for second-order
+    * statistics.
+    *
+    * Scale 4, not the money-column 6: the double→decimal CAST is only
+    * cross-engine-exact while the per-row |value|·10^scale stays below
+    * 2⁵³ (Java expands the double exactly; DuckDB scales in double first —
+    * above 2⁵³ the two round differently). Σy² terms reach ~1.1e10, so
+    * scale 6 put them at ~1.1e16 > 2⁵³ and the engines disagreed in the
+    * last decimal unit; scale 4 (~1.1e14) is exact in both — and prices
+    * carry 2 decimals, so squares need only 4. */
+  def statsCorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 4)
+    def m(c: org.apache.spark.sql.Column) = sum(c.cast(dec)).cast("double")
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_quantity".as("x"), $"l_extendedprice".as("y"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).cast("double").as("n"),
+           m($"x").as("sx"), m($"y").as("sy"), m($"x" * $"y").as("sxy"),
+           m($"x" * $"x").as("sxx"), m($"y" * $"y").as("syy"))
+      .select($"l_returnflag", $"n".cast("long").as("n"),
+        (($"n" * $"sxy" - $"sx" * $"sy") /
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")))
+          .as("corr_qty_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  val statsCorrSql: String = """
+    WITH mo AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+             AS corr_qty_price
+    FROM mo ORDER BY l_returnflag"""
+
   val registry: Seq[Q] = Seq(
     Q("q1_pricing_summary", q1PricingSummary, Some(q1PricingSummarySql)),
     Q("q3_shipping_priority", q3ShippingPriority, Some(q3ShippingPrioritySql)),
@@ -702,5 +810,7 @@ object Analytics {
     Q("table_stats", tableStats, Some(tableStatsSql)),
     Q("incremental_distinct", incrementalDistinct, Some(incrementalDistinctSql)),
     Q("q21_late_supplier", q21LateSupplier, Some(q21LateSupplierSql)),
-    Q("window_trailing_30d", windowTrailing30d, Some(windowTrailing30dSql)))
+    Q("window_trailing_30d", windowTrailing30d, Some(windowTrailing30dSql)),
+    Q("graph_pagerank", graphPagerank, Some(graphPagerankSql)),
+    Q("stats_corr", statsCorr, Some(statsCorrSql)))
 }
