@@ -41,7 +41,12 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iters: Int = 3,
                dampingPct: Int = 85): DataFrame = {
+    // materialize the deduped edge list ONCE: nodes, degrees and every
+    // iteration's join all read it, and without the checkpoint each of
+    // those branches would re-evaluate the whole upstream edge pipeline
+    // (scan + joins + distinct) — 5 evaluations for 3 iterations
     val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
@@ -63,6 +68,8 @@ object Graph {
       Checkpoints.unpersist(ranks)
       ranks = next
     }
+    // the final ranks checkpoint no longer needs the edge blocks
+    Checkpoints.unpersist(e)
     ranks.select(col("node"), col("rank_u"),
       (col("rank_u") / lit(U.toDouble)).as("rank"))
   }
