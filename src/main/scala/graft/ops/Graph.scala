@@ -47,10 +47,17 @@ object Graph {
     // (scan + joins + distinct) — 5 evaluations for 3 iterations
     val e = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint(true)
+    // nodes and degrees are tiny next to the edges — checkpoint them too,
+    // or every iteration's job re-pays their distinct/agg shuffles from e
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+      .localCheckpoint(true)
     val n = nodes.count()
+    if (n == 0) // no edges, no graph — empty result, not a divide-by-zero
+      return nodes.select(col("node"), lit(0L).as("rank_u"),
+        lit(0.0).as("rank"))
     var ranks = nodes.select(col("node"), lit(U / n).as("rank_u"))
     (1 to iters).foreach { _ =>
       val contribs = e
@@ -68,8 +75,12 @@ object Graph {
       Checkpoints.unpersist(ranks)
       ranks = next
     }
-    // the final ranks checkpoint no longer needs the edge blocks
+    // after ≥1 iteration the final ranks checkpoint stands alone — release
+    // the inputs; at iters=0 the returned frame still READS the nodes
+    // checkpoint (initial ranks are a projection over it), so only the
+    // edge blocks may go
     Checkpoints.unpersist(e)
+    if (iters >= 1) { Checkpoints.unpersist(nodes); Checkpoints.unpersist(outDeg) }
     ranks.select(col("node"), col("rank_u"),
       (col("rank_u") / lit(U.toDouble)).as("rank"))
   }

@@ -415,12 +415,12 @@ object Analytics {
     * whose quantity is below 20% of their part's average quantity — the
     * reference's per-record lookup loop (sync_oltp_to_olap.py:241-260) is
     * the row-at-a-time form of exactly this shape. Re-expressed Spark-first
-    * as decorrelation BY HAND: one aggregate computes every part's
-    * threshold, then a broadcast join-back applies it — the fact table is
-    * scanned once and never shuffled (both its joins are broadcast), so at
-    * 100 TB this is a scan + two map-side joins, not a per-row subquery or
-    * a BNLJ. The threshold side is small by construction (≤ the filtered
-    * part count), which is what makes the broadcast legal. */
+    * as decorrelation BY HAND into a per-part WINDOW over the
+    * brand-filtered fact subset: ONE fact scan (PlanAuditSpec pins the
+    * scan count) + one broadcast part join + one exchange over the ~12%
+    * brand slice for the window — not a per-row subquery, not a BNLJ, and
+    * not the agg+join-back form, which re-evaluates the whole fact scan
+    * per branch because broadcast joins leave no exchange to reuse. */
   def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val parts = Tables.part(spark, dir)

@@ -168,10 +168,13 @@ object FileFormats {
     * bits interleaved into one 64-bit value), pure codegen'd bitwise ops.
     * 31 bits per key, not 32: the second key's bit 31 would land in the
     * long's SIGN bit and a signed sort would order those rows before
-    * zero — silently destroying curve locality for upper-half keys. Keys
-    * of wildly different ranges should be ranked/scaled first — the
-    * curve locality only helps when both dimensions use comparable bit
-    * widths. */
+    * zero — silently destroying curve locality for upper-half keys.
+    * CONTRACT: keys must lie in [0, 2³¹); wider values alias (k and
+    * k−2³¹ interleave identically) — scale or rank them into range first,
+    * exactly as [[writeZOrdered]] does with its 20-bit min-max rescale.
+    * Keys of wildly different ranges should be scaled for a second
+    * reason: curve locality only helps when both dimensions use
+    * comparable bit widths. */
   def zValue(a: Column, b: Column): Column = {
     def spread(c: Column): Column = {
       var x = c.cast("long").bitwiseAND(lit(0x7FFFFFFFL))
@@ -214,7 +217,8 @@ object FileFormats {
       else Some((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     }
     if (computed.isEmpty) {
-      df.write.mode("overwrite").parquet(outDir)
+      // no curve to build, but the caller's file-count request still holds
+      df.coalesce(numFiles).write.mode("overwrite").parquet(outDir)
       return
     }
     val (lo1, hi1, lo2, hi2) = computed.get
