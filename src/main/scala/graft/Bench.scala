@@ -69,13 +69,28 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // --only=a,b,c (or --only a,b,c) restricts the run to the named entries
+    // so a contention-suspect query can be re-measured in seconds; unknown
+    // names fail loudly rather than silently benching nothing
+    val only: Option[Set[String]] = {
+      val joined = args.mkString(" ")
+      "--only[= ]([^ ]+)".r.findFirstMatchIn(joined).map(_.group(1).split(',').toSet)
+    }
     val spark = GraftSession.get("graft-bench")
     // absorb one-time session costs (scheduler init, noop committer,
     // codegen compiler warmup) so they don't land on the first query
     spark.range(1000).selectExpr("sum(id) AS s")
       .write.format("noop").mode("overwrite").save()
 
-    val entries = SparkEntry.registry.map(q => q.name -> q.run) ++ extras
+    val all = SparkEntry.registry.map(q => q.name -> q.run) ++ extras
+    val entries = only match {
+      case None => all
+      case Some(names) =>
+        val known = all.map(_._1).toSet
+        val unknown = names -- known
+        require(unknown.isEmpty, s"--only names not in the bench registry: ${unknown.toSeq.sorted.mkString(", ")}")
+        all.filter { case (n, _) => names(n) }
+    }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val cold = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val warm = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -110,9 +125,12 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","partial":${errors.nonEmpty},"queries":$qs,"cold":$cs,"errors":$es,"n_errors":${errors.size},"sf":${jstr(sfDir)}}"""
     println(line)
     // stdout capture can truncate to a tail (r4 lost the whole warm map that
-    // way) — also persist the full line next to the sources
+    // way) — also persist the full line next to the sources. A filtered
+    // --only run is a spot measurement: it must not overwrite the committed
+    // full-coverage bench_out.json, so it lands in bench_only.json instead.
+    val outFile = if (only.isDefined) "bench_only.json" else "bench_out.json"
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: java.io.IOException => () /* read-only cwd: stdout only */ }
     spark.stop()

@@ -218,8 +218,12 @@ object Multimodal {
       substring(h, (byteOff - 1) * 2 + 1, ascii.length * 2) ===
         ascii.getBytes("US-ASCII").map("%02X".format(_)).mkString
     val h = col("__h")
+    // the 44-byte header must be complete: the last magic ('data') ends at
+    // byte 40, so a payload truncated at 40-43 bytes would pass all four
+    // magics while data_size (bytes 41-44) decoded from partial hex
     val ok = magic(h, 1, "RIFF") && magic(h, 9, "WAVE") &&
-      magic(h, 13, "fmt ") && magic(h, 37, "data")
+      magic(h, 13, "fmt ") && magic(h, 37, "data") &&
+      length(col("payload")) >= 44
     media
       .select(col("doc_id"), col("payload"),
         hex(substring(col("payload"), 1, 44)).as("__h"))

@@ -86,8 +86,11 @@ object Pq {
       .withColumn("cn", normSq(col("cvec")))
 
   /** Fit codebooks: the `ncodes` lowest vec_ids seed every subspace (code =
-    * seed's rank by vec_id), then `iters` Lloyd rounds. Seeds are members
-    * of their own cell at distance 0, so no cell is ever empty. */
+    * seed's rank by vec_id), then `iters` Lloyd rounds. A code whose cell
+    * comes back empty after assignment (possible when two seed subvectors
+    * are identical: both tie at distance 0 and the code-id tie-break sends
+    * both members to the lower code) carries its previous entry forward, so
+    * the codebook always holds exactly m × ncodes entries. */
   def fit(embeddings: DataFrame, m: Int = 8, ncodes: Int = 16,
           iters: Int = 1): PqModel = {
     val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
@@ -101,7 +104,18 @@ object Pq {
       .select(col("sub"), (row_number().over(seedRank) - 1).as("code"),
         col("svec").as("cvec"), col("sn").as("cn"))
     (1 to iters).foreach { _ =>
-      val next = updateCodebook(sv, assign(sv, codebook)).localCheckpoint(true)
+      val refined = updateCodebook(sv, assign(sv, codebook))
+      // left-join against the previous codebook so an empty cell keeps its
+      // old entry instead of silently vanishing from the refined codebook
+      val next = codebook
+        .select(col("sub"), col("code"),
+          col("cvec").as("__pv"), col("cn").as("__pn"))
+        .join(refined.withColumnRenamed("cvec", "__nv")
+          .withColumnRenamed("cn", "__nn"), Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+          coalesce(col("__nv"), col("__pv")).as("cvec"),
+          coalesce(col("__nn"), col("__pn")).as("cn"))
+        .localCheckpoint(true)
       Checkpoints.unpersist(codebook)
       codebook = next
     }
