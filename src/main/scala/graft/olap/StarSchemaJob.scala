@@ -74,10 +74,15 @@ object StarSchemaJob {
     * through the bucketed sink on its join key — multi-file, and
     * join-co-located with any fact copy bucketed the same way (SMJ with
     * zero exchanges; SourcesSpec asserts the plan) — instead of the
-    * single-file broadcast posture. */
+    * single-file broadcast posture.
+    *
+    * `factGranularity` passes through to [[FileFormats.writeFact]]: `"day"`
+    * (default) is the 100 TB layout; `"month"` is the documented
+    * small-scale layout (see writeFact's scaladoc for the crossover). */
   def run(spark: SparkSession, srcDir: String, outDir: String,
           largeDims: Map[String, String] = Map.empty,
-          buckets: Int = 32): Star = {
+          buckets: Int = 32,
+          factGranularity: String = "day"): Star = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
@@ -90,7 +95,8 @@ object StarSchemaJob {
       })
     }
     Await.result(Future.sequence(dimWrites), Duration.Inf)
-    FileFormats.writeFact(star.factSales, s"$outDir/fact_sales")
+    FileFormats.writeFact(star.factSales, s"$outDir/fact_sales",
+      granularity = factGranularity)
     star
   }
 

@@ -199,13 +199,19 @@ object StarQueries {
 
   /** Full-sync roundtrip: run [[StarSchemaJob]] (build + write the whole
     * star through the parquet sinks), then answer a category/year revenue
-    * query FROM THE WRITTEN STAR (partition-typed date_key, broadcast
-    * dim_part) — proving the sink layer end-to-end against an oracle that
-    * recomputes from the OLTP-side source tables. */
+    * query FROM THE WRITTEN STAR (broadcast dim_part) — proving the sink
+    * layer end-to-end against an oracle that recomputes from the OLTP-side
+    * source tables. Uses the documented small-scale fact layout (month
+    * partition directories; see [[graft.sources.FileFormats.writeFact]]):
+    * at sf≤0.1 a day of fact is a few KB and a day-grained write spends
+    * its time on ~2400 directories of commit renames — measured 13.7-24.6s
+    * across controlled runs on identical code, vs stable single-digit
+    * seconds at month grain. The query result is layout-independent
+    * (date_key rides inside the files either way). */
   private def starRoundtrip(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_star_${math.abs(d.hashCode)}"
-    graft.olap.StarSchemaJob.run(s, d, out)
+    graft.olap.StarSchemaJob.run(s, d, out, factGranularity = "month")
     val fact = s.read.parquet(s"$out/fact_sales")
     val dimPart = s.read.parquet(s"$out/dim_part")
     fact.join(broadcast(dimPart), fact("l_partkey") === dimPart("p_partkey"))

@@ -117,16 +117,47 @@ object FileFormats {
     * sorted by partition columns and would otherwise INSERT ITS OWN sort,
     * discarding the join-key order — leading with it satisfies the writer
     * and keeps rowgroups orderkey-ordered (run-length-friendly encoding,
-    * parquet min/max skipping on the sort prefix). */
+    * parquet min/max skipping on the sort prefix). The repartition on the
+    * partition column sends every partition value to exactly ONE task, so
+    * each directory receives exactly one file (spec-asserted) — without it
+    * every task can hold every date and a P-partition write creates up to
+    * tasks × P files.
+    *
+    * `granularity` sizes the directories to the data: `"day"` (default) is
+    * the production posture — at 100 TB a day of fact is tens of GB and a
+    * date-range query prunes to exactly the days it needs. At small scale
+    * a day is a few KB and the write is dominated not by data but by the
+    * per-directory commit protocol (one task-output rename per directory,
+    * merged sequentially at job commit — ~2400 directories of metadata ops
+    * for a 7-year TPC-H fact). `"month"` truncates the partition key to
+    * month grain (~80 directories for the same span), the appropriate
+    * layout below ~1 GB/day; rows stay date-sorted within each month file,
+    * so day-level predicates still skip row groups via parquet min/max on
+    * the leading sort column even though directory pruning is month-grain. */
   def writeFact(fact: DataFrame, outDir: String,
                 partitionCol: String = "date_key",
-                sortCols: Seq[String] = Seq("l_orderkey", "l_linenumber")): Unit =
-    fact
-      .repartition(col(partitionCol))
-      .sortWithinPartitions((partitionCol +: sortCols).map(col): _*)
-      .write.mode("overwrite")
-      .partitionBy(partitionCol)
-      .parquet(outDir)
+                sortCols: Seq[String] = Seq("l_orderkey", "l_linenumber"),
+                granularity: String = "day"): Unit = granularity match {
+    case "day" =>
+      fact
+        .repartition(col(partitionCol))
+        .sortWithinPartitions((partitionCol +: sortCols).map(col): _*)
+        .write.mode("overwrite")
+        .partitionBy(partitionCol)
+        .parquet(outDir)
+    case "month" =>
+      fact
+        .withColumn("month_key", trunc(col(partitionCol), "month"))
+        .repartition(col("month_key"))
+        .sortWithinPartitions(
+          (col("month_key") +: col(partitionCol) +: sortCols.map(col)): _*)
+        .write.mode("overwrite")
+        .partitionBy("month_key")
+        .parquet(outDir)
+    case other =>
+      throw new IllegalArgumentException(
+        s"writeFact granularity must be 'day' or 'month', got '$other'")
+  }
 
   /** Dimension sink, size-tiered. Small dims (the default) coalesce to one
     * file — they broadcast at read time and a single footer beats a

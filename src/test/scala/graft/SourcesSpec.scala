@@ -331,6 +331,45 @@ class SourcesSpec extends SparkSpec {
     assert(status.size === 8 && status.values.forall(_ > 0))
   }
 
+  test("writeFact lands exactly one file per partition directory at both granularities") {
+    import org.apache.spark.sql.functions._
+    val fact = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_linenumber",
+        to_date($"o_orderdate").as("date_key"))
+    def partDirs(dir: String, prefix: String): Seq[java.io.File] =
+      new java.io.File(dir).listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+    def parquetFiles(d: java.io.File): Int =
+      d.listFiles().count(_.getName.endsWith(".parquet"))
+
+    val dayDir = Files.createTempDirectory("graft_fact_day").toString
+    FileFormats.writeFact(fact, dayDir)
+    val dayParts = partDirs(dayDir, "date_key=")
+    val nDates = fact.select($"date_key").distinct().count()
+    assert(dayParts.size.toLong === nDates)
+    // the pre-write repartition on the partition column is what guarantees
+    // this: every date lives in one task, so one file per directory
+    assert(dayParts.forall(parquetFiles(_) === 1),
+      "day granularity must write exactly one file per date directory")
+
+    val monthDir = Files.createTempDirectory("graft_fact_month").toString
+    FileFormats.writeFact(fact, monthDir, granularity = "month")
+    val monthParts = partDirs(monthDir, "month_key=")
+    val nMonths = fact.select(trunc($"date_key", "month")).distinct().count()
+    assert(monthParts.size.toLong === nMonths)
+    assert(monthParts.forall(parquetFiles(_) === 1),
+      "month granularity must write exactly one file per month directory")
+    // same rows either way, and date_key survives as a data column inside
+    // the month-grained files (sorted first within each file)
+    assert(spark.read.parquet(monthDir).count() === fact.count())
+    assert(spark.read.parquet(monthDir).schema.fieldNames.contains("date_key"))
+
+    intercept[IllegalArgumentException] {
+      FileFormats.writeFact(fact, monthDir, granularity = "week")
+    }
+  }
+
   test("incremental sync rewrites only affected partitions and preserves the star") {
     import org.apache.spark.sql.functions._
     val out = Files.createTempDirectory("graft_star_inc").toString
