@@ -404,4 +404,97 @@ object TextAnalysis {
           .when(col(lenCol) <= col("t2"), "middle")
           .otherwise("head").as("bucket"))
   }
+
+  /** One greedy left-to-right non-overlapping BPE merge pass over a symbol
+    * array: every adjacent (a, b) becomes the single symbol a+b, scanning
+    * left to right, a merged symbol never re-used as the LEFT of another
+    * merge in the same pass (so [a,a,a] with rule (a,a) → [aa, a] — the
+    * Sennrich et al. 2016 semantics). Expressed as a codegen'd
+    * `aggregate` fold with state (accumulated symbols, one pending
+    * lookbehind symbol) — per-row, map-side, no explode/window/shuffle. */
+  private[graft] def bpeMergePass(syms: Column, a: String, b: String): Column = {
+    val nullStr = lit(null).cast("string")
+    aggregate(
+      syms,
+      struct(array().cast("array<string>").as("acc"), nullStr.as("pend")),
+      (st, s) => {
+        val acc = st.getField("acc")
+        val pend = st.getField("pend")
+        when(pend.isNull, struct(acc.as("acc"), s.as("pend")))
+          .when(pend === lit(a) && s === lit(b),
+            struct(concat(acc, array(lit(a + b))).as("acc"), nullStr.as("pend")))
+          .otherwise(struct(concat(acc, array(pend)).as("acc"), s.as("pend")))
+      },
+      st => when(st.getField("pend").isNull, st.getField("acc"))
+        .otherwise(concat(st.getField("acc"), array(st.getField("pend")))))
+  }
+
+  /** Full BPE tokenizer-training loop (Sennrich et al. 2016, "Neural
+    * Machine Translation of Rare Words with Subword Units" — public
+    * literature): `nMerges` deterministic rounds of [count all adjacent
+    * symbol pairs weighted by word frequency → take the argmax pair
+    * (count DESC, then lexicographic (left, right) tie-break) → apply the
+    * merge greedily left-to-right in every word → repeat]. Returns the
+    * learned merge table (merge_rank, left_sym, right_sym, pair_count) —
+    * the artifact a tokenizer ships.
+    *
+    * Scale shape — the reason real BPE trainers are feasible at all: the
+    * corpus collapses to its WORD HISTOGRAM first (one groupBy — the only
+    * corpus-sized shuffle), and every round after that works on
+    * vocabulary-sized data: pair counting is an explode + hash aggregate
+    * with map-side partials over (pairs-per-word × vocab) rows, the argmax
+    * is a tiny take(1), and the merge pass is the per-row codegen'd
+    * [[bpeMergePass]] fold with NO shuffle at all. Each round's state is
+    * eagerly checkpointed and the previous round released
+    * ([[Checkpoints]]) — the [[Graph.pageRank]] posture — so lineage and
+    * executor storage stay bounded for any merge count.
+    *
+    * Training is restricted to ASCII-alphanumeric words (the classic
+    * pre-normalization), which also pins character-splitting semantics
+    * cross-engine (Java regex splits code units, DuckDB code points — the
+    * two only agree on ASCII). Words carry the standard `</w>` end-of-word
+    * sentinel so merges can capture suffixes. Determinism end to end:
+    * integer pair counts, total-ordered argmax, order-free merge pass —
+    * any engine (and any partitioning) reproduces the identical merge
+    * table, which is what the unrolled-CTE DuckDB oracle checks. */
+  def bpeTrain(docs: DataFrame, nMerges: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        concat(split(col("w"), ""), array(lit("</w>"))).as("syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    while (rank <= nMerges) {
+      val best = vocab
+        .select(col("freq"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1)
+        .as[(String, String, Long)]
+        .collect()
+      if (best.isEmpty) { rank = nMerges + 1 } // corpus fully merged: stop
+      else {
+        val (l, r, n) = best.head
+        merges += ((rank, l, r, n))
+        val next = vocab
+          .select(col("freq"), bpeMergePass(col("syms"), l, r).as("syms"))
+          .localCheckpoint(true)
+        Checkpoints.unpersist(vocab)
+        vocab = next
+        rank += 1
+      }
+    }
+    Checkpoints.unpersist(vocab)
+    merges.toSeq.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+      .orderBy("merge_rank")
+  }
 }

@@ -990,6 +990,79 @@ object DocQueries {
            abs(norm_sq - 1.0) <= 0.02 AS near_unit
     FROM a ORDER BY vec_id"""
 
+  /** Full BPE tokenizer-training loop (see [[TextAnalysis.bpeTrain]]): 8
+    * deterministic merge rounds over the ASCII word histogram; the learned
+    * merge table is the checked result. */
+  private def bpeTrainQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bpeTrain(Tables.documents(s, d), nMerges = 8)
+
+  /** Unrolled-CTE oracle for [[bpeTrainQ]] — one CTE block per merge round
+    * (the [[Analytics]] PageRank oracle posture). Each round recomputes
+    * exactly what the Spark loop does: pair counts weighted by word
+    * frequency, argmax with (count DESC, left, right) tie-break, then the
+    * greedy left-to-right non-overlapping merge pass expressed relationally
+    * over (word, pos, symbol) rows: mark every position starting the best
+    * pair, group consecutive marks into runs (gaps-and-islands), keep the
+    * even-offset positions of each run as merge starts (greedy
+    * non-overlap), fuse each start with its right neighbor and drop the
+    * consumed position.
+    *
+    * The per-round state CTEs are declared MATERIALIZED: each round
+    * references the previous round's symbols three times (pair counts,
+    * best-pair scalar twice), so with DuckDB's default CTE inlining the
+    * query tree grows ~3^rounds copies of the base — materializing keeps
+    * the oracle linear in rounds. */
+  private lazy val bpeTrainSql: String = {
+    val n = 8
+    val base = """
+    WITH w0 AS (
+      SELECT w AS word, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents)
+      WHERE regexp_matches(w, '^[a-z0-9]+$')
+      GROUP BY w),
+    s0 AS MATERIALIZED (
+      SELECT word, freq, u.pos AS pos, u.s AS s
+      FROM (SELECT word, freq,
+                   unnest([{'pos': i, 's': syms[i]} for i in range(1, len(syms)+1)]) AS u
+            FROM (SELECT word, freq,
+                         list_append(string_split(word, ''), '</w>') AS syms
+                  FROM w0)))"""
+    val rounds = (1 to n).map { r =>
+      val prev = s"s${r - 1}"
+      s"""
+    p$r AS MATERIALIZED (
+      SELECT l, r, SUM(freq) AS n
+      FROM (SELECT s AS l, lead(s) OVER (PARTITION BY word ORDER BY pos) AS r,
+                   freq
+            FROM $prev)
+      WHERE r IS NOT NULL GROUP BY l, r),
+    b$r AS MATERIALIZED (SELECT l, r, n FROM p$r ORDER BY n DESC, l, r LIMIT 1),
+    m$r AS (
+      SELECT word, freq, pos, s,
+             COALESCE(s = (SELECT l FROM b$r) AND
+                      lead(s) OVER (PARTITION BY word ORDER BY pos) = (SELECT r FROM b$r),
+                      FALSE) AS mk
+      FROM $prev),
+    g$r AS (
+      SELECT *, CASE WHEN mk THEN pos - ROW_NUMBER() OVER (PARTITION BY word, mk ORDER BY pos) END AS grp
+      FROM m$r),
+    t$r AS (
+      SELECT *, mk AND ((pos - MIN(pos) OVER (PARTITION BY word, grp)) % 2 = 0) AS is_start
+      FROM g$r),
+    s$r AS MATERIALIZED (
+      SELECT word, freq, ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+             CASE WHEN is_start THEN s || nxt ELSE s END AS s
+      FROM (SELECT *, lead(s) OVER (PARTITION BY word ORDER BY pos) AS nxt,
+                   COALESCE(lag(is_start) OVER (PARTITION BY word ORDER BY pos), FALSE) AS prev_start
+            FROM t$r)
+      WHERE NOT prev_start)"""
+    }.mkString(",")
+    val union = (1 to n).map(r =>
+      s"SELECT $r AS merge_rank, l AS left_sym, r AS right_sym, CAST(n AS BIGINT) AS pair_count FROM b$r")
+      .mkString("\n    UNION ALL ")
+    s"$base,$rounds\n    SELECT * FROM (\n    $union) ORDER BY merge_rank"
+  }
+
   val registry: Seq[Q] = Seq(
     Q("lang_id", langId, Some(langIdSql)),
     Q("text_quality", textQuality, Some(textQualitySql)),
@@ -1035,5 +1108,6 @@ object DocQueries {
     Q("knn_pq", knnPq, Some(knnPqSql)),
     Q("multimodal_wav", multimodalWav, Some(multimodalWavSql)),
     Q("knn_ivf_pq", knnIvfPq, Some(knnPqSql)),
-    Q("bm25_rank", bm25Rank, Some(bm25RankSql)))
+    Q("bm25_rank", bm25Rank, Some(bm25RankSql)),
+    Q("bpe_train", bpeTrainQ, Some(bpeTrainSql)))
 }

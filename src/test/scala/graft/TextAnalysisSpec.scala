@@ -184,4 +184,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
   }
 
+  test("bpeMergePass is greedy left-to-right non-overlapping") {
+    def pass(syms: Seq[String], a: String, b: String): Seq[String] =
+      Seq(Tuple1(syms)).toDF("syms")
+        .select(TextAnalysis.bpeMergePass($"syms", a, b).as("out"))
+        .as[Seq[String]].head()
+    // the canonical overlap case: [a,a,a] merges the FIRST pair only
+    assert(pass(Seq("a", "a", "a"), "a", "a") === Seq("aa", "a"))
+    // non-overlapping occurrences all merge in one pass
+    assert(pass(Seq("x", "a", "b", "a", "b", "y"), "a", "b") ===
+      Seq("x", "ab", "ab", "y"))
+    // a merged symbol is not re-used as the left of another merge
+    assert(pass(Seq("a", "b", "b"), "a", "b") === Seq("ab", "b"))
+    // no match → unchanged; single symbol → unchanged
+    assert(pass(Seq("q", "r"), "a", "b") === Seq("q", "r"))
+    assert(pass(Seq("z"), "a", "b") === Seq("z"))
+  }
+
+  test("bpeTrain learns the expected merges on a known corpus") {
+    // 'low' x3, 'lowest' x2: pair (l,o) count 5 dominates; after (l,o) and
+    // (lo,w) the 'low</w>' suffix (count 3) beats the 'est</w>' chain
+    val docs = Seq(
+      (1L, "low low low"),
+      (2L, "lowest lowest")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, nMerges = 4)
+      .as[(Int, String, String, Long)].collect()
+    assert(merges.map(_._1).toSeq === Seq(1, 2, 3, 4))
+    assert(merges(0) === ((1, "l", "o", 5L)))
+    assert(merges(1) === ((2, "lo", "w", 5L)))
+    assert(merges(2) === ((3, "low", "</w>", 3L)))
+    // remaining: 'low' + e s t </w> (x2): pairs (low,e) (e,s) (s,t) (t,</w>)
+    // all count 2 → lexicographic tie-break picks (e,s)
+    assert(merges(3) === ((4, "e", "s", 2L)))
+    // a merge count beyond exhaustion stops early instead of emitting junk
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    val m2 = TextAnalysis.bpeTrain(tiny, nMerges = 10)
+      .as[(Int, String, String, Long)].collect()
+    // 'ab' → a b </w> → (a,b) then (ab,</w>) then nothing: 2 merges only
+    assert(m2.length === 2)
+    assert(m2(0)._2 === "a" && m2(0)._3 === "b")
+    assert(m2(1)._2 === "ab" && m2(1)._3 === "</w>")
+  }
+
 }
