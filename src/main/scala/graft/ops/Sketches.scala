@@ -34,4 +34,28 @@ object Sketches {
       sum(col("n_rows")).as("n_rows"),
       hll_sketch_estimate(hll_union_agg(col("sketch"), allowDifferentLgConfigK = false))
         .as("distinct_estimate"))
+
+  /** Heavy-hitters sketch table — one row per (bucket, shard) holding the
+    * serialized ≤ k-counter Misra-Gries summary of `item` plus the shard's
+    * total item weight ([[graft.functions.MisraGries]]). This is the table
+    * a pipeline PERSISTS per load shard, the heavy-hitter twin of
+    * [[distinctSketch]]: each row is KBs regardless of shard size, and the
+    * partial/shuffle state behind it is O(k) everywhere. */
+  def heavyHitterSketch(df: DataFrame, bucket: Column, shard: Column,
+                        item: Column, k: Int = 64): DataFrame =
+    df.groupBy(bucket.as("bucket"), shard.as("shard"))
+      .agg(graft.functions.MisraGries.mgSketchAgg(item, k).as("sketch"),
+           count(item).as("n_items"))
+
+  /** Merge a sketch-table subset per bucket — the incremental read path
+    * (cost ∝ sketch rows, never data size): merged counters decoded to
+    * (item, count_est) rows with the bucket's total weight, against which
+    * the Misra-Gries bound f − n/(k+1) ≤ ĉ ≤ f is checkable. */
+  def heavyHittersMerged(sketches: DataFrame, k: Int = 64): DataFrame =
+    sketches.groupBy(col("bucket"))
+      .agg(graft.functions.MisraGries.mgMergeAgg(col("sketch"), k).as("items"),
+           sum(col("n_items")).as("n_bucket"))
+      .select(col("bucket"), col("n_bucket"), explode(col("items")).as("it"))
+      .select(col("bucket"), col("n_bucket"),
+        col("it.item").as("item"), col("it.count_est").as("count_est"))
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.ops.{Dedup, Ivf, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Ivf, Multimodal, Similarity, Sketches, TextAnalysis}
 
 /** SparkEntry wrappers + DuckDB oracles for the LLM-data-pipeline block
   * (SURVEY.md §2C): text analysis, dedup, similarity search, multimodal
@@ -1063,6 +1063,54 @@ object DocQueries {
     s"$base,$rounds\n    SELECT * FROM (\n    $union) ORDER BY merge_rank"
   }
 
+  /** Mergeable heavy-hitters sketch table + merged audit (see
+    * [[graft.ops.Sketches.heavyHitterSketch]]): per-(bucket, shard)
+    * Misra-Gries summaries are built (the persisted KB-sized rows), merged
+    * per bucket, and every item whose EXACT frequency clears the n/(k+1)
+    * guarantee threshold is checked against the merged sketch: it must be
+    * present (`in_sketch`) with its counter inside the Misra-Gries bound
+    * f − n/(k+1) ≤ ĉ ≤ f (`bound_ok`). Raw counter values are
+    * order-dependent (any MG/SpaceSaving's are) so the oracle checks the
+    * EXACT columns plus the acceptance flags, which theory makes
+    * deterministically true — the incremental_distinct posture. The exact
+    * side exists for this audit; the production read path is the sketch
+    * merge alone (cost ∝ sketch rows). All bound comparisons are exact
+    * integer arithmetic ((k+1)·ĉ ≥ (k+1)·f − n), no fp. */
+  private def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 64
+    val toks = Tables.documents(s, d)
+      .select(pmod($"doc_id", lit(8)).as("bucket"),
+              pmod($"doc_id", lit(4)).as("shard"),
+              explode(TextAnalysis.tokens($"text")).as("item"))
+    val merged = Sketches.heavyHittersMerged(
+      Sketches.heavyHitterSketch(toks, $"bucket", $"shard", $"item", k), k)
+    val exact = toks.groupBy($"bucket", $"item").agg(count(lit(1)).as("exact_count"))
+    val nb = exact.groupBy($"bucket").agg(sum($"exact_count").as("n_bucket"))
+    exact.join(nb, "bucket")
+      .filter($"exact_count" * (k + 1) > $"n_bucket")
+      .join(merged.select($"bucket", $"item", $"count_est"),
+            Seq("bucket", "item"), "left")
+      .select($"bucket", $"item", $"exact_count", $"n_bucket",
+        $"count_est".isNotNull.as("in_sketch"),
+        ($"count_est".isNotNull && $"count_est" <= $"exact_count" &&
+         $"count_est" * (k + 1) >= $"exact_count" * (k + 1) - $"n_bucket")
+          .as("bound_ok"))
+      .orderBy("bucket", "item")
+  }
+
+  private val heavyHittersSql = """
+    WITH t AS (SELECT doc_id % 8 AS bucket,
+                      unnest(string_split(lower(trim(text)), ' ')) AS item
+               FROM documents),
+    e AS (SELECT bucket, item, COUNT(*) AS exact_count FROM t GROUP BY 1, 2),
+    nb AS (SELECT bucket, SUM(exact_count) AS n_bucket FROM e GROUP BY 1)
+    SELECT bucket, item, exact_count, CAST(n_bucket AS BIGINT) AS n_bucket,
+           TRUE AS in_sketch, TRUE AS bound_ok
+    FROM e JOIN nb USING (bucket)
+    WHERE exact_count * 65 > n_bucket
+    ORDER BY bucket, item"""
+
   val registry: Seq[Q] = Seq(
     Q("lang_id", langId, Some(langIdSql)),
     Q("text_quality", textQuality, Some(textQualitySql)),
@@ -1109,5 +1157,6 @@ object DocQueries {
     Q("multimodal_wav", multimodalWav, Some(multimodalWavSql)),
     Q("knn_ivf_pq", knnIvfPq, Some(knnPqSql)),
     Q("bm25_rank", bm25Rank, Some(bm25RankSql)),
-    Q("bpe_train", bpeTrainQ, Some(bpeTrainSql)))
+    Q("bpe_train", bpeTrainQ, Some(bpeTrainSql)),
+    Q("heavy_hitters", heavyHitters, Some(heavyHittersSql)))
 }

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{MGBuffer, MisraGries}
+import graft.ops.Sketches
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def exactCounts(items: Seq[String]): Map[String, Long] =
+    items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  private def assertBounds(items: Seq[String], est: Map[String, Long], k: Int): Unit = {
+    val exact = exactCounts(items)
+    val n = items.size.toLong
+    est.foreach { case (item, c) =>
+      assert(c <= exact.getOrElse(item, 0L), s"MG overestimated '$item'")
+    }
+    exact.foreach { case (item, f) =>
+      // every heavy hitter above n/(k+1) must be present within the bound
+      if (f * (k + 1) > n) {
+        val c = est.getOrElse(item, 0L)
+        assert(c > 0, s"heavy hitter '$item' (f=$f, n=$n) missing from sketch")
+        assert(c * (k + 1) >= f * (k + 1) - n, s"'$item' below the MG bound")
+      }
+    }
+  }
+
+  test("MGBuffer holds the Misra-Gries guarantee on an adversarial stream and stays O(k)") {
+    val k = 4
+    // heavy 'a' (40) and 'b' (25) against 60 distinct one-off items that
+    // force constant decrement churn; interleave worst-case
+    val items = (Seq.fill(40)("a") ++ Seq.fill(25)("b") ++
+      (1 to 60).map(i => s"junk$i")).zipWithIndex
+      .sortBy { case (_, i) => (i * 31) % 125 }.map(_._1)
+    val buf = new MGBuffer(k)
+    items.foreach(buf.addOne)
+    assert(buf.counts.size <= k, "buffer exceeded k counters")
+    assertBounds(items, buf.sortedEntries.toMap, k)
+    // serialize roundtrip is lossless
+    val back = MGBuffer.deserialize(buf.serialize(), k)
+    assert(back.sortedEntries.toSeq === buf.sortedEntries.toSeq)
+  }
+
+  test("MGBuffer merge keeps the summed-error bound across shards") {
+    val k = 8
+    val shard1 = Seq.fill(50)("x") ++ (1 to 40).map(i => s"s1_$i")
+    val shard2 = Seq.fill(30)("x") ++ Seq.fill(25)("y") ++ (1 to 40).map(i => s"s2_$i")
+    val b1 = new MGBuffer(k); shard1.foreach(b1.addOne)
+    val b2 = new MGBuffer(k); shard2.foreach(b2.addOne)
+    b1.mergeFrom(b2)
+    assert(b1.counts.size <= k, "merged buffer exceeded k counters")
+    assertBounds(shard1 ++ shard2, b1.sortedEntries.toMap, k)
+  }
+
+  test("heavy-hitter sketch table end-to-end: per-shard rows, merged bounds vs exact") {
+    val k = 16
+    val rows = (1 to 400).map { i =>
+      val item = if (i % 3 == 0) "hot" else if (i % 5 == 0) "warm" else s"cold$i"
+      (i.toLong % 2, i.toLong % 4, item)
+    }
+    val df = rows.toDF("bucket", "shard", "item")
+    val sketches = Sketches.heavyHitterSketch(df, $"bucket", $"shard", $"item", k)
+    // one KB-sized row per (bucket, shard) — the persisted shape
+    assert(sketches.count() === df.select($"bucket", $"shard").distinct().count())
+    val merged = Sketches.heavyHittersMerged(sketches, k)
+      .as[(Long, Long, String, Long)].collect()
+    rows.groupBy(_._1).foreach { case (bucket, bucketRows) =>
+      val est = merged.filter(_._1 == bucket).map(r => r._3 -> r._4).toMap
+      assertBounds(bucketRows.map(_._3), est, k)
+      val n = merged.filter(_._1 == bucket).head._2
+      assert(n === bucketRows.size.toLong, "n_bucket must be the exact total weight")
+    }
+  }
+
+  test("mg aggregates reject non-matching input types") {
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(MisraGries.mgSketchAgg($"a", 4)).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(MisraGries.mgMergeAgg($"a", 4)).collect()
+    }
+  }
+}
