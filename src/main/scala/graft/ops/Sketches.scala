@@ -58,4 +58,62 @@ object Sketches {
       .select(col("bucket"), col("n_bucket"), explode(col("items")).as("it"))
       .select(col("bucket"), col("n_bucket"),
         col("it.item").as("item"), col("it.count_est").as("count_est"))
+
+  /** Quantile sketch table — the third persisted sketch family: a
+    * fixed-bin equi-width histogram over an INTEGER value domain
+    * [lo, hi]. One (bucket, bin, cnt) row per non-empty bin (≤ nbins rows
+    * per bucket regardless of data size), mergeable by plain count
+    * addition under ANY merge tree, and — unlike GK/KLL summaries —
+    * fully DETERMINISTIC: the same data produces the same sketch on any
+    * engine and any partitioning, so an oracle can hash-check the
+    * estimates themselves, not just acceptance flags. The trade: the
+    * error bound is one bin width in VALUE space (bound known a priori
+    * from [lo, hi]/nbins), not rank space. `lo`/`hi` come from partition
+    * metadata or one min/max scalar at build time (the
+    * [[graft.sources.FileFormats.writeZOrdered]] bounds posture).
+    * All bin math is integer (`div`), replayable exactly anywhere. */
+  def histogramSketch(df: DataFrame, bucket: Column, value: Column,
+                      lo: Long, hi: Long, nbins: Int = 1024): DataFrame = {
+    require(hi >= lo && nbins > 0, s"bad histogram domain [$lo,$hi] x $nbins")
+    val w = hi - lo + 1
+    df.select(bucket.as("bucket"), value.as("v"))
+      .select(col("bucket"),
+        expr(s"((greatest(least(v, ${hi}L), ${lo}L) - ${lo}L) * $nbins) div ${w}L")
+          .as("bin"))
+      .groupBy(col("bucket"), col("bin")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merged-subset quantile query over a histogram sketch table — the
+    * incremental read path: merge bins by addition, take per-subset
+    * cumulative counts, and for each requested quantile p = num/den pick
+    * the first bin whose cumulative count reaches the EXACT integer rank
+    * ⌈n·num/den⌉. Returns one row per (subset, quantile) with the bin's
+    * value bounds: the true rank-r value provably lies in
+    * [est_lo, est_hi] — a deterministic, engine-independent guarantee.
+    * Ranks and edges are pure integer arithmetic; nothing floats. */
+  def histogramQuantiles(sketch: DataFrame, subset: Column,
+                         quantiles: Seq[(Int, Int)],
+                         lo: Long, hi: Long, nbins: Int = 1024): DataFrame = {
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val w = hi - lo + 1
+    val merged = sketch.groupBy(subset.as("subset"), col("bin"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val cum = merged.select(col("subset"), col("bin"), col("cnt"),
+      sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("subset")).orderBy(col("bin"))).as("cum"),
+      sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("subset"))).as("n"))
+    val qs = quantiles.toDF("p_num", "p_den")
+    cum.join(broadcast(qs))
+      .withColumn("q_rank", expr("(n * p_num + p_den - 1) div p_den"))
+      .filter(col("cum") >= col("q_rank"))
+      .groupBy(col("subset"), col("p_num"), col("p_den"))
+      .agg(min(col("bin")).as("bin"), max(col("n")).as("n"),
+           max(col("q_rank")).as("q_rank"))
+      .select(col("subset"), col("p_num"), col("p_den"), col("n"), col("q_rank"),
+        expr(s"${lo}L + (bin * ${w}L + ${nbins - 1}) div $nbins").as("est_lo"),
+        expr(s"${lo}L + ((bin + 1) * ${w}L + ${nbins - 1}) div $nbins - 1")
+          .as("est_hi"))
+  }
 }

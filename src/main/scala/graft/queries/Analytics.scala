@@ -629,6 +629,84 @@ object Analytics {
     FROM orders
     ORDER BY scope"""
 
+  /** Quantile sketch-table rollup (see [[graft.ops.Sketches
+    * .histogramSketch]]) — the quantile member of the persisted-sketch
+    * family next to [[incrementalDistinct]] and `heavy_hitters`: per-year
+    * fixed-bin histograms of the price column (in exact cents) stand in
+    * for the per-partition sketch rows a warehouse persists at load; two
+    * subset queries ("all" years, "recent" ≥ 1996) are answered by
+    * MERGING bins (plain addition) and reading exact integer ranks
+    * ⌈n·p⌉ off the cumulative counts. The fixed-bin design is chosen over
+    * GK/KLL deliberately: it is fully deterministic, so est_lo/est_hi are
+    * oracle-HASHED, not just flag-checked; the one-bin-width value-space
+    * error bound is known a priori. The true rank-r value (computed here
+    * by an audit-only full sort per subset; at 100 TB you'd run the
+    * sketch path alone) must land inside [est_lo, est_hi] — `bound_ok`
+    * is deterministically true by construction. Cents come from the
+    * proven double→DECIMAL(38,2) exact cast (2-decimal TPC-H prices,
+    * |v|·10² ≪ 2⁵³); every bin/rank/edge computation is integer. The
+    * domain bounds are one min/max scalar (the z-order bounds posture —
+    * pass known bounds at scale). */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nbins = 1024
+    val cents = Tables.lineitem(spark, dir)
+      .select(year($"l_shipdate").as("yr"),
+        ($"l_extendedprice".cast("decimal(38,2)") * 100).cast("long").as("cents"))
+    val r = cents.agg(min($"cents"), max($"cents")).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val subsets = (yr: org.apache.spark.sql.Column) =>
+      explode(when(yr >= 1996, array(lit("all"), lit("recent")))
+        .otherwise(array(lit("all")))).as("subset")
+    val sk = graft.ops.Sketches.histogramSketch(cents, $"yr", $"cents", lo, hi, nbins)
+      .select(subsets($"bucket"), $"bin", $"cnt")
+    val est = graft.ops.Sketches.histogramQuantiles(sk, $"subset",
+      Seq((1, 4), (1, 2), (9, 10), (99, 100)), lo, hi, nbins)
+    val v = cents.select(subsets($"yr"), $"cents")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"subset").orderBy($"cents")))
+    v.join(broadcast(est.withColumnRenamed("subset", "s")),
+           $"subset" === $"s" && $"rn" === $"q_rank")
+      .select($"subset", $"p_num", $"p_den", $"n", $"q_rank",
+        $"est_lo", $"est_hi", $"cents".as("exact_cents"),
+        $"cents".between($"est_lo", $"est_hi").as("bound_ok"))
+      .orderBy($"subset", $"p_den", $"p_num")
+  }
+
+  val quantileSketchSql: String = """
+    WITH c AS (SELECT year(CAST(l_shipdate AS DATE)) AS yr,
+                      CAST(CAST(l_extendedprice AS DECIMAL(38,2)) * 100 AS BIGINT) AS cents
+               FROM lineitem),
+    b AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM c),
+    s AS (SELECT yr, ((cents - lo) * 1024) // (hi - lo + 1) AS bin, COUNT(*) AS cnt
+          FROM c, b GROUP BY 1, 2),
+    x AS (SELECT subset, bin, SUM(cnt) AS cnt FROM (
+            SELECT unnest(CASE WHEN yr >= 1996 THEN ['all','recent'] ELSE ['all'] END) AS subset,
+                   bin, cnt FROM s)
+          GROUP BY 1, 2),
+    cum AS (SELECT subset, bin,
+                   SUM(cnt) OVER (PARTITION BY subset ORDER BY bin) AS cum,
+                   SUM(cnt) OVER (PARTITION BY subset) AS n
+            FROM x),
+    est AS (SELECT subset, p_num, p_den, MAX(n) AS n, MAX(q_rank) AS q_rank, MIN(bin) AS bin
+            FROM (SELECT *, (n * p_num + p_den - 1) // p_den AS q_rank
+                  FROM cum CROSS JOIN (VALUES (1,4),(1,2),(9,10),(99,100)) AS q(p_num, p_den))
+            WHERE cum >= q_rank GROUP BY 1, 2, 3),
+    e2 AS (SELECT subset, p_num, p_den, CAST(n AS BIGINT) AS n,
+                  CAST(q_rank AS BIGINT) AS q_rank,
+                  CAST(lo + (bin * (hi - lo + 1) + 1023) // 1024 AS BIGINT) AS est_lo,
+                  CAST(lo + ((bin + 1) * (hi - lo + 1) + 1023) // 1024 - 1 AS BIGINT) AS est_hi
+           FROM est, b),
+    v AS (SELECT subset, cents, ROW_NUMBER() OVER (PARTITION BY subset ORDER BY cents) AS rn
+          FROM (SELECT unnest(CASE WHEN yr >= 1996 THEN ['all','recent'] ELSE ['all'] END) AS subset,
+                       cents FROM c))
+    SELECT e2.subset AS subset, p_num, p_den, n, q_rank, est_lo, est_hi,
+           v.cents AS exact_cents,
+           v.cents BETWEEN est_lo AND est_hi AS bound_ok
+    FROM e2 JOIN v ON v.subset = e2.subset AND v.rn = e2.q_rank
+    ORDER BY subset, p_den, p_num"""
+
   /** TPC-H Q21-shaped "sole blocker" analysis: suppliers who were the ONLY
     * late shipper on a multi-supplier order (late = shipped more than 90
     * days after the order date). The classic nested EXISTS / NOT-EXISTS
@@ -809,6 +887,7 @@ object Analytics {
     Q("window_moving_avg", windowMovingAvg, Some(windowMovingAvgSql)),
     Q("table_stats", tableStats, Some(tableStatsSql)),
     Q("incremental_distinct", incrementalDistinct, Some(incrementalDistinctSql)),
+    Q("quantile_sketch", quantileSketch, Some(quantileSketchSql)),
     Q("q21_late_supplier", q21LateSupplier, Some(q21LateSupplierSql)),
     Q("window_trailing_30d", windowTrailing30d, Some(windowTrailing30dSql)),
     Q("graph_pagerank", graphPagerank, Some(graphPagerankSql)),

@@ -73,6 +73,38 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("histogram sketch: bin edges invert the bin assignment and merged ranks bracket the true quantile") {
+    val nbins = 7 // deliberately not dividing the domain evenly
+    val lo = 10L; val hi = 109L // width 100
+    val values = (10L to 109L) ++ Seq.fill(50)(42L) ++ Seq.fill(30)(100L)
+    val df = values.zipWithIndex.map { case (v, i) => (i.toLong % 3, v) }
+      .toDF("bucket", "v")
+    val sk = Sketches.histogramSketch(df, $"bucket", $"v", lo, hi, nbins)
+    // bins stay within [0, nbins) and every bucket has <= nbins rows
+    val bins = sk.select($"bin").as[Long].collect()
+    assert(bins.forall(b => b >= 0 && b < nbins))
+    assert(sk.groupBy($"bucket").count().as[(Long, Long)].collect()
+      .forall(_._2 <= nbins))
+    // single merged subset over everything
+    val est = Sketches.histogramQuantiles(
+      sk.withColumn("subset", lit("all")).drop("bucket"),
+      $"subset", Seq((1, 2), (9, 10)), lo, hi, nbins)
+      .as[(String, Int, Int, Long, Long, Long, Long)].collect()
+    val sorted = values.sorted
+    est.foreach { case (_, num, den, n, rank, estLo, estHi) =>
+      assert(n === values.size.toLong)
+      assert(rank === (n * num + den - 1) / den)
+      val exact = sorted(rank.toInt - 1)
+      assert(exact >= estLo && exact <= estHi,
+        s"true rank-$rank value $exact outside sketch bin [$estLo, $estHi]")
+    }
+    // out-of-domain values clamp to the edge bins instead of corrupting bin ids
+    val clamped = Sketches.histogramSketch(
+      Seq((1L, 5L), (1L, 500L)).toDF("bucket", "v"), $"bucket", $"v", lo, hi, nbins)
+      .select($"bin").as[Long].collect().sorted
+    assert(clamped === Array(0L, nbins - 1L))
+  }
+
   test("mg aggregates reject non-matching input types") {
     val df = Seq((1L, 2L)).toDF("a", "b")
     intercept[org.apache.spark.sql.AnalysisException] {
