@@ -200,6 +200,49 @@ object Similarity {
     * DECIMAL(38,6) (associative, reduction-order-independent). One
     * posexplode + one hash aggregate keyed on vec_id: map-side partial
     * aggs, whole-stage codegen, a single shuffle of (vec_id, partial). */
+  /** SemDeDup-style embedding-cluster dedup (after Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication" — public literature): cluster the corpus with
+    * deterministic k-means, then prune near-duplicates WITHIN each cluster
+    * only — the embedding twin of [[Dedup]]'s text clustering, with cost
+    * bounded per cluster (size ≈ n/k with k ≈ √n or chosen for a target
+    * cluster size) instead of corpus-wide LSH banding. A vector is a
+    * duplicate when some LOWER-id member of its cluster sits above the
+    * cosine threshold — the greedy keep-lowest-representative rule
+    * [[Dedup.exact]] uses, applied per cluster.
+    *
+    * The coarse quantizer is [[Pq.fit]] at m = 1 (one subspace = plain
+    * full-vector k-means): lowest-id seeds, one exact-decimal Lloyd round,
+    * code-id tie-breaks — fully deterministic and cross-engine replayable,
+    * which is what lets the oracle reproduce cluster ASSIGNMENTS (not just
+    * distances) bit-for-bit. Within-cluster pairs shuffle id+vector rows
+    * on cluster_id once; nothing is ever all-pairs across clusters.
+    * Production tuning trades k up (smaller clusters, cheaper pairs,
+    * slightly lower recall across cluster boundaries) exactly as SemDeDup
+    * does. */
+  def semanticDedup(embeddings: DataFrame, nClusters: Int = 16,
+                    tau: Double = 0.4): DataFrame = {
+    val model = Pq.fit(embeddings, m = 1, ncodes = nClusters, iters = 1)
+    val clusters = Pq.encode(model, embeddings)
+      .select(col("vec_id"), col("code").as("cluster_id"))
+    val v = embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+      .join(clusters, "vec_id")
+    val maxLower = v.as("a")
+      .join(v.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"),
+        cosinePrenormed(col("a.emb"), col("b.emb"),
+          col("a.nrm"), col("b.nrm")).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cos")).as("max_lower_cos"))
+    clusters.join(maxLower, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"), col("max_lower_cos"),
+        coalesce(col("max_lower_cos") >= tau, lit(false)).as("is_dup"))
+  }
+
   def normStats(embeddings: DataFrame): DataFrame = {
     val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
     embeddings

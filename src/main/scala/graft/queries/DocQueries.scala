@@ -550,6 +550,67 @@ object DocQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** SemDeDup-style embedding-cluster dedup (see
+    * [[Similarity.semanticDedup]]): deterministic m=1 PQ k-means clusters,
+    * within-cluster lower-id cosine pruning. */
+  private def dedupSemantic(s: SparkSession, d: String): DataFrame =
+    Similarity.semanticDedup(Tables.embeddings(s, d), nClusters = 16, tau = 0.4)
+      .orderBy("vec_id")
+
+  /** Oracle: the [[pqBaseSql]] replay at m = 1 (whole vector, 64 dims) —
+    * same seeds, same exact-decimal Lloyd round, same tie-breaks — then
+    * the within-cluster pair max over lower ids. Cluster state and the
+    * self-joined pair CTE are MATERIALIZED (each is referenced multiple
+    * times; default inlining would replay the whole Lloyd chain per
+    * reference). */
+  private val dedupSemanticSql = """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+               FROM embeddings),
+    svn AS MATERIALIZED (SELECT vec_id, emb AS svec,
+             list_sum(list_transform(emb, x -> x*x)) AS sn FROM v),
+    seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code,
+                     svec AS cvec, sn AS cn
+              FROM svn
+              WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+    d0 AS (SELECT svn.vec_id, seeds.code,
+             svn.sn - 2.0 * list_sum(list_transform(range(1, 65),
+               i -> svn.svec[i] * seeds.cvec[i])) + seeds.cn AS d2
+           FROM svn, seeds),
+    asg0 AS (SELECT vec_id, code
+             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                ORDER BY d2, code) AS rn FROM d0)
+             WHERE rn = 1),
+    cbdim AS (SELECT code, u.pos AS pos,
+                CAST(SUM(CAST(u.x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(u.x) AS mv
+              FROM (SELECT a.code,
+                      unnest([{'pos': i-1, 'x': n.svec[i]} for i in range(1, 65)]) AS u
+                    FROM asg0 a JOIN svn n ON a.vec_id = n.vec_id)
+              GROUP BY code, u.pos),
+    cbn AS (SELECT code, cvec, list_sum(list_transform(cvec, x -> x*x)) AS cn
+            FROM (SELECT code, list(mv ORDER BY pos) AS cvec
+                  FROM cbdim GROUP BY code)),
+    d1 AS (SELECT svn.vec_id, cbn.code,
+             svn.sn - 2.0 * list_sum(list_transform(range(1, 65),
+               i -> svn.svec[i] * cbn.cvec[i])) + cbn.cn AS d2
+           FROM svn, cbn),
+    cl AS MATERIALIZED (SELECT vec_id, code AS cluster_id
+          FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d2, code) AS rn FROM d1)
+          WHERE rn = 1),
+    nn AS MATERIALIZED (SELECT vec_id, svec, sqrt(sn) AS nrm FROM svn),
+    p AS (SELECT cb.vec_id AS vec_id,
+            list_sum(list_transform(range(1, 65), i -> a.svec[i] * b.svec[i]))
+              / (a.nrm * b.nrm) AS cos
+          FROM cl ca JOIN cl cb
+            ON ca.cluster_id = cb.cluster_id AND ca.vec_id < cb.vec_id
+          JOIN nn a ON ca.vec_id = a.vec_id
+          JOIN nn b ON cb.vec_id = b.vec_id),
+    mx AS (SELECT vec_id, MAX(cos) AS max_lower_cos FROM p GROUP BY vec_id)
+    SELECT cl.vec_id AS vec_id, cluster_id, max_lower_cos,
+           COALESCE(max_lower_cos >= 0.4, FALSE) AS is_dup
+    FROM cl LEFT JOIN mx USING (vec_id)
+    ORDER BY vec_id"""
+
   /** BM25 against a fixed in-corpus query term set; rational IDF so both
     * engines rank bit-identically (see TextAnalysis.bm25Rank). */
   private def bm25Rank(s: SparkSession, d: String): DataFrame =
@@ -1158,5 +1219,6 @@ object DocQueries {
     Q("knn_ivf_pq", knnIvfPq, Some(knnPqSql)),
     Q("bm25_rank", bm25Rank, Some(bm25RankSql)),
     Q("bpe_train", bpeTrainQ, Some(bpeTrainSql)),
-    Q("heavy_hitters", heavyHitters, Some(heavyHittersSql)))
+    Q("heavy_hitters", heavyHitters, Some(heavyHittersSql)),
+    Q("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)))
 }

@@ -204,6 +204,45 @@ class SimilaritySpec extends SparkSpec {
     assert(!pairs.contains((0L, 4L)) && !pairs.contains((0L, 2L)))
   }
 
+  test("semanticDedup: within-cluster lower-id pruning agrees with brute force and LSH pairs") {
+    val data = graft.sources.Tables.embeddings(spark, sf)
+    val tau = 0.4
+    val out = Similarity.semanticDedup(data, nClusters = 8, tau = tau)
+      .select($"vec_id", $"cluster_id", $"max_lower_cos", $"is_dup")
+      .as[(Long, Int, Option[Double], Boolean)].collect()
+    // every vector appears exactly once, clusters within range
+    assert(out.length === data.count())
+    assert(out.map(_._1).distinct.length === out.length)
+    assert(out.forall(r => r._2 >= 0 && r._2 < 8))
+    // brute-force recheck: is_dup ⟺ some lower-id same-cluster member has
+    // cosine ≥ tau (computed independently driver-side on the collected set)
+    val embs = data.select($"vec_id",
+        VectorFunctions.toDouble($"embedding").as("e"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val byCluster = out.groupBy(_._2)
+    out.foreach { case (id, cl, _, isDup) =>
+      val lower = byCluster(cl).map(_._1).filter(_ < id)
+      val expect = lower.exists(l => cos(embs(l), embs(id)) >= tau - 1e-12)
+      assert(expect === isDup, s"vec $id in cluster $cl: dup flag mismatch")
+    }
+    // cross-check vs the LSH near-dup operator at the same threshold: any
+    // LSH-found pair whose members share a cluster forces is_dup on the
+    // higher id (the sketch can only add recall LSH already proved)
+    val dupFlags = out.map(r => r._1 -> r._4).toMap
+    val clusterOf = out.map(r => r._1 -> r._2).toMap
+    val lshPairs = Similarity.embeddingNearDup(data, threshold = tau)
+      .select($"v1", $"v2").as[(Long, Long)].collect()
+    lshPairs.filter { case (a, b) => clusterOf(a) == clusterOf(b) }
+      .foreach { case (a, b) =>
+        assert(dupFlags(math.max(a, b)),
+          s"LSH pair ($a,$b) shares a cluster but ${math.max(a, b)} not flagged")
+      }
+  }
+
   test("normStats: exact norm², dims, and the zero / near-unit flags") {
     val data = Seq(
       (1L, Array(0f, 0f, 0f)),          // failed-encoder shape
