@@ -105,6 +105,43 @@ class EventsCdcSpec extends SparkSpec {
     assert(streamed === expected)
   }
 
+  test("streaming funnel's latest row per user equals the batch funnel") {
+    val dir = streamDir()
+    val src = spark.readStream
+      .schema(Tables.events(spark, sf).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val steps = Seq("view", "click", "purchase")
+    val q = graft.streaming.StreamingFunnel.progress(src, steps)
+      .writeStream.format("memory").queryName("cdc_funnel")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val emitted = spark.table("cdc_funnel")
+      .as[(Long, Seq[Long], Int)].collect()
+    // stage only ever advances, so the max-stage row IS the latest emit
+    val streamed = emitted.groupBy(_._1).view
+      .mapValues(rows => rows.maxBy(_._3)).values
+      .map { case (u, ts, stage) =>
+        (u, ts.headOption, ts.lift(1), ts.lift(2), stage)
+      }.toSet
+    val batch = Events.funnel(Tables.events(spark, sf), steps)
+      .select($"user_id", unix_micros($"step_1_ts"), unix_micros($"step_2_ts"),
+              unix_micros($"step_3_ts"), $"stage")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Int)].collect()
+      .map(r => (r._1, r._2, r._3, r._4, r._5)).toSet
+    // in-order micro-batches, no late data: every user who entered the
+    // funnel must land on exactly the batch row — timestamps included
+    assert(streamed === batch)
+    // per-user emits are strictly advancing stages (no duplicate stage rows)
+    emitted.groupBy(_._1).foreach { case (u, rows) =>
+      val stages = rows.map(_._3).sorted
+      assert(stages.distinct.length === stages.length,
+        s"user $u emitted duplicate stages: ${stages.mkString(",")}")
+    }
+  }
+
   test("streaming dedup drops source replays within the watermark horizon") {
     // batch 1 = first third of events; batch 2 = the SAME file replayed
     // plus the second third — an at-least-once source re-delivering
