@@ -21,12 +21,22 @@ object Events {
     * shuffle is user-keyed; no per-user event sorting, no UDAF state).
     * `stage` = how many steps the user completed in order.
     *
+    * Each step-i frontier is eagerly checkpointed: frame i feeds BOTH
+    * frame i+1 and the final assembly join, and frame construction chains,
+    * so without materialization Catalyst re-derives every earlier frontier
+    * inside every later one — k steps planned k(k+1)/2 fact scans (6 scans
+    * for 3 steps, measured) instead of one pushed-filter scan per step.
+    * Frontiers are user-sized (not fact-sized), so the checkpoint is the
+    * cheap side of that trade at any scale; PlanAuditSpec pins the
+    * scan-per-step shape.
+    *
     * @return one row per user who reached step 1: (user_id, step_1_ts …
     *         step_k_ts, stage); later steps NULL once the chain breaks */
   def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty)
     val first = events.filter(col("event_type") === steps.head)
       .groupBy(col("user_id")).agg(min(col("ts")).as("step_1_ts"))
+      .localCheckpoint(true)
     // each frame is exactly (user_id, step_i_ts): the step-i frontier
     val frames = steps.zipWithIndex.tail.scanLeft(first) {
       case (prev, (step, i)) =>
@@ -34,6 +44,7 @@ object Events {
           .join(prev, "user_id")
           .filter(col("ts") > col(s"step_${i}_ts"))
           .groupBy(col("user_id")).agg(min(col("ts")).as(s"step_${i + 1}_ts"))
+          .localCheckpoint(true)
     }
     val joined = frames.tail.foldLeft(first) { (acc, f) =>
       acc.join(f, Seq("user_id"), "left")
@@ -46,18 +57,25 @@ object Events {
 
   /** Weekly retention cohorts: users grouped by the week of their FIRST
     * event; each (cohort week, weeks-since) cell counts the cohort's users
-    * active that week. Two user-keyed aggregates (first-event week, then
-    * distinct user-weeks) and one broadcastable join — the fact scans
-    * once; no per-user timelines are materialized. Weeks are
+    * active that week. The fact scans ONCE (PlanAuditSpec pins it): the
+    * distinct (user, week) base is the only fact-sized aggregate, and the
+    * cohort week DERIVES from it — week truncation is monotone, so
+    * week(min ts) = min(active_week) — rather than re-aggregating the
+    * fact. Everything after the base is user-weeks-sized. Weeks are
     * `date_trunc('week', …)` Mondays in both engines, so the week index is
     * an exact day-difference division. */
   def retentionCohorts(events: DataFrame): DataFrame = {
-    val firstWeek = events.groupBy(col("user_id"))
-      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
     val activeWeeks = events
       .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("active_week"))
       .distinct()
-    activeWeeks.join(firstWeek, "user_id")
+    // cohort as a whole-partition window min instead of a join back to a
+    // separate first-event aggregate: a second aggregate over the same base
+    // re-plans as a second fact scan (the optimizer collapses the shared
+    // subtree into the scan, defeating exchange reuse — measured), while
+    // the window rides the user-keyed exchange over user-weeks-sized rows
+    val cohort = min(col("active_week"))
+      .over(Window.partitionBy(col("user_id"))).as("cohort_week")
+    activeWeeks.select(col("user_id"), col("active_week"), cohort)
       .groupBy(col("cohort_week"),
         (datediff(col("active_week"), col("cohort_week")) / 7).cast("int").as("week_n"))
       .agg(countDistinct(col("user_id")).as("n_users"))

@@ -24,11 +24,13 @@ class PlanAuditSpec extends SparkSpec {
     // assignment/probe scoring (every vector scores every centroid by
     // design); tfidf_topterms and bigram_pmi broadcast-NL-join their
     // single-row corpus totals onto the scored rows; incremental_distinct
-    // joins its single-row sketch-merge total to the single-row exact count
+    // joins its single-row sketch-merge total to the single-row exact
+    // count; quantile_sketch cross-joins its 4-row quantile list onto the
+    // cumulative bins (every bin scores every requested quantile by design)
     plans.filterNot(p =>
         Set("knn_bruteforce", "knn_ivf", "knn_ivf_disk", "knn_ivf_pq",
             "tfidf_topterms", "bigram_pmi", "incremental_distinct",
-            "bm25_rank")(p._1))
+            "bm25_rank", "quantile_sketch")(p._1))
       .foreach { case (name, p) =>
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
       }
@@ -130,6 +132,38 @@ class PlanAuditSpec extends SparkSpec {
       .findAllIn(m("window_moving_avg")).length
     assert(mv === 1,
       s"window_moving_avg should shuffle once on o_custkey, found $mv")
+  }
+
+  test("round-8 event operators keep their intended shuffle shapes") {
+    val m = plans.toMap
+    // events_funnel: the step frontiers are checkpointed, so the final
+    // plan joins three user-sized RDDs and re-reads the FACT zero times
+    // (before the checkpoint fix, frame chaining re-derived every earlier
+    // frontier inside every later one: k(k+1)/2 = 6 fact scans for 3
+    // steps); each frontier appears exactly once, and any hash exchange
+    // left in the assembly is user-keyed
+    val funnel = m("events_funnel")
+    assert(!funnel.contains("Scan parquet"),
+      s"events_funnel should assemble checkpointed frontiers, not rescan the fact:\n$funnel")
+    assert("Scan ExistingRDD".r.findAllIn(funnel).length === 3,
+      s"events_funnel should join exactly its 3 step frontiers once each:\n$funnel")
+    "Exchange hashpartitioning\\(([^)]*)".r.findAllMatchIn(funnel).foreach { ex =>
+      assert(ex.group(1).contains("user_id"),
+        s"events_funnel plans a non-user-keyed exchange: ${ex.matched}\n$funnel")
+    }
+    // events_retention: ONE fact scan feeding the distinct (user, week)
+    // base; the cohort is a window over the user-keyed exchange (a join
+    // back to a separate first-event aggregate re-plans as a second scan);
+    // every exchange is user- or cohort-keyed
+    val ret = m("events_retention")
+    assert("Scan parquet".r.findAllIn(ret).length === 1,
+      s"events_retention should scan the fact exactly once:\n$ret")
+    assert(ret.contains("Window") && ret.contains("min(active_week"),
+      s"events_retention should take the cohort as a window min:\n$ret")
+    "Exchange hashpartitioning\\(([^)]*)".r.findAllMatchIn(ret).foreach { ex =>
+      assert(ex.group(1).contains("user_id") || ex.group(1).contains("cohort_week"),
+        s"events_retention plans an unexpected exchange: ${ex.matched}\n$ret")
+    }
   }
 
   test("runtime bloom-filter pruning engages for non-broadcastable selective joins") {
