@@ -460,11 +460,40 @@ object TextAnalysis {
   def bpeTrain(docs: DataFrame, nMerges: Int = 8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val (merges, vocab) = bpeTrainState(docs, nMerges)
+    Checkpoints.unpersist(vocab)
+    merges.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+      .orderBy("merge_rank")
+  }
+
+  /** The corpus vocabulary ENCODED with the learned merges — the other
+    * half of a tokenizer (train produces the merge table; encode is what
+    * every downstream job runs). Training already carries the vocabulary
+    * through every merge pass, so the encoded form IS the final training
+    * state: one row per word with its frequency, post-merge token count
+    * and the encoded symbol string. Encoding an unseen corpus is the same
+    * [[bpeMergePass]] chain applied in merge-rank order — per-row,
+    * codegen'd, shuffle-free — against a broadcast merge list. */
+  def bpeEncode(docs: DataFrame, nMerges: Int = 8): DataFrame = {
+    val (_, vocab) = bpeTrainState(docs, nMerges)
+    vocab.select(col("w").as("word"), col("freq"),
+        size(col("syms")).as("n_tokens"),
+        concat_ws(" ", col("syms")).as("encoded"))
+      .orderBy("word")
+  }
+
+  /** Shared training loop: returns the merge table and the final
+    * (w, freq, syms) vocabulary state (checkpointed — caller releases or
+    * consumes it). */
+  private def bpeTrainState(docs: DataFrame, nMerges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     var vocab = docs
       .select(explode(tokens(col("text"))).as("w"))
       .filter(col("w").rlike("^[a-z0-9]+$"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(col("freq"),
+      .select(col("w"), col("freq"),
         concat(split(col("w"), ""), array(lit("</w>"))).as("syms"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
@@ -486,15 +515,13 @@ object TextAnalysis {
         val (l, r, n) = best.head
         merges += ((rank, l, r, n))
         val next = vocab
-          .select(col("freq"), bpeMergePass(col("syms"), l, r).as("syms"))
+          .select(col("w"), col("freq"), bpeMergePass(col("syms"), l, r).as("syms"))
           .localCheckpoint(true)
         Checkpoints.unpersist(vocab)
         vocab = next
         rank += 1
       }
     }
-    Checkpoints.unpersist(vocab)
-    merges.toSeq.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
-      .orderBy("merge_rank")
+    (merges.toSeq, vocab)
   }
 }

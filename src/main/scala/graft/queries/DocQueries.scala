@@ -1172,6 +1172,21 @@ object DocQueries {
     WHERE exact_count * 65 > n_bucket
     ORDER BY bucket, item"""
 
+  /** The corpus vocabulary encoded with the learned BPE merges (see
+    * [[TextAnalysis.bpeEncode]]): one row per word with post-merge token
+    * count and the encoded symbol string — the final training state the
+    * train oracle's round CTEs already compute, read out per word. */
+  private def bpeEncodeQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bpeEncode(Tables.documents(s, d), nMerges = 8)
+
+  private lazy val bpeEncodeSql: String = {
+    val prefix = bpeTrainSql.substring(0, bpeTrainSql.lastIndexOf("\n    SELECT * FROM ("))
+    s"""$prefix
+    SELECT word, MAX(freq) AS freq, CAST(COUNT(*) AS INTEGER) AS n_tokens,
+           string_agg(s, ' ' ORDER BY pos) AS encoded
+    FROM s8 GROUP BY word ORDER BY word"""
+  }
+
   val registry: Seq[Q] = Seq(
     Q("lang_id", langId, Some(langIdSql)),
     Q("text_quality", textQuality, Some(textQualitySql)),
@@ -1220,5 +1235,6 @@ object DocQueries {
     Q("bm25_rank", bm25Rank, Some(bm25RankSql)),
     Q("bpe_train", bpeTrainQ, Some(bpeTrainSql)),
     Q("heavy_hitters", heavyHitters, Some(heavyHittersSql)),
-    Q("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)))
+    Q("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
+    Q("bpe_encode", bpeEncodeQ, Some(bpeEncodeSql)))
 }

@@ -216,6 +216,12 @@ class TextAnalysisSpec extends SparkSpec {
     // remaining: 'low' + e s t </w> (x2): pairs (low,e) (e,s) (s,t) (t,</w>)
     // all count 2 → lexicographic tie-break picks (e,s)
     assert(merges(3) === ((4, "e", "s", 2L)))
+    // encode = the final training state, read out per word
+    val enc = TextAnalysis.bpeEncode(docs, nMerges = 4)
+      .as[(String, Long, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(enc("low") === ((3L, 1, "low</w>")))
+    assert(enc("lowest") === ((2L, 4, "low es t </w>")))
     // a merge count beyond exhaustion stops early instead of emitting junk
     val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
     val m2 = TextAnalysis.bpeTrain(tiny, nMerges = 10)
