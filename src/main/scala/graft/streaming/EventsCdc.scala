@@ -270,6 +270,35 @@ object EventsCdc {
       }
       .start()
 
+  /** Streaming heavy-hitters maintenance — the Misra-Gries member of the
+    * streaming sketch family next to [[runDistinctSketches]]: every
+    * micro-batch APPENDS one ≤k-counter MG summary row per bucket (shard =
+    * batch id) to the sketch table; readers answer top-item questions over
+    * any bucket subset by merging rows
+    * ([[graft.ops.Sketches.heavyHittersMerged]]) — blind appends, no
+    * read-modify-write, no streaming state. Replay caveat (weaker than the
+    * HLL twin): MG merge ADDS counts, so a re-delivered batch inflates
+    * both the counters and the recorded `n_items` total — the
+    * f − n/(k+1) ≤ ĉ ≤ f guarantee keeps holding against the RECORDED
+    * at-least-once weight n, the frequencies it bounds are of the
+    * replayed stream. Exactly-once sinks (or dedup upstream, see the
+    * streaming-dedup operator) restore true-stream semantics. */
+  def runHeavyHitterSketches(stream: DataFrame, sketchDir: String,
+                             checkpointDir: String,
+                             bucketCol: String, itemCol: String, k: Int = 64,
+                             trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Sketches.heavyHitterSketch(
+            batch, col(bucketCol), lit(batchId), col(itemCol), k)
+          .write.mode("append").parquet(sketchDir)
+        ()
+      }
+      .start()
+
   def health(spark: SparkSession, queries: Seq[StreamingQuery]): DataFrame = {
     import spark.implicits._
     queries.map { q =>

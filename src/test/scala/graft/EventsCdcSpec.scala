@@ -387,6 +387,62 @@ class EventsCdcSpec extends SparkSpec {
       s"bucket estimate $subEst vs exact $subExact")
   }
 
+  test("streaming heavy-hitter sketches: per-batch appends merge within the MG bound") {
+    val k = 32
+    val ev = Tables.events(spark, sf).withColumn("b",
+      ntile(2).over(org.apache.spark.sql.expressions.Window
+        .orderBy($"ts", $"event_id")))
+    val dir = Files.createTempDirectory("graft_hh_src")
+    def writeFile(name: String, filter: org.apache.spark.sql.Column): Unit = {
+      val tmp = Files.createTempDirectory("graft_hh_tmp").toString
+      ev.filter(filter).drop("b").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, dir.resolve(name))
+      Thread.sleep(1000)
+    }
+    writeFile("1.parquet", $"b" === 1)
+    writeFile("2.parquet", $"b" === 2)
+    val sketchDir = Files.createTempDirectory("graft_hh_out").toString
+    val ckpt = Files.createTempDirectory("graft_hh_ckpt").toString
+    // items = user ids as strings (the heavy-hitter question: most active
+    // users per event type, answered from KB-sized rows)
+    val q = EventsCdc.runHeavyHitterSketches(
+      EventsCdc.readEventStream(spark, dir.toString, Tables.events(spark, sf),
+          maxFilesPerTrigger = 1)
+        .withColumn("item", $"user_id".cast("string")),
+      sketchDir, ckpt, bucketCol = "event_type", itemCol = "item", k = k)
+    q.awaitTermination()
+    val sketches = spark.read.parquet(sketchDir)
+    // blind appends: one row per (bucket, batch shard)
+    assert(sketches.select($"shard").distinct().count() === 2)
+    assert(sketches.count() ===
+      sketches.select($"bucket", $"shard").distinct().count())
+    val merged = graft.ops.Sketches.heavyHittersMerged(sketches, k)
+      .as[(String, Long, String, Long)].collect()
+    val exact = Tables.events(spark, sf)
+      .groupBy($"event_type", $"user_id".cast("string").as("item"))
+      .agg(count(lit(1)).as("f"))
+      .as[(String, String, Long)].collect()
+    val nBucket = exact.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    // recorded weights equal the true stream's (no replay here)
+    merged.groupBy(_._1).foreach { case (b, rows) =>
+      assert(rows.head._2 === nBucket(b), s"bucket $b weight mismatch")
+    }
+    val est = merged.map(r => (r._1, r._3) -> r._4).toMap
+    exact.foreach { case (b, item, f) =>
+      val n = nBucket(b)
+      est.get((b, item)).foreach { c =>
+        assert(c <= f, s"($b,$item) overestimated: $c > $f")
+      }
+      if (f * (k + 1) > n) {
+        val c = est.getOrElse((b, item), 0L)
+        assert(c > 0, s"heavy hitter ($b,$item) f=$f n=$n missing from merge")
+        assert(c * (k + 1) >= f * (k + 1) - n, s"($b,$item) below the MG bound")
+      }
+    }
+  }
+
   test("SCD1 merge keeps tombstones so late-arriving older rows cannot resurrect") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val t1 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00")

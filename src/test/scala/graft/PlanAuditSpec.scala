@@ -52,17 +52,27 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
         s"$name reads more than (doc_id, text) from documents")
     }
+    // heavy_hitters buckets/shards by doc_id and tokenizes text — same pair
+    assert(plans.toMap.apply("heavy_hitters")
+      .contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "heavy_hitters reads more than (doc_id, text) from documents")
     // corpus-level heads need only text
     Seq("token_topk").foreach { name =>
       assert(plans.toMap.apply(name).contains("ReadSchema: struct<text:string>"),
         s"$name reads more than (text) from documents")
     }
+    // quantile_sketch needs exactly the bucket timestamp and the price
+    assert(plans.toMap.apply("quantile_sketch")
+      .contains("ReadSchema: struct<l_extendedprice:double,l_shipdate:timestamp"),
+      "quantile_sketch reads more than (l_extendedprice, l_shipdate) from lineitem")
   }
 
   test("vector operators scan only (vec_id, embedding) from embeddings") {
+    // (dedup_semantic's final plan embeds checkpointed codebook RDDs, but
+    // its pair/assignment scans still read only the id+vector columns)
     Seq("knn_bruteforce", "knn_lsh", "knn_ivf", "dedup_embedding",
         "embedding_quantize", "embedding_norm_stats", "pq_encode",
-        "knn_pq").foreach { name =>
+        "knn_pq", "dedup_semantic").foreach { name =>
       val p = plans.toMap.apply(name)
       assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
         s"$name reads more than (vec_id, embedding) from embeddings")
