@@ -46,6 +46,34 @@ object Bench {
         .groupBy(col("l_returnflag"))
         .agg(expr("approx_percentile(p, array(0.5, 0.95), 10000)").as("aps"))
     }),
+    // production quantile-sketch path: build the per-year histograms and
+    // answer the merged subset quantiles from bins alone — the registry
+    // entry additionally full-sorts each subset for the audit-only exact
+    // rank value, which is not the 100 TB plan
+    "quantile_sketch_fast" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val cents = graft.sources.Tables.lineitem(s, d)
+        .select(year(col("l_shipdate")).as("yr"),
+          (col("l_extendedprice").cast("decimal(38,2)") * 100).cast("long").as("cents"))
+      val r = cents.agg(min(col("cents")), max(col("cents"))).head()
+      val sk = graft.ops.Sketches.histogramSketch(
+          cents, col("yr"), col("cents"), r.getLong(0), r.getLong(1))
+        .withColumn("subset", lit("all"))
+      graft.ops.Sketches.histogramQuantiles(sk, col("subset"),
+        Seq((1, 4), (1, 2), (9, 10), (99, 100)), r.getLong(0), r.getLong(1))
+    }),
+    // production heavy-hitters path: per-shard MG sketch rows + merged
+    // read, no exact-count audit join
+    "heavy_hitters_fast" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val toks = graft.sources.Tables.documents(s, d)
+        .select(pmod(col("doc_id"), lit(8)).as("bucket"),
+                pmod(col("doc_id"), lit(4)).as("shard"),
+                explode(graft.ops.TextAnalysis.tokens(col("text"))).as("item"))
+      graft.ops.Sketches.heavyHittersMerged(
+        graft.ops.Sketches.heavyHitterSketch(
+          toks, col("bucket"), col("shard"), col("item"), 64), 64)
+    }),
     // steady-state incremental dedup: a 4% arrival batch probing a STANDING
     // signature index. The index builds once (first/cold call) and is
     // reused, so the warm number is the pure per-arrival probe cost — the
