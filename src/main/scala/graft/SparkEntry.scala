@@ -8,8 +8,8 @@ object SparkEntry {
 
   /** All engine queries, assembled from the per-module registries. */
   def registry: Seq[Q] =
-    Analytics.registry ++ StarQueries.registry ++ EventQueries.registry ++
-      DocQueries.registry
+    Analytics.registry ++ TpchDeep.registry ++ StarQueries.registry ++
+      EventQueries.registry ++ DocQueries.registry
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,269 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import Exact._
+
+/** The deeper TPC-H-shaped analytics surface: multi-join flow analysis,
+  * market-share ratios, profit attribution, conditional-predicate scans —
+  * the report queries an OLAP user of the reference would run beyond the
+  * q1/q3/q4/q5/q6/q17/q21 set already in [[Analytics]]. (The test tables
+  * carry no partsupp and no ship-mode/receipt columns, so the
+  * partsupp-dependent TPC-H queries — q2/q11/q16/q20 — and the
+  * receipt-date ones — q12 — have no honest equivalent here and are
+  * deliberately absent rather than faked.)
+  *
+  * Scale posture shared by all of these: lineitem⋈orders is the one
+  * genuine shuffle (both sides huge, both keyed on orderkey); nation /
+  * region / supplier are broadcast explicitly (fixed 25 / 5 / SF×10k
+  * rows); customer and part are joined WITHOUT a forced strategy so
+  * Catalyst+AQE picks broadcast at small SF and shuffle at 100 TB — the
+  * statistics-driven choice, not a hand-pinned one.
+  */
+object TpchDeep {
+
+  /** TPC-H Q7-shaped volume shipping: revenue flows between two trading
+    * nations by direction and year. The nation filter is applied to the
+    * two broadcast nation copies BEFORE the fact joins, so the customer
+    * and supplier probe sides shrink at the scan (broadcast-hash semi
+    * effect), and only matching orders reach the big shuffle. */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pair = Seq("NATION_1", "NATION_2")
+    val n1 = Tables.nation(spark, dir).filter($"n_name".isin(pair: _*))
+      .select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation"))
+    val n2 = Tables.nation(spark, dir).filter($"n_name".isin(pair: _*))
+      .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+              $"l_shipdate" <= lit("1997-12-31 00:00:00").cast("timestamp"))
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n1), $"c_nationkey" === $"c_nk")
+      .join(broadcast(Tables.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(n2), $"s_nationkey" === $"s_nk")
+      .filter($"cust_nation" =!= $"supp_nation")
+      .groupBy($"cust_nation", $"supp_nation",
+        year($"l_shipdate").cast("long").as("l_year"))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"cust_nation", $"supp_nation", $"l_year")
+  }
+
+  val q7VolumeShippingSql: String = s"""
+    SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+           CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS l_year,
+           ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+      AND n2.n_name IN ('NATION_1', 'NATION_2')
+      AND n1.n_name <> n2.n_name
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <= TIMESTAMP '1997-12-31 00:00:00'
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+  /** TPC-H Q8-shaped market share: the target supplier nation's share of
+    * STANDARD-part revenue sold to ASIA customers, by order year. The
+    * classic ratio-of-conditional-sums — both sums accumulate in exact
+    * decimal over the SAME joined row set (one scan, one shuffle), and
+    * the single final division is the only floating-point step. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val asiaNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter($"r_name" === "ASIA")),
+            $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey".as("c_nk"))
+    val vol = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+              .filter($"o_orderdate" >= lit("1995-01-01 00:00:00").cast("timestamp") &&
+                      $"o_orderdate" <= lit("1996-12-31 00:00:00").cast("timestamp")),
+            $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(asiaNations), $"c_nationkey" === $"c_nk")
+      .join(Tables.part(spark, dir).filter($"p_type" === "STANDARD"),
+            $"l_partkey" === $"p_partkey")
+      .join(broadcast(Tables.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
+      .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+      .agg((dsum(when($"n_name" === "NATION_3", vol).otherwise(lit(0.0))) /
+            dsum(vol)).as("mkt_share"))
+      .orderBy($"o_year")
+  }
+
+  val q8MarketShareSql: String = s"""
+    SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+           ${sqlSum("CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} /
+           ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS mkt_share
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region   ON n1.n_regionkey = r_regionkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <= TIMESTAMP '1996-12-31 00:00:00'
+    GROUP BY 1 ORDER BY 1"""
+
+  /** TPC-H Q9-shaped product profit: margin attributed to the supplier's
+    * nation by order year, over parts matching a name pattern. The test
+    * tables carry no partsupp, so supply cost is the documented proxy
+    * 0.6 × p_retailprice (same role: a per-part unit cost). The LIKE
+    * filter on part prunes the probe side before the fact join. */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val amount = $"l_extendedprice" * (lit(1.0) - $"l_discount") -
+      $"p_retailprice" * lit(0.6) * $"l_quantity"
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).filter($"p_name".like("%gear%")),
+            $"l_partkey" === $"p_partkey")
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("nation"), year($"o_orderdate").cast("long").as("o_year"))
+      .agg(dsum(amount).as("sum_profit"))
+      .orderBy($"nation", $"o_year".desc)
+  }
+
+  val q9ProductProfitSql: String = s"""
+    SELECT n_name AS nation,
+           CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+           ${sqlSum("l_extendedprice * (1.0 - l_discount) - p_retailprice * CAST(0.6 AS DOUBLE) * l_quantity")} AS sum_profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY 1, 2 ORDER BY nation, o_year DESC"""
+
+  /** TPC-H Q10-shaped returned-item report: top 20 customers by revenue
+    * lost to returns in a quarter. Group keys carry the customer
+    * attributes (they're functionally dependent on c_custkey, so the
+    * wide key adds no cardinality); the final top-20 is a TakeOrdered —
+    * O(20) per partition, no full sort at scale. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_returnflag" === "R")
+      .join(Tables.orders(spark, dir)
+              .filter($"o_orderdate" >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+                      $"o_orderdate" <  lit("1996-04-01 00:00:00").cast("timestamp")),
+            $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name".as("nation"))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  val q10ReturnedItemsSql: String = s"""
+    SELECT c_custkey, c_name, c_acctbal, n_name AS nation,
+           ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY 1, 2, 3, 4
+    ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
+  /** TPC-H Q14-shaped promo revenue: percentage of one month's revenue
+    * from PROMO parts. Scalar ratio, one fact scan with the date filter
+    * pushed to the parquet reader; part joins stats-driven. */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vol = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1996-03-01 00:00:00").cast("timestamp") &&
+              $"l_shipdate" <  lit("1996-04-01 00:00:00").cast("timestamp"))
+      .join(Tables.part(spark, dir), $"l_partkey" === $"p_partkey")
+      .agg((lit(100.0) * dsum(when($"p_type" === "PROMO", vol).otherwise(lit(0.0))) /
+            dsum(vol)).as("promo_pct"))
+  }
+
+  val q14PromoRevenueSql: String = s"""
+    SELECT CAST(100.0 AS DOUBLE) *
+           ${sqlSum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} /
+           ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'"""
+
+  /** TPC-H Q18-shaped large-volume orders: orders whose total quantity
+    * exceeds a threshold, with their customer. The HAVING aggregate runs
+    * FIRST on lineitem alone (map-side partial on the fact's natural
+    * clustering key), so only qualifying orderkeys — a tiny fraction —
+    * reach the joins. Top 100 by order value is a TakeOrdered. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(dsum($"l_quantity").as("sum_qty"))
+      .filter($"sum_qty" > 220.0)
+    big.join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"o_orderkey", $"o_orderdate",
+        $"o_totalprice", $"sum_qty")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(100)
+  }
+
+  val q18LargeOrdersSql: String = s"""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM (SELECT l_orderkey, ${sqlSum("l_quantity")} AS sum_qty
+          FROM lineitem GROUP BY 1) big
+    JOIN orders   ON big.l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE sum_qty > 220.0
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""
+
+  /** TPC-H Q19-shaped flexible predicate: revenue under an OR of three
+    * (brand, size-band, quantity-band) conjunctions. The OR can't push
+    * to the scan as-is, so the shared bounds (l_quantity ≤ 30, p_size ≤
+    * 35) are hoisted explicitly — those DO reach the parquet readers and
+    * prune row groups; the residual OR evaluates post-scan in codegen. */
+  def q19FlexiblePred(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val branch = ($"p_brand" === "Brand#1" && $"p_size".between(1, 15) &&
+                    $"l_quantity".between(1, 11)) ||
+                 ($"p_brand" === "Brand#2" && $"p_size".between(1, 25) &&
+                    $"l_quantity".between(10, 20)) ||
+                 ($"p_brand" === "Brand#3" && $"p_size".between(1, 35) &&
+                    $"l_quantity".between(20, 30))
+    Tables.lineitem(spark, dir)
+      .filter($"l_quantity".between(1, 30))
+      .join(Tables.part(spark, dir).filter($"p_size".between(1, 35)),
+            $"l_partkey" === $"p_partkey")
+      .filter(branch)
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+  }
+
+  val q19FlexiblePredSql: String = s"""
+    SELECT ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_quantity BETWEEN 1 AND 30 AND p_size BETWEEN 1 AND 35
+      AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))"""
+
+  val registry: Seq[Q] = Seq(
+    Q("q7_volume_shipping", q7VolumeShipping, Some(q7VolumeShippingSql)),
+    Q("q8_market_share", q8MarketShare, Some(q8MarketShareSql)),
+    Q("q9_product_profit", q9ProductProfit, Some(q9ProductProfitSql)),
+    Q("q10_returned_items", q10ReturnedItems, Some(q10ReturnedItemsSql)),
+    Q("q14_promo_revenue", q14PromoRevenue, Some(q14PromoRevenueSql)),
+    Q("q18_large_orders", q18LargeOrders, Some(q18LargeOrdersSql)),
+    Q("q19_flexible_pred", q19FlexiblePred, Some(q19FlexiblePredSql)))
+}
