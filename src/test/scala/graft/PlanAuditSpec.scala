@@ -26,11 +26,13 @@ class PlanAuditSpec extends SparkSpec {
     // single-row corpus totals onto the scored rows; incremental_distinct
     // joins its single-row sketch-merge total to the single-row exact
     // count; quantile_sketch cross-joins its 4-row quantile list onto the
-    // cumulative bins (every bin scores every requested quantile by design)
+    // cumulative bins (every bin scores every requested quantile by
+    // design); q22_sales_opportunity broadcasts its single-row global
+    // average balance onto the customer dim (the scalar-subquery plan)
     plans.filterNot(p =>
         Set("knn_bruteforce", "knn_ivf", "knn_ivf_disk", "knn_ivf_pq",
             "tfidf_topterms", "bigram_pmi", "incremental_distinct",
-            "bm25_rank", "quantile_sketch")(p._1))
+            "bm25_rank", "quantile_sketch", "q22_sales_opportunity")(p._1))
       .foreach { case (name, p) =>
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
       }
@@ -174,6 +176,17 @@ class PlanAuditSpec extends SparkSpec {
       assert(ex.group(1).contains("user_id") || ex.group(1).contains("cohort_week"),
         s"events_retention plans an unexpected exchange: ${ex.matched}\n$ret")
     }
+  }
+
+  test("q15 takes the global max as a window over the aggregate, not a second fact scan") {
+    // The argmax-report shape: the naive scalar-subquery plan evaluates
+    // the revenue CTE twice (two lineitem scans); the window form scans
+    // the fact once and runs max() over the |suppliers|-row aggregate
+    val p = plans.toMap.apply("q15_top_supplier")
+    assert("Scan parquet .*lineitem".r.findAllIn(p).length === 1,
+      s"q15_top_supplier should scan lineitem exactly once:\n$p")
+    assert(p.contains("Window"),
+      s"q15_top_supplier should take the global max as a window:\n$p")
   }
 
   test("runtime bloom-filter pruning engages for non-broadcastable selective joins") {

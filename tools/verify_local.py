@@ -12,6 +12,8 @@ Usage:
 --skip: comma-separated query names to exclude (the all-pairs Jaccard
 oracles are O(n^2) list intersections in DuckDB — fine at sf0.01, hours at
 sf0.1; the engine side scales, the oracle does not).
+--only: comma-separated query names to check exclusively (pairs with
+graft.Verify --only for a fast targeted re-check of just-touched queries).
 """
 import sys, os, json, glob, math
 import duckdb
@@ -33,18 +35,20 @@ def canon(rows, cols):
     out.sort()
     return sorted(c for c in cols), out
 
-def main(sf_dir, out_dir, skip=()):
+def main(sf_dir, out_dir, skip=(), only=()):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    unknown = [s for s in skip if s not in oracles]
+    unknown = [s for s in (*skip, *only) if s not in oracles]
     if unknown:
-        print(f"WARN --skip names not in the oracle registry (typo?): {unknown}")
+        print(f"WARN --skip/--only names not in the oracle registry (typo?): {unknown}")
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
+        if only and name not in only:
+            continue
         if name in skip:
             print(f"SKIP {name} (oracle cost-prohibitive at this sf)")
             continue
@@ -86,7 +90,7 @@ def main(sf_dir, out_dir, skip=()):
 
 if __name__ == "__main__":
     argv = sys.argv[1:]
-    skip, args = (), []
+    skip, only, args = (), (), []
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -95,7 +99,12 @@ if __name__ == "__main__":
         elif a == "--skip":          # space-separated form
             i += 1
             skip = tuple(argv[i].split(",")) if i < len(argv) else ()
+        elif a.startswith("--only="):
+            only = tuple(a.split("=", 1)[1].split(","))
+        elif a == "--only":
+            i += 1
+            only = tuple(argv[i].split(",")) if i < len(argv) else ()
         else:
             args.append(a)
         i += 1
-    sys.exit(main(args[0], args[1], skip))
+    sys.exit(main(args[0], args[1], skip, only))
