@@ -81,6 +81,45 @@ object Events {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Per-user daily gap fill: the calendar-grid densification every
+    * time-series pipeline runs before rolling statistics — aggregate the
+    * fact to (user, day), expand every user to the corpus-wide day span,
+    * and fill the holes (count 0, measure forward-filled from the last
+    * observed day; `is_gap` marks synthesized rows).
+    *
+    * Shuffle shape: the fact aggregates ONCE keyed (user_id, day_idx) and
+    * that aggregate is eagerly checkpointed — the day-span bounds, the
+    * distinct-user list and the grid's left-join probe all read it, and
+    * without materialization each branch would re-plan the whole fact
+    * aggregation (the funnel lesson). The span is a 1-row broadcast; the
+    * grid explodes MAP-SIDE from the user list (users × days rows are
+    * born already user-partitioned — they never travel a shuffle); the
+    * fill window rides the same user key. At 100 TB the grid is
+    * |users| × |days| — bounded by dimension sizes, not the fact.
+    *
+    * Day indexing is an exact integer day-difference from the epoch, so
+    * the grid arithmetic (`sequence(lo, hi)`) and the oracle's
+    * `generate_series` agree bit-for-bit. */
+  def gapFillDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day_idx"))
+      .agg(count(lit(1)).as("n_events"),
+           graft.queries.Exact.dsum(col("value")).as("day_value"))
+      .localCheckpoint(true)
+    val bounds = daily.agg(min(col("day_idx")).as("lo"), max(col("day_idx")).as("hi"))
+    val grid = daily.select(col("user_id")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day_idx"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("day_idx"))
+    grid.join(daily, Seq("user_id", "day_idx"), "left")
+      .select(col("user_id"), col("day_idx"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("day_value"),
+        last(col("day_value"), ignoreNulls = true).over(byUser).as("ffill_value"),
+        col("n_events").isNull.cast("int").as("is_gap"))
+  }
+
   /** Tumbling-window aggregation: one shuffle on (window, key); partial
     * aggregation happens map-side so the shuffle carries pre-reduced rows. */
   def windowed(events: DataFrame, every: String = "1 hour"): DataFrame =

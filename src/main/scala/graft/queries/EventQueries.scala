@@ -177,6 +177,37 @@ object EventQueries {
     FROM aw JOIN fw USING (user_id)
     GROUP BY 1, 2 ORDER BY cohort_week, week_n"""
 
+  private def eventsGapFill(s: SparkSession, d: String): DataFrame =
+    Events.gapFillDaily(Tables.events(s, d)).orderBy("user_id", "day_idx")
+
+  private val eventsGapFillSql = s"""
+    WITH e AS (
+      SELECT user_id,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_idx,
+             value
+      FROM events),
+    daily AS (
+      SELECT user_id, day_idx, COUNT(*) AS n_events,
+             ${sqlSum("value")} AS day_value
+      FROM e GROUP BY 1, 2),
+    bounds AS (SELECT min(day_idx) AS lo, max(day_idx) AS hi FROM daily),
+    grid AS (
+      SELECT u.user_id, d.day_idx
+      FROM (SELECT DISTINCT user_id FROM daily) u
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS day_idx FROM bounds) d),
+    j AS (
+      SELECT g.user_id, g.day_idx, daily.n_events, daily.day_value
+      FROM grid g LEFT JOIN daily
+        ON g.user_id = daily.user_id AND g.day_idx = daily.day_idx)
+    SELECT user_id, day_idx,
+           COALESCE(n_events, 0) AS n_events,
+           day_value,
+           last_value(day_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value,
+           CAST(n_events IS NULL AS INT) AS is_gap
+    FROM j ORDER BY user_id, day_idx"""
+
   val registry: Seq[Q] = Seq(
     Q("events_windowed", eventsWindowed, Some(eventsWindowedSql)),
     Q("events_sessionize", eventsSessionize, Some(eventsSessionizeSql)),
@@ -184,5 +215,6 @@ object EventQueries {
     Q("asof_join", asofJoinQ, Some(asofJoinSql)),
     Q("range_join", rangeJoin, Some(rangeJoinSql)),
     Q("events_funnel", eventsFunnel, Some(eventsFunnelSql)),
-    Q("events_retention", eventsRetention, Some(eventsRetentionSql)))
+    Q("events_retention", eventsRetention, Some(eventsRetentionSql)),
+    Q("events_gap_fill", eventsGapFill, Some(eventsGapFillSql)))
 }

@@ -28,11 +28,14 @@ class PlanAuditSpec extends SparkSpec {
     // count; quantile_sketch cross-joins its 4-row quantile list onto the
     // cumulative bins (every bin scores every requested quantile by
     // design); q22_sales_opportunity broadcasts its single-row global
-    // average balance onto the customer dim (the scalar-subquery plan)
+    // average balance onto the customer dim (the scalar-subquery plan);
+    // events_gap_fill broadcasts its single-row day-span bounds onto the
+    // user list before the map-side grid explode
     plans.filterNot(p =>
         Set("knn_bruteforce", "knn_ivf", "knn_ivf_disk", "knn_ivf_pq",
             "tfidf_topterms", "bigram_pmi", "incremental_distinct",
-            "bm25_rank", "quantile_sketch", "q22_sales_opportunity")(p._1))
+            "bm25_rank", "quantile_sketch", "q22_sales_opportunity",
+            "events_gap_fill")(p._1))
       .foreach { case (name, p) =>
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
       }
