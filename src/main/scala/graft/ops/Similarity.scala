@@ -243,6 +243,74 @@ object Similarity {
         coalesce(col("max_lower_cos") >= tau, lit(false)).as("is_dup"))
   }
 
+  /** Greedy farthest-point k-center selection (Gonzalez'85) — the
+    * coreset / prototype-selection operator a curation pipeline runs to
+    * pick k maximally-diverse exemplars (labeling seeds, eval anchors,
+    * IVF warm starts). Round 0 seeds at the lowest vec_id; each later
+    * round selects the vector FARTHEST from the chosen set — the minimum
+    * of the running max-cosine, ties to the lower id — the classic
+    * 2-approximation to the optimal k-center cover.
+    *
+    * The [[Graph.pageRank]] iteration posture: per round ONE corpus pass
+    * updates the running max_cos against the single new center (a 1-row
+    * broadcast — after the initial checkpoint the corpus never travels a
+    * shuffle), the round state is eagerly checkpointed with the
+    * superseded round released, and the argmin is the min(struct)
+    * hash-aggregate, never a sort. O(n·k) work, k map passes: at 100 TB
+    * each round is an embarrassingly-parallel map plus a 1-row
+    * aggregate.
+    *
+    * Every step is deterministic double arithmetic (the native
+    * dot-product fold), so an external engine replays the selection
+    * sequence bit-for-bit — the DuckDB oracle unrolls the k rounds as
+    * materialized CTEs.
+    *
+    * @return one row per selected center: (center_id, round_idx,
+    *         sel_cos) — sel_cos is the center's max cosine to the
+    *         EARLIER centers at selection time (the cover radius in
+    *         cosine terms; NULL for the seed)
+    */
+  def kCenter(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = prepared(embeddings).localCheckpoint(true)
+    val seed = base
+      .join(broadcast(base.agg(min(col("vec_id")).as("seed_id"))),
+        col("vec_id") === col("seed_id"))
+      .select(col("vec_id").as("center_id"), col("emb").as("c_emb"),
+        col("nrm").as("c_nrm"))
+      .localCheckpoint(true)
+    var rows = seed.select(col("center_id"), lit(0).as("round_idx"),
+      lit(null).cast("double").as("sel_cos"))
+    var center = seed
+    var state: DataFrame = null
+    (1 until k).foreach { r =>
+      val prev = state
+      val stepCos =
+        cosinePrenormed(col("emb"), col("c_emb"), col("nrm"), col("c_nrm"))
+      state = (if (r == 1) base else state)
+        .crossJoin(broadcast(center.select(col("c_emb"), col("c_nrm"))))
+        .withColumn("max_cos",
+          if (r == 1) stepCos else greatest(col("max_cos"), stepCos))
+        .drop("c_emb", "c_nrm")
+        .localCheckpoint(true)
+      if (prev != null) Checkpoints.unpersist(prev)
+      if (r == 1) Checkpoints.unpersist(base)
+      center = state
+        .join(broadcast(
+            state.agg(min(struct(col("max_cos"), col("vec_id"))).as("m"))),
+          struct(col("max_cos"), col("vec_id")) === col("m"))
+        .select(col("vec_id").as("center_id"), col("emb").as("c_emb"),
+          col("nrm").as("c_nrm"), col("max_cos").as("sel_cos"))
+        .localCheckpoint(true)
+      rows = rows.union(
+        center.select(col("center_id"), lit(r).as("round_idx"), col("sel_cos")))
+    }
+    // the output unions only the 1-row center checkpoints; the final
+    // corpus-sized state (and, at k = 1, the never-consumed base) can go
+    if (state != null) Checkpoints.unpersist(state) else Checkpoints.unpersist(base)
+    rows
+  }
+
   def normStats(embeddings: DataFrame): DataFrame = {
     val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
     embeddings

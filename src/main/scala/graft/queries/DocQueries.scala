@@ -611,6 +611,55 @@ object DocQueries {
     FROM cl LEFT JOIN mx USING (vec_id)
     ORDER BY vec_id"""
 
+  /** Greedy farthest-point k-center coreset (see [[Similarity.kCenter]]):
+    * 8 rounds, each selecting the vector with the lowest running
+    * max-cosine to the already-chosen centers (ties to the lower id). */
+  private def coresetKcenter(s: SparkSession, d: String): DataFrame =
+    Similarity.kCenter(Tables.embeddings(s, d), k = 8)
+      .orderBy("round_idx")
+
+  /** Oracle: the k selection rounds unrolled as MATERIALIZED CTEs (the
+    * round chain is self-referencing — default inlining would grow the
+    * tree ~3^rounds, the bpe_train lesson). Per round: the running
+    * max_cos update is the same left-to-right double dot-product fold,
+    * and the argmin is row_number ORDER BY (max_cos, vec_id) — the
+    * proven min(struct) twin. */
+  private def coresetKcenterSql(k: Int): String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]))"
+    val rounds = (1 until k).map { r =>
+      val cosStep = s"${dot("emb", "c_emb")} / (nrm * c_nrm)"
+      val upd = if (r == 1) cosStep else s"greatest(max_cos, $cosStep)"
+      val prevS = if (r == 1) "p" else s"s${r - 1}"
+      s"""
+    s$r AS MATERIALIZED (
+      SELECT vec_id, emb, nrm, $upd AS max_cos
+      FROM $prevS CROSS JOIN c${r - 1}),
+    c$r AS MATERIALIZED (
+      SELECT vec_id AS center_id, emb AS c_emb, nrm AS c_nrm,
+             max_cos AS sel_cos
+      FROM (SELECT vec_id, emb, nrm, max_cos,
+                   row_number() OVER (ORDER BY max_cos, vec_id) AS rn
+            FROM s$r)
+      WHERE rn = 1)"""
+    }.mkString(",")
+    val sel = (1 until k).map(r =>
+      s"    UNION ALL SELECT center_id, $r AS round_idx, sel_cos FROM c$r")
+      .mkString("\n")
+    s"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+               FROM embeddings),
+    p AS MATERIALIZED (
+      SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm
+      FROM v),
+    c0 AS MATERIALIZED (
+      SELECT vec_id AS center_id, emb AS c_emb, nrm AS c_nrm
+      FROM p WHERE vec_id = (SELECT min(vec_id) FROM p)),$rounds
+    SELECT center_id, 0 AS round_idx, CAST(NULL AS DOUBLE) AS sel_cos FROM c0
+$sel
+    ORDER BY round_idx"""
+  }
+
   /** BM25 against a fixed in-corpus query term set; rational IDF so both
     * engines rank bit-identically (see TextAnalysis.bm25Rank). */
   private def bm25Rank(s: SparkSession, d: String): DataFrame =
@@ -1236,5 +1285,6 @@ object DocQueries {
     Q("bpe_train", bpeTrainQ, Some(bpeTrainSql)),
     Q("heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     Q("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
+    Q("coreset_kcenter", coresetKcenter, Some(coresetKcenterSql(8))),
     Q("bpe_encode", bpeEncodeQ, Some(bpeEncodeSql)))
 }

@@ -30,12 +30,14 @@ class PlanAuditSpec extends SparkSpec {
     // design); q22_sales_opportunity broadcasts its single-row global
     // average balance onto the customer dim (the scalar-subquery plan);
     // events_gap_fill broadcasts its single-row day-span bounds onto the
-    // user list before the map-side grid explode
+    // user list before the map-side grid explode; coreset_kcenter
+    // broadcasts the single-row newest center onto every corpus row each
+    // round (the Gonzalez update IS a corpus × 1 product)
     plans.filterNot(p =>
         Set("knn_bruteforce", "knn_ivf", "knn_ivf_disk", "knn_ivf_pq",
             "tfidf_topterms", "bigram_pmi", "incremental_distinct",
             "bm25_rank", "quantile_sketch", "q22_sales_opportunity",
-            "events_gap_fill")(p._1))
+            "events_gap_fill", "coreset_kcenter")(p._1))
       .foreach { case (name, p) =>
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
       }

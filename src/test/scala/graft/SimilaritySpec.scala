@@ -243,6 +243,27 @@ class SimilaritySpec extends SparkSpec {
       }
   }
 
+  test("kCenter: farthest-first selection order and cover radii on the hand case") {
+    // Gonzalez from seed 0 = (1,0,0,0): round 1 picks the antipode 4
+    // (cos −1), round 2 the orthogonal 2 (max_cos 0), round 3 the
+    // diagonal 3 (max_cos √½); already-selected centers self-score 1 and
+    // can never be re-picked
+    val out = Similarity.kCenter(vecs, k = 4)
+      .orderBy("round_idx")
+      .select("center_id", "sel_cos").as[(Long, Option[Double])].collect()
+    assert(out.map(_._1).toSeq === Seq(0L, 4L, 2L, 3L))
+    assert(out.head._2.isEmpty)
+    val radii = out.tail.map(_._2.get)
+    assert(math.abs(radii(0) - (-1.0)) < 1e-9)
+    assert(math.abs(radii(1) - 0.0) < 1e-9)
+    assert(math.abs(radii(2) - math.sqrt(0.5)) < 1e-9)
+    // cover radius can only tighten (sel_cos nondecreasing) — the
+    // farthest-first invariant
+    assert(radii.sliding(2).forall(w => w(0) <= w(1)))
+    // k = 1 degenerates to the seed alone
+    assert(Similarity.kCenter(vecs, k = 1).count() === 1L)
+  }
+
   test("normStats: exact norm², dims, and the zero / near-unit flags") {
     val data = Seq(
       (1L, Array(0f, 0f, 0f)),          // failed-encoder shape
