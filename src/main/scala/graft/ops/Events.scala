@@ -120,6 +120,58 @@ object Events {
         col("n_events").isNull.cast("int").as("is_gap"))
   }
 
+  /** Per-user event-type transition matrix (first-order Markov counts):
+    * for every consecutive event pair in a user's timeline, the
+    * (from_type → to_type) count and the conditional probability
+    * p(to | from). One user-keyed shuffle for the ordered lead; the
+    * (from, to) aggregate shuffles pre-reduced pairs; the conditional
+    * divisor is a window over the |types|² matrix — nothing at scale.
+    * The probability is one long/long double division, IEEE-identical
+    * across engines. */
+  def transitions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val bySrc = Window.partitionBy(col("from_type"))
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("p_trans", col("n_trans").cast("double") /
+        sum(col("n_trans")).over(bySrc).cast("double"))
+  }
+
+  /** Trailing-window distinct actives: for every day in the observed
+    * span, the distinct users active in the trailing `windowDays` days —
+    * the DAU/WAU/MAU rollup. The fact reduces to distinct (user, day)
+    * FIRST (the only fact-sized shuffle, checkpointed because the span
+    * bound and the expansion both read it); each user-day then expands
+    * MAP-SIDE to the ≤ windowDays trailing windows it participates in,
+    * and the per-day distinct shuffles map-side-deduped (day, user)
+    * pairs. At 100 TB the expansion factor is the window length — and
+    * when even that is too hot, the [[Sketches]] family's mergeable HLL
+    * per day bucket replaces the exact distinct (the incremental_distinct
+    * pattern) with KB-sized sketch merges. */
+  def slidingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val userDays = events
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day_idx"))
+      .distinct()
+      .localCheckpoint(true)
+    val bounds = userDays.agg(max(col("day_idx")).as("hi"))
+    userDays
+      .select(col("user_id"),
+        explode(sequence(col("day_idx"),
+          col("day_idx") + lit(windowDays - 1).cast("long"))).as("w_day"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("w_day") <= col("hi"))
+      .groupBy(col("w_day").as("day_idx"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+  }
+
   /** Tumbling-window aggregation: one shuffle on (window, key); partial
     * aggregation happens map-side so the shuffle carries pre-reduced rows. */
   def windowed(events: DataFrame, every: String = "1 hour"): DataFrame =

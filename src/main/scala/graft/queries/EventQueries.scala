@@ -208,6 +208,41 @@ object EventQueries {
            CAST(n_events IS NULL AS INT) AS is_gap
     FROM j ORDER BY user_id, day_idx"""
 
+  private def eventTransitions(s: SparkSession, d: String): DataFrame =
+    Events.transitions(Tables.events(s, d)).orderBy("from_type", "to_type")
+
+  private val eventTransitionsSql = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+    p AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id) AS to_type
+      FROM e),
+    c AS (
+      SELECT from_type, to_type, COUNT(*) AS n_trans
+      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n_trans,
+           CAST(n_trans AS DOUBLE) /
+           CAST(SUM(n_trans) OVER (PARTITION BY from_type) AS DOUBLE) AS p_trans
+    FROM c ORDER BY from_type, to_type"""
+
+  private def slidingActiveUsers(s: SparkSession, d: String): DataFrame =
+    Events.slidingActiveUsers(Tables.events(s, d), windowDays = 7)
+      .orderBy("day_idx")
+
+  private val slidingActiveUsersSql = """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_idx
+      FROM events),
+    b AS (SELECT max(day_idx) AS hi FROM ud),
+    w AS (SELECT user_id,
+                 unnest(generate_series(day_idx, day_idx + 6)) AS w_day
+          FROM ud)
+    SELECT w_day AS day_idx, COUNT(DISTINCT user_id) AS active_users
+    FROM w, b WHERE w_day <= hi GROUP BY 1 ORDER BY 1"""
+
   val registry: Seq[Q] = Seq(
     Q("events_windowed", eventsWindowed, Some(eventsWindowedSql)),
     Q("events_sessionize", eventsSessionize, Some(eventsSessionizeSql)),
@@ -216,5 +251,7 @@ object EventQueries {
     Q("range_join", rangeJoin, Some(rangeJoinSql)),
     Q("events_funnel", eventsFunnel, Some(eventsFunnelSql)),
     Q("events_retention", eventsRetention, Some(eventsRetentionSql)),
-    Q("events_gap_fill", eventsGapFill, Some(eventsGapFillSql)))
+    Q("events_gap_fill", eventsGapFill, Some(eventsGapFillSql)),
+    Q("event_transitions", eventTransitions, Some(eventTransitionsSql)),
+    Q("sliding_active_users", slidingActiveUsers, Some(slidingActiveUsersSql)))
 }

@@ -37,7 +37,8 @@ class PlanAuditSpec extends SparkSpec {
         Set("knn_bruteforce", "knn_ivf", "knn_ivf_disk", "knn_ivf_pq",
             "tfidf_topterms", "bigram_pmi", "incremental_distinct",
             "bm25_rank", "quantile_sketch", "q22_sales_opportunity",
-            "events_gap_fill", "coreset_kcenter")(p._1))
+            "events_gap_fill", "coreset_kcenter",
+            "sliding_active_users")(p._1))
       .foreach { case (name, p) =>
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
       }
