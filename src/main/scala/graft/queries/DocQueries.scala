@@ -660,6 +660,73 @@ $sel
     ORDER BY round_idx"""
   }
 
+  /** Hybrid retrieval: the BM25 top-50 lexical list fused with the
+    * dense top-50 (cosine to vec 0's embedding, the query anchor) by
+    * reciprocal-rank fusion — see [[graft.ops.Retrieval.rrfFuse]]. Both
+    * lists are candidate-sized; the fusion never touches the corpus. */
+  private def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = TextAnalysis.bm25Rank(Tables.documents(s, d),
+        Seq("table", "merge", "scan"), k = 50)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank"))
+    val emb = Tables.embeddings(s, d)
+    val dense = graft.ops.Similarity
+      .knnBruteForce(emb, emb.filter(col("vec_id") === 0L), k = 50)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    graft.ops.Retrieval.rrfFuse(lex, dense)
+  }
+
+  /** Oracle: both retriever lists replayed (the bm25_rank and
+    * knn_bruteforce shapes), fused with the same fixed-order reciprocal
+    * sum; literals CAST to DOUBLE so DuckDB's decimal literals can't
+    * change the arithmetic. */
+  private val hybridRrfSql = """
+    WITH t AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+               FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DOUBLE) / COUNT(dl) AS avgdl
+              FROM dl),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM t WHERE tok IN ('table', 'merge', 'scan') GROUP BY 1, 2),
+    df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+           FROM t WHERE tok IN ('table', 'merge', 'scan') GROUP BY tok),
+    scored AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(
+               (((n_docs - df + 0.5) / (df + 0.5)) + 1.0) *
+               ((tf * 2.2) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / avgdl))))
+             AS DECIMAL(38,6))) AS DOUBLE) AS bm25
+      FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), stats
+      GROUP BY doc_id),
+    top50 AS (SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 50),
+    lex AS (SELECT doc_id,
+              row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+            FROM top50),
+    v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+          FROM embeddings),
+    n AS (SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm
+          FROM v),
+    q AS (SELECT emb AS q_emb, nrm AS q_nrm FROM n WHERE vec_id = 0),
+    p AS (SELECT vec_id AS doc_id,
+            list_sum(list_transform(range(1, len(emb)+1), i -> emb[i]*q_emb[i]))
+              / (nrm * q_nrm) AS cos
+          FROM n CROSS JOIN q WHERE vec_id <> 0),
+    den AS (SELECT doc_id, rank_dense
+            FROM (SELECT doc_id,
+                    row_number() OVER (ORDER BY cos DESC, doc_id) AS rank_dense
+                  FROM p)
+            WHERE rank_dense <= 50)
+    SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.rank_lex, d.rank_dense,
+           COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60 AS DOUBLE) + l.rank_lex),
+                    CAST(0.0 AS DOUBLE)) +
+           COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60 AS DOUBLE) + d.rank_dense),
+                    CAST(0.0 AS DOUBLE)) AS rrf
+    FROM lex l FULL OUTER JOIN den d ON l.doc_id = d.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 20"""
+
   /** BM25 against a fixed in-corpus query term set; rational IDF so both
     * engines rank bit-identically (see TextAnalysis.bm25Rank). */
   private def bm25Rank(s: SparkSession, d: String): DataFrame =
@@ -1282,6 +1349,7 @@ $sel
     Q("multimodal_wav", multimodalWav, Some(multimodalWavSql)),
     Q("knn_ivf_pq", knnIvfPq, Some(knnPqSql)),
     Q("bm25_rank", bm25Rank, Some(bm25RankSql)),
+    Q("hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     Q("bpe_train", bpeTrainQ, Some(bpeTrainSql)),
     Q("heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     Q("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
