@@ -172,6 +172,32 @@ object Events {
       .agg(countDistinct(col("user_id")).as("active_users"))
   }
 
+  /** Daily-count anomaly flags: per event type, z-score every day's
+    * event count against that type's mean/stddev and flag |z| ≥ `z` —
+    * the volume-anomaly monitor a pipeline runs over its telemetry. One
+    * (type, day) aggregate over the fact, then windowed moments over the
+    * |types| × |days| result (no second scan, no join); every input to
+    * the z formula is an integer count, so the double arithmetic is
+    * exact below 2⁵³ and the score replays bit-for-bit on any engine
+    * (sums of squared daily counts pass 2⁵³ only around 10¹¹ events per
+    * type-day — beyond even the 100 TB posture). */
+  def anomalyDailyCounts(events: DataFrame, z: Double = 2.0): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    val daily = events
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day_idx"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("day_idx"), col("n_events"),
+        count(lit(1)).over(byType).cast("double").as("n_days"),
+        sum(col("n_events")).over(byType).cast("double").as("s"),
+        sum(col("n_events") * col("n_events")).over(byType).cast("double").as("ss"))
+    val zscore = (col("n_events").cast("double") - col("s") / col("n_days")) /
+      sqrt((col("ss") - col("s") * col("s") / col("n_days")) /
+        (col("n_days") - lit(1.0)))
+    daily.select(col("event_type"), col("day_idx"), col("n_events"),
+      zscore.as("z"), (abs(zscore) >= lit(z)).as("is_anomaly"))
+  }
+
   /** Tumbling-window aggregation: one shuffle on (window, key); partial
     * aggregation happens map-side so the shuffle carries pre-reduced rows. */
   def windowed(events: DataFrame, every: String = "1 hour"): DataFrame =

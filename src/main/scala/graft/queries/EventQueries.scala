@@ -243,6 +243,30 @@ object EventQueries {
     SELECT w_day AS day_idx, COUNT(DISTINCT user_id) AS active_users
     FROM w, b WHERE w_day <= hi GROUP BY 1 ORDER BY 1"""
 
+  private def anomalyDailyCounts(s: SparkSession, d: String): DataFrame =
+    Events.anomalyDailyCounts(Tables.events(s, d), z = 2.0)
+      .orderBy("event_type", "day_idx")
+
+  private val anomalyDailyCountsSql = """
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_idx,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT event_type, day_idx, n_events,
+             CAST(COUNT(*) OVER w AS DOUBLE) AS n_days,
+             CAST(SUM(n_events) OVER w AS DOUBLE) AS s,
+             CAST(SUM(n_events * n_events) OVER w AS DOUBLE) AS ss
+      FROM daily WINDOW w AS (PARTITION BY event_type))
+    SELECT event_type, day_idx, n_events,
+           (CAST(n_events AS DOUBLE) - s / n_days) /
+             sqrt((ss - s * s / n_days) / (n_days - CAST(1.0 AS DOUBLE))) AS z,
+           abs((CAST(n_events AS DOUBLE) - s / n_days) /
+             sqrt((ss - s * s / n_days) / (n_days - CAST(1.0 AS DOUBLE))))
+             >= CAST(2.0 AS DOUBLE) AS is_anomaly
+    FROM m ORDER BY event_type, day_idx"""
+
   val registry: Seq[Q] = Seq(
     Q("events_windowed", eventsWindowed, Some(eventsWindowedSql)),
     Q("events_sessionize", eventsSessionize, Some(eventsSessionizeSql)),
@@ -253,5 +277,6 @@ object EventQueries {
     Q("events_retention", eventsRetention, Some(eventsRetentionSql)),
     Q("events_gap_fill", eventsGapFill, Some(eventsGapFillSql)),
     Q("event_transitions", eventTransitions, Some(eventTransitionsSql)),
-    Q("sliding_active_users", slidingActiveUsers, Some(slidingActiveUsersSql)))
+    Q("sliding_active_users", slidingActiveUsers, Some(slidingActiveUsersSql)),
+    Q("anomaly_daily_counts", anomalyDailyCounts, Some(anomalyDailyCountsSql)))
 }
