@@ -29,14 +29,18 @@ import Exact._
   */
 object TpchDeep {
 
-  /** TPC-H Q7-shaped volume shipping: revenue flows between two trading
-    * nations by direction and year. The nation filter is applied to the
-    * two broadcast nation copies BEFORE the fact joins, so the customer
-    * and supplier probe sides shrink at the scan (broadcast-hash semi
-    * effect), and only matching orders reach the big shuffle. */
+  /** TPC-H Q7-shaped volume shipping: revenue flows between the nations
+    * of a trading bloc by direction and year. (A bloc of three rather
+    * than Q7's pair: the sf0.001 smoke data has suppliers in only 10 of
+    * the 25 nations and the strict two-nation flow is empty there —
+    * NATION_3 is supplier-populated at every SF.) The nation filter is
+    * applied to the two broadcast nation copies BEFORE the fact joins,
+    * so the customer and supplier probe sides shrink at the scan
+    * (broadcast-hash semi effect), and only matching orders reach the
+    * big shuffle. */
   def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pair = Seq("NATION_1", "NATION_2")
+    val pair = Seq("NATION_1", "NATION_2", "NATION_3")
     val n1 = Tables.nation(spark, dir).filter($"n_name".isin(pair: _*))
       .select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation"))
     val n2 = Tables.nation(spark, dir).filter($"n_name".isin(pair: _*))
@@ -66,8 +70,8 @@ object TpchDeep {
     JOIN nation n1 ON c_nationkey = n1.n_nationkey
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation n2 ON s_nationkey = n2.n_nationkey
-    WHERE n1.n_name IN ('NATION_1', 'NATION_2')
-      AND n2.n_name IN ('NATION_1', 'NATION_2')
+    WHERE n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
       AND n1.n_name <> n2.n_name
       AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <= TIMESTAMP '1997-12-31 00:00:00'
