@@ -866,7 +866,80 @@ object Analytics {
              AS corr_qty_price
     FROM mo ORDER BY l_returnflag"""
 
+  /** Pareto-frontier supplier report (see [[graft.ops.Skyline]]): the
+    * suppliers not dominated on (account balance, total revenue) — the
+    * multi-criteria "best supplier" skyline. The window formulation
+    * needs no dominance self-join; the oracle deliberately USES the
+    * quadratic NOT-EXISTS dominance definition, so it independently
+    * validates the window logic rather than replaying it. */
+  def skylineSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy($"l_suppkey")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+    val agg = rev
+      .join(broadcast(Tables.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"s_acctbal".as("acctbal"), $"revenue")
+    graft.ops.Skyline.frontier2d(agg, x = "revenue", y = "acctbal")
+      .select($"s_suppkey", $"s_name", $"acctbal", $"revenue")
+      .orderBy($"revenue".desc, $"s_suppkey")
+  }
+
+  val skylineSuppliersSql: String = s"""
+    WITH rev AS (
+      SELECT l_suppkey, ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+      FROM lineitem GROUP BY 1),
+    agg AS (
+      SELECT s_suppkey, s_name, s_acctbal AS acctbal, revenue
+      FROM supplier JOIN rev ON s_suppkey = l_suppkey)
+    SELECT s_suppkey, s_name, acctbal, revenue
+    FROM agg a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM agg b
+      WHERE b.revenue >= a.revenue AND b.acctbal >= a.acctbal
+        AND (b.revenue > a.revenue OR b.acctbal > a.acctbal))
+    ORDER BY revenue DESC, s_suppkey"""
+
+  /** Revenue decile report: exact ntile(10) assignment over the
+    * customer-level revenue aggregate (deterministic total order:
+    * revenue DESC, custkey), then per-decile size and revenue range.
+    * The global ntile sorts a CUSTOMER-dim-sized aggregate, never the
+    * fact; when even that is too large to single-sort, the
+    * quantile-threshold assignment (`ccnet_length_buckets` pattern)
+    * replaces exact ntile. */
+  def customerDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(dsum($"o_totalprice").as("revenue"))
+    rev
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy($"revenue".desc, $"o_custkey")))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_customers"),
+        dsum($"revenue").as("decile_revenue"),
+        min($"revenue").as("min_revenue"),
+        max($"revenue").as("max_revenue"))
+      .orderBy($"decile")
+  }
+
+  val customerDecilesSql: String = s"""
+    WITH rev AS (
+      SELECT o_custkey, ${sqlSum("o_totalprice")} AS revenue
+      FROM orders GROUP BY 1),
+    t AS (
+      SELECT revenue,
+             ntile(10) OVER (ORDER BY revenue DESC, o_custkey) AS decile
+      FROM rev)
+    SELECT decile, COUNT(*) AS n_customers,
+           ${sqlSum("revenue")} AS decile_revenue,
+           min(revenue) AS min_revenue, max(revenue) AS max_revenue
+    FROM t GROUP BY decile ORDER BY decile"""
+
   val registry: Seq[Q] = Seq(
+    Q("skyline_suppliers", skylineSuppliers, Some(skylineSuppliersSql)),
+    Q("customer_deciles", customerDeciles, Some(customerDecilesSql)),
     Q("q1_pricing_summary", q1PricingSummary, Some(q1PricingSummarySql)),
     Q("q3_shipping_priority", q3ShippingPriority, Some(q3ShippingPrioritySql)),
     Q("q5_local_supplier", q5LocalSupplier, Some(q5LocalSupplierSql)),
