@@ -142,6 +142,38 @@ class EventsCdcSpec extends SparkSpec {
     }
   }
 
+  test("streaming transitions aggregate to exactly the batch transition matrix") {
+    val dir = streamDir()
+    val src = spark.readStream
+      .schema(Tables.events(spark, sf).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = graft.streaming.StreamingTransitions.transitions(src)
+      .writeStream.format("memory").queryName("cdc_transitions")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val emitted = spark.table("cdc_transitions")
+      .as[(Long, String, String, Long)].collect()
+    // in-order micro-batches: per-user pair counts, INCLUDING pairs that
+    // straddle batch boundaries, must reproduce the batch lead window
+    val streamed = emitted.groupBy(r => (r._2, r._3)).view
+      .mapValues(_.length.toLong).toMap
+    val batch = graft.ops.Events.transitions(Tables.events(spark, sf))
+      .select($"from_type", $"to_type", $"n_trans")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(streamed === batch)
+    // each user emits exactly (their event count - 1) transitions
+    val perUser = emitted.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val evCounts = Tables.events(spark, sf).groupBy($"user_id").count()
+      .as[(Long, Long)].collect().toMap
+    evCounts.foreach { case (u, n) =>
+      assert(perUser.getOrElse(u, 0L) === n - 1, s"user $u transition count")
+    }
+  }
+
   test("streaming dedup drops source replays within the watermark horizon") {
     // batch 1 = first third of events; batch 2 = the SAME file replayed
     // plus the second third — an at-least-once source re-delivering
