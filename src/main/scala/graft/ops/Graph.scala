@@ -84,4 +84,41 @@ object Graph {
     ranks.select(col("node"), col("rank_u"),
       (col("rank_u") / lit(U.toDouble)).as("rank"))
   }
+
+  /** Fixed-iteration multi-source BFS hop labeling: every node reachable
+    * from `sources` within `iters` hops, tagged with its MINIMUM hop
+    * count — the neighborhood-expansion primitive (blast-radius audits,
+    * k-hop feature extraction). Pure set semantics — frontier-join,
+    * distinct, anti-join — so every step is order-free and engine-exact
+    * with no fixed-point arithmetic needed at all.
+    *
+    * Scale shape per round: the frontier joins the src-keyed edge list
+    * (the same bucketable co-located join as [[pageRank]]'s) and
+    * anti-joins the visited set (node-keyed); the visited table is
+    * checkpointed per round with the superseded copy released, so
+    * lineage and storage stay bounded. Anti-join before labeling is what
+    * makes hop = MIN hop: a node enters visited in the first round that
+    * reaches it and is never relabeled.
+    *
+    * @param sources (node) rows; hop 0
+    * @return (node, hop) — one row per reached node
+    */
+  def bfsHops(edges: DataFrame, sources: DataFrame, iters: Int = 3): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    var visited = sources.select(col("node")).distinct()
+      .select(col("node"), lit(0).as("hop")).localCheckpoint(true)
+    (1 to iters).foreach { r =>
+      val frontier = visited.filter(col("hop") === r - 1)
+        .select(col("node").as("src"))
+      val next = e.join(frontier, "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .select(col("node"), lit(r).as("hop"))
+      val grown = visited.union(next).localCheckpoint(true)
+      Checkpoints.unpersist(visited)
+      visited = grown
+    }
+    Checkpoints.unpersist(e)
+    visited
+  }
 }

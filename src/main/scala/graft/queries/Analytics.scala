@@ -937,7 +937,55 @@ object Analytics {
            min(revenue) AS min_revenue, max(revenue) AS max_revenue
     FROM t GROUP BY decile ORDER BY decile"""
 
+  /** 3-hop BFS neighborhood of customer 1 over the same symmetrized
+    * co-purchase graph graph_pagerank walks (see [[graft.ops.Graph.bfsHops]]):
+    * hop 1 = their suppliers, hop 2 = customers sharing one, hop 3 =
+    * those customers' suppliers. */
+  def graphBfsHops(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey")
+      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
+      .distinct()
+    val edges = pairs.select($"c".as("src"), $"s".as("dst"))
+      .union(pairs.select($"s".as("src"), $"c".as("dst")))
+    val sources = edges.filter($"src" === 2L).select($"src".as("node"))
+    graft.ops.Graph.bfsHops(edges, sources, iters = 3)
+      .select(
+        when($"node" % 2 === 0, "customer").otherwise("supplier").as("node_type"),
+        ($"node" / 2).cast("long").as("entity_id"),
+        $"hop")
+      .orderBy($"hop", $"node_type", $"entity_id")
+  }
+
+  val graphBfsHopsSql: String = {
+    def round(prev: String, vis: String, out: String, vout: String, r: Int) = s"""
+    $out AS MATERIALIZED (
+      SELECT DISTINCT e.dst AS node
+      FROM e JOIN $prev f ON e.src = f.node
+      WHERE e.dst NOT IN (SELECT node FROM $vis)),
+    $vout AS MATERIALIZED (
+      SELECT * FROM $vis UNION ALL SELECT node, $r AS hop FROM $out)"""
+    s"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    e AS MATERIALIZED (SELECT c AS src, s AS dst FROM pairs
+          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+    v0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node, 0 AS hop FROM e WHERE src = 2),
+    f0 AS (SELECT node FROM v0),
+    ${round("f0", "v0", "f1", "v1", 1)},
+    ${round("f1", "v1", "f2", "v2", 2)},
+    ${round("f2", "v2", "f3", "v3", 3)}
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           CAST(node // 2 AS BIGINT) AS entity_id, hop
+    FROM v3 ORDER BY hop, node_type, entity_id"""
+  }
+
   val registry: Seq[Q] = Seq(
+    Q("graph_bfs_hops", graphBfsHops, Some(graphBfsHopsSql)),
     Q("skyline_suppliers", skylineSuppliers, Some(skylineSuppliersSql)),
     Q("customer_deciles", customerDeciles, Some(customerDecilesSql)),
     Q("q1_pricing_summary", q1PricingSummary, Some(q1PricingSummarySql)),

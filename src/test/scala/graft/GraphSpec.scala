@@ -6,6 +6,20 @@ import graft.ops.Graph
 class GraphSpec extends SparkSpec {
   import spark.implicits._
 
+  test("bfsHops: minimum hop labels on a path with a shortcut") {
+    // path 1→2→3→4 plus shortcut 1→4: node 4 must label hop 1 (the
+    // shortcut), NOT hop 3 (the path) — the anti-join-before-label rule
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val out = Graph.bfsHops(edges, Seq(1L).toDF("node"), iters = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(out === Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2))
+    // bounded horizon: iters = 1 reaches only the direct neighbors
+    val near = Graph.bfsHops(edges, Seq(1L).toDF("node"), iters = 1)
+      .as[(Long, Int)].collect().toMap
+    assert(near === Map(1L -> 0, 2L -> 1, 4L -> 1))
+  }
+
   test("pageRank: hub outranks leaves, ranks are exact integers summing to ~1") {
     // star graph: node 0 connected to 1..4 (symmetrized)
     val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
