@@ -94,31 +94,33 @@ object Graph {
     *
     * Scale shape per round: the frontier joins the src-keyed edge list
     * (the same bucketable co-located join as [[pageRank]]'s) and
-    * anti-joins the visited set (node-keyed); the visited table is
-    * checkpointed per round with the superseded copy released, so
-    * lineage and storage stay bounded. Anti-join before labeling is what
-    * makes hop = MIN hop: a node enters visited in the first round that
-    * reaches it and is never relabeled.
+    * anti-joins the union of the per-round frontier checkpoints
+    * (node-keyed). ONLY the new frontier is checkpointed each round —
+    * O(frontier) materialization, never a rewrite of the whole visited
+    * set (which a billion-node graph cannot afford round after round).
+    * Anti-join before labeling is what makes hop = MIN hop: a node
+    * enters a frontier in the first round that reaches it and is never
+    * relabeled.
     *
     * @param sources (node) rows; hop 0
     * @return (node, hop) — one row per reached node
     */
   def bfsHops(edges: DataFrame, sources: DataFrame, iters: Int = 3): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
-    var visited = sources.select(col("node")).distinct()
-      .select(col("node"), lit(0).as("hop")).localCheckpoint(true)
+    var frontiers = List(sources.select(col("node")).distinct()
+      .select(col("node"), lit(0).as("hop")).localCheckpoint(true))
     (1 to iters).foreach { r =>
-      val frontier = visited.filter(col("hop") === r - 1)
-        .select(col("node").as("src"))
-      val next = e.join(frontier, "src")
+      val visited = frontiers.map(_.select(col("node"))).reduce(_ union _)
+      val next = e.join(frontiers.head.select(col("node").as("src")), "src")
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .select(col("node"), lit(r).as("hop"))
-      val grown = visited.union(next).localCheckpoint(true)
-      Checkpoints.unpersist(visited)
-      visited = grown
+        .localCheckpoint(true)
+      frontiers = next :: frontiers
     }
     Checkpoints.unpersist(e)
-    visited
+    // the result unions the (small) frontier checkpoints themselves —
+    // they stay alive for the caller; only the edge copy is released
+    frontiers.reverse.reduce(_ union _)
   }
 }
