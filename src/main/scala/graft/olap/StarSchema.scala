@@ -34,6 +34,33 @@ object StarSchema {
       .drop("__rn")
   }
 
+  /** Type-2 slowly-changing-dimension history from a change stream: one
+    * validity-interval row per (key, change) — `valid_from_us` is the
+    * change's own timestamp, `valid_to_us` the NEXT change's (NULL while
+    * current), `version` the 1-based change ordinal, `is_current` on the
+    * open row. The SCD2 complement of [[scd1Latest]]: where SCD1 keeps
+    * only the newest row, SCD2 keeps every row with its validity range,
+    * and a point-in-time dimension lookup becomes a range predicate
+    * (`valid_from_us <= t AND (valid_to_us IS NULL OR t < valid_to_us)`).
+    *
+    * One key-partitioned shuffle carries the whole computation (the lead
+    * and the ordinal ride the same sorted window); at scale the state
+    * lives in the bucketed sink like the SCD1 state, making the per-batch
+    * append a co-located merge.
+    *
+    * @param tsUs  epoch-microsecond change-time column (long — engine-exact)
+    * @param order full tiebroken ascending order, e.g.
+    *              `Seq(col("ts_us"), col("event_id"))`
+    */
+  def scd2History(df: DataFrame, keys: Seq[String], tsUs: Column,
+                  order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("version", row_number().over(w))
+      .withColumn("valid_from_us", tsUs)
+      .withColumn("valid_to_us", lead(tsUs, 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+  }
+
   /** Deterministic small-int surrogate keys for a LOW-cardinality dimension
     * (mirrors dim_metodo_pago / dim_envio sequences,
     * sync_oltp_to_olap.py:147-172). dense_rank over the *distinct* values —

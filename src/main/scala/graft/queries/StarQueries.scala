@@ -147,6 +147,63 @@ object StarQueries {
           FROM events) t
     WHERE rn = 1 ORDER BY user_id"""
 
+  /** Type-2 dimension history over the change stream (see
+    * [[StarSchema.scd2History]]): every change keeps its validity range;
+    * the SCD1 upsert above is exactly this table filtered to is_current. */
+  private def scd2History(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).withColumn("ts_us", unix_micros($"ts"))
+    StarSchema.scd2History(ev, Seq("user_id"), col("ts_us"),
+        Seq(col("ts_us"), col("event_id")))
+      .select($"user_id", $"version", $"valid_from_us", $"valid_to_us",
+              $"event_type", $"value", $"is_current")
+      .orderBy("user_id", "version")
+  }
+
+  private val scd2HistorySql = """
+    SELECT user_id,
+           row_number() OVER w AS version,
+           epoch_us(ts) AS valid_from_us,
+           lead(epoch_us(ts)) OVER w AS valid_to_us,
+           event_type, value,
+           lead(epoch_us(ts)) OVER w IS NULL AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ORDER BY user_id, version"""
+
+  /** The SCD2 read path: each user's dimension row AS OF a fixed instant —
+    * the range predicate (`valid_from <= t < valid_to`) that replaces the
+    * SCD1 key lookup when history matters. Exactly one row per user whose
+    * history had started by t; on a range-sorted/partitioned history
+    * table the predicate prunes to the files straddling t. */
+  private def scd2AsofLookup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = 1705276800000000L // 2024-01-15T00:00:00Z in epoch micros
+    val ev = Tables.events(s, d).withColumn("ts_us", unix_micros($"ts"))
+    StarSchema.scd2History(ev, Seq("user_id"), col("ts_us"),
+        Seq(col("ts_us"), col("event_id")))
+      .filter($"valid_from_us" <= t &&
+        ($"valid_to_us".isNull || lit(t) < $"valid_to_us"))
+      .select($"user_id", $"version", $"valid_from_us", $"valid_to_us",
+              $"event_type", $"value")
+      .orderBy("user_id")
+  }
+
+  private val scd2AsofLookupSql = """
+    WITH h AS (
+      SELECT user_id,
+             row_number() OVER w AS version,
+             epoch_us(ts) AS valid_from_us,
+             lead(epoch_us(ts)) OVER w AS valid_to_us,
+             event_type, value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+    SELECT user_id, version, valid_from_us, valid_to_us, event_type, value
+    FROM h
+    WHERE valid_from_us <= 1705276800000000
+      AND (valid_to_us IS NULL OR 1705276800000000 < valid_to_us)
+    ORDER BY user_id"""
+
   /** Targeted incremental re-sync: rebuild only fact slices whose customers
     * appear in the change stream (mirrors worker-triggered per-record sync,
     * worker_sync.py:94-108 + sync_oltp_to_olap.py:367-404). The changed-key
@@ -248,6 +305,8 @@ object StarQueries {
     Q("fact_sales", factSales, Some(factSalesSql)),
     Q("fact_ri_repair", factRiRepair, Some(factRiRepairSql)),
     Q("scd1_upsert", scd1Upsert, Some(scd1UpsertSql)),
+    Q("scd2_history", scd2History, Some(scd2HistorySql)),
+    Q("scd2_asof_lookup", scd2AsofLookup, Some(scd2AsofLookupSql)),
     Q("cdc_apply", cdcApply, Some(cdcApplySql)),
     Q("incremental_sync", incrementalSync, Some(incrementalSyncSql)),
     Q("star_roundtrip", starRoundtrip, Some(starRoundtripSql)))
