@@ -184,6 +184,37 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("round-8 pipeline operators keep their intended shuffle shapes") {
+    val m = plans.toMap
+    // events_gap_fill: every hash exchange is user-keyed (the daily agg
+    // checkpoints, the grid explodes map-side, the fill window rides the
+    // user key) — a day- or global-keyed exchange would mean the grid
+    // traveled a shuffle
+    "Exchange hashpartitioning\\(([^)]*)".r
+      .findAllMatchIn(m("events_gap_fill")).foreach { ex =>
+        assert(ex.group(1).contains("user_id"),
+          s"events_gap_fill plans a non-user-keyed exchange: ${ex.matched}")
+      }
+    // coreset_kcenter: the returned plan assembles the k 1-row center
+    // checkpoints — the corpus appears in NO scan and NO exchange (all
+    // corpus passes happened eagerly inside the rounds)
+    val kc = m("coreset_kcenter")
+    assert(!kc.contains("Scan parquet"),
+      s"coreset_kcenter's assembled plan should read only center checkpoints:\n$kc")
+    assert("Scan ExistingRDD".r.findAllIn(kc).length === 8,
+      s"coreset_kcenter should union exactly its 8 center rows:\n$kc")
+    // event_transitions: the lead window shuffles on user_id; the matrix
+    // aggregate keys on the (from, to) pair (pre-rename name:
+    // event_type); the conditional-probability window re-keys the
+    // |types|²-row matrix on from_type; nothing else
+    "Exchange hashpartitioning\\(([^)]*)".r
+      .findAllMatchIn(m("event_transitions")).foreach { ex =>
+        assert(ex.group(1).contains("user_id") || ex.group(1).contains("event_type") ||
+            ex.group(1).contains("from_type"),
+          s"event_transitions plans an unexpected exchange: ${ex.matched}")
+      }
+  }
+
   test("q15 takes the global max as a window over the aggregate, not a second fact scan") {
     // The argmax-report shape: the naive scalar-subquery plan evaluates
     // the revenue CTE twice (two lineitem scans); the window form scans
