@@ -1,0 +1,54 @@
+package graft
+
+import graft.ops.{Retrieval, Skyline}
+
+/** Hand-case specs for the report/fusion operators whose registry
+  * oracles are independent formulations (NOT-EXISTS dominance for the
+  * skyline; replayed retrievers for RRF) — these pin the operator
+  * SEMANTICS on inputs small enough to reason about by hand.
+  */
+class ReportOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("skyline keeps exactly the non-dominated rows, ties included") {
+    // (id, x, y): 1 dominates nothing-check; 2 dominated by 1 (both dims
+    // strictly worse); 3 ties 1 on x with worse y → dominated; 4 better
+    // y, worse x → frontier; 5 duplicates 4 on BOTH dims → neither
+    // strictly dominates, both kept; 6 dominated by 4/5 (equal x, lower y)
+    val df = Seq(
+      (1L, 10.0, 5.0), (2L, 9.0, 4.0), (3L, 10.0, 4.0),
+      (4L, 8.0, 7.0), (5L, 8.0, 7.0), (6L, 8.0, 6.0)
+    ).toDF("id", "x", "y")
+    val out = Skyline.frontier2d(df, "x", "y")
+      .select("id").as[Long].collect().toSet
+    assert(out === Set(1L, 4L, 5L))
+  }
+
+  test("skyline of a single row and of an empty frame") {
+    val one = Seq((1L, 1.0, 1.0)).toDF("id", "x", "y")
+    assert(Skyline.frontier2d(one, "x", "y").count() === 1L)
+    assert(Skyline.frontier2d(one.limit(0), "x", "y").count() === 0L)
+  }
+
+  test("rrf fuses ranks with absence contributing zero, doc_id tiebreak") {
+    // doc 1 is rank 1 in both lists: 2/61; doc 2 only lexical rank 2:
+    // 1/62; doc 3 only dense rank 2: 1/62 — docs 2 and 3 tie exactly and
+    // order by doc_id
+    val lex = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
+    val den = Seq((1L, 1), (3L, 2)).toDF("doc_id", "rank")
+    val out = Retrieval.rrfFuse(lex, den, c = 60, topN = 10)
+      .select("doc_id", "rrf").as[(Long, Double)].collect()
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(math.abs(out(0)._2 - 2.0 / 61.0) < 1e-15)
+    assert(out(1)._2 === out(2)._2)
+    assert(math.abs(out(1)._2 - 1.0 / 62.0) < 1e-15)
+  }
+
+  test("rrf topN truncates after the deterministic order") {
+    val lex = (1L to 5L).map(i => (i, i.toInt)).toDF("doc_id", "rank")
+    val den = (1L to 5L).map(i => (i, i.toInt)).toDF("doc_id", "rank")
+    val out = Retrieval.rrfFuse(lex, den, c = 60, topN = 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(out === Seq(1L, 2L))
+  }
+}
