@@ -90,6 +90,31 @@ object Sampling {
       .drop("__stratum")
   }
 
+  /** Token-budget mixture sampling: downsample each stratum (language,
+    * domain) toward a per-stratum TOKEN budget — the data-mixing
+    * primitive when the recipe targets token counts, not document counts
+    * (training mixtures are specified in tokens). `keep_rate =
+    * min(100, (100·budget) div stratum_tokens)` — EXACT integer
+    * arithmetic (the double floor() form can straddle an integer
+    * boundary across engines) — compared against the same portable md5
+    * bucket as every other sampling decision, so membership is
+    * reproducible and consistent with stratified/split choices. Totals
+    * aggregate map-side-combinable; the tiny rate table broadcasts onto
+    * the scan; membership is a map-side predicate. */
+  def tokenBudget(df: DataFrame, stratumCol: Column, idCol: Column,
+                  tokensCol: Column, budgetTokens: Long): DataFrame = {
+    val totals = df.groupBy(stratumCol.as("__stratum"))
+      .agg(sum(tokensCol).as("__toks"))
+    val rates = totals
+      .withColumn("keep_rate",
+        least(lit(100L), expr(s"(${100L * budgetTokens}) DIV __toks")).cast("int"))
+      .select(col("__stratum"), col("keep_rate"))
+    df.withColumn("sample_bucket", bucket(idCol))
+      .join(broadcast(rates), stratumCol <=> col("__stratum"))
+      .filter(col("sample_bucket") < col("keep_rate"))
+      .drop("__stratum")
+  }
+
   /** Quality-weighted deterministic sampling: keep probability proportional
     * to a per-row [0,1] quality score — high-quality rows survive at up to
     * 100%, junk at (near) 0% — the soft alternative to a hard quality-gate

@@ -909,6 +909,34 @@ $sel
     FROM b JOIN r USING (lang)
     WHERE sample_bucket < keep_rate ORDER BY doc_id"""
 
+  /** Token-budget mixture sampling (see [[graft.ops.Sampling.tokenBudget]]):
+    * every language downsamples toward a 5000-token budget; exact
+    * integer rate arithmetic, portable md5 membership. */
+  private def tokenBudgetSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"lang",
+      size(TextAnalysis.tokens($"text")).cast("long").as("n_tokens"))
+    graft.ops.Sampling.tokenBudget(docs, $"lang", $"doc_id", $"n_tokens",
+        budgetTokens = 5000L)
+      .orderBy("doc_id")
+  }
+
+  private val tokenBudgetSampleSql = """
+    WITH t AS (SELECT doc_id, lang,
+                 len(string_split(lower(trim(text)), ' ')) AS n_tokens
+               FROM documents),
+    c AS (SELECT lang, SUM(n_tokens) AS toks FROM t GROUP BY lang),
+    r AS (SELECT lang,
+            CAST(least(100, 500000 // toks) AS INTEGER) AS keep_rate
+          FROM c),
+    b AS (SELECT doc_id, lang, n_tokens,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+                 AS INTEGER) AS sample_bucket
+          FROM t)
+    SELECT doc_id, lang, n_tokens, sample_bucket, keep_rate
+    FROM b JOIN r USING (lang)
+    WHERE sample_bucket < keep_rate ORDER BY doc_id"""
+
   /** Deterministic train/val/test assignment — contiguous ranges of the
     * same portable md5 bucket the sampling operators use, so split
     * membership is stable across runs/engines and consistent with every
@@ -1332,6 +1360,7 @@ $sel
     Q("decontaminate", decontaminate, Some(decontaminateSql)),
     Q("seq_packing", seqPacking, Some(seqPackingSql)),
     Q("domain_balance", domainBalance, Some(domainBalanceSql)),
+    Q("token_budget_sample", tokenBudgetSample, Some(tokenBudgetSampleSql)),
     Q("tfidf_topterms", tfidfTopTerms, Some(tfidfTopTermsSql)),
     Q("incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     Q("embedding_quantize", embeddingQuantize, Some(embeddingQuantizeSql)),

@@ -109,4 +109,23 @@ class SamplingSkewSpec extends SparkSpec {
     assert(again === kept)
   }
 
+  test("tokenBudget: over-budget strata downsample by exact integer rate, under-budget kept whole") {
+    // stratum A: 4 docs × 50 tokens = 200 total, budget 100 → rate 50;
+    // stratum B: 80 total ≤ budget → rate capped at 100, ALL kept
+    val df = (1L to 4L).map(i => (i, "A", 50L)) ++ Seq((5L, "B", 30L), (6L, "B", 50L))
+    val out = graft.ops.Sampling.tokenBudget(df.toDF("doc_id", "lang", "n_tokens"),
+      $"lang", $"doc_id", $"n_tokens", budgetTokens = 100L)
+    val rates = out.select($"lang", $"keep_rate").distinct()
+      .as[(String, Int)].collect().toMap
+    assert(rates.get("A").forall(_ === 50))
+    assert(rates.getOrElse("B", 100) === 100)
+    assert(out.filter($"lang" === "B").count() === 2L)
+    // A keeps only bucket < 50 rows — a strict subset, deterministic
+    val keptA = out.filter($"lang" === "A").select($"doc_id").as[Long].collect().toSet
+    val again = graft.ops.Sampling.tokenBudget(df.toDF("doc_id", "lang", "n_tokens"),
+      $"lang", $"doc_id", $"n_tokens", budgetTokens = 100L)
+      .filter($"lang" === "A").select($"doc_id").as[Long].collect().toSet
+    assert(keptA === again && keptA.size < 4)
+  }
+
 }
