@@ -208,6 +208,22 @@ object Events {
       .select(unix_micros(col("w.start")).as("window_start_us"),
               col("event_type"), col("n_events"), col("sum_value"))
 
+  /** SLIDING-window aggregation (`window(ts, width, slide)`): each event
+    * contributes to width/slide overlapping windows — the moving-rate
+    * view a monitoring pipeline reads (tumbling is the slide = width
+    * special case, [[windowed]]). Spark expands the window assignment
+    * MAP-SIDE before the one (window, key) shuffle, so the shuffle
+    * carries pre-reduced rows exactly like the tumbling case, inflated
+    * only by the overlap factor. */
+  def slidingWindowed(events: DataFrame, width: String = "2 hours",
+                      slide: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           graft.queries.Exact.dsum(col("value")).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+              col("event_type"), col("n_events"), col("sum_value"))
+
   /** Gap-based sessionization: a session breaks after `gapUs` of silence per
     * user. Two windows over one shuffle on user_id: a lag to flag session
     * starts, a running sum to number sessions, then a grouped rollup.

@@ -177,6 +177,22 @@ object EventQueries {
     FROM aw JOIN fw USING (user_id)
     GROUP BY 1, 2 ORDER BY cohort_week, week_n"""
 
+  private def eventsSliding(s: SparkSession, d: String): DataFrame =
+    Events.slidingWindowed(Tables.events(s, d), "2 hours", "1 hour")
+      .orderBy("window_start_us", "event_type")
+
+  /** Oracle: a 2h/1h sliding window assigns each event to the two
+    * hour-aligned windows covering it — starts at trunc_hour(ts) and
+    * trunc_hour(ts) − 1h (Spark windows are epoch-aligned in UTC). */
+  private val eventsSlidingSql = s"""
+    WITH e AS (SELECT epoch_us(ts) AS ts_us, event_type, value FROM events),
+    x AS (SELECT ts_us - (ts_us % 3600000000) - o * 3600000000 AS window_start_us,
+                 event_type, value
+          FROM e, (SELECT unnest([0, 1]) AS o) t)
+    SELECT window_start_us, event_type, COUNT(*) AS n_events,
+           ${sqlSum("value")} AS sum_value
+    FROM x GROUP BY 1, 2 ORDER BY 1, 2"""
+
   private def eventsGapFill(s: SparkSession, d: String): DataFrame =
     Events.gapFillDaily(Tables.events(s, d)).orderBy("user_id", "day_idx")
 
@@ -269,6 +285,7 @@ object EventQueries {
 
   val registry: Seq[Q] = Seq(
     Q("events_windowed", eventsWindowed, Some(eventsWindowedSql)),
+    Q("events_sliding_windows", eventsSliding, Some(eventsSlidingSql)),
     Q("events_sessionize", eventsSessionize, Some(eventsSessionizeSql)),
     Q("events_sessionize_native", eventsSessionizeNative, Some(eventsSessionizeNativeSql)),
     Q("asof_join", asofJoinQ, Some(asofJoinSql)),
