@@ -14,6 +14,13 @@ import org.apache.spark.sql.expressions.Window
   */
 object Events {
 
+  /** Epoch-day index of a timestamp — the ONE load-bearing form every
+    * daily operator and its oracle must share: it matches DuckDB's
+    * `datediff('day', DATE '1970-01-01', CAST(ts AS DATE))` exactly
+    * (UTC session both sides). */
+  private[ops] def dayIdx(ts: Column): Column =
+    datediff(to_date(ts), lit("1970-01-01")).cast("long")
+
   /** Strict sequential funnel: per user, the first `steps.head` event, then
     * the first `steps(1)` event strictly AFTER it, and so on — the classic
     * conversion-funnel question asked set-orientedly: one min-timestamp
@@ -102,8 +109,7 @@ object Events {
     * `generate_series` agree bit-for-bit. */
   def gapFillDaily(events: DataFrame): DataFrame = {
     val daily = events
-      .groupBy(col("user_id"),
-        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day_idx"))
+      .groupBy(col("user_id"), dayIdx(col("ts")).as("day_idx"))
       .agg(count(lit(1)).as("n_events"),
            graft.queries.Exact.dsum(col("value")).as("day_value"))
       .localCheckpoint(true)
@@ -157,8 +163,7 @@ object Events {
   def slidingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
     require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
     val userDays = events
-      .select(col("user_id"),
-        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day_idx"))
+      .select(col("user_id"), dayIdx(col("ts")).as("day_idx"))
       .distinct()
       .localCheckpoint(true)
     val bounds = userDays.agg(max(col("day_idx")).as("hi"))
@@ -180,22 +185,27 @@ object Events {
     * the z formula is an integer count, so the double arithmetic is
     * exact below 2⁵³ and the score replays bit-for-bit on any engine
     * (sums of squared daily counts pass 2⁵³ only around 10¹¹ events per
-    * type-day — beyond even the 100 TB posture). */
+    * type-day — beyond even the 100 TB posture). A type observed on a
+    * single day, or with zero variance, has no defined z — those rows
+    * carry NULL z and a false flag EXPLICITLY (guarded before the
+    * division: Spark's NULL-on-zero-divide and DuckDB's IEEE NaN would
+    * otherwise diverge). */
   def anomalyDailyCounts(events: DataFrame, z: Double = 2.0): DataFrame = {
     val byType = Window.partitionBy(col("event_type"))
     val daily = events
-      .groupBy(col("event_type"),
-        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day_idx"))
+      .groupBy(col("event_type"), dayIdx(col("ts")).as("day_idx"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("event_type"), col("day_idx"), col("n_events"),
         count(lit(1)).over(byType).cast("double").as("n_days"),
         sum(col("n_events")).over(byType).cast("double").as("s"),
         sum(col("n_events") * col("n_events")).over(byType).cast("double").as("ss"))
-    val zscore = (col("n_events").cast("double") - col("s") / col("n_days")) /
-      sqrt((col("ss") - col("s") * col("s") / col("n_days")) /
-        (col("n_days") - lit(1.0)))
+    val varNum = col("ss") - col("s") * col("s") / col("n_days")
+    val zscore = when(col("n_days") > lit(1.0) && varNum > lit(0.0),
+      (col("n_events").cast("double") - col("s") / col("n_days")) /
+        sqrt(varNum / (col("n_days") - lit(1.0))))
     daily.select(col("event_type"), col("day_idx"), col("n_events"),
-      zscore.as("z"), (abs(zscore) >= lit(z)).as("is_anomaly"))
+      zscore.as("z"),
+      coalesce(abs(zscore) >= lit(z), lit(false)).as("is_anomaly"))
   }
 
   /** Tumbling-window aggregation: one shuffle on (window, key); partial

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics as plain DataFrame plans (no GraphX/GraphFrames
@@ -107,6 +107,21 @@ object Graph {
     */
   def bfsHops(edges: DataFrame, sources: DataFrame, iters: Int = 3): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    expand(e, sources, iters)
+  }
+
+  /** [[bfsHops]] with the seeds selected FROM the edge set itself:
+    * sources = distinct src nodes satisfying `sourcePred` over the
+    * checkpointed edge list. When the edge list is derived from an
+    * expensive pipeline (fact joins), an externally-built `sources`
+    * frame re-plans that whole pipeline just to pick the seeds — this
+    * overload reads the one materialized copy instead. */
+  def bfsHopsFrom(edges: DataFrame, sourcePred: Column, iters: Int = 3): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    expand(e, e.filter(sourcePred).select(col("src").as("node")), iters)
+  }
+
+  private def expand(e: DataFrame, sources: DataFrame, iters: Int): DataFrame = {
     var frontiers = List(sources.select(col("node")).distinct()
       .select(col("node"), lit(0).as("hop")).localCheckpoint(true))
     (1 to iters).foreach { r =>

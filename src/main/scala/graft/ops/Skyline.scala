@@ -22,14 +22,19 @@ object Skyline {
 
   /** Frontier rows of `df` maximizing both `x` and `y`. Ties surviving
     * dominance (equal on both dims) are all kept — none strictly
-    * dominates another. */
+    * dominates another. Rows with NULL in either dimension are
+    * incomparable under dominance and are EXCLUDED explicitly (without
+    * the filter they would be dropped by one code path and kept by a
+    * NOT-EXISTS formulation — an undefined, formulation-dependent
+    * answer). */
   def frontier2d(df: DataFrame, x: String, y: String): DataFrame = {
-    val grouped = df.groupBy(col(x)).agg(max(col(y)).as("_gmax_y"))
+    val comparable = df.filter(col(x).isNotNull && col(y).isNotNull)
+    val grouped = comparable.groupBy(col(x)).agg(max(col(y)).as("_gmax_y"))
     val strictWin = Window.orderBy(col(x).desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val bounds = grouped.select(col(x), col("_gmax_y"),
       max(col("_gmax_y")).over(strictWin).as("_strict_max_y"))
-    df.join(bounds, x)
+    comparable.join(bounds, x)
       .filter(col(y) === col("_gmax_y") &&
         (col("_strict_max_y").isNull || col("_strict_max_y") < col(y)))
       .drop("_gmax_y", "_strict_max_y")

@@ -950,8 +950,9 @@ object Analytics {
       .distinct()
     val edges = pairs.select($"c".as("src"), $"s".as("dst"))
       .union(pairs.select($"s".as("src"), $"c".as("dst")))
-    val sources = edges.filter($"src" === 2L).select($"src".as("node"))
-    graft.ops.Graph.bfsHops(edges, sources, iters = 3)
+    // seeds picked from the checkpointed edge copy — an external sources
+    // frame would re-plan the whole lineitem⋈orders pipeline a second time
+    graft.ops.Graph.bfsHopsFrom(edges, col("src") === 2L, iters = 3)
       .select(
         when($"node" % 2 === 0, "customer").otherwise("supplier").as("node_type"),
         ($"node" / 2).cast("long").as("entity_id"),

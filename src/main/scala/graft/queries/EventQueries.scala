@@ -276,11 +276,17 @@ object EventQueries {
              CAST(SUM(n_events * n_events) OVER w AS DOUBLE) AS ss
       FROM daily WINDOW w AS (PARTITION BY event_type))
     SELECT event_type, day_idx, n_events,
-           (CAST(n_events AS DOUBLE) - s / n_days) /
-             sqrt((ss - s * s / n_days) / (n_days - CAST(1.0 AS DOUBLE))) AS z,
-           abs((CAST(n_events AS DOUBLE) - s / n_days) /
-             sqrt((ss - s * s / n_days) / (n_days - CAST(1.0 AS DOUBLE))))
-             >= CAST(2.0 AS DOUBLE) AS is_anomaly
+           CASE WHEN n_days > CAST(1.0 AS DOUBLE)
+                 AND (ss - s * s / n_days) > CAST(0.0 AS DOUBLE)
+                THEN (CAST(n_events AS DOUBLE) - s / n_days) /
+                  sqrt((ss - s * s / n_days) / (n_days - CAST(1.0 AS DOUBLE)))
+           END AS z,
+           COALESCE(
+             abs(CASE WHEN n_days > CAST(1.0 AS DOUBLE)
+                       AND (ss - s * s / n_days) > CAST(0.0 AS DOUBLE)
+                      THEN (CAST(n_events AS DOUBLE) - s / n_days) /
+                        sqrt((ss - s * s / n_days) / (n_days - CAST(1.0 AS DOUBLE)))
+                 END) >= CAST(2.0 AS DOUBLE), FALSE) AS is_anomaly
     FROM m ORDER BY event_type, day_idx"""
 
   val registry: Seq[Q] = Seq(

@@ -43,14 +43,28 @@ object StreamingTransitions {
     // micro-batch iterators carry no ordering guarantee — restore event
     // time order (ts, then event_id — the batch operator's tiebreak)
     val sorted = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-    var last = state.getOption
+    val before = state.getOption
+    var last = before
     val out = Seq.newBuilder[Transition]
     sorted.foreach { e =>
       val ts = micros(e.ts)
-      last.foreach(l => out += Transition(userId, l.event_type, e.event_type, ts))
-      last = Some(LastEvent(ts, e.event_id, e.event_type))
+      last match {
+        // the boundary guard compares the FULL (ts, event_id) tuple, not
+        // just ts: an equal-timestamp event whose id sorts BEFORE the
+        // stored last (or a redelivery of the last event itself) arrived
+        // out of order across the batch boundary — emitting last→e would
+        // INVERT the batch lead-window's pair, so such events are
+        // dropped (with watermarked in-order sources this cannot occur;
+        // under at-least-once redelivery it is the safe behavior)
+        case Some(l) if ts < l.ts_us ||
+            (ts == l.ts_us && e.event_id <= l.event_id) => ()
+        case _ =>
+          last.foreach(l =>
+            out += Transition(userId, l.event_type, e.event_type, ts))
+          last = Some(LastEvent(ts, e.event_id, e.event_type))
+      }
     }
-    last.filter(_ => sorted.nonEmpty).foreach(state.update)
+    if (last != before) last.foreach(state.update)
     out.result().iterator
   }
 

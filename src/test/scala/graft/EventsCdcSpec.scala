@@ -174,6 +174,43 @@ class EventsCdcSpec extends SparkSpec {
     }
   }
 
+  test("streaming transitions drop equal-timestamp events arriving out of order across batches") {
+    // batch 1 delivers (ts=T, id=5); batch 2 delivers (ts=T, id=3) — an
+    // out-of-order tie split. Emitting last→e would INVERT the batch
+    // lead-window pair (which orders id=3 before id=5), so the guard
+    // must drop the late event; the only transition is 5→7
+    val dir = java.nio.file.Files.createTempDirectory("graft_tie_stream")
+    val schema = Tables.events(spark, sf).schema
+    val t = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-05T00:00:00Z"))
+    val t2 = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-05T01:00:00Z"))
+    def writeBatch(i: Int, rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_tie_tmp").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .select($"event_id", $"ts".cast("timestamp").as("ts"), $"user_id",
+          $"event_type", $"value", $"props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, dir.resolve(s"$i.parquet"))
+      Thread.sleep(1000)
+    }
+    writeBatch(1, Seq((5L, t, 1L, "view", 1.0, "{}")))
+    writeBatch(2, Seq((3L, t, 1L, "click", 1.0, "{}"),
+                      (7L, t2, 1L, "purchase", 1.0, "{}")))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = graft.streaming.StreamingTransitions.transitions(src)
+      .writeStream.format("memory").queryName("tie_transitions")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val emitted = spark.table("tie_transitions")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(emitted === Set((1L, "view", "purchase",
+      t2.toInstant.getEpochSecond * 1000000L)))
+  }
+
   test("streaming dedup drops source replays within the watermark horizon") {
     // batch 1 = first third of events; batch 2 = the SAME file replayed
     // plus the second third — an at-least-once source re-delivering

@@ -24,6 +24,15 @@ class ReportOpsSpec extends SparkSpec {
     assert(out === Set(1L, 4L, 5L))
   }
 
+  test("skyline excludes NULL-dimension rows as incomparable") {
+    val df = Seq(
+      (1L, Some(10.0), Some(5.0)), (2L, None, Some(9.0)), (3L, Some(9.0), None)
+    ).toDF("id", "x", "y")
+    val out = Skyline.frontier2d(df, "x", "y")
+      .select("id").as[Long].collect().toSet
+    assert(out === Set(1L))
+  }
+
   test("skyline of a single row and of an empty frame") {
     val one = Seq((1L, 1.0, 1.0)).toDF("id", "x", "y")
     assert(Skyline.frontier2d(one, "x", "y").count() === 1L)
