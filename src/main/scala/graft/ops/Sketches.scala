@@ -116,4 +116,50 @@ object Sketches {
         expr(s"${lo}L + ((bin + 1) * ${w}L + ${nbins - 1}) div $nbins - 1")
           .as("est_hi"))
   }
+
+  /** Count-Min hash slot: depth-d hash of `item` into [0, width) — the
+    * portable md5 construction every sampling/dedup oracle replays
+    * (DuckDB: `('0x' || substr(md5(d || item), 1, 15))::BIGINT % width`). */
+  private def cmSlot(d: Column, item: Column, width: Int): Column =
+    pmod(conv(substring(md5(concat(d.cast("string"), item).cast("binary")), 1, 15),
+        16, 10).cast("long"), lit(width.toLong)).cast("int")
+
+  private def withDepths(df: DataFrame, depth: Int): DataFrame =
+    df.select(col("*"),
+      explode(array((0 until depth).map(lit): _*)).as("depth"))
+
+  /** Count-Min frequency sketch table (Cormode & Muthukrishnan '05) —
+    * the point-frequency member of the sketch family ([[distinctSketch]]
+    * HLL / [[heavyHitterSketch]] Misra-Gries / [[histogramSketch]]
+    * quantiles): one (bucket, depth, slot, cnt) row per non-empty cell,
+    * depth × width cells per bucket regardless of data size. Unlike the
+    * Misra-Gries rows, CM counters are PURE SUMS — order-free,
+    * engine-replayable, so the sketch itself hash-checks (no
+    * acceptance-flag indirection), and merging buckets is plain
+    * per-cell addition. Hashes are the portable md5 slot with the depth
+    * index as seed. */
+  def countMinSketch(df: DataFrame, bucket: Column, item: Column,
+                     depth: Int = 3, width: Int = 32): DataFrame =
+    withDepths(df.select(bucket.as("bucket"), item.as("__item")), depth)
+      .groupBy(col("bucket"), col("depth"),
+        cmSlot(col("depth"), col("__item"), width).as("slot"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point-frequency estimates for `items` from a merged CM sketch
+    * subset: est = min over depths of the item's cell sum. CM never
+    * underestimates (every cell sum ≥ the item's true count — a
+    * deterministic property, not probabilistic), so `est_n ≥ exact_n`
+    * always; the ε = e/width overcount bound is what the width buys. */
+  def countMinEstimates(sketch: DataFrame, items: DataFrame,
+                        itemCol: String, depth: Int = 3,
+                        width: Int = 32): DataFrame = {
+    val merged = sketch.groupBy(col("depth"), col("slot"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val probes = withDepths(items.select(col(itemCol)), depth)
+      .select(col(itemCol), col("depth"),
+        cmSlot(col("depth"), col(itemCol), width).as("slot"))
+    probes.join(merged, Seq("depth", "slot"))
+      .groupBy(col(itemCol))
+      .agg(min(col("cnt")).as("est_n"))
+  }
 }

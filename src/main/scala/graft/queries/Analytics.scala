@@ -866,6 +866,49 @@ object Analytics {
              AS corr_qty_price
     FROM mo ORDER BY l_returnflag"""
 
+  /** Count-Min sketch-table rollup (see [[graft.ops.Sketches.countMinSketch]]):
+    * per-year CM sketches of order priorities, merged per-cell across
+    * years, point estimates = min over depths — the point-frequency
+    * member of the persisted-sketch family. Counters are pure sums over
+    * the portable md5 slot hash, so the whole pipeline hash-checks
+    * (exact counts ride along; `overestimates_ok` pins CM's
+    * deterministic est ≥ exact guarantee). */
+  def countminSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.orders(spark, dir)
+      .select($"o_orderpriority".as("item"), year($"o_orderdate").as("yr"))
+    val sketch = graft.ops.Sketches.countMinSketch(base, $"yr", $"item")
+    val exact = base.groupBy($"item").agg(count(lit(1)).as("exact_n"))
+    val est = graft.ops.Sketches.countMinEstimates(sketch, exact.select($"item"), "item")
+    exact.join(est, "item")
+      .select($"item".as("o_orderpriority"), $"exact_n", $"est_n",
+        ($"est_n" >= $"exact_n").as("overestimates_ok"))
+      .orderBy("o_orderpriority")
+  }
+
+  val countminSketchSql: String = """
+    WITH base AS (
+      SELECT o_orderpriority AS item, year(CAST(o_orderdate AS DATE)) AS yr
+      FROM orders),
+    cells AS (
+      SELECT yr, d AS depth,
+             CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || item), 1, 15))::BIGINT
+                  % 32 AS INTEGER) AS slot,
+             COUNT(*) AS cnt
+      FROM base, (SELECT unnest([0, 1, 2]) AS d) t GROUP BY 1, 2, 3),
+    merged AS (SELECT depth, slot, SUM(cnt) AS cnt FROM cells GROUP BY 1, 2),
+    items AS (SELECT item, COUNT(*) AS exact_n FROM base GROUP BY 1),
+    probes AS (
+      SELECT item, d AS depth,
+             CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || item), 1, 15))::BIGINT
+                  % 32 AS INTEGER) AS slot
+      FROM items, (SELECT unnest([0, 1, 2]) AS d) t),
+    est AS (SELECT item, CAST(MIN(cnt) AS BIGINT) AS est_n
+            FROM probes JOIN merged USING (depth, slot) GROUP BY 1)
+    SELECT item AS o_orderpriority, exact_n, est_n,
+           est_n >= exact_n AS overestimates_ok
+    FROM items JOIN est USING (item) ORDER BY 1"""
+
   /** Pareto-frontier supplier report (see [[graft.ops.Skyline]]): the
     * suppliers not dominated on (account balance, total revenue) — the
     * multi-criteria "best supplier" skyline. The window formulation
@@ -1010,6 +1053,7 @@ object Analytics {
     Q("table_stats", tableStats, Some(tableStatsSql)),
     Q("incremental_distinct", incrementalDistinct, Some(incrementalDistinctSql)),
     Q("quantile_sketch", quantileSketch, Some(quantileSketchSql)),
+    Q("countmin_sketch", countminSketch, Some(countminSketchSql)),
     Q("q21_late_supplier", q21LateSupplier, Some(q21LateSupplierSql)),
     Q("window_trailing_30d", windowTrailing30d, Some(windowTrailing30dSql)),
     Q("graph_pagerank", graphPagerank, Some(graphPagerankSql)),

@@ -105,6 +105,30 @@ class SketchesSpec extends SparkSpec {
     assert(clamped === Array(0L, nbins - 1L))
   }
 
+  test("countMin: bounded cells, cell-sum merge, never underestimates, collisions overestimate") {
+    // 8 distinct items with frequencies 1..8 into width 2 × depth 2 —
+    // collisions are unavoidable, so some estimate MUST overcount; none
+    // may ever undercount (CM's deterministic property)
+    val rows = (1 to 8).flatMap(i => Seq.fill(i)((s"item_$i", i % 3)))
+    val df = rows.toDF("item", "b")
+    val sk = Sketches.countMinSketch(df, $"b", $"item", depth = 2, width = 2)
+    assert(sk.groupBy($"bucket").count()
+      .as[(Int, Long)].collect().forall(_._2 <= 4), "≤ depth×width cells per bucket")
+    // per-depth cell mass in every bucket equals the bucket's row count
+    val mass = sk.groupBy($"bucket", $"depth").agg(sum($"cnt").as("m"))
+      .as[(Int, Int, Long)].collect()
+    val byBucket = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    mass.foreach { case (b, _, m) => assert(m === byBucket(b)) }
+    val est = Sketches.countMinEstimates(sk, df.select($"item").distinct(),
+        "item", depth = 2, width = 2)
+      .as[(String, Long)].collect().toMap
+    val exact = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    exact.foreach { case (it, x) =>
+      assert(est(it) >= x, s"$it underestimated: ${est(it)} < $x") }
+    assert(exact.exists { case (it, x) => est(it) > x },
+      "width 2 must force at least one collision overcount")
+  }
+
   test("mg aggregates reject non-matching input types") {
     val df = Seq((1L, 2L)).toDF("a", "b")
     intercept[org.apache.spark.sql.AnalysisException] {
