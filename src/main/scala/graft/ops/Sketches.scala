@@ -150,6 +150,37 @@ object Sketches {
     * underestimates (every cell sum ≥ the item's true count — a
     * deterministic property, not probabilistic), so `est_n ≥ exact_n`
     * always; the ε = e/width overcount bound is what the width buys. */
+  /** Bloom-filter membership sketch table (Bloom '70) — the membership
+    * member of the sketch family, and the artifact behind every
+    * join-pruning runtime filter: one (bucket, bit) row per SET bit of
+    * the per-bucket filter (k hashes per item over the same portable md5
+    * slot as [[countMinSketch]]). Merging buckets is set union (distinct
+    * bits) — order-free and engine-replayable, so the filter itself
+    * hash-checks. */
+  def bloomSketch(df: DataFrame, bucket: Column, item: Column,
+                  k: Int = 3, bits: Int = 65536): DataFrame =
+    withDepths(df.select(bucket.as("bucket"), item.as("__item")), k)
+      .select(col("bucket"), cmSlot(col("depth"), col("__item"), bits).as("bit"))
+      .distinct()
+
+  /** Membership probes against a merged bloom subset: an item is
+    * `maybe_present` iff ALL k of its bits are set. Bloom's
+    * deterministic guarantee is NO FALSE NEGATIVES — a member item
+    * always probes true; the false-positive rate is what `bits` buys
+    * (≈ fill^k at the observed fill fraction). */
+  def bloomProbe(sketch: DataFrame, items: DataFrame, itemCol: String,
+                 k: Int = 3, bits: Int = 65536): DataFrame = {
+    val merged = sketch.select(col("bit")).distinct()
+    withDepths(items.select(col(itemCol)), k)
+      .select(col(itemCol), cmSlot(col("depth"), col(itemCol), bits).as("bit"))
+      .join(merged, Seq("bit"), "left_semi")
+      .groupBy(col(itemCol))
+      .agg(count(lit(1)).as("__hits"))
+      .join(items.select(col(itemCol)), Seq(itemCol), "right")
+      .select(col(itemCol),
+        coalesce(col("__hits") === k.toLong, lit(false)).as("maybe_present"))
+  }
+
   def countMinEstimates(sketch: DataFrame, items: DataFrame,
                         itemCol: String, depth: Int = 3,
                         width: Int = 32): DataFrame = {

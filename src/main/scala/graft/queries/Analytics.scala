@@ -909,6 +909,64 @@ object Analytics {
            est_n >= exact_n AS overestimates_ok
     FROM items JOIN est USING (item) ORDER BY 1"""
 
+  /** Bloom membership filter (see [[graft.ops.Sketches.bloomSketch]]):
+    * per-year blooms of the customers who ordered in 1995, merged by bit
+    * union, every customer probed — the persisted form of the runtime
+    * join-pruning filter. Exact membership rides along and
+    * `no_false_negative` pins Bloom's deterministic guarantee; the
+    * false-positive rows are the (engine-identical) cost of the fixed
+    * bit width. */
+  def bloomMembership(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val recent = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1995-01-01 00:00:00").cast("timestamp") &&
+              $"o_orderdate" <  lit("1996-01-01 00:00:00").cast("timestamp"))
+      .select(year($"o_orderdate").as("yr"), $"o_custkey".cast("string").as("ck"))
+    val sketch = graft.ops.Sketches.bloomSketch(recent, $"yr", $"ck")
+    val cust = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_custkey".cast("string").as("ck"))
+    val probed = graft.ops.Sketches.bloomProbe(sketch, cust.select($"ck"), "ck")
+    cust
+      .join(probed, "ck")
+      .join(recent.select($"ck").distinct().withColumn("ap", lit(true)),
+        Seq("ck"), "left")
+      .select($"c_custkey", $"maybe_present",
+        coalesce($"ap", lit(false)).as("actually_present"),
+        ($"maybe_present" || coalesce($"ap", lit(false)) === false)
+          .as("no_false_negative"))
+      .orderBy("c_custkey")
+  }
+
+  val bloomMembershipSql: String = """
+    WITH recent AS (
+      SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+             CAST(o_custkey AS VARCHAR) AS ck
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'),
+    bitset AS (
+      SELECT DISTINCT yr,
+             CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ck), 1, 15))::BIGINT
+                  % 65536 AS INTEGER) AS bit
+      FROM recent, (SELECT unnest([0, 1, 2]) AS d) t),
+    merged AS (SELECT DISTINCT bit FROM bitset),
+    cust AS (SELECT c_custkey, CAST(c_custkey AS VARCHAR) AS ck FROM customer),
+    hits AS (
+      SELECT ck, COUNT(*) AS n_hits
+      FROM (SELECT ck,
+              CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ck), 1, 15))::BIGINT
+                   % 65536 AS INTEGER) AS bit
+            FROM cust, (SELECT unnest([0, 1, 2]) AS d) t) p
+      WHERE bit IN (SELECT bit FROM merged)
+      GROUP BY ck),
+    a AS (SELECT DISTINCT ck FROM recent)
+    SELECT c_custkey,
+           COALESCE(n_hits = 3, FALSE) AS maybe_present,
+           (a.ck IS NOT NULL) AS actually_present,
+           (COALESCE(n_hits = 3, FALSE) OR a.ck IS NULL) AS no_false_negative
+    FROM cust LEFT JOIN hits USING (ck) LEFT JOIN a ON cust.ck = a.ck
+    ORDER BY c_custkey"""
+
   /** Pareto-frontier supplier report (see [[graft.ops.Skyline]]): the
     * suppliers not dominated on (account balance, total revenue) — the
     * multi-criteria "best supplier" skyline. The window formulation
@@ -1054,6 +1112,7 @@ object Analytics {
     Q("incremental_distinct", incrementalDistinct, Some(incrementalDistinctSql)),
     Q("quantile_sketch", quantileSketch, Some(quantileSketchSql)),
     Q("countmin_sketch", countminSketch, Some(countminSketchSql)),
+    Q("bloom_membership", bloomMembership, Some(bloomMembershipSql)),
     Q("q21_late_supplier", q21LateSupplier, Some(q21LateSupplierSql)),
     Q("window_trailing_30d", windowTrailing30d, Some(windowTrailing30dSql)),
     Q("graph_pagerank", graphPagerank, Some(graphPagerankSql)),

@@ -129,6 +129,21 @@ class SketchesSpec extends SparkSpec {
       "width 2 must force at least one collision overcount")
   }
 
+  test("bloom: members always probe true; a saturated filter false-positives but never false-negatives") {
+    // 30 members into 16 bits × 3 hashes — heavily saturated, so the 70
+    // non-members MUST include false positives; members must ALL hit
+    val members = (1 to 30).map(i => (s"m_$i", 0))
+    val sk = Sketches.bloomSketch(members.toDF("item", "b"), $"b", $"item",
+      k = 3, bits = 16)
+    assert(sk.count() <= 16L, "at most `bits` distinct set-bit rows")
+    val all = ((1 to 30).map(i => s"m_$i") ++ (1 to 70).map(i => s"x_$i")).toDF("item")
+    val probed = Sketches.bloomProbe(sk, all, "item", k = 3, bits = 16)
+      .as[(String, Boolean)].collect().toMap
+    (1 to 30).foreach(i => assert(probed(s"m_$i"), s"false negative on m_$i"))
+    assert((1 to 70).exists(i => probed(s"x_$i")),
+      "a saturated 16-bit filter must produce false positives")
+  }
+
   test("mg aggregates reject non-matching input types") {
     val df = Seq((1L, 2L)).toDF("a", "b")
     intercept[org.apache.spark.sql.AnalysisException] {
