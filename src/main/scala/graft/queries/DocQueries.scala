@@ -293,6 +293,43 @@ object DocQueries {
       USING (cluster_id)
     ORDER BY doc_id"""
 
+  /** Canonical-document selection by QUALITY, not lowest id: within each
+    * near-dup cluster keep the member with the most tokens — the most
+    * complete copy, the curation rule when duplicates differ by
+    * truncation — ties to the lower id. The per-cluster argmax is a
+    * window over the cluster-membership table (dup-members-sized, never
+    * the corpus). */
+  private def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val clusters = Dedup.clusters(Dedup.minhashLsh(docs))
+    val toks = docs.select($"doc_id",
+      size(TextAnalysis.tokens($"text")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy($"cluster_id").orderBy($"n_tokens".desc, $"doc_id")
+    clusters.join(toks, "doc_id")
+      .withColumn("is_canonical", row_number().over(w) === 1)
+      .select($"doc_id", $"cluster_id", $"n_tokens", $"is_canonical")
+      .orderBy("doc_id")
+  }
+
+  private val dedupKeepBestSql = s"""
+    WITH RECURSIVE $jaccardPairsCtes,
+    jp AS (SELECT d1, d2 FROM p WHERE jaccard >= 0.8),
+    e AS (SELECT d1 AS src, d2 AS dst FROM jp UNION SELECT d2, d1 FROM jp),
+    reach AS (
+      SELECT src AS id, dst AS r FROM e
+      UNION
+      SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+    lab AS (SELECT id, least(id, MIN(r)) AS cluster_id FROM reach GROUP BY id),
+    tk AS (SELECT doc_id, len(string_split(lower(trim(text)), ' ')) AS n_tokens
+           FROM documents)
+    SELECT id AS doc_id, cluster_id, n_tokens,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n_tokens DESC, id) = 1 AS is_canonical
+    FROM lab JOIN tk ON lab.id = tk.doc_id
+    ORDER BY doc_id"""
+
   private def dedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashDup(Tables.documents(s, d),
         tokenHash = t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"),
@@ -1347,6 +1384,7 @@ $sel
     Q("ngram_jaccard", ngramJaccard, Some(jaccardPairsSql)),
     Q("dedup_minhash", dedupMinhash, Some(jaccardPairsSql)),
     Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
+    Q("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     Q("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
     Q("knn_bruteforce", knnBruteForce, Some(knnBruteForceSql)),
