@@ -270,6 +270,32 @@ object EventsCdc {
       }
       .start()
 
+  /** Streaming Bloom-filter maintenance — the membership member of the
+    * streaming sketch family next to [[runDistinctSketches]]: every
+    * micro-batch APPENDS its (bucket, bit) set-bit rows to the filter
+    * table; readers probe any bucket subset by merging rows (bit union,
+    * [[graft.ops.Sketches.bloomProbe]]). Like the HLL twin — and unlike
+    * the Misra-Gries / Count-Min counters — bit union is IDEMPOTENT, so
+    * a re-delivered batch changes nothing and the no-false-negative
+    * guarantee is replay-robust under at-least-once delivery. */
+  def runBloomSketches(stream: DataFrame, sketchDir: String,
+                       checkpointDir: String,
+                       bucketCol: String, itemCol: String,
+                       k: Int = 3, bits: Int = 65536,
+                       trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Sketches.bloomSketch(
+            batch, col(bucketCol), col(itemCol), k, bits)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(sketchDir)
+        ()
+      }
+      .start()
+
   /** Streaming heavy-hitters maintenance — the Misra-Gries member of the
     * streaming sketch family next to [[runDistinctSketches]]: every
     * micro-batch APPENDS one ≤k-counter MG summary row per bucket (shard =

@@ -409,6 +409,52 @@ class EventsCdcSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("streaming bloom maintenance: replay-idempotent bit union, no false negatives") {
+    val ev = Tables.events(spark, sf).withColumn("b",
+      ntile(2).over(org.apache.spark.sql.expressions.Window
+        .orderBy($"ts", $"event_id")))
+    val dir = Files.createTempDirectory("graft_bl_src")
+    def writeFile(name: String, filter: org.apache.spark.sql.Column): Unit = {
+      val tmp = Files.createTempDirectory("graft_bl_tmp").toString
+      ev.filter(filter).drop("b").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, dir.resolve(name))
+      Thread.sleep(1000)
+    }
+    writeFile("1.parquet", $"b" === 1)
+    writeFile("2.parquet", $"b" === 2)
+    writeFile("3.parquet", $"b" === 1) // an at-least-once source replaying batch 1
+    val sketchDir = Files.createTempDirectory("graft_bl_out").toString
+    val ckpt = Files.createTempDirectory("graft_bl_ckpt").toString
+    val q = EventsCdc.runBloomSketches(
+      EventsCdc.readEventStream(spark, dir.toString, Tables.events(spark, sf),
+        maxFilesPerTrigger = 1),
+      sketchDir, ckpt, bucketCol = "event_type", itemCol = "user_id")
+    q.awaitTermination()
+    val sketches = spark.read.parquet(sketchDir)
+    assert(sketches.select($"batch_id").distinct().count() === 3)
+    // replay idempotence: the replayed batch sets EXACTLY the original's
+    // bits, so the merged filter is unchanged by redelivery
+    val bits0 = sketches.filter($"batch_id" === 0)
+      .select($"bucket", $"bit").as[(String, Int)].collect().toSet
+    val bits2 = sketches.filter($"batch_id" === 2)
+      .select($"bucket", $"bit").as[(String, Int)].collect().toSet
+    assert(bits2 === bits0)
+    // no false negatives: every real user probes maybe_present from the
+    // merged filter alone
+    val users = Tables.events(spark, sf).select($"user_id").distinct()
+    val probedTrue = graft.ops.Sketches.bloomProbe(sketches, users, "user_id")
+      .filter($"maybe_present").count()
+    assert(probedTrue === users.count())
+    // synthetic absent ids overwhelmingly reject (fp rate at this fill is
+    // ~(450/65536)^3; allow a stray deterministic collision or two)
+    val absent = (1000000L to 1000049L).toDF("user_id")
+    val fp = graft.ops.Sketches.bloomProbe(sketches, absent, "user_id")
+      .filter($"maybe_present").count()
+    assert(fp <= 2, s"$fp of 50 absent ids probed present")
+  }
+
   test("streaming sketch table: per-batch appends merge to the true distinct count") {
     val ev = Tables.events(spark, sf).withColumn("b",
       ntile(2).over(org.apache.spark.sql.expressions.Window
