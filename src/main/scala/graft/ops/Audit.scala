@@ -36,4 +36,37 @@ object Audit {
         count(when(col("__rid").isNull, 1)).as("n_left_only"),
         count(when(col("__lid").isNull, 1)).as("n_right_only"))
   }
+
+  /** Declarative data-quality expectations over ONE table: each rule is a
+    * named VIOLATION predicate; the report is one row per rule with its
+    * violation count and a pass flag — the expectations gate
+    * (great-expectations / dbt-test style) a pipeline runs before
+    * publishing a load. All rules evaluate in a SINGLE scan (one
+    * conditional count per rule in one aggregate — never a pass per
+    * rule); cross-table rules (FK orphans) belong to [[coverage]], and
+    * uniqueness needs its own keyed aggregate ([[duplicateKeys]]). */
+  def expect(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    val vCounts = rules.zipWithIndex.map { case ((_, c), i) =>
+      count(when(c, 1)).as(s"__v$i")
+    }
+    val counts = df.agg(count(lit(1)).as("n_rows"), vCounts: _*)
+    val names = rules.map(_._1)
+    counts.select(
+      explode(array(names.zipWithIndex.map { case (n, i) =>
+        struct(lit(n).as("rule"), col(s"__v$i").as("n_violations"),
+          col("n_rows").as("n_rows"))
+      }: _*)).as("r"))
+      .select(col("r.rule"), col("r.n_rows"), col("r.n_violations"),
+        (col("r.n_violations") === 0L).as("pass"))
+  }
+
+  /** Duplicate-key audit: (key count > 1) groups summarized as one row —
+    * the uniqueness expectation, which [[expect]]'s single-scan
+    * conditional counts cannot express. */
+  def duplicateKeys(df: DataFrame, key: Column): DataFrame =
+    df.groupBy(key.as("__k")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .agg(count(lit(1)).as("n_dup_keys"),
+           coalesce(sum(col("__n")), lit(0L)).as("n_rows_in_dups"))
 }

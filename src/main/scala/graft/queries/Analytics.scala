@@ -909,6 +909,50 @@ object Analytics {
            est_n >= exact_n AS overestimates_ok
     FROM items JOIN est USING (item) ORDER BY 1"""
 
+  /** Data-quality expectations gate (see [[graft.ops.Audit.expect]]):
+    * seven declared violation rules over lineitem evaluated in ONE scan
+    * (one conditional count per rule inside a single aggregate — never a
+    * pass per rule), reported one row per rule with the pass flag. */
+  def dqAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.ops.Audit.expect(Tables.lineitem(spark, dir), Seq(
+      "null_orderkey" -> $"l_orderkey".isNull,
+      "nonpositive_quantity" -> ($"l_quantity" <= 0.0),
+      "discount_out_of_range" -> ($"l_discount" < 0.0 || $"l_discount" > 1.0),
+      "negative_price" -> ($"l_extendedprice" < 0.0),
+      "tax_out_of_range" -> ($"l_tax" < 0.0 || $"l_tax" > 1.0),
+      "unknown_returnflag" -> !$"l_returnflag".isin("A", "N", "R"),
+      "shipdate_out_of_range" ->
+        ($"l_shipdate" < lit("1990-01-01 00:00:00").cast("timestamp") ||
+         $"l_shipdate" >= lit("2010-01-01 00:00:00").cast("timestamp"))))
+      .orderBy("rule")
+  }
+
+  val dqAuditSql: String = {
+    val rules = Seq(
+      "null_orderkey" -> "l_orderkey IS NULL",
+      "nonpositive_quantity" -> "l_quantity <= 0",
+      "discount_out_of_range" -> "(l_discount < 0 OR l_discount > 1)",
+      "negative_price" -> "l_extendedprice < 0",
+      "tax_out_of_range" -> "(l_tax < 0 OR l_tax > 1)",
+      "unknown_returnflag" -> "l_returnflag NOT IN ('A', 'N', 'R')",
+      "shipdate_out_of_range" ->
+        "(l_shipdate < TIMESTAMP '1990-01-01 00:00:00' OR l_shipdate >= TIMESTAMP '2010-01-01 00:00:00')")
+    val counts = rules.zipWithIndex
+      .map { case ((_, p), i) => s"COUNT(CASE WHEN $p THEN 1 END) AS v$i" }
+      .mkString(",\n             ")
+    val sel = rules.zipWithIndex.map { case ((n, _), i) =>
+      s"SELECT '$n' AS rule, n_rows, v$i AS n_violations, v$i = 0 AS pass FROM c"
+    }.mkString("\n    UNION ALL ")
+    s"""
+    WITH c AS (
+      SELECT COUNT(*) AS n_rows,
+             $counts
+      FROM lineitem)
+    $sel
+    ORDER BY rule"""
+  }
+
   /** Bloom membership filter (see [[graft.ops.Sketches.bloomSketch]]):
     * per-year blooms of the customers who ordered in 1995, merged by bit
     * union, every customer probed — the persisted form of the runtime
@@ -1113,6 +1157,7 @@ object Analytics {
     Q("quantile_sketch", quantileSketch, Some(quantileSketchSql)),
     Q("countmin_sketch", countminSketch, Some(countminSketchSql)),
     Q("bloom_membership", bloomMembership, Some(bloomMembershipSql)),
+    Q("dq_audit", dqAudit, Some(dqAuditSql)),
     Q("q21_late_supplier", q21LateSupplier, Some(q21LateSupplierSql)),
     Q("window_trailing_30d", windowTrailing30d, Some(windowTrailing30dSql)),
     Q("graph_pagerank", graphPagerank, Some(graphPagerankSql)),

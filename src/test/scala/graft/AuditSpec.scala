@@ -57,4 +57,33 @@ class AuditSpec extends SparkSpec {
       Sampling.split(df, $"id", Seq("train" -> 90, "val" -> 5))
     }
   }
+
+  test("expect detects each declared violation exactly once per dirty row") {
+    val df = Seq(
+      (Some(1L), 10.0),  // clean
+      (None, 10.0),      // null id
+      (Some(3L), -5.0),  // negative value
+      (None, -1.0)       // violates both
+    ).toDF("id", "v")
+    val out = Audit.expect(df, Seq(
+        "null_id" -> $"id".isNull,
+        "negative_v" -> ($"v" < 0.0)))
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("null_id") === ((4L, 2L, false)))
+    assert(out("negative_v") === ((4L, 2L, false)))
+    val clean = Audit.expect(df.filter($"id".isNotNull && $"v" >= 0.0),
+        Seq("null_id" -> $"id".isNull))
+      .as[(String, Long, Long, Boolean)].head()
+    assert(clean === (("null_id", 1L, 0L, true)))
+  }
+
+  test("duplicateKeys summarizes multi-row keys and is zero on unique keys") {
+    val df = Seq(1L, 2L, 2L, 3L, 3L, 3L).toDF("k")
+    val dup = Audit.duplicateKeys(df, $"k").as[(Long, Long)].head()
+    assert(dup === ((2L, 5L))) // keys {2, 3}; 2+3 rows inside dup groups
+    val none = Audit.duplicateKeys(Seq(1L, 2L).toDF("k"), $"k")
+      .as[(Long, Long)].head()
+    assert(none === ((0L, 0L)))
+  }
 }
