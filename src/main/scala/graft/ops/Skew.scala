@@ -56,4 +56,33 @@ object Skew {
     val repDim = dim.withColumn(salt, explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(repDim, Seq(key, salt)).drop(salt)
   }
+
+  /** Key-skew diagnostic — the measurement run BEFORE choosing a
+    * mitigation ([[saltedJoin]], AQE skew split, broadcast): per-key row
+    * counts reduced to one summary row with `skew_ratio` = max/mean
+    * group size (1.0 = perfectly uniform) and `n_hot_keys` = keys at or
+    * above `hotMultiple` × mean — the keys that actually need salting.
+    * One keyed aggregate over the fact (checkpointed — the totals and
+    * the hot-key count both read it), a 1-row totals broadcast back onto
+    * the |keys|-sized counts, a final scalar aggregate; the hot test is
+    * n·n_keys ≥ hotMultiple·n_rows in IEEE-identical double (no
+    * single-partition window anywhere, so the shape survives
+    * high-cardinality keys). */
+  def skewReport(df: DataFrame, key: org.apache.spark.sql.Column,
+                 hotMultiple: Double = 2.0): DataFrame = {
+    val sizes = df.groupBy(key.as("k")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val totals = sizes.agg(count(lit(1)).as("n_keys"),
+      sum(col("n")).as("n_rows"), max(col("n")).as("max_rows"))
+    sizes.crossJoin(broadcast(totals))
+      .agg(
+        max(col("n_keys")).as("n_keys"),
+        max(col("n_rows")).as("n_rows"),
+        max(col("max_rows")).as("max_rows"),
+        (max(col("n_rows")).cast("double") / max(col("n_keys"))).as("mean_rows"),
+        (max(col("max_rows")).cast("double") * max(col("n_keys")) /
+          max(col("n_rows"))).as("skew_ratio"),
+        count(when(col("n").cast("double") * col("n_keys") >=
+          lit(hotMultiple) * col("n_rows").cast("double"), 1)).as("n_hot_keys"))
+  }
 }

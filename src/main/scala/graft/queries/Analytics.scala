@@ -953,6 +953,28 @@ object Analytics {
     ORDER BY rule"""
   }
 
+  /** Key-skew diagnostic report (see [[graft.ops.Skew.skewReport]]) over
+    * the fact's supplier key — the measurement behind the salting
+    * decision `salted_join` demonstrates. */
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.ops.Skew.skewReport(Tables.lineitem(spark, dir), $"l_suppkey",
+      hotMultiple = 2.0)
+  }
+
+  val skewReportSql: String = """
+    WITH s AS (SELECT l_suppkey AS k, COUNT(*) AS n FROM lineitem GROUP BY 1),
+    t AS (SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows,
+                 MAX(n) AS max_rows
+          FROM s)
+    SELECT n_keys, n_rows, max_rows,
+           CAST(n_rows AS DOUBLE) / n_keys AS mean_rows,
+           CAST(max_rows AS DOUBLE) * n_keys / n_rows AS skew_ratio,
+           (SELECT COUNT(*) FROM s, t
+            WHERE CAST(n AS DOUBLE) * n_keys >=
+                  CAST(2.0 AS DOUBLE) * CAST(n_rows AS DOUBLE)) AS n_hot_keys
+    FROM t"""
+
   /** Bloom membership filter (see [[graft.ops.Sketches.bloomSketch]]):
     * per-year blooms of the customers who ordered in 1995, merged by bit
     * union, every customer probed — the persisted form of the runtime
@@ -1158,6 +1180,7 @@ object Analytics {
     Q("countmin_sketch", countminSketch, Some(countminSketchSql)),
     Q("bloom_membership", bloomMembership, Some(bloomMembershipSql)),
     Q("dq_audit", dqAudit, Some(dqAuditSql)),
+    Q("skew_report", skewReport, Some(skewReportSql)),
     Q("q21_late_supplier", q21LateSupplier, Some(q21LateSupplierSql)),
     Q("window_trailing_30d", windowTrailing30d, Some(windowTrailing30dSql)),
     Q("graph_pagerank", graphPagerank, Some(graphPagerankSql)),
