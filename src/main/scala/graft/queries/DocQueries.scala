@@ -600,8 +600,12 @@ object DocQueries {
     * self-joined pair CTE are MATERIALIZED (each is referenced multiple
     * times; default inlining would replay the whole Lloyd chain per
     * reference). */
-  private val dedupSemanticSql = """
-    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+  /** Shared oracle CTE body replaying the deterministic m=1 PQ coarse
+    * quantizer (lowest-16 seeds, one exact-decimal Lloyd round, code-id
+    * tie-breaks): `cbn` = refined full-vector codebook with norms, `cl` =
+    * cluster assignments, `nn` = vectors with L2 norms. Composed by BOTH
+    * dedup_semantic and knn_ivf_partial. */
+  private val semanticClusterCtes = """v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
                FROM embeddings),
     svn AS MATERIALIZED (SELECT vec_id, emb AS svec,
              list_sum(list_transform(emb, x -> x*x)) AS sn FROM v),
@@ -623,7 +627,7 @@ object DocQueries {
                       unnest([{'pos': i-1, 'x': n.svec[i]} for i in range(1, 65)]) AS u
                     FROM asg0 a JOIN svn n ON a.vec_id = n.vec_id)
               GROUP BY code, u.pos),
-    cbn AS (SELECT code, cvec, list_sum(list_transform(cvec, x -> x*x)) AS cn
+    cbn AS MATERIALIZED (SELECT code, cvec, list_sum(list_transform(cvec, x -> x*x)) AS cn
             FROM (SELECT code, list(mv ORDER BY pos) AS cvec
                   FROM cbdim GROUP BY code)),
     d1 AS (SELECT svn.vec_id, cbn.code,
@@ -634,7 +638,10 @@ object DocQueries {
           FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
                                              ORDER BY d2, code) AS rn FROM d1)
           WHERE rn = 1),
-    nn AS MATERIALIZED (SELECT vec_id, svec, sqrt(sn) AS nrm FROM svn),
+    nn AS MATERIALIZED (SELECT vec_id, svec, sqrt(sn) AS nrm FROM svn)"""
+
+  private val dedupSemanticSql = s"""
+    WITH $semanticClusterCtes,
     p AS (SELECT cb.vec_id AS vec_id,
             list_sum(list_transform(range(1, 65), i -> a.svec[i] * b.svec[i]))
               / (a.nrm * b.nrm) AS cos
@@ -647,6 +654,78 @@ object DocQueries {
            COALESCE(max_lower_cos >= 0.4, FALSE) AS is_dup
     FROM cl LEFT JOIN mx USING (vec_id)
     ORDER BY vec_id"""
+
+  /** PARTIAL-probe ANN through the registry — the production setting
+    * (nprobe ≪ nLists) as an oracle-CHECKED query, not just a spec-pinned
+    * recall ramp: coarse quantizer = the deterministic m=1 PQ k-means
+    * (the dedup_semantic clustering, replayed bit-for-bit by the shared
+    * CTE body), each query ranks the 16 centroids by the SAME exact L2
+    * form the assignment uses (‖q‖² − 2q·c + ‖c‖², code-id ties), probes
+    * its 4 nearest lists, and exact cosine ranks ONLY those lists'
+    * members. knn_ivf / knn_ivf_disk run full probe so the brute-force
+    * oracle applies; this entry is the honest partial-probe answer —
+    * including its recall misses — replayed exactly by DuckDB. */
+  private def knnIvfPartial(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions._
+    val emb = Tables.embeddings(s, d)
+    val model = graft.ops.Pq.fit(emb, m = 1, ncodes = 16, iters = 1)
+    val clusters = graft.ops.Pq.encode(model, emb)
+      .select($"vec_id", $"code".as("cluster_id"))
+    val vecs = emb.select($"vec_id", toDouble($"embedding").as("emb"))
+      .withColumn("nrm", norm($"emb"))
+    val q = vecs.filter($"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"emb".as("q_emb"), $"nrm".as("q_nrm"),
+        normSq($"emb").as("qn"))
+    val byQuery = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"d2", $"code")
+    val probed = q
+      .crossJoin(broadcast(model.codebook.select($"code", $"cvec", $"cn")))
+      .select($"query_id", $"q_emb", $"q_nrm", $"code",
+        ($"qn" - lit(2.0) * dot($"q_emb", $"cvec") + $"cn").as("d2"))
+      .withColumn("rn", row_number().over(byQuery))
+      .filter($"rn" <= 4)
+      .select($"query_id", $"q_emb", $"q_nrm", $"code".as("cluster_id"))
+    val rank = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    probed.join(clusters, "cluster_id")
+      .filter($"vec_id" =!= $"query_id")
+      .join(vecs, "vec_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        cosinePrenormed($"emb", $"q_emb", $"nrm", $"q_nrm").as("cos"))
+      .withColumn("rank", row_number().over(rank))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"neighbor_id", $"cos")
+      .orderBy("query_id", "rank")
+  }
+
+  private val knnIvfPartialSql = s"""
+    WITH $semanticClusterCtes,
+    q AS (SELECT vec_id AS query_id, svec AS q_emb, sn AS qn, sqrt(sn) AS q_nrm
+          FROM svn WHERE vec_id < 20),
+    ld AS (SELECT q.query_id, cbn.code,
+             q.qn - 2.0 * list_sum(list_transform(range(1, 65),
+               i -> q.q_emb[i] * cbn.cvec[i])) + cbn.cn AS d2
+           FROM q CROSS JOIN cbn),
+    probed AS (SELECT query_id, code AS cluster_id
+               FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                                  ORDER BY d2, code) AS rn
+                     FROM ld)
+               WHERE rn <= 4),
+    cand AS (SELECT p2.query_id, cl.vec_id
+             FROM probed p2 JOIN cl USING (cluster_id)
+             WHERE cl.vec_id <> p2.query_id),
+    scored AS (SELECT c.query_id, c.vec_id AS neighbor_id,
+                 list_sum(list_transform(range(1, 65),
+                   i -> a.svec[i] * b.svec[i])) / (a.nrm * b.nrm) AS cos
+               FROM cand c
+               JOIN nn a ON c.query_id = a.vec_id
+               JOIN nn b ON c.vec_id = b.vec_id)
+    SELECT query_id, rank, neighbor_id, cos
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5 ORDER BY query_id, rank"""
 
   /** Greedy farthest-point k-center coreset (see [[Similarity.kCenter]]):
     * 8 rounds, each selecting the vector with the lowest running
@@ -1415,6 +1494,7 @@ $sel
     Q("knn_pq", knnPq, Some(knnPqSql)),
     Q("multimodal_wav", multimodalWav, Some(multimodalWavSql)),
     Q("knn_ivf_pq", knnIvfPq, Some(knnPqSql)),
+    Q("knn_ivf_partial", knnIvfPartial, Some(knnIvfPartialSql)),
     Q("bm25_rank", bm25Rank, Some(bm25RankSql)),
     Q("hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     Q("bpe_train", bpeTrainQ, Some(bpeTrainSql)),

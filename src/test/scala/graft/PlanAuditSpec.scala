@@ -38,7 +38,8 @@ class PlanAuditSpec extends SparkSpec {
             "tfidf_topterms", "bigram_pmi", "incremental_distinct",
             "bm25_rank", "quantile_sketch", "q22_sales_opportunity",
             "events_gap_fill", "coreset_kcenter",
-            "sliding_active_users", "hybrid_rrf", "skew_report")(p._1))
+            "sliding_active_users", "hybrid_rrf", "skew_report",
+            "knn_ivf_partial")(p._1))
       .foreach { case (name, p) =>
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
       }
