@@ -289,6 +289,33 @@ object EventQueries {
                  END) >= CAST(2.0 AS DOUBLE), FALSE) AS is_anomaly
     FROM m ORDER BY event_type, day_idx"""
 
+  /** Semi-structured column extraction: the events `props` JSON parsed
+    * through a TYPED `from_json` schema (codegen'd Jackson parse, no
+    * UDF), rolled up by the extracted field's decade — the
+    * schema-on-read path every event pipeline runs over its property
+    * bags. The parse is map-side; the rollup is one (type, decade)
+    * aggregate. */
+  private def eventsJsonProps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"event_type",
+        from_json($"props", org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+          .getField("k").as("k"), $"value")
+      .groupBy($"event_type", expr("k DIV 10").as("k_decade"))
+      .agg(count(lit(1)).as("n_events"), min($"k").as("min_k"),
+        max($"k").as("max_k"), dsum($"value").as("sum_value"))
+      .orderBy("event_type", "k_decade")
+  }
+
+  private val eventsJsonPropsSql = s"""
+    WITH e AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k, value
+      FROM events)
+    SELECT event_type, k // 10 AS k_decade, COUNT(*) AS n_events,
+           min(k) AS min_k, max(k) AS max_k, ${sqlSum("value")} AS sum_value
+    FROM e GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val registry: Seq[Q] = Seq(
     Q("events_windowed", eventsWindowed, Some(eventsWindowedSql)),
     Q("events_sliding_windows", eventsSliding, Some(eventsSlidingSql)),
@@ -301,5 +328,6 @@ object EventQueries {
     Q("events_gap_fill", eventsGapFill, Some(eventsGapFillSql)),
     Q("event_transitions", eventTransitions, Some(eventTransitionsSql)),
     Q("sliding_active_users", slidingActiveUsers, Some(slidingActiveUsersSql)),
-    Q("anomaly_daily_counts", anomalyDailyCounts, Some(anomalyDailyCountsSql)))
+    Q("anomaly_daily_counts", anomalyDailyCounts, Some(anomalyDailyCountsSql)),
+    Q("events_json_props", eventsJsonProps, Some(eventsJsonPropsSql)))
 }
