@@ -44,7 +44,14 @@ object Audit {
     * publishing a load. All rules evaluate in a SINGLE scan (one
     * conditional count per rule in one aggregate — never a pass per
     * rule); cross-table rules (FK orphans) belong to [[coverage]], and
-    * uniqueness needs its own keyed aggregate ([[duplicateKeys]]). */
+    * uniqueness needs its own keyed aggregate ([[duplicateKeys]]).
+    *
+    * NULL semantics are SQL's: a predicate evaluating to NULL does NOT
+    * count as a violation, so a NULL column value slips every range/set
+    * rule on that column — by design (it keeps the gate hash-comparable
+    * to any SQL engine), which means null-intolerant columns need their
+    * own explicit `isNull` rule (or an `isNull ||` arm), as the registry
+    * entry's `null_orderkey` rule demonstrates. */
   def expect(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "at least one rule")
     val vCounts = rules.zipWithIndex.map { case ((_, c), i) =>

@@ -145,11 +145,6 @@ object Sketches {
         cmSlot(col("depth"), col("__item"), width).as("slot"))
       .agg(count(lit(1)).as("cnt"))
 
-  /** Point-frequency estimates for `items` from a merged CM sketch
-    * subset: est = min over depths of the item's cell sum. CM never
-    * underestimates (every cell sum ≥ the item's true count — a
-    * deterministic property, not probabilistic), so `est_n ≥ exact_n`
-    * always; the ε = e/width overcount bound is what the width buys. */
   /** Bloom-filter membership sketch table (Bloom '70) — the membership
     * member of the sketch family, and the artifact behind every
     * join-pruning runtime filter: one (bucket, bit) row per SET bit of
@@ -167,30 +162,42 @@ object Sketches {
     * `maybe_present` iff ALL k of its bits are set. Bloom's
     * deterministic guarantee is NO FALSE NEGATIVES — a member item
     * always probes true; the false-positive rate is what `bits` buys
-    * (≈ fill^k at the observed fill fraction). */
+    * (≈ fill^k at the observed fill fraction). Probes are evaluated per
+    * DISTINCT item value (deduplicated on entry — duplicated input rows
+    * would double the hit count and falsely fail the all-k test). */
   def bloomProbe(sketch: DataFrame, items: DataFrame, itemCol: String,
                  k: Int = 3, bits: Int = 65536): DataFrame = {
     val merged = sketch.select(col("bit")).distinct()
-    withDepths(items.select(col(itemCol)), k)
+    val distinctItems = items.select(col(itemCol)).distinct()
+    withDepths(distinctItems, k)
       .select(col(itemCol), cmSlot(col("depth"), col(itemCol), bits).as("bit"))
       .join(merged, Seq("bit"), "left_semi")
       .groupBy(col(itemCol))
       .agg(count(lit(1)).as("__hits"))
-      .join(items.select(col(itemCol)), Seq(itemCol), "right")
+      .join(distinctItems, Seq(itemCol), "right")
       .select(col(itemCol),
         coalesce(col("__hits") === k.toLong, lit(false)).as("maybe_present"))
   }
 
+  /** Point-frequency estimates for `items` from a merged CM sketch
+    * subset: est = min over depths of the item's cell sum, an EMPTY cell
+    * counting as 0 (the sketch stores only non-empty cells, so the probe
+    * LEFT-joins and fills zero — an inner join would drop never-seen
+    * items or inflate their min over only the colliding depths). CM
+    * never underestimates (every cell sum ≥ the item's true count — a
+    * deterministic property, not probabilistic), so `est_n ≥ exact_n`
+    * always, and an absent item estimates exactly 0 unless every one of
+    * its cells collides. */
   def countMinEstimates(sketch: DataFrame, items: DataFrame,
                         itemCol: String, depth: Int = 3,
                         width: Int = 32): DataFrame = {
     val merged = sketch.groupBy(col("depth"), col("slot"))
       .agg(sum(col("cnt")).as("cnt"))
-    val probes = withDepths(items.select(col(itemCol)), depth)
+    val probes = withDepths(items.select(col(itemCol)).distinct(), depth)
       .select(col(itemCol), col("depth"),
         cmSlot(col("depth"), col(itemCol), width).as("slot"))
-    probes.join(merged, Seq("depth", "slot"))
+    probes.join(merged, Seq("depth", "slot"), "left")
       .groupBy(col(itemCol))
-      .agg(min(col("cnt")).as("est_n"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_n"))
   }
 }

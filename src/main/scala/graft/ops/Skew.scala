@@ -76,7 +76,10 @@ object Skew {
       sum(col("n")).as("n_rows"), max(col("n")).as("max_rows"))
     sizes.crossJoin(broadcast(totals))
       .agg(
-        max(col("n_keys")).as("n_keys"),
+        // empty input: the crossJoin has zero rows and max() yields NULL —
+        // report n_keys 0 (matching the oracle's COUNT(*)); the row/ratio
+        // columns stay NULL (no data, no mean)
+        coalesce(max(col("n_keys")), lit(0L)).as("n_keys"),
         max(col("n_rows")).as("n_rows"),
         max(col("max_rows")).as("max_rows"),
         (max(col("n_rows")).cast("double") / max(col("n_keys"))).as("mean_rows"),

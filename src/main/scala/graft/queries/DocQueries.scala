@@ -279,15 +279,21 @@ object DocQueries {
   private def dedupClusters(s: SparkSession, d: String): DataFrame =
     Dedup.clusters(Dedup.minhashLsh(Tables.documents(s, d))).orderBy("doc_id")
 
-  private val dedupClustersSql = s"""
-    WITH RECURSIVE $jaccardPairsCtes,
-    jp AS (SELECT d1, d2 FROM p WHERE jaccard >= 0.8),
+  /** Shared oracle CTE chain: verified Jaccard pairs → symmetric edges →
+    * recursive transitive closure → min-label clusters (`lab`). Composed
+    * by dedup_clusters and dedup_keep_best so the 0.8 threshold and the
+    * labeling rule live in exactly one place. */
+  private val closureCtes = """jp AS (SELECT d1, d2 FROM p WHERE jaccard >= 0.8),
     e AS (SELECT d1 AS src, d2 AS dst FROM jp UNION SELECT d2, d1 FROM jp),
     reach AS (
       SELECT src AS id, dst AS r FROM e
       UNION
       SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
-    lab AS (SELECT id, least(id, MIN(r)) AS cluster_id FROM reach GROUP BY id)
+    lab AS (SELECT id, least(id, MIN(r)) AS cluster_id FROM reach GROUP BY id)"""
+
+  private val dedupClustersSql = s"""
+    WITH RECURSIVE $jaccardPairsCtes,
+    $closureCtes
     SELECT id AS doc_id, cluster_id, CAST(n AS BIGINT) AS cluster_size
     FROM lab JOIN (SELECT cluster_id, COUNT(*) AS n FROM lab GROUP BY 1) c
       USING (cluster_id)
@@ -315,13 +321,7 @@ object DocQueries {
 
   private val dedupKeepBestSql = s"""
     WITH RECURSIVE $jaccardPairsCtes,
-    jp AS (SELECT d1, d2 FROM p WHERE jaccard >= 0.8),
-    e AS (SELECT d1 AS src, d2 AS dst FROM jp UNION SELECT d2, d1 FROM jp),
-    reach AS (
-      SELECT src AS id, dst AS r FROM e
-      UNION
-      SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
-    lab AS (SELECT id, least(id, MIN(r)) AS cluster_id FROM reach GROUP BY id),
+    $closureCtes,
     tk AS (SELECT doc_id, len(string_split(lower(trim(text)), ' ')) AS n_tokens
            FROM documents)
     SELECT id AS doc_id, cluster_id, n_tokens,

@@ -127,6 +127,14 @@ class SketchesSpec extends SparkSpec {
       assert(est(it) >= x, s"$it underestimated: ${est(it)} < $x") }
     assert(exact.exists { case (it, x) => est(it) > x },
       "width 2 must force at least one collision overcount")
+    // an item whose cells are ALL empty estimates exactly 0 — the sketch
+    // stores only non-empty cells, so the probe must treat a missing cell
+    // as zero (wider sketch: collisions with 8 items are unlikely at 64)
+    val wide = Sketches.countMinSketch(df, $"b", $"item", depth = 2, width = 64)
+    val unseen = Sketches.countMinEstimates(wide, Seq("never_seen").toDF("item"),
+        "item", depth = 2, width = 64)
+      .as[(String, Long)].collect().toMap
+    assert(unseen("never_seen") === 0L, "absent item must estimate 0")
   }
 
   test("bloom: members always probe true; a saturated filter false-positives but never false-negatives") {
@@ -142,6 +150,12 @@ class SketchesSpec extends SparkSpec {
     (1 to 30).foreach(i => assert(probed(s"m_$i"), s"false negative on m_$i"))
     assert((1 to 70).exists(i => probed(s"x_$i")),
       "a saturated 16-bit filter must produce false positives")
+    // duplicated probe rows must not break the all-k test (the guarantee
+    // is per distinct item): one output row, still true
+    val dup = Sketches.bloomProbe(sk, Seq("m_1", "m_1", "m_1").toDF("item"),
+        "item", k = 3, bits = 16)
+      .as[(String, Boolean)].collect()
+    assert(dup.toSeq === Seq(("m_1", true)))
   }
 
   test("mg aggregates reject non-matching input types") {
