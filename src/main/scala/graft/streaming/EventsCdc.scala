@@ -270,6 +270,26 @@ object EventsCdc {
       }
       .start()
 
+  /** Native `session_window` sessionization as a STREAMING aggregation —
+    * Spark's built-in session state next to the custom
+    * flatMapGroupsWithState `StreamingSessionize`: the IDENTICAL
+    * aggregate shape to the batch `Events.sessionizeNative`, plus a
+    * watermark; append mode emits each session once the watermark passes
+    * its close (last event + gap). The built-in operator gives
+    * merge-on-late-event and state eviction for free — the custom twin
+    * exists for session shapes the built-in cannot express (emit-on-
+    * update, per-user caps). */
+  def sessionizeNativeStream(events: DataFrame, gap: String = "30 minutes",
+                             delay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(min(unix_micros(col("ts"))).as("session_start_us"),
+           max(unix_micros(col("ts"))).as("session_end_us"),
+           count(lit(1)).as("n_events"),
+           graft.queries.Exact.dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_start_us"), col("session_end_us"),
+              col("n_events"), col("sum_value"))
+
   /** Streaming Bloom-filter maintenance — the membership member of the
     * streaming sketch family next to [[runDistinctSketches]]: every
     * micro-batch APPENDS its (bucket, bit) set-bit rows to the filter

@@ -142,6 +142,34 @@ class EventsCdcSpec extends SparkSpec {
     }
   }
 
+  test("native streaming session_window emits exactly the watermark-closed batch sessions") {
+    val dir = streamDir()
+    val src = spark.readStream
+      .schema(Tables.events(spark, sf).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = EventsCdc.sessionizeNativeStream(src)
+      .writeStream.format("memory").queryName("cdc_native_sessions")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("cdc_native_sessions")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val batch = graft.ops.Events.sessionizeNative(Tables.events(spark, sf))
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    // append mode emits a session once the watermark (max ts − 2h) passes
+    // its close (last event + 30min gap); later sessions stay in state
+    val maxTsUs = Tables.events(spark, sf)
+      .select(max(unix_micros($"ts"))).as[Long].head()
+    val wm = maxTsUs - 2L * 3600 * 1000000
+    val gapUs = 30L * 60 * 1000000
+    val expected = batch.filter(r => r._3 + gapUs < wm)
+    assert(streamed.subsetOf(batch), "every emitted session must be a batch session")
+    assert(streamed === expected,
+      s"streamed ${streamed.size} vs expected ${expected.size} closed sessions")
+  }
+
   test("streaming transitions aggregate to exactly the batch transition matrix") {
     val dir = streamDir()
     val src = spark.readStream
