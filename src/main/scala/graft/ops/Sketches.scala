@@ -137,10 +137,15 @@ object Sketches {
     * engine-replayable, so the sketch itself hash-checks (no
     * acceptance-flag indirection), and merging buckets is plain
     * per-cell addition. Hashes are the portable md5 slot with the depth
-    * index as seed. */
+    * index as seed. NULL items are EXCLUDED on both the build and probe
+    * sides (the [[Audit.coverage]] policy): a NULL key hashes to a NULL
+    * slot that can never join, which would silently turn into a false
+    * negative / underestimate — count NULL keys separately with a plain
+    * isNull aggregate. */
   def countMinSketch(df: DataFrame, bucket: Column, item: Column,
                      depth: Int = 3, width: Int = 32): DataFrame =
-    withDepths(df.select(bucket.as("bucket"), item.as("__item")), depth)
+    withDepths(df.select(bucket.as("bucket"), item.as("__item"))
+        .filter(col("__item").isNotNull), depth)
       .groupBy(col("bucket"), col("depth"),
         cmSlot(col("depth"), col("__item"), width).as("slot"))
       .agg(count(lit(1)).as("cnt"))
@@ -151,10 +156,13 @@ object Sketches {
     * the per-bucket filter (k hashes per item over the same portable md5
     * slot as [[countMinSketch]]). Merging buckets is set union (distinct
     * bits) — order-free and engine-replayable, so the filter itself
-    * hash-checks. */
+    * hash-checks. NULL items are excluded on both sides (see
+    * [[countMinSketch]]'s NULL policy — a NULL bit never joins and would
+    * fabricate a false negative). */
   def bloomSketch(df: DataFrame, bucket: Column, item: Column,
                   k: Int = 3, bits: Int = 65536): DataFrame =
-    withDepths(df.select(bucket.as("bucket"), item.as("__item")), k)
+    withDepths(df.select(bucket.as("bucket"), item.as("__item"))
+        .filter(col("__item").isNotNull), k)
       .select(col("bucket"), cmSlot(col("depth"), col("__item"), bits).as("bit"))
       .distinct()
 
@@ -168,7 +176,8 @@ object Sketches {
   def bloomProbe(sketch: DataFrame, items: DataFrame, itemCol: String,
                  k: Int = 3, bits: Int = 65536): DataFrame = {
     val merged = sketch.select(col("bit")).distinct()
-    val distinctItems = items.select(col(itemCol)).distinct()
+    val distinctItems = items.select(col(itemCol))
+      .filter(col(itemCol).isNotNull).distinct()
     withDepths(distinctItems, k)
       .select(col(itemCol), cmSlot(col("depth"), col(itemCol), bits).as("bit"))
       .join(merged, Seq("bit"), "left_semi")
@@ -193,7 +202,8 @@ object Sketches {
                         width: Int = 32): DataFrame = {
     val merged = sketch.groupBy(col("depth"), col("slot"))
       .agg(sum(col("cnt")).as("cnt"))
-    val probes = withDepths(items.select(col(itemCol)).distinct(), depth)
+    val probes = withDepths(items.select(col(itemCol))
+        .filter(col(itemCol).isNotNull).distinct(), depth)
       .select(col(itemCol), col("depth"),
         cmSlot(col("depth"), col(itemCol), width).as("slot"))
     probes.join(merged, Seq("depth", "slot"), "left")

@@ -903,8 +903,8 @@ object Analytics {
              CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || item), 1, 15))::BIGINT
                   % 32 AS INTEGER) AS slot
       FROM items, (SELECT unnest([0, 1, 2]) AS d) t),
-    est AS (SELECT item, CAST(MIN(cnt) AS BIGINT) AS est_n
-            FROM probes JOIN merged USING (depth, slot) GROUP BY 1)
+    est AS (SELECT item, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est_n
+            FROM probes LEFT JOIN merged USING (depth, slot) GROUP BY 1)
     SELECT item AS o_orderpriority, exact_n, est_n,
            est_n >= exact_n AS overestimates_ok
     FROM items JOIN est USING (item) ORDER BY 1"""

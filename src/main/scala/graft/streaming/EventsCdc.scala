@@ -281,14 +281,7 @@ object EventsCdc {
     * update, per-user caps). */
   def sessionizeNativeStream(events: DataFrame, gap: String = "30 minutes",
                              delay: String = "2 hours"): DataFrame =
-    events.withWatermark("ts", delay)
-      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
-      .agg(min(unix_micros(col("ts"))).as("session_start_us"),
-           max(unix_micros(col("ts"))).as("session_end_us"),
-           count(lit(1)).as("n_events"),
-           graft.queries.Exact.dsum(col("value")).as("sum_value"))
-      .select(col("user_id"), col("session_start_us"), col("session_end_us"),
-              col("n_events"), col("sum_value"))
+    graft.ops.Events.sessionizeNative(events.withWatermark("ts", delay), gap)
 
   /** Streaming Bloom-filter maintenance — the membership member of the
     * streaming sketch family next to [[runDistinctSketches]]: every

@@ -158,13 +158,16 @@ class EventsCdcSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Double)].collect().toSet
     val batch = graft.ops.Events.sessionizeNative(Tables.events(spark, sf))
       .as[(Long, Long, Long, Long, Double)].collect().toSet
-    // append mode emits a session once the watermark (max ts − 2h) passes
-    // its close (last event + 30min gap); later sessions stay in state
+    // append mode emits a session when its close (last event + 30min gap)
+    // is <= the watermark; Spark tracks the watermark in FLOORED
+    // MILLISECONDS (EventTimeWatermarkExec), so the expectation must use
+    // the ms-floored max event time or sub-ms components make the
+    // boundary data-dependent
     val maxTsUs = Tables.events(spark, sf)
       .select(max(unix_micros($"ts"))).as[Long].head()
-    val wm = maxTsUs - 2L * 3600 * 1000000
+    val wm = (maxTsUs / 1000) * 1000 - 2L * 3600 * 1000000
     val gapUs = 30L * 60 * 1000000
-    val expected = batch.filter(r => r._3 + gapUs < wm)
+    val expected = batch.filter(r => r._3 + gapUs <= wm)
     assert(streamed.subsetOf(batch), "every emitted session must be a batch session")
     assert(streamed === expected,
       s"streamed ${streamed.size} vs expected ${expected.size} closed sessions")
