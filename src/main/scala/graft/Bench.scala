@@ -68,7 +68,9 @@ object Bench {
       import org.apache.spark.sql.functions._
       val toks = graft.sources.Tables.documents(s, d)
         .select(pmod(col("doc_id"), lit(8)).as("bucket"),
-                pmod(col("doc_id"), lit(4)).as("shard"),
+                // quotient-derived shard: independent of bucket, so the
+                // merged read genuinely combines multiple sketch rows
+                pmod(shiftright(col("doc_id"), 3), lit(4)).as("shard"),
                 explode(graft.ops.TextAnalysis.tokens(col("text"))).as("item"))
       graft.ops.Sketches.heavyHittersMerged(
         graft.ops.Sketches.heavyHitterSketch(
@@ -102,7 +104,14 @@ object Bench {
     // names fail loudly rather than silently benching nothing
     val only: Option[Set[String]] = {
       val joined = args.mkString(" ")
-      "--only[= ]([^ ]+)".r.findFirstMatchIn(joined).map(_.group(1).split(',').toSet)
+      val parsed =
+        "--only[= ]([^ ]+)".r.findFirstMatchIn(joined).map(_.group(1).split(',').toSet)
+      // a malformed '--only=' (flag present, value empty) must NOT silently
+      // fall through to a full run — that overwrites the committed
+      // bench_out.json, the exact clobbering --only exists to prevent
+      require(!joined.contains("--only") || parsed.exists(_.exists(_.nonEmpty)),
+        "--only flag given without query names (use --only=name1,name2)")
+      parsed
     }
     val spark = GraftSession.get("graft-bench")
     // absorb one-time session costs (scheduler init, noop committer,

@@ -26,4 +26,20 @@ object Checkpoints {
     case lr: LogicalRDD => lr.rdd.unpersist(blocking = true)
     case _              => ()
   }
+
+  /** Collect a SMALL (bounded-by-a-parameter, e.g. k centers or m×ncodes
+    * codebook entries) result to the driver and release the checkpointed
+    * frames that produced it, returning a local single-partition frame
+    * with identical rows. This is the release contract for loops whose
+    * OUTPUT is tiny but whose construction pinned per-round checkpoints:
+    * without it the 1-row round frames accumulate executor storage across
+    * repeated invocations in one session (e.g. the bench's cold+warm
+    * double run). Never call this on a data-sized frame. */
+  def drain(out: DataFrame, owned: Seq[DataFrame]): DataFrame = {
+    val spark = out.sparkSession
+    val schema = out.schema
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    owned.foreach(unpersist)
+    spark.createDataFrame(rows, schema)
+  }
 }

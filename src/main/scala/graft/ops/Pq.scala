@@ -119,7 +119,11 @@ object Pq {
       Checkpoints.unpersist(codebook)
       codebook = next
     }
-    PqModel(codebook, m, subDim)
+    // the codebook is m × ncodes rows — land it locally and release the
+    // final round's checkpoint so callers (knn_ivf_partial, semanticDedup)
+    // don't accumulate executor storage across repeated fits in a session;
+    // downstream use is broadcast joins, which a local frame serves fine
+    PqModel(Checkpoints.drain(codebook, Seq(codebook)), m, subDim)
   }
 
   /** Encode every vector as (vec_id, sub, code) — the m-bytes-per-vector

@@ -105,9 +105,14 @@ object Sampling {
                   tokensCol: Column, budgetTokens: Long): DataFrame = {
     val totals = df.groupBy(stratumCol.as("__stratum"))
       .agg(sum(tokensCol).as("__toks"))
+    // a zero-token stratum makes DIV yield NULL, which least() skips —
+    // keep_rate would silently become 100 (keep all) with no DuckDB-shared
+    // semantics; make the degenerate case explicit and engine-identical
     val rates = totals
       .withColumn("keep_rate",
-        least(lit(100L), expr(s"(${100L * budgetTokens}) DIV __toks")).cast("int"))
+        when(col("__toks") > 0,
+          least(lit(100L), expr(s"(${100L * budgetTokens}) DIV __toks")))
+          .otherwise(lit(100L)).cast("int"))
       .select(col("__stratum"), col("keep_rate"))
     df.withColumn("sample_bucket", bucket(idCol))
       .join(broadcast(rates), stratumCol <=> col("__stratum"))

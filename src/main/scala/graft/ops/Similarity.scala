@@ -283,6 +283,10 @@ object Similarity {
       lit(null).cast("double").as("sel_cos"))
     var center = seed
     var state: DataFrame = null
+    // every per-round 1-row center checkpoint (and the seed) is owned by
+    // this call and released via Checkpoints.drain once the k output rows
+    // are local — repeated invocations in one session must not accumulate
+    val owned = scala.collection.mutable.ListBuffer[DataFrame](seed)
     (1 until k).foreach { r =>
       val prev = state
       val stepCos =
@@ -302,13 +306,15 @@ object Similarity {
         .select(col("vec_id").as("center_id"), col("emb").as("c_emb"),
           col("nrm").as("c_nrm"), col("max_cos").as("sel_cos"))
         .localCheckpoint(true)
+      owned += center
       rows = rows.union(
         center.select(col("center_id"), lit(r).as("round_idx"), col("sel_cos")))
     }
     // the output unions only the 1-row center checkpoints; the final
     // corpus-sized state (and, at k = 1, the never-consumed base) can go
     if (state != null) Checkpoints.unpersist(state) else Checkpoints.unpersist(base)
-    rows
+    // k rows total: land them locally and release every center checkpoint
+    Checkpoints.drain(rows, owned.toSeq)
   }
 
   def normStats(embeddings: DataFrame): DataFrame = {

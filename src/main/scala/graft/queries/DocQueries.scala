@@ -1400,9 +1400,12 @@ $sel
   private def heavyHitters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val k = 64
+    // shard must be independent of bucket (doc_id%8 determines doc_id%4, so
+    // that pairing would leave exactly one shard per bucket and the merge
+    // would never combine sketches) — derive it from the quotient instead
     val toks = Tables.documents(s, d)
       .select(pmod($"doc_id", lit(8)).as("bucket"),
-              pmod($"doc_id", lit(4)).as("shard"),
+              pmod(shiftright($"doc_id", 3), lit(4)).as("shard"),
               explode(TextAnalysis.tokens($"text")).as("item"))
     val merged = Sketches.heavyHittersMerged(
       Sketches.heavyHitterSketch(toks, $"bucket", $"shard", $"item", k), k)

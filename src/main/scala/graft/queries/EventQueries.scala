@@ -301,7 +301,11 @@ object EventQueries {
       .select($"event_type",
         from_json($"props", org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
           .getField("k").as("k"), $"value")
-      .groupBy($"event_type", expr("k DIV 10").as("k_decade"))
+      // DuckDB's // floors while Spark's DIV truncates toward zero; for a
+      // negative k they'd bucket differently (-15 // 10 = -2, -15 DIV 10 =
+      // -1). (k - pmod(k,10)) DIV 10 is exact integer floor division
+      // (pmod is always non-negative), engine-identical for any k
+      .groupBy($"event_type", expr("(k - pmod(k, 10)) DIV 10").as("k_decade"))
       .agg(count(lit(1)).as("n_events"), min($"k").as("min_k"),
         max($"k").as("max_k"), dsum($"value").as("sum_value"))
       .orderBy("event_type", "k_decade")
