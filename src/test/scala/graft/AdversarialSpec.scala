@@ -1,0 +1,327 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.olap.StarSchema
+import graft.ops._
+
+/** Hostile-data sweep over the top operators: the driver's seed-42 testdata
+  * is uniform and clean, so the failure modes that actually bite at 100 TB —
+  * hot-key skew, NULL keys, empty partitions, unicode edge text, duplicate
+  * floods, empty/single-row inputs — never appear in the oracle gate. Each
+  * test here PINS the operator's documented behavior on a hostile frame
+  * (exact outputs or exact invariants), not merely "does not crash".
+  */
+class AdversarialSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000000L * 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  private def events(rows: (Long, String, Long, Double)*): DataFrame =
+    rows.zipWithIndex.map { case ((u, e, us, v), i) => (u, e, ts(us), v, i.toLong) }
+      .toDF("user_id", "event_type", "ts", "value", "event_id")
+
+  private val emptyEvents = events()
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  // ---------------------------------------------------------------- skew
+
+  test("skewReport quantifies a 50%-hot key exactly") {
+    // 1 key with half the rows, 5000 singleton keys: the shape AQE/salting
+    // decisions are made from, computed without any single-partition window
+    val df = ((1 to 5000).map(_ => "hot") ++ (1 to 5000).map(i => s"k$i"))
+      .toDF("k")
+    val r = Skew.skewReport(df, col("k"), hotMultiple = 2.0).head()
+    assert(r.getLong(r.fieldIndex("n_keys")) === 5001L)
+    assert(r.getLong(r.fieldIndex("n_rows")) === 10000L)
+    assert(r.getLong(r.fieldIndex("max_rows")) === 5000L)
+    assert(math.abs(r.getDouble(r.fieldIndex("skew_ratio")) -
+      5000.0 * 5001.0 / 10000.0) < 1e-9)
+    // only the hot key clears n * n_keys >= 2 * n_rows
+    assert(r.getLong(r.fieldIndex("n_hot_keys")) === 1L)
+  }
+
+  test("saltedJoin equals the plain join bit-for-bit on hot-key + NULL-key data") {
+    val fact = ((1 to 2000).map(i => (java.lang.Long.valueOf(1L), i.toLong)) ++
+      (1 to 50).map(i => (java.lang.Long.valueOf(i.toLong + 1), i.toLong)) ++
+      (1 to 25).map(i => (null.asInstanceOf[java.lang.Long], i.toLong)))
+      .toDF("key", "payload")
+    val dim = ((1L to 60L).map(k => (java.lang.Long.valueOf(k), s"d$k")) :+
+      ((null.asInstanceOf[java.lang.Long], "dnull")))
+      .toDF("key", "attr")
+    val plain = fact.join(dim, "key")
+    val salted = Skew.saltedJoin(fact, dim, "key", salts = 8)
+    val sp = plain.collect().map(_.toString).sorted
+    val ss = salted.collect().map(_.toString).sorted
+    assert(sp.toSeq === ss.toSeq)
+    // NULL keys never join (SQL inner-join semantics preserved, not a NaN
+    // salt accident): 2000 hot + 50 cold matches, zero NULL matches
+    assert(sp.length === 2050)
+    // the premise of salting actually holds on this frame: the hot key's
+    // rows carry >1 distinct content-derived salt, so its build rows split
+    val spread = fact.filter(col("key") === 1L)
+      .select(pmod(xxhash64(col("key"), col("payload")), lit(8L)))
+      .distinct().count()
+    assert(spread > 1)
+  }
+
+  // ------------------------------------------------------- NULL-key sketches
+
+  test("sketch family on all-NULL keys: excluded from sketches, probes answer definitively") {
+    val nulls = (1 to 100).map(_ => (1, null.asInstanceOf[String]))
+      .toDF("bucket", "item")
+    // CM / Bloom document NULL exclusion: a NULL key hashes to a NULL slot
+    // that can never join, which would fabricate false negatives — so the
+    // build drops NULLs and the sketches come back EMPTY
+    assert(Sketches.countMinSketch(nulls, col("bucket"), col("item")).count() === 0)
+    assert(Sketches.bloomSketch(nulls, col("bucket"), col("item")).count() === 0)
+    // probes against the empty sketches: absent, not NULL/undefined
+    val probeItems = Seq("a", "b").toDF("item")
+    val bp = Sketches.bloomProbe(
+      Sketches.bloomSketch(nulls, col("bucket"), col("item")), probeItems, "item")
+      .collect()
+    assert(bp.length === 2 && bp.forall(!_.getBoolean(1)))
+    val cm = Sketches.countMinEstimates(
+      Sketches.countMinSketch(nulls, col("bucket"), col("item")), probeItems, "item")
+      .collect()
+    assert(cm.length === 2 && cm.forall(_.getLong(1) === 0L))
+    // NULL probe items are likewise excluded rather than joined on NULL
+    val nullProbe = Seq(null.asInstanceOf[String]).toDF("item")
+    assert(Sketches.bloomProbe(
+      Sketches.bloomSketch(nulls, col("bucket"), col("item")), nullProbe, "item")
+      .count() === 0)
+    // Misra-Gries skips NULL inputs: the sketch row exists (the group has
+    // rows) but holds zero counters and zero counted weight
+    val mg = Sketches.heavyHitterSketch(
+      nulls, col("bucket"), lit(0), col("item"), k = 4)
+    val mgRow = mg.collect()
+    assert(mgRow.length === 1 && mgRow(0).getLong(mgRow(0).fieldIndex("n_items")) === 0L)
+    assert(Sketches.heavyHittersMerged(mg, k = 4).count() === 0)
+    // HLL: NULL keys contribute nothing — estimate 0 over a NULL-only frame
+    val hll = Sketches.mergedEstimate(
+      Sketches.distinctSketch(nulls, col("bucket"), col("item"))).head()
+    assert(hll.getLong(hll.fieldIndex("distinct_estimate")) === 0L)
+  }
+
+  // ------------------------------------------------------------ empty input
+
+  test("empty input: every bulk operator returns an empty frame with its full schema") {
+    val emptyDocs = docs()
+    val cases: Seq[(String, DataFrame, Seq[String])] = Seq(
+      ("funnel", Events.funnel(emptyEvents, Seq("view", "cart", "buy")),
+        Seq("user_id", "step_1_ts", "step_2_ts", "step_3_ts", "stage")),
+      ("retention", Events.retentionCohorts(emptyEvents), Nil),
+      ("gap_fill", Events.gapFillDaily(emptyEvents),
+        Seq("user_id", "day_idx", "n_events", "ffill_value", "is_gap")),
+      ("transitions", Events.transitions(emptyEvents), Nil),
+      ("sliding_active", Events.slidingActiveUsers(emptyEvents), Nil),
+      ("anomaly", Events.anomalyDailyCounts(emptyEvents),
+        Seq("event_type", "day_idx", "z", "is_anomaly")),
+      ("dedup_exact", Dedup.exact(emptyDocs),
+        Seq("doc_id", "canonical_id", "is_dup")),
+      ("minhash", Dedup.minhashLsh(emptyDocs), Seq("d1", "d2", "jaccard")),
+      ("simhash", Dedup.simhashDup(emptyDocs), Nil),
+      ("ngram_jaccard", Dedup.ngramJaccard(emptyDocs), Nil),
+      ("span_dedup", Dedup.spanDedup(emptyDocs), Nil),
+      ("clusters", Dedup.clusters(Seq.empty[(Long, Long)].toDF("d1", "d2")),
+        Seq("doc_id", "cluster_id")),
+      ("scd2", StarSchema.scd2History(
+        Seq.empty[(Long, Long, String)].toDF("k", "ts_us", "v"),
+        Seq("k"), col("ts_us"), Seq(col("ts_us"))),
+        Seq("version", "valid_from_us", "valid_to_us", "is_current")),
+      ("scd1", StarSchema.scd1Latest(
+        Seq.empty[(Long, Long, String)].toDF("k", "ts_us", "v"),
+        Seq("k"), Seq(col("ts_us").desc)), Nil))
+    cases.foreach { case (name, df, cols) =>
+      assert(df.count() === 0L, s"$name not empty on empty input")
+      cols.foreach(c =>
+        assert(df.columns.contains(c), s"$name lost column $c on empty input"))
+    }
+    // skewReport's documented empty shape: ONE row, n_keys 0, NULL stats
+    val sr = Skew.skewReport(emptyEvents, col("user_id")).collect()
+    assert(sr.length === 1 && sr(0).getLong(sr(0).fieldIndex("n_keys")) === 0L)
+    assert(sr(0).isNullAt(sr(0).fieldIndex("skew_ratio")))
+  }
+
+  test("single-row input: degenerate statistics are explicit, not accidental") {
+    // one observed day: no variance is definable — z NULL, flag false
+    val az = Events.anomalyDailyCounts(events((1L, "click", 0L, 1.0))).collect()
+    assert(az.length === 1 && az(0).isNullAt(az(0).fieldIndex("z")))
+    assert(!az(0).getBoolean(az(0).fieldIndex("is_anomaly")))
+    // one change row: version 1, open interval, current
+    val s2 = StarSchema.scd2History(
+      Seq((7L, 100L, "a")).toDF("k", "ts_us", "v"),
+      Seq("k"), col("ts_us"), Seq(col("ts_us"))).collect()
+    assert(s2.length === 1)
+    assert(s2(0).getInt(s2(0).fieldIndex("version")) === 1)
+    assert(s2(0).isNullAt(s2(0).fieldIndex("valid_to_us")))
+    assert(s2(0).getBoolean(s2(0).fieldIndex("is_current")))
+    // one event on one day: a 1-row grid with no gap, value carried
+    val gf = Events.gapFillDaily(events((1L, "click", 0L, 5.0))).collect()
+    assert(gf.length === 1 && gf(0).getInt(gf(0).fieldIndex("is_gap")) === 0)
+    // sliding active users: the window never extends past the last
+    // observed day, so a single-day corpus yields exactly one output day
+    val sa = Events.slidingActiveUsers(events((1L, "click", 0L, 1.0)), 7).collect()
+    assert(sa.length === 1 && sa(0).getLong(sa(0).fieldIndex("active_users")) === 1L)
+  }
+
+  // ---------------------------------------------------------------- unicode
+
+  test("exact dedup on unicode / zero-width / whitespace-only / NULL text") {
+    val d = Seq(
+      (1L, "ab"), (2L, "AB  "), (3L, " ab"),      // normalize to "ab"
+      (4L, "a b"), (5L, "a  b"), (6L, "a\tb"),    // \s+ collapses: "a b"
+      (7L, "a​b"),                           // zero-width space is NOT \s
+      (8L, ""), (9L, "   "),                      // empty after normalize
+      (10L, null.asInstanceOf[String]), (11L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val groups = Dedup.exact(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // lower+trim+collapse is the documented normal form
+    assert(groups(1L) === 1L && groups(2L) === 1L && groups(3L) === 1L)
+    assert(groups(4L) === 4L && groups(5L) === 4L && groups(6L) === 4L)
+    // a zero-width space is CONTENT (Java \s excludes it): not a dup of "ab"
+    assert(groups(7L) === 7L)
+    // whitespace-only and empty normalize identically
+    assert(groups(8L) === 8L && groups(9L) === 8L)
+    // NULL text: xxhash64 skips NULL inputs, so NULL docs form ONE group of
+    // their own, distinct from the empty string (which hashes "" itself)
+    assert(groups(10L) === 10L && groups(11L) === 10L)
+    assert(groups(8L) !== groups(10L))
+  }
+
+  // --------------------------------------------------------- duplicate flood
+
+  test("duplicate flood: exact dedup collapses it; minhash returns the full clique") {
+    val flood = (1L to 500L).map(i => (i, "same text every time here"))
+    val uniq = (501L to 520L).map(i => (i, s"totally distinct document number $i with unique words w$i x$i y$i z$i"))
+    val d = (flood ++ uniq).toDF("doc_id", "text")
+    val ex = Dedup.exact(d)
+    assert(ex.filter(col("is_dup")).count() === 499L)
+    assert(ex.filter(col("canonical_id") === 1L).count() === 500L)
+    // near-dup over an identical-text flood is inherently quadratic in the
+    // flood size (every pair IS a true duplicate pair): pin that the
+    // documented mitigation — exact-dedup first — removes the blow-up,
+    // and that on a bounded clique minhash returns exactly C(40,2) pairs
+    val clique = (1L to 40L).map(i => (i, "forty copies of this exact sentence"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(clique).collect()
+    assert(pairs.length === 40 * 39 / 2)
+    assert(pairs.forall(_.getDouble(2) === 1.0))
+    val afterExact = Dedup.exact(clique).filter(!col("is_dup"))
+      .join(clique, Seq("doc_id"))
+    assert(Dedup.minhashLsh(afterExact).count() === 0L)
+  }
+
+  test("clusters converges on a 200-node chain (worst-case pointer-jumping depth)") {
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val c = Dedup.clusters(chain)
+    val rows = c.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.length === 200)
+    assert(rows.forall(_._2 === 0L), "chain must collapse to the min label")
+    // duplicate and reversed edges must not change the labeling
+    val noisy = chain.union(chain).union(
+      Seq((5L, 3L), (150L, 2L)).toDF("d1", "d2"))
+    val rows2 = Dedup.clusters(noisy).collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows2.toSet === rows.toSet)
+  }
+
+  // ------------------------------------------------------------ event edges
+
+  test("funnel requires STRICTLY later timestamps per step") {
+    val e = events(
+      // user 1: view and cart at the SAME instant — cart must not count
+      (1L, "view", 1000000L, 0.0), (1L, "cart", 1000000L, 0.0),
+      // user 2: cart one microsecond later — counts
+      (2L, "view", 1000000L, 0.0), (2L, "cart", 1000001L, 0.0),
+      // user 3: cart BEFORE view — ordered funnel rejects it
+      (3L, "cart", 500000L, 0.0), (3L, "view", 1000000L, 0.0))
+    val f = Events.funnel(e, Seq("view", "cart")).collect()
+      .map(r => r.getLong(0) -> r.getInt(r.fieldIndex("stage"))).toMap
+    assert(f === Map(1L -> 1, 2L -> 2, 3L -> 1))
+  }
+
+  test("scd2History orders equal-timestamp changes by the explicit tiebreak") {
+    val ch = Seq((1L, 100L, 1L, "a"), (1L, 100L, 2L, "b"), (1L, 200L, 3L, "c"))
+      .toDF("k", "ts_us", "event_id", "v")
+    val h = StarSchema.scd2History(ch, Seq("k"), col("ts_us"),
+        Seq(col("ts_us"), col("event_id")))
+      .orderBy("version").collect()
+    assert(h.map(_.getString(h(0).fieldIndex("v"))).toSeq === Seq("a", "b", "c"))
+    // the tied predecessor gets a zero-length interval, never a NULL hole
+    assert(h(0).getLong(h(0).fieldIndex("valid_to_us")) === 100L)
+    assert(h(1).getLong(h(1).fieldIndex("valid_to_us")) === 200L)
+    assert(h(2).isNullAt(h(2).fieldIndex("valid_to_us")))
+    assert(h.map(_.getBoolean(h(0).fieldIndex("is_current"))).toSeq ===
+      Seq(false, false, true))
+  }
+
+  test("gapFillDaily forward-fills across gaps and over NULL day values") {
+    val e = events(
+      (1L, "click", 0L, 5.0),                     // day 0, value 5
+      (1L, "click", 2L * 86400L * 1000000L, Double.NaN)) // day 2 (value NULL below)
+      .withColumn("value", when(col("value") === 5.0, col("value"))) // NaN -> NULL
+    val g = Events.gapFillDaily(e).orderBy("day_idx").collect()
+    assert(g.map(_.getLong(1)).toSeq === Seq(0L, 1L, 2L))
+    assert(g.map(_.getInt(g(0).fieldIndex("is_gap"))).toSeq === Seq(0, 1, 0))
+    // day 1 is a gap and day 2's own value is NULL: both carry day 0's 5.0
+    assert(g.map(_.getDouble(g(0).fieldIndex("ffill_value"))).toSeq ===
+      Seq(5.0, 5.0, 5.0))
+    assert(g(2).isNullAt(g(2).fieldIndex("day_value")))
+  }
+
+  // ------------------------------------------------- MG under flood + layout
+
+  test("Misra-Gries guarantee holds for a 50%-hot item under any partitioning") {
+    val items = ((1 to 5000).map(_ => "hot") ++ (1 to 5000).map(i => s"t$i"))
+    val k = 8
+    Seq(1, 13) foreach { parts =>
+      val df = items.toDF("item").repartition(parts).withColumn("bucket", lit(0))
+      val merged = Sketches.heavyHittersMerged(
+        Sketches.heavyHitterSketch(df, col("bucket"), spark_partition_id(),
+          col("item"), k), k).collect()
+      val hot = merged.find(_.getString(merged(0).fieldIndex("item")) == "hot")
+      // any item with f > n/(k+1) MUST survive the merge (5000 > 10000/9),
+      // with its estimate inside [f - n/(k+1), f] — raw counters are
+      // layout-dependent, the acceptance bound is not
+      assert(hot.isDefined, s"hot item evicted at $parts partitions")
+      val est = hot.get.getLong(merged(0).fieldIndex("count_est"))
+      assert(est <= 5000L && (k + 1) * est >= (k + 1) * 5000L - 10000L,
+        s"bound violated at $parts partitions: est=$est")
+    }
+  }
+
+  // --------------------------------------- layout invariance w/ empty parts
+
+  test("deterministic operators are invariant to partition layout (incl. empty partitions)") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon"), (2L, "alpha beta gamma delta epsilon"),
+      (3L, "zeta eta theta iota kappa"), (4L, "alpha beta gamma delta zeta"))
+    def run(parts: Int): (Seq[String], Seq[String]) = {
+      // 32 partitions over 4 rows: most partitions empty — the layout a
+      // filtered 100 TB scan actually hands downstream operators
+      val df = d.toDF("doc_id", "text").repartition(parts)
+      (Dedup.exact(df).collect().map(_.toString).sorted.toSeq,
+       Dedup.minhashLsh(df, threshold = 0.5).collect().map(_.toString).sorted.toSeq)
+    }
+    val (e1, m1) = run(1)
+    val (e32, m32) = run(32)
+    assert(e1 === e32)
+    assert(m1 === m32)
+    val ev = events(
+      (1L, "view", 1000L, 1.0), (1L, "cart", 2000L, 2.0),
+      (2L, "view", 3000L, 3.0))
+    def runF(parts: Int): Seq[String] =
+      Events.funnel(ev.repartition(parts), Seq("view", "cart"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(runF(1) === runF(32))
+  }
+}
