@@ -81,6 +81,23 @@ object Bench {
     // reused, so the warm number is the pure per-arrival probe cost — the
     // recurring cost of a production dedup — while the registry entry
     // honestly re-pays the build every run
+    // steady-state canonical selection: keep-best over a STANDING cluster
+    // table. The minhash -> clusters pipeline runs once (first/cold call)
+    // into a persisted membership table; the warm number is the recurring
+    // production cost — member-pruned token counts + a membership-sized
+    // window — while the registry entry honestly re-pays the full pipeline
+    "dedup_keep_best_probe" -> {
+      val clusterCache = scala.collection.mutable.Map.empty[String, String]
+      (s: SparkSession, d: String) => {
+        val docs = graft.sources.Tables.documents(s, d)
+        val dir = clusterCache.getOrElseUpdate(d, {
+          val dd = java.nio.file.Files.createTempDirectory("graft_clusters_bench").toString
+          graft.ops.Dedup.writeClusterTable(docs, dd)
+          dd
+        })
+        graft.ops.Dedup.keepBest(s.read.parquet(dir), docs)
+      }
+    },
     "incremental_dedup_probe" -> {
       val indexCache = scala.collection.mutable.Map.empty[String, String]
       (s: SparkSession, d: String) => {

@@ -194,6 +194,46 @@ object Dedup {
       .sortWithinPartitions(col("band_hash"), col("band"))
       .write.mode("overwrite").parquet(dir)
 
+  /** Persist the corpus's duplicate-cluster membership table — the other
+    * standing artifact of a recurring dedup (the cluster twin of
+    * [[writeSignatureIndex]]): (doc_id, cluster_id, cluster_size) for every
+    * doc that belongs to a near-dup cluster, hash-distributed and sort-led
+    * by cluster_id so per-cluster reads (canonical selection, cluster
+    * audits) get tight row-group stats. Built once per corpus refresh;
+    * downstream selection jobs ([[keepBest]]) read it instead of re-running
+    * the minhash → clusters pipeline per invocation. */
+  def writeClusterTable(docs: DataFrame, dir: String, n: Int = 3,
+                        threshold: Double = 0.8): Unit =
+    clusters(minhashLsh(docs, n, threshold))
+      .repartition(col("cluster_id"))
+      .sortWithinPartitions(col("cluster_id"), col("doc_id"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** Per-cluster canonical selection by QUALITY over an existing
+    * cluster-membership table: within each near-dup cluster keep the member
+    * with the most tokens (the most complete copy — the curation rule when
+    * duplicates differ by truncation), ties to the lower doc_id.
+    *
+    * This is the production read path: the cluster table is computed once
+    * ([[writeClusterTable]]) and this probe pays only (a) token counting
+    * for MEMBER docs — the corpus is pruned through a semi-join before any
+    * text is tokenized, so text I/O is proportional to dup-cluster
+    * membership, not corpus size — and (b) one membership-sized window.
+    * Output and schema equal the composed pipeline's keep-best exactly
+    * (DedupSpec pins the equality). */
+  def keepBest(clusterTable: DataFrame, docs: DataFrame): DataFrame = {
+    val members = clusterTable.select(col("doc_id"), col("cluster_id"))
+    val toks = docs
+      .join(members.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(col("n_tokens").desc, col("doc_id"))
+    members.join(toks, "doc_id")
+      .withColumn("is_canonical", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("n_tokens"), col("is_canonical"))
+  }
+
   /** Incremental near-dup detection — the arrival path of a standing 100 TB
     * dedup: a (daily-sized) batch of new documents is checked against the
     * CORPUS'S PERSISTED SIGNATURE INDEX without touching old text. New docs

@@ -306,16 +306,11 @@ object DocQueries {
     * window over the cluster-membership table (dup-members-sized, never
     * the corpus). */
   private def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
-    val clusters = Dedup.clusters(Dedup.minhashLsh(docs))
-    val toks = docs.select($"doc_id",
-      size(TextAnalysis.tokens($"text")).cast("long").as("n_tokens"))
-    val w = Window.partitionBy($"cluster_id").orderBy($"n_tokens".desc, $"doc_id")
-    clusters.join(toks, "doc_id")
-      .withColumn("is_canonical", row_number().over(w) === 1)
-      .select($"doc_id", $"cluster_id", $"n_tokens", $"is_canonical")
+    // the registry entry honestly composes the whole pipeline for the
+    // oracle; production reads a persisted cluster table through the same
+    // Dedup.keepBest (the bench's dedup_keep_best_probe variant)
+    Dedup.keepBest(Dedup.clusters(Dedup.minhashLsh(docs)), docs)
       .orderBy("doc_id")
   }
 

@@ -192,6 +192,24 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.spanDedup(corpus, minShared = 1, maxDf = 1).isEmpty)
   }
 
+  test("keepBest over a persisted cluster table equals the composed pipeline") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val composed = Dedup.keepBest(Dedup.clusters(Dedup.minhashLsh(docs)), docs)
+      .collect().map(_.toString).sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_clusters_spec").toString
+    Dedup.writeClusterTable(docs, dir)
+    val probed = Dedup.keepBest(spark.read.parquet(dir), docs)
+      .collect().map(_.toString).sorted.toSeq
+    assert(probed === composed)
+    assert(composed.nonEmpty, "testdata corpus must contain dup clusters")
+    // the probe's corpus scan is member-pruned BEFORE tokenization: the
+    // plan tokenizes after a semi/filtered join, never the raw corpus scan
+    val plan = Dedup.keepBest(spark.read.parquet(dir), docs)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("LeftSemi") || plan.contains("left_semi"),
+      s"member prune missing from plan:\n$plan")
+  }
+
   test("evalPairs: counts, precision and recall over truth vs candidate pair sets") {
     import spark.implicits._
     val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("d1", "d2")
