@@ -338,6 +338,39 @@ object EventsCdc {
       }
       .start()
 
+  /** Streaming Count-Min maintenance — the point-frequency member that
+    * completes the streaming sketch family (HLL distinct / Bloom
+    * membership / Misra-Gries top-k / histogram via batch / CM here):
+    * every micro-batch APPENDS its (bucket, depth, slot, cnt) cell rows
+    * to the sketch table; readers answer "how often did item x occur"
+    * over any bucket subset by merging rows — cell-wise count ADDITION
+    * ([[graft.ops.Sketches.countMinEstimates]] sums cells before the
+    * min-over-depths read) — blind appends, no read-modify-write, no
+    * streaming state. Replay caveat (the MG posture, NOT the HLL/Bloom
+    * one): cell counts are sums, so a re-delivered batch adds its counts
+    * again and estimates bound the frequencies of the REPLAYED stream —
+    * the one-sided guarantee est ≥ true frequency survives replay (CM
+    * never underestimates; redelivery only adds), exactness of the upper
+    * side needs an exactly-once sink or upstream dedup
+    * ([[dedupStream]]). */
+  def runCountMinSketches(stream: DataFrame, sketchDir: String,
+                          checkpointDir: String,
+                          bucketCol: String, itemCol: String,
+                          depth: Int = 3, width: Int = 32,
+                          trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Sketches.countMinSketch(
+            batch, col(bucketCol), col(itemCol), depth, width)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(sketchDir)
+        ()
+      }
+      .start()
+
   def health(spark: SparkSession, queries: Seq[StreamingQuery]): DataFrame = {
     import spark.implicits._
     queries.map { q =>

@@ -589,6 +589,68 @@ class EventsCdcSpec extends SparkSpec {
     }
   }
 
+  test("streaming count-min maintenance: cell-addition merge, one-sided bound survives replay") {
+    val ev = Tables.events(spark, sf).withColumn("b",
+      ntile(2).over(org.apache.spark.sql.expressions.Window
+        .orderBy($"ts", $"event_id")))
+    val dir = Files.createTempDirectory("graft_cm_src")
+    def writeFile(name: String, filter: org.apache.spark.sql.Column): Unit = {
+      val tmp = Files.createTempDirectory("graft_cm_tmp").toString
+      ev.filter(filter).drop("b").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, dir.resolve(name))
+      Thread.sleep(1000)
+    }
+    writeFile("1.parquet", $"b" === 1)
+    writeFile("2.parquet", $"b" === 2)
+    writeFile("3.parquet", $"b" === 1) // an at-least-once source replaying batch 1
+    val sketchDir = Files.createTempDirectory("graft_cm_out").toString
+    val ckpt = Files.createTempDirectory("graft_cm_ckpt").toString
+    val q = EventsCdc.runCountMinSketches(
+      EventsCdc.readEventStream(spark, dir.toString, Tables.events(spark, sf),
+          maxFilesPerTrigger = 1)
+        .withColumn("item", $"user_id".cast("string")),
+      sketchDir, ckpt, bucketCol = "event_type", itemCol = "item",
+      depth = 3, width = 256)
+    q.awaitTermination()
+    val sketches = spark.read.parquet(sketchDir)
+    assert(sketches.select($"batch_id").distinct().count() === 3)
+    // a replayed batch appends EXACTLY its original cells again (blind
+    // deterministic appends — no state, no read-modify-write)
+    val cells0 = sketches.filter($"batch_id" === 0)
+      .select($"bucket", $"depth", $"slot", $"cnt")
+      .as[(String, Int, Int, Long)].collect().toSet
+    val cells2 = sketches.filter($"batch_id" === 2)
+      .select($"bucket", $"depth", $"slot", $"cnt")
+      .as[(String, Int, Int, Long)].collect().toSet
+    assert(cells2 === cells0)
+    val exactEv = ev.groupBy($"user_id".cast("string").as("item"))
+      .agg(count(lit(1)).as("f"),
+           sum(when($"b" === 1, 1L).otherwise(0L)).as("f1"))
+      .as[(String, Long, Long)].collect()
+    val items = exactEv.map(_._1).toSeq.toDF("item")
+    // merged over the TRUE batches only (0,1): est >= exact for every item
+    // — the deterministic CM one-sided guarantee, answered from cells alone
+    val estTrue = graft.ops.Sketches.countMinEstimates(
+        sketches.filter($"batch_id" < 2), items, "item", depth = 3, width = 256)
+      .as[(String, Long)].collect().toMap
+    exactEv.foreach { case (item, f, _) =>
+      assert(estTrue(item) >= f, s"$item: est ${estTrue(item)} < exact $f")
+    }
+    // replay caveat pinned: merging the redelivered batch ADDS its counts —
+    // estimates now bound the replayed stream (>= f + batch-1 frequency),
+    // still never below; HLL/Bloom idempotence does NOT hold here
+    val estAll = graft.ops.Sketches.countMinEstimates(
+        sketches, items, "item", depth = 3, width = 256)
+      .as[(String, Long)].collect().toMap
+    exactEv.foreach { case (item, f, f1) =>
+      assert(estAll(item) >= f + f1,
+        s"$item: replayed est ${estAll(item)} < ${f + f1}")
+      assert(estAll(item) >= estTrue(item))
+    }
+  }
+
   test("SCD1 merge keeps tombstones so late-arriving older rows cannot resurrect") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val t1 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00")
