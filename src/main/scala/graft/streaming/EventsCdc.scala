@@ -338,6 +338,84 @@ object EventsCdc {
       }
       .start()
 
+  /** One SCD2 merge step — the streaming application of
+    * [[graft.olap.StarSchema.scd2History]]'s contract: the state's CLOSED
+    * interval rows pass through UNTOUCHED (history is immutable — at scale
+    * this slice is an append-only table that never rewrites); each key's
+    * OPEN row is closed at its first batch change (`valid_to_us` = the
+    * change's timestamp, `is_current` = false); the batch's own changes
+    * become the key's next versions (ordinals continue from the open
+    * row's), the last one per key open/current. A DELETE is a change row
+    * like any other — the tombstone version becomes current, ending the
+    * interval; point-in-time lookups before the delete still resolve and
+    * the live view excludes the key (no resurrection).
+    *
+    * Work per batch is batch-sized plus the touched keys' open rows —
+    * never closed history. Assumes IN-ORDER batches (every change in
+    * batch N is `(tsUs, tie)`-after the state's open row for its key —
+    * the CDC worker contract; [[dedupStream]] upstream absorbs
+    * redelivery). With in-order batches the result is IDENTICAL to
+    * running scd2History over the concatenated change log (spec-pinned).
+    */
+  def scd2MergeStep(state: Option[DataFrame], batch: DataFrame,
+                    keys: Seq[String], tsUsCol: String = "ts_us",
+                    tieCol: String = "event_id"): DataFrame = {
+    val batchHist = StarSchema.scd2History(batch, keys, col(tsUsCol),
+      Seq(col(tsUsCol), col(tieCol)))
+    state match {
+      case None => batchHist
+      case Some(st) =>
+        val closed = st.filter(!col("is_current"))
+        val open = st.filter(col("is_current"))
+        val firsts = batch.groupBy(keys.map(col): _*)
+          .agg(min(col(tsUsCol)).as("__first_ts"))
+        val openMerged = open.join(firsts, keys, "left")
+          .withColumn("valid_to_us",
+            coalesce(col("__first_ts"), col("valid_to_us")))
+          .withColumn("is_current", col("__first_ts").isNull)
+          .drop("__first_ts")
+        val base = open.select(
+          (keys.map(col) :+ col("version").as("__base_version")): _*)
+        val shifted = batchHist.join(base, keys, "left")
+          .withColumn("version",
+            col("version") + coalesce(col("__base_version"), lit(0)))
+          .drop("__base_version")
+        closed.unionByName(openMerged).unionByName(shifted)
+    }
+  }
+
+  /** foreachBatch SCD2 merge into a versioned parquet state directory —
+    * the SCD2 twin of [[scd1MergeBatch]]: batch N writes `v=N` from
+    * `v=N-1` merged with the batch; overwrite keeps replays idempotent
+    * (re-running batch N rewrites identical content). The versioned
+    * full-state write is the sandbox stand-in for a transactional table;
+    * the merge itself never reads or shuffles more than the batch and the
+    * open rows, so the real deployment swaps the sink, not the logic. */
+  def scd2MergeBatch(spark: SparkSession, stateDir: String, keys: Seq[String],
+                     tsUsCol: String = "ts_us", tieCol: String = "event_id")
+                    (batch: DataFrame, batchId: Long): Unit = {
+    val versions = stateVersions(spark, stateDir).filter(_ < batchId)
+    val state =
+      if (versions.isEmpty) None
+      else Some(spark.read.parquet(s"$stateDir/v=${versions.max}"))
+    scd2MergeStep(state, batch, keys, tsUsCol, tieCol)
+      .write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+  }
+
+  /** Launch the continuous SCD2 pipeline: change stream → versioned SCD2
+    * history maintenance — the reference worker's apply loop with type-2
+    * history instead of last-write-wins. */
+  def runScd2(spark: SparkSession, changes: DataFrame, stateDir: String,
+              checkpointDir: String, keys: Seq[String] = Seq("user_id"),
+              tsUsCol: String = "ts_us", tieCol: String = "event_id",
+              trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    changes.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch(scd2MergeBatch(spark, stateDir, keys, tsUsCol, tieCol) _)
+      .start()
+
   /** Streaming Count-Min maintenance — the point-frequency member that
     * completes the streaming sketch family (HLL distinct / Bloom
     * membership / Misra-Gries top-k / histogram via batch / CM here):

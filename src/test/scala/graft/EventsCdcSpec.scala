@@ -651,6 +651,83 @@ class EventsCdcSpec extends SparkSpec {
     }
   }
 
+  test("streaming SCD2 merge over in-order micro-batches equals batch scd2History") {
+    def df(rows: (Long, Long, Long, String)*) =
+      rows.toDF("k", "ts_us", "event_id", "payload")
+    // three in-order batches: inserts, updates (incl. a same-ts tiebreak
+    // pair), a tombstone, and a brand-new key arriving late
+    val b1 = df((1L, 100L, 1L, "a1"), (2L, 100L, 2L, "b1"))
+    val b2 = df((1L, 200L, 3L, "a2"), (1L, 200L, 4L, "a3"), (2L, 250L, 5L, "b2"))
+    val b3 = df((1L, 300L, 6L, "DELETE"), (3L, 300L, 7L, "c1"))
+    val keys = Seq("k")
+    val s1 = EventsCdc.scd2MergeStep(None, b1, keys)
+    val s2 = EventsCdc.scd2MergeStep(Some(s1), b2, keys)
+    val s3 = EventsCdc.scd2MergeStep(Some(s2), b3, keys)
+    val batchEquiv = graft.olap.StarSchema.scd2History(
+      b1.unionByName(b2).unionByName(b3), keys, $"ts_us",
+      Seq($"ts_us", $"event_id"))
+    assert(s3.collect().map(_.toString).sorted.toSeq ===
+      batchEquiv.collect().map(_.toString).sorted.toSeq)
+    // tombstone semantics: key 1's current version IS the tombstone (the
+    // interval ended, nothing resurrects it in the live view) while every
+    // pre-delete as-of lookup still resolves from the closed history
+    val k1 = s3.filter($"k" === 1L)
+    assert(k1.filter($"is_current").select($"payload").as[String].head() === "DELETE")
+    val liveKeys = graft.olap.StarSchema.live(
+        s3.filter($"is_current"), $"payload" === "DELETE")
+      .select($"k").as[Long].collect().toSet
+    assert(liveKeys === Set(2L, 3L))
+    val asOf250 = k1.filter($"valid_from_us" <= 250L &&
+        ($"valid_to_us".isNull || $"valid_to_us" > 250L))
+      .select($"payload").as[String].head()
+    assert(asOf250 === "a3")
+    // version ordinals continue across batches: key 1 saw 4 changes
+    assert(k1.select(max($"version")).as[Int].head() === 4)
+  }
+
+  test("runScd2: the streaming pipeline maintains versioned SCD2 state end to end") {
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
+        $"event_type")
+    val third = ntile(3).over(org.apache.spark.sql.expressions.Window
+      .orderBy($"ts_us", $"event_id"))
+    val parts = ev.withColumn("b", third)
+    val dir = Files.createTempDirectory("graft_scd2_src")
+    (1 to 3).foreach { i =>
+      val tmp = Files.createTempDirectory("graft_scd2_tmp").toString
+      parts.filter($"b" === i).drop("b")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, dir.resolve(s"$i.parquet"))
+      Thread.sleep(1000)
+    }
+    val stateDir = Files.createTempDirectory("graft_scd2_state").toString
+    val ckpt = Files.createTempDirectory("graft_scd2_ckpt").toString
+    val q = EventsCdc.runScd2(spark,
+      EventsCdc.readEventStream(spark, dir.toString, parts.drop("b"),
+        maxFilesPerTrigger = 1),
+      stateDir, ckpt, keys = Seq("user_id"))
+    q.awaitTermination()
+    val versions = EventsCdc.stateVersions(spark, stateDir)
+    assert(versions.size === 3)
+    val finalState = spark.read.parquet(s"$stateDir/v=${versions.max}")
+    val expected = graft.olap.StarSchema.scd2History(
+      ev, Seq("user_id"), $"ts_us", Seq($"ts_us", $"event_id"))
+    assert(finalState.collect().map(_.toString).sorted.toSeq ===
+      expected.collect().map(_.toString).sorted.toSeq)
+    // SCD2 invariants on the maintained state: exactly one current row per
+    // key, and per-key intervals chain with no holes
+    val perKey = finalState.groupBy($"user_id")
+      .agg(sum(when($"is_current", 1).otherwise(0)).as("n_open"))
+    assert(perKey.filter($"n_open" =!= 1).count() === 0)
+    val holes = finalState.alias("a").join(finalState.alias("b"),
+        $"a.user_id" === $"b.user_id" &&
+        col("a.version") + 1 === col("b.version") &&
+        $"a.valid_to_us" =!= $"b.valid_from_us")
+    assert(holes.count() === 0)
+  }
+
   test("SCD1 merge keeps tombstones so late-arriving older rows cannot resurrect") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val t1 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00")
