@@ -134,6 +134,60 @@ object Ivf {
     model.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
   }
 
+  /** Absorb an arrival batch into the on-disk index — the ANN twin of
+    * [[Dedup.incrementalMinhash]]'s standing-state posture: new vectors
+    * are assigned to the EXISTING centroids (no re-fit, the standing
+    * lists never rewrite) and appended to their lists' directories, so
+    * the recurring cost is arrival-batch-sized. Centroids staying fixed
+    * is the trade that makes appends cheap; [[driftReport]] measures when
+    * the accumulated drift warrants a re-fit. Returns the arrivals'
+    * (vec_id, centroid_id) assignments for audit/union-model checks.
+    *
+    * Caller contract: arrival vec_ids are new (dedupe upstream — the
+    * index append, like every blind append here, is at-least-once under
+    * replay). */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    newEmbeddings: DataFrame): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val data = prepared(newEmbeddings)
+    val assigned = assign(data, centroids)
+    data.join(assigned, "vec_id")
+      .repartition(col("centroid_id"))
+      .sortWithinPartitions(col("centroid_id"), col("vec_id"))
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$dir/lists")
+    assigned
+  }
+
+  /** Per-list health of the on-disk index — the re-fit decision input:
+    * with centroids frozen across appends, member→centroid cosine sags
+    * and list sizes skew as the distribution moves. One scan of the lists
+    * (ids + vectors) against the broadcast centroids, one |lists|-sized
+    * aggregate:
+    * `n_members`, `mean_cos` / `min_cos` (member→centroid cosine — the
+    * displacement measure; 1.0 = members sit on their centroid),
+    * `size_ratio` (n_members / mean list size — probe-cost skew: a hot
+    * list makes every probe touching it expensive). Re-fit when mean_cos
+    * sags or size_ratio spikes past the operator's thresholds. */
+  def driftReport(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): DataFrame = {
+    val lists = spark.read.parquet(s"$dir/lists")
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val per = lists.join(broadcast(centroids), "centroid_id")
+      .select(col("centroid_id"),
+        cosinePrenormed(col("emb"), col("cvec"), col("nrm"), col("cnrm")).as("cos"))
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_members"),
+           avg(col("cos")).as("mean_cos"), min(col("cos")).as("min_cos"))
+    val totals = per.agg(count(lit(1)).as("n_lists"),
+      sum(col("n_members")).as("n_vectors"))
+    per.crossJoin(broadcast(totals))
+      .select(col("centroid_id"), col("n_members"), col("mean_cos"),
+        col("min_cos"),
+        (col("n_members") * col("n_lists") /
+          col("n_vectors").cast("double")).as("size_ratio"))
+  }
+
   /** Search the on-disk index. The candidate join broadcasts the (tiny)
     * probe set against the partition column, so Spark's dynamic partition
     * pruning restricts the scan to the probed lists' directories — the

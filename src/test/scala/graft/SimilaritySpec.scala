@@ -173,6 +173,69 @@ class SimilaritySpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("IVF arrivals: post-append index search equals the union-model search") {
+    val all = graft.sources.Tables.embeddings(spark, sf)
+    val standing = all.filter($"vec_id" % 5 =!= 0)
+    val arrivals = all.filter($"vec_id" % 5 === 0)
+    val queries = all.filter($"vec_id" < 5)
+    val model = Ivf.fit(standing, nLists = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    Ivf.writeIndex(model, standing, dir)
+    val newAssign = Ivf.appendToIndex(spark, dir, arrivals)
+    // the in-memory equivalent of the appended index: same frozen
+    // centroids, assignments = standing ∪ arrivals-assigned-to-them
+    val unionModel = Ivf.IvfModel(model.centroids,
+      model.assignments.union(newAssign))
+    Seq(2, 8).foreach { nprobe =>
+      val onDisk = Ivf.searchIndex(spark, dir, queries, k = 5, nprobe = nprobe)
+        .select("query_id", "rank", "neighbor_id", "cos")
+        .as[(Long, Int, Long, Double)].collect().toSet
+      val inMem = Ivf.search(unionModel, all, queries, k = 5, nprobe = nprobe)
+        .select("query_id", "rank", "neighbor_id", "cos")
+        .as[(Long, Int, Long, Double)].collect().toSet
+      assert(onDisk === inMem, s"append/union divergence at nprobe=$nprobe")
+    }
+    // at full probe the candidate set is every vector: the appended index
+    // answers EXACTLY the brute-force top-k over the union corpus
+    val full = Ivf.searchIndex(spark, dir, queries, k = 5, nprobe = 8)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val brute = Similarity.knnBruteForce(all, queries, k = 5)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(full === brute)
+  }
+
+  test("IVF drift report: hand-built lists produce exact per-list health rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_drift").toString
+    // hand layout: centroid 1 = (1,0), centroid 2 = (0,1); list 1 holds a
+    // perfect member and a drifted one (cos 0.6), list 2 a perfect member
+    Seq((1L, Seq(1.0, 0.0), 1.0), (2L, Seq(0.0, 1.0), 1.0))
+      .toDF("centroid_id", "cvec", "cnrm")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    Seq((10L, Seq(1.0, 0.0), 1.0, 1L), (11L, Seq(0.6, 0.8), 1.0, 1L),
+        (12L, Seq(0.0, 1.0), 1.0, 2L))
+      .toDF("vec_id", "emb", "nrm", "centroid_id")
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$dir/lists")
+    val r = Ivf.driftReport(spark, dir).orderBy($"centroid_id")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(r(0) === ((1L, 2L, 0.8, 0.6, 2.0 * 2 / 3)))
+    assert(r(1) === ((2L, 1L, 1.0, 1.0, 1.0 * 2 / 3)))
+    // and on a REAL appended index the report is one row per list with
+    // members accounted exactly once
+    val all = graft.sources.Tables.embeddings(spark, sf)
+    val standing = all.filter($"vec_id" % 5 =!= 0)
+    val model = Ivf.fit(standing, nLists = 8, iters = 2)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ivf_drift2").toString
+    Ivf.writeIndex(model, standing, dir2)
+    Ivf.appendToIndex(spark, dir2, all.filter($"vec_id" % 5 === 0))
+    val rep = Ivf.driftReport(spark, dir2)
+    assert(rep.count() === 8L)
+    assert(rep.agg(sum($"n_members")).as[Long].head() === all.count())
+    assert(rep.filter($"mean_cos" > 1.0 + 1e-12 || $"min_cos" > $"mean_cos").count() === 0)
+  }
+
   test("int8 quantization: reconstruction within half a step, extremes hit ±127") {
     val data = graft.sources.Tables.embeddings(spark, sf)
     val q = Similarity.quantizeInt8(data)
