@@ -114,6 +114,52 @@ object Bench {
       }
     })
 
+  /** Builder-generated hot-key stress frame: 20M fact rows, HALF on one
+    * key, the rest uniform over 200k keys at ~50 rows each; a 200k-row dim
+    * that (with broadcast disabled, standing in for a dim too big to
+    * broadcast at scale) forces a shuffled join — the shape where a plain
+    * SMJ serializes half the data into one task. The testdata keys are
+    * uniform, so this is where salting is actually SHOWN to win rather
+    * than only proven result-identical. */
+  private def skewFrames(s: SparkSession): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val fact = s.range(20L * 1000 * 1000).select(
+      when(pmod(col("id"), lit(2L)) === 0, 0L)
+        .otherwise(pmod(xxhash64(col("id")), lit(200000L))).as("key"),
+      col("id").as("payload"))
+    val dim = s.range(200000L)
+      .select(col("id").as("key"), (col("id") * 7).as("attr"))
+    (fact, dim)
+  }
+
+  /** Skew mitigation trio — MUST run after every other entry (they mutate
+    * session conf, which dies with the bench session): the same hot-key
+    * join planned three ways. `plain` = one task owns the hot key's 10M
+    * rows; `salted` = [[graft.ops.Skew.saltedJoin]] splits it 32 ways
+    * content-deterministically; `aqe` = Spark's runtime skew-join split.
+    * Result sets are bit-identical (SamplingSkewSpec/AdversarialSpec pin
+    * it) — only the wall time differs, which is the point. */
+  private def skewExtras: Seq[(String, (SparkSession, String) => DataFrame)] = {
+    def conf(s: SparkSession, skewJoin: Boolean): Unit = {
+      s.conf.set("spark.sql.adaptive.skewJoin.enabled", skewJoin.toString)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    }
+    Seq(
+      "skew_join_plain" -> ((s: SparkSession, _: String) => {
+        conf(s, skewJoin = false)
+        val (fact, dim) = skewFrames(s); fact.join(dim, "key")
+      }),
+      "skew_join_salted" -> ((s: SparkSession, _: String) => {
+        conf(s, skewJoin = false)
+        val (fact, dim) = skewFrames(s)
+        graft.ops.Skew.saltedJoin(fact, dim, "key", salts = 32)
+      }),
+      "skew_join_aqe" -> ((s: SparkSession, _: String) => {
+        conf(s, skewJoin = true)
+        val (fact, dim) = skewFrames(s); fact.join(dim, "key")
+      }))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // --only=a,b,c (or --only a,b,c) restricts the run to the named entries
@@ -136,7 +182,7 @@ object Bench {
     spark.range(1000).selectExpr("sum(id) AS s")
       .write.format("noop").mode("overwrite").save()
 
-    val all = SparkEntry.registry.map(q => q.name -> q.run) ++ extras
+    val all = SparkEntry.registry.map(q => q.name -> q.run) ++ extras ++ skewExtras
     val entries = only match {
       case None => all
       case Some(names) =>
