@@ -264,6 +264,57 @@ object FileFormats {
       .write.mode("overwrite").parquet(outDir)
   }
 
+  /** Bucket-preserving compaction — [[compact]]'s coalesce rewrite is
+    * WRONG for a bucketed table: it would flatten the per-bucket files
+    * into arbitrary ones and drop the metastore bucket spec, silently
+    * costing every downstream join its zero-Exchange property. A bucketed
+    * table accretes files per (writer task × bucket) — recurring merges
+    * ([[graft.streaming.EventsCdc.scd1MergeBatchBucketed]]) multiply them
+    * — so compaction here means: ONE file per bucket, same bucket spec.
+    *
+    * The bucket spec is read from the metastore (never trusted from the
+    * caller — a mismatched respec would silently break co-location), the
+    * data is repartitioned into exactly `buckets` partitions on the bucket
+    * keys — Spark's `repartition(n, keys)` hash IS the bucket hash
+    * (murmur3 pmod n), so every task holds exactly one bucket and the
+    * bucketed writer emits exactly one file for it — and the rewrite is
+    * registered at `outTable`/`outPath` with the SAME bucketBy/sortBy.
+    * The swap (metastore repoint / rename) stays the caller's, as with
+    * [[compact]]. SourcesSpec asserts the post-compaction join still
+    * plans no Exchange.
+    *
+    * @return number of buckets (= output file count) */
+  def compactBucketed(spark: SparkSession, tableName: String,
+                      outTable: String, outPath: String): Int = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$tableName has no bucket spec — use compact() for plain directories"))
+    val keys = spec.bucketColumnNames
+    val sorts = spec.sortColumnNames
+    // planned write (Spark 3.4+) would REPLACE the aligned repartition with
+    // its own bucket-column exchange into spark.sql.shuffle.partitions
+    // tasks — one file per (task, bucket) again, exactly what compaction
+    // exists to undo. Disable it for this one write; the legacy writer
+    // keeps the incoming one-bucket-per-task layout and sorts in-task.
+    val prev = spark.conf.getOption("spark.sql.optimizer.plannedWrite.enabled")
+    spark.conf.set("spark.sql.optimizer.plannedWrite.enabled", "false")
+    try {
+      val writer = spark.table(tableName)
+        .repartition(spec.numBuckets, keys.map(col): _*)
+        .write.mode("overwrite")
+        .option("path", outPath)
+        .format("parquet")
+        .bucketBy(spec.numBuckets, keys.head, keys.tail: _*)
+      (if (sorts.nonEmpty) writer.sortBy(sorts.head, sorts.tail: _*) else writer)
+        .saveAsTable(outTable)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.optimizer.plannedWrite.enabled", v)
+      case None    => spark.conf.unset("spark.sql.optimizer.plannedWrite.enabled")
+    }
+    spec.numBuckets
+  }
+
   /** Bucketed sink for recurring equi-joins: two tables written with the
     * SAME bucket count on their join keys are join-co-located — Spark
     * plans the sort-merge join with NO Exchange on either side (bucket i

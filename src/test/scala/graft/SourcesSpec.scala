@@ -285,6 +285,53 @@ class SourcesSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"compaction must not shuffle:\n$plan")
   }
 
+  test("bucketed compaction: one file per bucket, spec preserved, join stays exchange-free") {
+    def parquetFiles(p: String): Array[java.io.File] =
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+    val srcPath = Files.createTempDirectory("graft_bktc_src").toString
+    val outPath = Files.createTempDirectory("graft_bktc_out").toString
+    val liPath = Files.createTempDirectory("graft_bktc_li").toString
+    Seq("bktc_src", "bktc_out", "bktc_li").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // 8 writer tasks × 4 buckets: the accreted-small-files state a
+    // recurring bucketed merge leaves behind
+    FileFormats.writeBucketed(
+      Tables.orders(spark, sf).select($"o_orderkey", $"o_orderpriority")
+        .repartition(8),
+      "bktc_src", srcPath, "o_orderkey", buckets = 4)
+    assert(parquetFiles(srcPath).length > 4, "setup should accrete >1 file/bucket")
+    val n = FileFormats.compactBucketed(spark, "bktc_src", "bktc_out", outPath)
+    assert(n === 4 && parquetFiles(outPath).length === 4,
+      "compaction must leave exactly one file per bucket")
+    // content survives
+    assert(spark.table("bktc_out").orderBy("o_orderkey").collect()
+      === spark.table("bktc_src").orderBy("o_orderkey").collect())
+    // the compacted table still join-co-locates with a sibling bucketed
+    // table: SMJ with no Exchange on either side — the property a plain
+    // coalesce compaction would silently destroy
+    FileFormats.writeBucketed(
+      Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity"),
+      "bktc_li", liPath, "l_orderkey", buckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bktc_li")
+        .join(spark.table("bktc_out"), $"l_orderkey" === $"o_orderkey")
+      val plan = planOf(joined)
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"post-compaction join must stay exchange-free:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // a non-bucketed table refuses bucketed compaction loudly
+    val plainDir = Files.createTempDirectory("graft_bktc_plain").toString
+    spark.sql("DROP TABLE IF EXISTS bktc_plain")
+    spark.range(10).write.option("path", plainDir).saveAsTable("bktc_plain")
+    intercept[IllegalArgumentException] {
+      FileFormats.compactBucketed(spark, "bktc_plain", "bktc_plain_out",
+        plainDir + "_out")
+    }
+  }
+
   test("compactAndSwap rewrites in place atomically and refuses a lossy swap") {
     val dir = Files.createTempDirectory("graft_swap").toString + "/t"
     val df = spark.range(0, 8000).select($"id",
