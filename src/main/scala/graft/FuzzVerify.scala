@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+/** Oracle-diff fuzz harness: re-run a random registry subset over a
+  * layout-PERTURBED copy of the input tables and let the DuckDB oracle
+  * (which reads the ORIGINAL tables — layout-independent set semantics)
+  * re-check hash equality.
+  *
+  * The driver's correctness gate always sees the same seed-42 parquet in
+  * the same row order with the same file splits. Any operator whose result
+  * silently depends on input layout — float reduction order, `first()`
+  * without an ordering, partition-index-dependent ids, tie-breaking by
+  * arrival order — passes that gate by accident and breaks the moment a
+  * real cluster reads the same data with different splits. This harness is
+  * the cheap pre-cluster version of that moment: shuffle the rows, force a
+  * hostile partition count (1 = everything collapses into one task; 7 =
+  * coprime with every key modulus in the data; 32 = the session default),
+  * and require the bit-identical oracle hash to still match.
+  *
+  * Usage:
+  *   sbt "runMain graft.FuzzVerify <sfDir> <outDir> <seed> <parts> [n]"
+  *   python3 tools/verify_local.py <sfDir> <outDir>     # oracle on ORIGINALS
+  *
+  * `n` queries are drawn (default 25) from the registry by a Random seeded
+  * with `seed`, so a failing draw is reproducible exactly. Results land in
+  * `outDir/<name>/` plus the matching `oracle_sql.json`, i.e. the exact
+  * shape [[Verify]] produces — tools/verify_local.py runs unchanged.
+  */
+object FuzzVerify {
+  val tables: Seq[String] = graft.sources.Tables.all
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args.take(2)
+    val seed = args(2).toLong
+    val parts = args(3).toInt
+    val n = if (args.length > 4) args(4).toInt else 25
+    require(parts > 0, "parts must be positive")
+    val spark = GraftSession.get("graft-fuzz")
+    new java.io.File(outDir).mkdirs()
+
+    // 1. Perturb: random row order, exact partition count. Hash-partition on
+    // a rand column (NOT round-robin repartition, which preserves arrival
+    // runs), then sort within partitions by it — every original adjacency
+    // and file-split boundary is destroyed, values untouched.
+    val fuzzDir = s"$outDir/tables"
+    tables.foreach { t =>
+      val src = s"$sfDir/$t.parquet"
+      if (new java.io.File(src).exists()) {
+        spark.read.parquet(src)
+          .withColumn("__fuzz", rand(seed))
+          .repartition(parts, col("__fuzz"))
+          .sortWithinPartitions("__fuzz")
+          .drop("__fuzz")
+          .write.mode("overwrite").parquet(s"$fuzzDir/$t.parquet")
+      }
+    }
+
+    // 2. Draw the subset (seeded — a failure reproduces from the CLI args
+    // alone) and run it against the perturbed copies.
+    val rng = new scala.util.Random(seed)
+    val picked = rng.shuffle(SparkEntry.registry.toList).take(n).sortBy(_.name)
+    println(s"[fuzz] seed=$seed parts=$parts -> ${picked.map(_.name).mkString(",")}")
+    var failed = List.empty[String]
+    picked.foreach { q =>
+      try q.run(spark, fuzzDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/${q.name}")
+      catch { case e: Throwable =>
+        failed ::= q.name
+        System.err.println(s"[fuzz] ${q.name} failed: ${e.getMessage}")
+      }
+    }
+
+    // 3. Oracles for the drawn subset only, Verify's escaping contract.
+    def esc(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = picked.flatMap(q => q.oracle.map(o => s"${esc(q.name)}: ${esc(o)}"))
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[fuzz] ${failed.size} queries threw: ${failed.mkString(",")}")
+      sys.exit(1)
+    }
+  }
+}

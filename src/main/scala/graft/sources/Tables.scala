@@ -24,13 +24,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark's vector
-    * reader rejects; with `spark.sql.legacy.parquet.nanosAsLong=true` it
-    * arrives as epoch-nanos BIGINT and is truncated here to a microsecond
-    * TimestampType (matching DuckDB's ns→us truncation). */
+  /** The events table's `ts` column has shipped as two different parquet
+    * types across testdata generations: TIMESTAMP(NANOS) — which Spark's
+    * vector reader rejects, so with `spark.sql.legacy.parquet.nanosAsLong
+    * =true` it arrives as epoch-nanos BIGINT — and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false), which arrives as TIMESTAMP_NTZ. Dispatch on
+    * the arrived type and normalize both to a microsecond TimestampType
+    * (session TZ is pinned UTC, so the NTZ→LTZ cast is value-identical and
+    * matches DuckDB's naive-timestamp reading of the same file). */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    load(s, d, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    import org.apache.spark.sql.types._
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => // epoch-nanos via nanosAsLong; ns→us truncation
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unsupported type $other — expected " +
+          "epoch-nanos BIGINT, TIMESTAMP_NTZ, or TIMESTAMP")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
