@@ -25,15 +25,23 @@ import org.apache.spark.sql.functions._
   *   python3 tools/verify_local.py <sfDir> <outDir>     # oracle on ORIGINALS
   *
   * `n` queries are drawn (default 25) from the registry by a Random seeded
-  * with `seed`, so a failing draw is reproducible exactly. Results land in
-  * `outDir/<name>/` plus the matching `oracle_sql.json`, i.e. the exact
-  * shape [[Verify]] produces — tools/verify_local.py runs unchanged.
+  * with `seed`, so a failing draw is reproducible exactly from the CLI args
+  * on any machine — the perturbation key is derived from row CONTENT
+  * (xxhash64 of every column, seed-mixed), never from `rand()`, whose
+  * per-split seeding would make the layout depend on the reading machine's
+  * split planning. Results land in `outDir/<name>/` plus the matching
+  * `oracle_sql.json`, i.e. the exact shape [[Verify]] produces —
+  * tools/verify_local.py runs unchanged.
   */
 object FuzzVerify {
   val tables: Seq[String] = graft.sources.Tables.all
 
+  private val usage =
+    "usage: sbt \"runMain graft.FuzzVerify <sfDir> <outDir> <seed> <parts> [n]\""
+
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args.take(2)
+    if (args.length < 4) { System.err.println(usage); sys.exit(2) }
+    val (sfDir, outDir) = (args(0), args(1))
     val seed = args(2).toLong
     val parts = args(3).toInt
     val n = if (args.length > 4) args(4).toInt else 25
@@ -41,16 +49,22 @@ object FuzzVerify {
     val spark = GraftSession.get("graft-fuzz")
     new java.io.File(outDir).mkdirs()
 
-    // 1. Perturb: random row order, exact partition count. Hash-partition on
-    // a rand column (NOT round-robin repartition, which preserves arrival
-    // runs), then sort within partitions by it — every original adjacency
-    // and file-split boundary is destroyed, values untouched.
+    // 1. Perturb: scrambled row order, exact partition count. The scramble
+    // key is xxhash64 over EVERY column plus the seed — pure row content,
+    // so the perturbed layout is bit-identical across machines regardless
+    // of how the reader split the source files (rand()'s per-split seeding
+    // would break that reproducibility claim). Hash-partition on the key
+    // (NOT round-robin repartition, which preserves arrival runs), then
+    // sort within partitions by it — every original adjacency and
+    // file-split boundary is destroyed, values untouched. Duplicate rows
+    // collide to one key; a tie in the scramble order is itself a layout
+    // perturbation, not a defect.
     val fuzzDir = s"$outDir/tables"
     tables.foreach { t =>
       val src = s"$sfDir/$t.parquet"
       if (new java.io.File(src).exists()) {
-        spark.read.parquet(src)
-          .withColumn("__fuzz", rand(seed))
+        val df = spark.read.parquet(src)
+        df.withColumn("__fuzz", xxhash64(lit(seed) +: df.columns.map(col): _*))
           .repartition(parts, col("__fuzz"))
           .sortWithinPartitions("__fuzz")
           .drop("__fuzz")
@@ -65,6 +79,15 @@ object FuzzVerify {
     println(s"[fuzz] seed=$seed parts=$parts -> ${picked.map(_.name).mkString(",")}")
     var failed = List.empty[String]
     picked.foreach { q =>
+      // a stale result from a previous run on a reused outDir must not
+      // survive a failed draw — verify_local.py would PASS against it;
+      // delete first so a failure reliably reads as "no spark output"
+      val dest = Paths.get(s"$outDir/${q.name}")
+      if (Files.exists(dest)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(dest).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+      }
       try q.run(spark, fuzzDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/${q.name}")
       catch { case e: Throwable =>
@@ -74,18 +97,8 @@ object FuzzVerify {
     }
 
     // 3. Oracles for the drawn subset only, Verify's escaping contract.
-    def esc(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = picked.flatMap(q => q.oracle.map(o => s"${esc(q.name)}: ${esc(o)}"))
-      .mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      JsonEscape.obj(picked.flatMap(q => q.oracle.map(q.name -> _))))
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[fuzz] ${failed.size} queries threw: ${failed.mkString(",")}")

@@ -188,6 +188,95 @@ object Ivf {
           col("n_vectors").cast("double")).as("size_ratio"))
   }
 
+  /** What one [[refreshIndex]] maintenance step did: arrival rows
+    * absorbed, whether drift triggered a re-fit, and (when it didn't) how
+    * many accreted list directories were compacted. */
+  final case class IvfRefresh(appended: Long, refit: Boolean,
+                              compactedLists: Int)
+
+  /** Compact the index's accreted list directories — every
+    * [[appendToIndex]] adds a file per touched centroid directory, so a
+    * standing index accretes files at arrival-batch rate and probe scans
+    * degrade to open-per-small-file. Each directory holding more than
+    * `maxFiles` parquet files is rewritten through
+    * [[graft.sources.FileFormats.compactAndSwap]] (row-count-verified
+    * atomic swap; an interrupted compaction never loses a list).
+    * Directory-at-a-time, so the cost is proportional to the ACCRETED
+    * lists, not the index — untouched directories are never read.
+    *
+    * @return number of directories compacted */
+  def compactLists(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   maxFiles: Int = 1): Int = {
+    val lists = new java.io.File(s"$dir/lists").listFiles()
+    if (lists == null) 0
+    else lists.toSeq
+      .filter(d => d.isDirectory && d.getName.startsWith("centroid_id="))
+      .count { d =>
+        val accreted = d.listFiles()
+          .count(_.getName.endsWith(".parquet")) > maxFiles
+        if (accreted)
+          graft.sources.FileFormats.compactAndSwap(spark, d.toString)
+        accreted
+      }
+  }
+
+  /** One standing-index maintenance step — the lifecycle that keeps an
+    * on-disk IVF index healthy across arrival batches without paying a
+    * re-fit per batch: absorb the arrivals ([[appendToIndex]], frozen
+    * centroids), read the [[driftReport]], and EITHER re-fit — any list's
+    * `mean_cos` sagged below `minMeanCos` or `size_ratio` spiked past
+    * `maxSizeRatio`, i.e. the frozen-centroid trade has gone bad — or
+    * just compact the accreted list files ([[compactLists]]) and keep the
+    * standing lists.
+    *
+    * A re-fit rebuilds from the index's own lists (ids + vectors — the
+    * index is self-contained), with the SAME deterministic [[fit]] a
+    * from-scratch build runs: lowest-vec_id seeds, fixed Lloyd rounds —
+    * so the refreshed index is bit-identical to one built fresh over the
+    * accumulated corpus (spec-pinned). The rebuilt index is written to a
+    * sibling tmp directory and swapped in by rename — the live index is
+    * readable until the swap and intact if the rebuild dies. */
+  def refreshIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   arrivals: Option[DataFrame], nLists: Int, iters: Int = 3,
+                   minMeanCos: Double = 0.0,
+                   maxSizeRatio: Double = Double.MaxValue): IvfRefresh = {
+    val appended = arrivals match {
+      case Some(a) if !a.isEmpty => appendToIndex(spark, dir, a).count()
+      case _                     => 0L
+    }
+    val drifted = !driftReport(spark, dir)
+      .filter(col("mean_cos") < minMeanCos ||
+              col("size_ratio") > maxSizeRatio)
+      .isEmpty
+    if (drifted) {
+      val vecs = spark.read.parquet(s"$dir/lists")
+        .select(col("vec_id"), col("emb").as("embedding"))
+      val model = fit(vecs, nLists, iters)
+      val tmp = s"$dir.refit_tmp"
+      writeIndex(model, vecs, tmp) // reads the OLD lists, writes the tmp
+      Checkpoints.unpersist(model.centroids)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val t = new org.apache.hadoop.fs.Path(tmp)
+      val old = new org.apache.hadoop.fs.Path(s"$dir.refit_old")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(old, true)
+      if (!fs.rename(p, old))
+        throw new java.io.IOException(s"could not move $dir aside to $old")
+      if (!fs.rename(t, p)) {
+        if (!fs.rename(old, p))
+          throw new java.io.IOException(
+            s"could not swap $tmp into $dir AND could not restore — the " +
+              s"index is intact at $old; move it back manually")
+        throw new java.io.IOException(s"could not swap $tmp into $dir")
+      }
+      fs.delete(old, true)
+      IvfRefresh(appended, refit = true, compactedLists = 0)
+    } else {
+      IvfRefresh(appended, refit = false,
+        compactedLists = compactLists(spark, dir))
+    }
+  }
+
   /** Search the on-disk index. The candidate join broadcasts the (tiny)
     * probe set against the partition column, so Spark's dynamic partition
     * pruning restricts the scan to the probed lists' directories — the

@@ -273,15 +273,26 @@ object FileFormats {
     * — so compaction here means: ONE file per bucket, same bucket spec.
     *
     * The bucket spec is read from the metastore (never trusted from the
-    * caller — a mismatched respec would silently break co-location), the
-    * data is repartitioned into exactly `buckets` partitions on the bucket
-    * keys — Spark's `repartition(n, keys)` hash IS the bucket hash
-    * (murmur3 pmod n), so every task holds exactly one bucket and the
-    * bucketed writer emits exactly one file for it — and the rewrite is
-    * registered at `outTable`/`outPath` with the SAME bucketBy/sortBy.
-    * The swap (metastore repoint / rename) stays the caller's, as with
-    * [[compact]]. SourcesSpec asserts the post-compaction join still
-    * plans no Exchange.
+    * caller — a mismatched respec would silently break co-location), and
+    * the data is repartitioned on the EXPLICIT bucket-id expression
+    * `pmod(hash(keys), n)` — the exact murmur3-pmod the datasource bucket
+    * writer computes. Repartitioning on the raw keys is NOT safe here:
+    * the source of a compaction is by definition a bucketed table, its
+    * scan already reports `hashpartitioning(keys, n)`, and the planner is
+    * entitled to elide or rewire a shuffle it deems redundant — observed
+    * on Spark 4.1 as a plain multi-file-per-task scan feeding the writer
+    * directly (one file per task × bucket, the accretion this function
+    * exists to undo). Keying the shuffle on the derived bucket-id
+    * expression is never partitioning-equivalent to the scan, so the
+    * exchange survives, and every distinct bucket id lands wholly inside
+    * one task — the bucketed writer then emits exactly one file per
+    * bucket (a task holding two ids emits two files; totals still = n).
+    * The rewrite is registered at `outTable`/`outPath` with the SAME
+    * bucketBy/sortBy; the swap (metastore repoint / rename) stays the
+    * caller's, as with [[compact]]. A post-write file-count assert fails
+    * loudly if a future planner change breaks the invariant again.
+    * SourcesSpec asserts the post-compaction join still plans no
+    * Exchange.
     *
     * @return number of buckets (= output file count) */
   def compactBucketed(spark: SparkSession, tableName: String,
@@ -292,27 +303,22 @@ object FileFormats {
       s"$tableName has no bucket spec — use compact() for plain directories"))
     val keys = spec.bucketColumnNames
     val sorts = spec.sortColumnNames
-    // planned write (Spark 3.4+) would REPLACE the aligned repartition with
-    // its own bucket-column exchange into spark.sql.shuffle.partitions
-    // tasks — one file per (task, bucket) again, exactly what compaction
-    // exists to undo. Disable it for this one write; the legacy writer
-    // keeps the incoming one-bucket-per-task layout and sorts in-task.
-    val prev = spark.conf.getOption("spark.sql.optimizer.plannedWrite.enabled")
-    spark.conf.set("spark.sql.optimizer.plannedWrite.enabled", "false")
-    try {
-      val writer = spark.table(tableName)
-        .repartition(spec.numBuckets, keys.map(col): _*)
-        .write.mode("overwrite")
-        .option("path", outPath)
-        .format("parquet")
-        .bucketBy(spec.numBuckets, keys.head, keys.tail: _*)
-      (if (sorts.nonEmpty) writer.sortBy(sorts.head, sorts.tail: _*) else writer)
-        .saveAsTable(outTable)
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.optimizer.plannedWrite.enabled", v)
-      case None    => spark.conf.unset("spark.sql.optimizer.plannedWrite.enabled")
-    }
-    spec.numBuckets
+    val n = spec.numBuckets
+    val bucketId = pmod(hash(keys.map(col): _*), lit(n))
+    val writer = spark.table(tableName)
+      .repartition(n, bucketId)
+      .write.mode("overwrite")
+      .option("path", outPath)
+      .format("parquet")
+      .bucketBy(n, keys.head, keys.tail: _*)
+    (if (sorts.nonEmpty) writer.sortBy(sorts.head, sorts.tail: _*) else writer)
+      .saveAsTable(outTable)
+    val written = new java.io.File(outPath).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    require(written == n,
+      s"compactBucketed invariant broken: $written files for $n buckets " +
+        s"at $outPath — planner no longer preserves the bucket-id shuffle")
+    n
   }
 
   /** Bucketed sink for recurring equi-joins: two tables written with the

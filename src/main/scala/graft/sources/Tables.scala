@@ -39,7 +39,17 @@ object Tables {
     raw.schema("ts").dataType match {
       case LongType         => // epoch-nanos via nanosAsLong; ns→us truncation
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        // the NTZ→LTZ cast reinterprets the wall-clock fields in the
+        // SESSION timezone — value-identical to DuckDB's naive reading
+        // only when that is UTC. GraftSession pins it; a bare session
+        // that didn't would silently shift every event timestamp, so
+        // refuse loudly instead.
+        val tz = s.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts is TIMESTAMP_NTZ; session timezone must be UTC for a " +
+            s"value-identical cast, got $tz — build the session via GraftSession")
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType    => raw
       case other => throw new IllegalStateException(
         s"events.ts arrived as unsupported type $other — expected " +

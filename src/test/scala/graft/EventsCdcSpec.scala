@@ -651,6 +651,75 @@ class EventsCdcSpec extends SparkSpec {
     }
   }
 
+  test("streaming histogram maintenance: bin-addition merge equals batch sketch, rank bounds hold") {
+    // the fifth streaming sketch twin — same blind-append contract as the
+    // CM test above, with the read path answering RANK queries: merged
+    // bins must equal the batch histogramSketch of the same rows exactly
+    // (deterministic fixed-bin design), and each requested quantile's
+    // [est_lo, est_hi] must bracket the true rank-r value
+    val nbins = 64
+    val ev = Tables.events(spark, sf).withColumn("b",
+      ntile(2).over(org.apache.spark.sql.expressions.Window
+        .orderBy($"ts", $"event_id")))
+      .withColumn("v", ($"value".cast("decimal(38,2)") * 100).cast("long"))
+    val r = ev.agg(min($"v"), max($"v")).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val dir = Files.createTempDirectory("graft_hg_src")
+    def writeFile(name: String, filter: org.apache.spark.sql.Column): Unit = {
+      val tmp = Files.createTempDirectory("graft_hg_tmp").toString
+      ev.filter(filter).drop("b", "v").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, dir.resolve(name))
+      Thread.sleep(1000)
+    }
+    writeFile("1.parquet", $"b" === 1)
+    writeFile("2.parquet", $"b" === 2)
+    writeFile("3.parquet", $"b" === 1) // at-least-once replay of batch 1
+    val sketchDir = Files.createTempDirectory("graft_hg_out").toString
+    val ckpt = Files.createTempDirectory("graft_hg_ckpt").toString
+    val q = EventsCdc.runHistogramSketches(
+      EventsCdc.readEventStream(spark, dir.toString, Tables.events(spark, sf),
+          maxFilesPerTrigger = 1)
+        .withColumn("v", ($"value".cast("decimal(38,2)") * 100).cast("long")),
+      sketchDir, ckpt, bucketCol = "event_type", valueCol = "v",
+      lo = lo, hi = hi, nbins = nbins)
+    q.awaitTermination()
+    val sketches = spark.read.parquet(sketchDir)
+    assert(sketches.select($"batch_id").distinct().count() === 3)
+    // a replayed batch appends EXACTLY its original bins again
+    def cells(f: org.apache.spark.sql.Column) =
+      sketches.filter(f).select($"bucket", $"bin", $"cnt")
+        .as[(String, Long, Long)].collect().toSet
+    assert(cells($"batch_id" === 2) === cells($"batch_id" === 0))
+    // merged true batches == the batch sketch of the same rows, bin for bin
+    val mergedTrue = sketches.filter($"batch_id" < 2)
+      .groupBy($"bucket", $"bin").agg(sum($"cnt").as("cnt"))
+      .as[(String, Long, Long)].collect().toSet
+    val batchSketch = graft.ops.Sketches
+      .histogramSketch(ev, $"event_type", $"v", lo, hi, nbins)
+      .as[(String, Long, Long)].collect().toSet
+    assert(mergedTrue === batchSketch)
+    // rank-bound contract off the merged stream sketch: the true rank-r
+    // value (audit-only exact sort) lands inside [est_lo, est_hi]
+    val est = graft.ops.Sketches.histogramQuantiles(
+      sketches.filter($"batch_id" < 2), $"bucket",
+      Seq((1, 4), (1, 2), (9, 10)), lo, hi, nbins)
+    val ranked = ev.select($"event_type".as("s"), $"v")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"s").orderBy($"v")))
+    val checked = est.join(ranked,
+        est("subset") === ranked("s") && est("q_rank") === ranked("rn"))
+      .select($"subset", $"p_num", $"p_den",
+        ($"v" >= $"est_lo" && $"v" <= $"est_hi").as("ok"))
+      .as[(String, Int, Int, Boolean)].collect()
+    assert(checked.length === ev.select($"event_type").distinct().count() * 3)
+    checked.foreach { case (s, n, d, ok) =>
+      assert(ok, s"quantile $n/$d of $s fell outside its sketch bin bounds")
+    }
+  }
+
   test("streaming SCD2 merge over in-order micro-batches equals batch scd2History") {
     def df(rows: (Long, Long, Long, String)*) =
       rows.toDF("k", "ts_us", "event_id", "payload")
@@ -683,6 +752,54 @@ class EventsCdcSpec extends SparkSpec {
     assert(asOf250 === "a3")
     // version ordinals continue across batches: key 1 saw 4 changes
     assert(k1.select(max($"version")).as[Int].head() === 4)
+  }
+
+  test("split SCD2 sink: closed appends + open rewrite, per-batch writes never history-sized") {
+    // the 100 TB sink posture for SCD2 state: closed interval rows land in
+    // an append-only slice written once, only the open row per live key is
+    // rewritten per batch — and the assembled state still equals
+    // scd2History of the concatenated change log exactly
+    def df(rows: (Long, Long, Long, String)*) =
+      rows.toDF("k", "ts_us", "event_id", "payload")
+    // 6 batches hammering the SAME 3 keys: history grows by 3 rows a batch
+    // while the open slice stays 3 — a full-state rewrite would be caught
+    val batches = (1 to 6).map { b =>
+      df((1 to 3).map(k =>
+        (k.toLong, b * 100L, (b * 10 + k).toLong, s"p$b-$k")): _*)
+    }
+    val stateDir = Files.createTempDirectory("graft_scd2split").toString
+    val keys = Seq("k")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      EventsCdc.scd2MergeBatchSplit(spark, stateDir, keys)(b, i.toLong)
+    }
+    def rowsAt(p: String): Long = spark.read.parquet(p).count()
+    // write-cost pin: batch 5's closed append holds ONLY the 3 rows that
+    // closed in batch 5, and its open snapshot ONLY the 3 live keys —
+    // while the full history is already 18 rows. The sink never wrote a
+    // history-sized object after batch 0.
+    assert(rowsAt(s"$stateDir/closed/batch=5") === 3)
+    assert(rowsAt(s"$stateDir/open/v=5") === 3)
+    val assembled = EventsCdc.scd2SplitState(spark, stateDir)
+    assert(assembled.count() === 18)
+    (1 to 5).foreach { b =>
+      assert(rowsAt(s"$stateDir/closed/batch=$b") === 3,
+        s"closed slice of batch $b must hold exactly that batch's closures")
+    }
+    // equivalence: assembled split state == batch scd2History of the log
+    val batchEquiv = graft.olap.StarSchema.scd2History(
+      batches.reduce(_ unionByName _), keys, $"ts_us",
+      Seq($"ts_us", $"event_id"))
+    assert(assembled.collect().map(_.toString).sorted.toSeq ===
+      batchEquiv.collect().map(_.toString).sorted.toSeq)
+    // replay idempotence: re-running the LAST batch (the only one the
+    // streaming engine ever re-delivers — retain=2 keeps exactly its
+    // input version v=4 around) rewrites only batch 5's own closed dir
+    // and open snapshot with identical content
+    val before = assembled.collect().map(_.toString).sorted.toSeq
+    EventsCdc.scd2MergeBatchSplit(spark, stateDir, keys)(batches(5), 5L)
+    assert(rowsAt(s"$stateDir/closed/batch=5") === 3)
+    val after = EventsCdc.scd2SplitState(spark, stateDir)
+    assert(after.collect().map(_.toString).sorted.toSeq === before)
   }
 
   test("runScd2: the streaming pipeline maintains versioned SCD2 state end to end") {

@@ -196,14 +196,19 @@ class PlanAuditSpec extends SparkSpec {
         assert(ex.group(1).contains("user_id"),
           s"events_gap_fill plans a non-user-keyed exchange: ${ex.matched}")
       }
-    // coreset_kcenter: the returned plan assembles the k 1-row center
-    // checkpoints — the corpus appears in NO scan and NO exchange (all
-    // corpus passes happened eagerly inside the rounds)
+    // coreset_kcenter: Checkpoints.drain lands the k center rows
+    // driver-local — the returned plan is a single LocalTableScan; the
+    // corpus appears in NO scan and NO exchange (all corpus passes
+    // happened eagerly inside the rounds), no per-round ExistingRDD
+    // checkpoint survives into the plan, and — drain's actual contract —
+    // no checkpoint blocks stay pinned on the executors after the call
     val kc = m("coreset_kcenter")
     assert(!kc.contains("Scan parquet"),
-      s"coreset_kcenter's assembled plan should read only center checkpoints:\n$kc")
-    assert("Scan ExistingRDD".r.findAllIn(kc).length === 8,
-      s"coreset_kcenter should union exactly its 8 center rows:\n$kc")
+      s"coreset_kcenter's assembled plan should be driver-local rows:\n$kc")
+    assert(kc.contains("LocalTableScan"),
+      s"coreset_kcenter's drained plan should be a LocalTableScan:\n$kc")
+    assert(!kc.contains("Scan ExistingRDD"),
+      s"coreset_kcenter should retain no checkpoint RDDs in its plan:\n$kc")
     // event_transitions: the lead window shuffles on user_id; the matrix
     // aggregate keys on the (from, to) pair (pre-rename name:
     // event_type); the conditional-probability window re-keys the
@@ -225,6 +230,21 @@ class PlanAuditSpec extends SparkSpec {
       s"q15_top_supplier should scan lineitem exactly once:\n$p")
     assert(p.contains("Window"),
       s"q15_top_supplier should take the global max as a window:\n$p")
+  }
+
+  test("coreset_kcenter drains its round checkpoints from executor storage") {
+    // Checkpoints.drain's contract: the k center rows land driver-local
+    // and EVERY checkpoint the call pinned is released before it returns
+    // — repeated invocations in one session (the bench's cold+warm double
+    // run) must not accumulate executor block storage. Measured as a
+    // before/after delta so checkpoints legitimately held by other suites
+    // sharing the session don't bleed into the assert.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = SparkEntry.queries("coreset_kcenter")(spark, sf)
+    assert(out.count() === 8)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"coreset_kcenter left ${leaked.size} checkpoint RDD(s) pinned: $leaked")
   }
 
   test("runtime bloom-filter pruning engages for non-broadcastable selective joins") {

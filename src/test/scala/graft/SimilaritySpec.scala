@@ -236,6 +236,68 @@ class SimilaritySpec extends SparkSpec {
     assert(rep.filter($"mean_cos" > 1.0 + 1e-12 || $"min_cos" > $"mean_cos").count() === 0)
   }
 
+  test("IVF lifecycle: refresh absorbs arrivals, compacts accreted lists, re-fits on drift") {
+    val all = graft.sources.Tables.embeddings(spark, sf)
+    val standing = all.filter($"vec_id" % 5 =!= 0)
+    val arrivals = all.filter($"vec_id" % 5 === 0)
+    val queries = all.filter($"vec_id" < 5)
+    val model = Ivf.fit(standing, nLists = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_lc").toString
+    Ivf.writeIndex(model, standing, dir)
+    def fileCounts(): Seq[Int] = new java.io.File(s"$dir/lists").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("centroid_id="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).toSeq
+    assert(fileCounts().forall(_ === 1), "fresh index: one file per list")
+
+    // healthy refresh (lenient thresholds): arrivals absorbed, NO re-fit,
+    // and the accreted per-list files compacted back to one per directory
+    val r1 = Ivf.refreshIndex(spark, dir, Some(arrivals), nLists = 8, iters = 2)
+    assert(r1.appended === arrivals.count())
+    assert(!r1.refit)
+    assert(r1.compactedLists > 0 && r1.compactedLists <= 8)
+    assert(fileCounts().forall(_ === 1), "refresh must leave one file per list")
+    // compaction preserved content: the compacted index still answers
+    // exactly the union-model search
+    val unionModel = Ivf.IvfModel(model.centroids,
+      spark.read.parquet(s"$dir/lists").select($"vec_id", $"centroid_id"))
+    val afterCompact = Ivf.searchIndex(spark, dir, queries, k = 5, nprobe = 2)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val inMem = Ivf.search(unionModel, all, queries, k = 5, nprobe = 2)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(afterCompact === inMem)
+
+    // drifted refresh: size_ratio's pigeonhole bound (max >= 1) makes a
+    // 0.999 threshold trip deterministically → re-fit from the index's own
+    // lists, atomically swapped in
+    val r2 = Ivf.refreshIndex(spark, dir, None, nLists = 8, iters = 2,
+      maxSizeRatio = 0.999)
+    assert(r2.refit && r2.appended === 0L)
+    assert(!new java.io.File(s"$dir.refit_tmp").exists())
+    assert(!new java.io.File(s"$dir.refit_old").exists())
+    assert(fileCounts().forall(_ === 1), "re-fit rewrite: one file per list")
+    // the refreshed index equals a from-scratch build over the accumulated
+    // corpus: same deterministic seeds and Lloyd rounds. Neighbor sets are
+    // compared exactly; cosines to 1e-9 — the two builds read different
+    // file layouts, so the centroid avg()'s double reduction order (and
+    // thus ulps) may differ.
+    val fresh = Ivf.fit(all, nLists = 8, iters = 2)
+    val freshDir = java.nio.file.Files.createTempDirectory("graft_ivf_fr").toString
+    Ivf.writeIndex(fresh, all, freshDir)
+    Seq(2, 8).foreach { nprobe =>
+      val a = Ivf.searchIndex(spark, dir, queries, k = 5, nprobe = nprobe)
+        .select("query_id", "rank", "neighbor_id", "cos")
+        .as[(Long, Int, Long, Double)].collect()
+        .map { case (q, r, n, c) => (q, r, n, math.rint(c * 1e9) / 1e9) }.toSet
+      val b = Ivf.searchIndex(spark, freshDir, queries, k = 5, nprobe = nprobe)
+        .select("query_id", "rank", "neighbor_id", "cos")
+        .as[(Long, Int, Long, Double)].collect()
+        .map { case (q, r, n, c) => (q, r, n, math.rint(c * 1e9) / 1e9) }.toSet
+      assert(a === b, s"re-fit index diverged from from-scratch at nprobe=$nprobe")
+    }
+  }
+
   test("int8 quantization: reconstruction within half a step, extremes hit ±127") {
     val data = graft.sources.Tables.embeddings(spark, sf)
     val q = Similarity.quantizeInt8(data)

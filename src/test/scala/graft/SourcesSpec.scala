@@ -435,4 +435,36 @@ class SourcesSpec extends SparkSpec {
       s"re-sync should touch a strict subset of rows ($rewritten of ${before._1})")
     assert(checksum() === before)
   }
+
+  test("events ts dispatch normalizes every arrived type, refuses the rest") {
+    // Tables.events' three-way branch (sources/Tables.scala) is pinned per
+    // ARRIVED type, not just exercised by whichever testdata generation is
+    // current: epoch-nanos BIGINT (the nanosAsLong arrival), TIMESTAMP_NTZ
+    // (micros with isAdjustedToUTC=false), and plain TIMESTAMP must all
+    // normalize to the same microsecond TimestampType values.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val micros = 1700000000123456L // 2023-11-14T22:13:20.123456Z
+    def roundtrip(writeTs: org.apache.spark.sql.Column): java.sql.Timestamp = {
+      val dir = Files.createTempDirectory("graft_ntz").toString
+      spark.range(1).select(lit(1L).as("user_id"), writeTs.as("ts"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = Tables.events(spark, dir)
+      assert(got.schema("ts").dataType === TimestampType,
+        s"dispatch must normalize to TimestampType, got ${got.schema("ts").dataType}")
+      got.select($"ts").head().getTimestamp(0)
+    }
+    val expect = new java.sql.Timestamp(micros / 1000)
+    expect.setNanos(((micros % 1000000) * 1000).toInt)
+    // epoch-nanos BIGINT: sub-microsecond part must truncate, not round
+    assert(roundtrip(lit(micros * 1000 + 789L)) === expect)
+    // TIMESTAMP_NTZ: wall-clock reinterpreted in the (UTC-pinned) session
+    assert(roundtrip(timestamp_micros(lit(micros)).cast(TimestampNTZType)) === expect)
+    // plain TIMESTAMP: passes through untouched
+    assert(roundtrip(timestamp_micros(lit(micros))) === expect)
+    // anything else refuses loudly instead of mis-normalizing silently
+    intercept[IllegalStateException] {
+      roundtrip(lit("2023-11-14 22:13:20"))
+    }
+  }
 }
