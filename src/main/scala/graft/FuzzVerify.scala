@@ -64,7 +64,8 @@ object FuzzVerify {
       val src = s"$sfDir/$t.parquet"
       if (new java.io.File(src).exists()) {
         val df = spark.read.parquet(src)
-        df.withColumn("__fuzz", xxhash64(lit(seed) +: df.columns.map(col): _*))
+        df.withColumn("__fuzz",
+            xxhash64((lit(seed) +: df.columns.toSeq.map(col)): _*))
           .repartition(parts, col("__fuzz"))
           .sortWithinPartitions("__fuzz")
           .drop("__fuzz")

@@ -845,6 +845,54 @@ class EventsCdcSpec extends SparkSpec {
     assert(holes.count() === 0)
   }
 
+  test("runScd2Split: the streaming pipeline maintains split closed/open state end to end") {
+    // the split sink driven through the REAL streaming wiring (file source
+    // → foreachBatch), not direct merge calls: closed slices append once
+    // per batch, the open snapshot rewrites, and the assembled state equals
+    // the batch scd2History of everything that arrived
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
+        $"event_type")
+    val third = ntile(3).over(org.apache.spark.sql.expressions.Window
+      .orderBy($"ts_us", $"event_id"))
+    val parts = ev.withColumn("b", third)
+    val dir = Files.createTempDirectory("graft_scd2sp_src")
+    (1 to 3).foreach { i =>
+      val tmp = Files.createTempDirectory("graft_scd2sp_tmp").toString
+      parts.filter($"b" === i).drop("b")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, dir.resolve(s"$i.parquet"))
+      Thread.sleep(1000)
+    }
+    val stateDir = Files.createTempDirectory("graft_scd2sp_state").toString
+    val ckpt = Files.createTempDirectory("graft_scd2sp_ckpt").toString
+    val q = EventsCdc.runScd2Split(spark,
+      EventsCdc.readEventStream(spark, dir.toString, parts.drop("b"),
+        maxFilesPerTrigger = 1),
+      stateDir, ckpt, keys = Seq("user_id"))
+    q.awaitTermination()
+    // one closed append per batch, open versions bounded by the retain
+    // window (default 2), never the batch count
+    (0 to 2).foreach { b =>
+      assert(new java.io.File(s"$stateDir/closed/batch=$b").exists(),
+        s"closed slice of batch $b missing")
+    }
+    assert(EventsCdc.stateVersions(spark, s"$stateDir/open").size === 2)
+    val assembled = EventsCdc.scd2SplitState(spark, stateDir)
+    val expected = graft.olap.StarSchema.scd2History(
+      ev, Seq("user_id"), $"ts_us", Seq($"ts_us", $"event_id"))
+    assert(assembled.collect().map(_.toString).sorted.toSeq ===
+      expected.collect().map(_.toString).sorted.toSeq)
+    // the sink's defining property: the closed slice holds every
+    // non-current row, the open snapshot exactly one current row per key
+    val open = spark.read.parquet(
+      s"$stateDir/open/v=${EventsCdc.stateVersions(spark, s"$stateDir/open").max}")
+    assert(open.filter(!$"is_current").count() === 0)
+    assert(open.count() === ev.select($"user_id").distinct().count())
+  }
+
   test("SCD1 merge keeps tombstones so late-arriving older rows cannot resurrect") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val t1 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00")
