@@ -171,6 +171,33 @@ object StarQueries {
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     ORDER BY user_id, version"""
 
+  /** The split-state SCD2 sink driven as a registry roundtrip (see
+    * [[graft.streaming.EventsCdc.scd2MergeBatchSplit]]): the change log
+    * cut into 3 in-order micro-batches (a global (ts_us, event_id) ntile
+    * — harness scaffolding standing in for stream batch boundaries, which
+    * guarantees the merge's in-order contract), merged batch by batch
+    * into the closed-append/open-rewrite layout, and the ASSEMBLED state
+    * ([[graft.streaming.EventsCdc.scd2SplitState]]) hash-checked against
+    * the one-shot scd2History oracle — the incremental sink must be
+    * indistinguishable from the batch rebuild. */
+  private def scd2SplitState(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).withColumn("ts_us", unix_micros($"ts"))
+    val third = ntile(3).over(org.apache.spark.sql.expressions.Window
+      .orderBy($"ts_us", $"event_id"))
+    val parts = ev.withColumn("__b", third)
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_scd2split_q").toString
+    (1 to 3).foreach { i =>
+      graft.streaming.EventsCdc.scd2MergeBatchSplit(s, stateDir,
+        Seq("user_id"))(parts.filter($"__b" === i).drop("__b"), (i - 1).toLong)
+    }
+    graft.streaming.EventsCdc.scd2SplitState(s, stateDir)
+      .select($"user_id", $"version", $"valid_from_us", $"valid_to_us",
+              $"event_type", $"value", $"is_current")
+      .orderBy("user_id", "version")
+  }
+
   /** The SCD2 read path: each user's dimension row AS OF a fixed instant —
     * the range predicate (`valid_from <= t < valid_to`) that replaces the
     * SCD1 key lookup when history matters. Exactly one row per user whose
@@ -306,6 +333,7 @@ object StarQueries {
     Q("fact_ri_repair", factRiRepair, Some(factRiRepairSql)),
     Q("scd1_upsert", scd1Upsert, Some(scd1UpsertSql)),
     Q("scd2_history", scd2History, Some(scd2HistorySql)),
+    Q("scd2_split_state", scd2SplitState, Some(scd2HistorySql)),
     Q("scd2_asof_lookup", scd2AsofLookup, Some(scd2AsofLookupSql)),
     Q("cdc_apply", cdcApply, Some(cdcApplySql)),
     Q("incremental_sync", incrementalSync, Some(incrementalSyncSql)),
