@@ -298,6 +298,50 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("streaming IVF append: file-arrival vectors land in the index, search equals union model") {
+    // the IVF lifecycle's arrival path through the REAL streaming wiring:
+    // two arrival files, one micro-batch each, each blind-appended to the
+    // standing index's lists — then the index answers exactly what the
+    // in-memory union model answers
+    val all = graft.sources.Tables.embeddings(spark, sf)
+    val standing = all.filter($"vec_id" % 5 =!= 0)
+    val arrivals = all.filter($"vec_id" % 5 === 0)
+    val queries = all.filter($"vec_id" < 5)
+    val model = Ivf.fit(standing, nLists = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_str").toString
+    Ivf.writeIndex(model, standing, dir)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ivf_arr")
+    Seq(0, 1).foreach { half =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_tmp").toString
+      arrivals.filter($"vec_id" % 10 === half * 5).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, srcDir.resolve(s"$half.parquet"))
+      Thread.sleep(1000)
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ivf_ck").toString
+    val q = graft.streaming.IndexMaintenance.runIvfAppend(
+      spark, srcDir.toString, all, dir, ckpt, maxFilesPerTrigger = 1)
+    q.awaitTermination()
+    // every arrival is in the lists exactly once
+    val lists = spark.read.parquet(s"$dir/lists")
+    assert(lists.count() === all.count())
+    assert(lists.groupBy($"vec_id").count().filter($"count" > 1).count() === 0)
+    // and the streamed index answers exactly the union-model search
+    val unionModel = Ivf.IvfModel(model.centroids,
+      lists.select($"vec_id", $"centroid_id"))
+    Seq(2, 8).foreach { nprobe =>
+      val onDisk = Ivf.searchIndex(spark, dir, queries, k = 5, nprobe = nprobe)
+        .select("query_id", "rank", "neighbor_id", "cos")
+        .as[(Long, Int, Long, Double)].collect().toSet
+      val inMem = Ivf.search(unionModel, all, queries, k = 5, nprobe = nprobe)
+        .select("query_id", "rank", "neighbor_id", "cos")
+        .as[(Long, Int, Long, Double)].collect().toSet
+      assert(onDisk === inMem, s"streamed append diverged at nprobe=$nprobe")
+    }
+  }
+
   test("int8 quantization: reconstruction within half a step, extremes hit ±127") {
     val data = graft.sources.Tables.embeddings(spark, sf)
     val q = Similarity.quantizeInt8(data)
