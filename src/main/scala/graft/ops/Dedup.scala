@@ -194,6 +194,20 @@ object Dedup {
       .sortWithinPartitions(col("band_hash"), col("band"))
       .write.mode("overwrite").parquet(dir)
 
+  /** Absorb an arrival batch into the standing signature index — the
+    * append twin of [[writeSignatureIndex]] (same clustering per appended
+    * file): run AFTER [[incrementalMinhash]] probed the batch, so the
+    * next batch's old↔new candidates see this one as corpus. Caller
+    * contract: arrival doc_ids are new (blind append, at-least-once
+    * under replay — the [[graft.ops.Ivf.appendToIndex]] posture). */
+  def appendSignatureIndex(docs: DataFrame, dir: String, n: Int = 3,
+                           bands: Int = 32, rows: Int = 4,
+                           seed: Long = 42L): Unit =
+    bandRows(docs, n, bands, rows, seed)
+      .repartition(col("band_hash"))
+      .sortWithinPartitions(col("band_hash"), col("band"))
+      .write.mode("append").parquet(dir)
+
   /** Persist the corpus's duplicate-cluster membership table — the other
     * standing artifact of a recurring dedup (the cluster twin of
     * [[writeSignatureIndex]]): (doc_id, cluster_id, cluster_size) for every

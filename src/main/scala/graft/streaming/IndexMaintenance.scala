@@ -41,4 +41,53 @@ object IndexMaintenance {
         ()
       }
       .start()
+
+  /** Continuous near-dup screening of a document-arrival stream against
+    * the standing corpus — [[graft.ops.Dedup.incrementalMinhash]] as a
+    * pipeline. Per micro-batch, in order:
+    *
+    *   1. PROBE: the batch's LSH band rows (broadcast — arrival batches
+    *      are small by construction) join the persisted signature index;
+    *      candidate pairs verify by exact Jaccard with old-corpus text
+    *      read through the semi-join prune — per-batch cost ∝ batch +
+    *      candidates, never corpus.
+    *   2. EMIT: verified near-dup pairs append to `pairsDir`, batch-tagged
+    *      — the audit log a curation pipeline filters against.
+    *   3. ABSORB: the batch's band rows append to the index and its docs
+    *      to the corpus store, so the NEXT batch's old↔new probe sees
+    *      this one as corpus.
+    *
+    * The sequencing inside one foreachBatch call is what makes
+    * batch-boundary pairs exact: a doc arriving in batch N+1 that
+    * near-dups a batch-N doc is found by the index probe (absorbed in
+    * step 3 of batch N). The concatenated pairs over any run equal the
+    * batch [[graft.ops.Dedup.minhashLsh]] over everything that arrived,
+    * minus the bootstrap corpus's internal pairs (found when ITS index
+    * was built) — spec-pinned. Replay caveat: blind appends; dedupe
+    * upstream ([[EventsCdc.dedupStream]]) or re-deliveries duplicate
+    * band rows and re-emit their pairs. */
+  def runDedupScreen(spark: SparkSession, srcDir: String, schemaFrom: DataFrame,
+                     indexDir: String, corpusDir: String, pairsDir: String,
+                     checkpointDir: String, n: Int = 3, threshold: Double = 0.8,
+                     bands: Int = 32, rows: Int = 4, seed: Long = 42L,
+                     maxFilesPerTrigger: Int = 0,
+                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    EventsCdc.readEventStream(spark, srcDir, schemaFrom, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.lit
+        val old = spark.read.parquet(corpusDir)
+        graft.ops.Dedup
+          .incrementalMinhash(spark, indexDir, old, batch,
+            n, threshold, bands, rows, seed)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(pairsDir)
+        graft.ops.Dedup.appendSignatureIndex(batch, indexDir,
+          n, bands, rows, seed)
+        batch.write.mode("append").parquet(corpusDir)
+        ()
+      }
+      .start()
 }

@@ -137,6 +137,55 @@ class DedupSpec extends SparkSpec {
     assert(inc.nonEmpty, "testdata should plant near-dups crossing the split")
   }
 
+  test("streaming dedup screen: per-batch probe+absorb, concatenated pairs equal the batch run") {
+    // runDedupScreen through the real streaming wiring: two arrival files,
+    // one micro-batch each — batch 0's docs must be corpus by the time
+    // batch 1 probes (the absorb step), so the concatenated emitted pairs
+    // equal the batch minhashLsh over EVERYTHING minus the bootstrap
+    // corpus's internal pairs
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val standing = docs.filter($"doc_id" < 300)
+    val b1 = docs.filter($"doc_id" >= 300 && $"doc_id" < 400)
+    val b2 = docs.filter($"doc_id" >= 400)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ds_idx").toString
+    val corpus = java.nio.file.Files.createTempDirectory("graft_ds_corp").toString
+    val pairs = java.nio.file.Files.createTempDirectory("graft_ds_pairs").toString
+    Dedup.writeSignatureIndex(standing, idx)
+    standing.write.mode("overwrite").parquet(corpus)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ds_src")
+    Seq(b1, b2).zipWithIndex.foreach { case (b, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ds_tmp").toString
+      b.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, srcDir.resolve(s"$i.parquet"))
+      Thread.sleep(1000)
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ds_ck").toString
+    val q = graft.streaming.IndexMaintenance.runDedupScreen(
+      spark, srcDir.toString, docs, idx, corpus, pairs, ckpt,
+      maxFilesPerTrigger = 1)
+    q.awaitTermination()
+    val got = spark.read.parquet(pairs)
+    assert(got.select($"batch_id").distinct().count() === 2)
+    val gotPairs = got.select("d1", "d2").as[(Long, Long)].collect().toSet
+    val full = Dedup.minhashLsh(docs)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val bootstrap = Dedup.minhashLsh(standing)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(gotPairs === (full -- bootstrap))
+    assert(gotPairs.nonEmpty, "testdata should plant near-dups across batches")
+    // a pair is emitted in the batch its NEWEST doc arrived in: batch 0
+    // pairs never involve a batch-1 doc
+    val early = got.filter($"batch_id" === 0)
+      .select("d1", "d2").as[(Long, Long)].collect()
+    assert(early.forall(p => p._1 < 400 && p._2 < 400))
+    // both stores absorbed both batches
+    assert(spark.read.parquet(corpus).count() === docs.count())
+    assert(spark.read.parquet(idx).select($"doc_id").distinct().count()
+      === docs.count())
+  }
+
   test("decontaminate flags only docs sharing an 8-gram with the benchmark") {
     val bench = Seq(
       (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
