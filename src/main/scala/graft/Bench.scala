@@ -112,7 +112,45 @@ object Bench {
         graft.ops.Dedup.incrementalMinhash(s, dir,
           standing, all.filter(col("doc_id") % 25 === 0))
       }
-    })
+    },
+    // the SCD2 sink decision, measured: SAME 6-batch in-order change-log
+    // maintenance through the full-state-rewrite sink (every batch
+    // rewrites closed history too) vs the split sink (closed appends
+    // once, open rewrites). Fresh state dirs per invocation — cold and
+    // warm both pay all 6 merges, so the pair isolates the SINK cost,
+    // and the gap grows with history depth (here 6 batches; a year of
+    // batches at 100 TB makes the rewrite sink unrunnable)
+    "scd2_sink_full_rewrite" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_scd2_fr_bench").toString
+      scd2Batches(s, d).zipWithIndex.foreach { case (b, i) =>
+        graft.streaming.EventsCdc.scd2MergeBatch(s, dir,
+          Seq("user_id"))(b, i.toLong)
+      }
+      val last = graft.streaming.EventsCdc.stateVersions(s, dir).max
+      s.read.parquet(s"$dir/v=$last")
+    }),
+    "scd2_sink_split" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_scd2_sp_bench").toString
+      scd2Batches(s, d).zipWithIndex.foreach { case (b, i) =>
+        graft.streaming.EventsCdc.scd2MergeBatchSplit(s, dir,
+          Seq("user_id"))(b, i.toLong)
+      }
+      graft.streaming.EventsCdc.scd2SplitState(s, dir)
+    }))
+
+  /** The 6 in-order micro-batches both SCD2 sink bench entries replay. */
+  private def scd2Batches(s: SparkSession, d: String): Seq[DataFrame] = {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val sixth = org.apache.spark.sql.functions.ntile(6)
+      .over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts_us"), col("event_id")))
+    val parts = ev.withColumn("__b", sixth)
+    (1 to 6).map(i => parts.filter(col("__b") === i).drop("__b"))
+  }
 
   /** Builder-generated hot-key stress frame: 20M fact rows, HALF on one
     * key, the rest uniform over 200k keys at ~50 rows each; a 200k-row dim
