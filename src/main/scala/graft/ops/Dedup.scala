@@ -436,18 +436,61 @@ object Dedup {
     */
   def spanDedup(docs: DataFrame, k: Int = 3, w: Int = 4, minShared: Int = 2,
                 maxDf: Int = 16,
-                shingleHash: Column => Column = xxhash64(_)): DataFrame = {
-    val ids = col("ids")
+                shingleHash: Column => Column = xxhash64(_)): DataFrame =
+    spanPairs(rareFingerprintLists(docs, k, w, maxDf, shingleHash),
+      minShared, maxDf)
+
+  /** Per-fingerprint sorted doc lists, stop-fingerprints (df > maxDf)
+    * dropped — the shared upstream of [[spanDedup]] and
+    * [[spanContainment]]. */
+  private def rareFingerprintLists(docs: DataFrame, k: Int, w: Int,
+                                   maxDf: Int,
+                                   shingleHash: Column => Column): DataFrame =
     TextAnalysis.fingerprintHashes(docs, k, w, shingleHash)
       .groupBy(col("fp_hash"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(ids).between(2, maxDf))
+      .filter(size(col("ids")) <= maxDf)
+
+  private def spanPairs(rare: DataFrame, minShared: Int,
+                        maxDf: Int): DataFrame = {
+    val ids = col("ids")
+    rare.filter(size(ids) >= 2)
       .select(explode(flatten(transform(ids, (d1, i) =>
         transform(slice(ids, i + 2, lit(maxDf)),
           d2 => struct(d1.as("d1"), d2.as("d2")))))).as("p"))
       .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** Asymmetric span containment over the [[spanDedup]] pairs — the
+    * quote/boilerplate-superset detector: for each shared-span pair, what
+    * FRACTION of each doc's fingerprints the other doc covers.
+    * `cover_d1` ≈ 1 with `cover_d2` small reads "d1 is (mostly) contained
+    * in d2" — a quote, an excerpt, a template instance — the asymmetric
+    * signal the symmetric pair count cannot express; a dedup keeps the
+    * superset where near-dup keeps either.
+    *
+    * Numerator AND denominator count the same RARE-fingerprint universe
+    * (df ≤ maxDf, df=1 included): dropping boilerplate fingerprints from
+    * only the numerator would deflate containment for every doc sharing a
+    * hot template — an exact copy scores cover = 1.0 either way. The
+    * rare-list frame feeds both the pair aggregate and the per-doc
+    * counts; at scale persist it (or the plan evaluates the
+    * shingle→winnow subtree twice). Long/long division is IEEE double on
+    * both engines — oracle-hashable. */
+  def spanContainment(docs: DataFrame, k: Int = 3, w: Int = 4,
+                      minShared: Int = 2, maxDf: Int = 16,
+                      shingleHash: Column => Column = xxhash64(_)): DataFrame = {
+    val rare = rareFingerprintLists(docs, k, w, maxDf, shingleHash)
+    val counts = rare.select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    spanPairs(rare, minShared, maxDf)
+      .join(counts.select(col("doc_id").as("d1"), col("n_fp").as("n_fp1")), "d1")
+      .join(counts.select(col("doc_id").as("d2"), col("n_fp").as("n_fp2")), "d2")
+      .select(col("d1"), col("d2"), col("n_shared"), col("n_fp1"), col("n_fp2"),
+        (col("n_shared") / col("n_fp1")).as("cover_d1"),
+        (col("n_shared") / col("n_fp2")).as("cover_d2"))
   }
 
   /** Connected components over a verified near-dup pair set — the clustering

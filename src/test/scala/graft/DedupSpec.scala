@@ -137,6 +137,27 @@ class DedupSpec extends SparkSpec {
     assert(inc.nonEmpty, "testdata should plant near-dups crossing the split")
   }
 
+  test("spanContainment: a prefix-contained doc covers 1.0 one way, less the other") {
+    // doc 1's token run is a strict PREFIX of doc 2's, so every winnowing
+    // window of doc 1 is also a window of doc 2 — fp(1) ⊆ fp(2) exactly,
+    // the quote/excerpt shape the asymmetric score exists to expose
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta unrelated tail " +
+        "words continue here onwards with more and more filler content"),
+      (3L, "completely different text sharing nothing with the others at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanContainment(docs, minShared = 1)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+    assert(out.length === 1, s"only the (1,2) pair should surface: ${out.toSeq}")
+    val (d1, d2, shared, nFp1, nFp2, cover1, cover2) = out.head
+    assert((d1, d2) === ((1L, 2L)))
+    assert(shared === nFp1, "a prefix-contained doc shares ALL its fingerprints")
+    assert(cover1 === 1.0)
+    assert(nFp2 > nFp1 && cover2 < 1.0,
+      "the superset doc must have extra fingerprints of its own")
+  }
+
   test("streaming dedup screen: per-batch probe+absorb, concatenated pairs equal the batch run") {
     // runDedupScreen through the real streaming wiring: two arrival files,
     // one micro-batch each — batch 0's docs must be corpus by the time
