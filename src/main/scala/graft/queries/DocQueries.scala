@@ -473,6 +473,65 @@ object DocQueries {
     Similarity.knnLsh(Tables.embeddings(s, d), queries(s, d))
       .orderBy("query_id", "rank")
 
+  /** ANN recall measurement — the tuning read-out every approximate
+    * search deployment runs before trusting an index: recall@5 of the
+    * sublinear LSH path against the exact brute-force top-5 over the same
+    * queries, as ONE summary row. Both pipelines are the registry's own
+    * (same banding literals, same tie order), the hit count is an
+    * id-level semi-join (no float comparison enters the metric), and the
+    * recall is a long/long IEEE division — fully oracle-hashed, unlike an
+    * acceptance-flag check. Truth side is candidate-sized (|queries| × 5
+    * ids), so the metric costs one extra broadcast join over the two
+    * searches.
+    *
+    * Read the NUMBER against the LSH recall model (Similarity scaladoc):
+    * on this synthetic corpus the true top-5 are LOW-cosine (random
+    * vectors are near-orthogonal), far below the r=12 collision cliff, so
+    * recall@5 ≈ 0.09 here is the CORRECT verdict — "this corpus's nearest
+    * neighbors are not high-cosine; don't serve them from sign-LSH" — the
+    * decision input the operator exists to produce. A corpus with real
+    * near-dup structure scores near 1 (SimilaritySpec's high-recall
+    * tuning case); knn_ivf_partial's 0.86 shows the IVF path's number. */
+  private def annRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val truth = Similarity.knnBruteForce(emb, queries(s, d))
+      .select($"query_id", $"neighbor_id")
+    val approx = Similarity.knnLsh(emb, queries(s, d))
+      .select($"query_id", $"neighbor_id")
+    val hit = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+    truth.agg(countDistinct($"query_id").as("n_queries"),
+        count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+      .select($"n_queries", $"n_truth", $"n_hit",
+        ($"n_hit" / $"n_truth").as("recall_at_5"))
+  }
+
+  private lazy val annRecallSql = s"""$lshBaseSql,
+    qb AS (SELECT vec_id AS query_id, band, band_val FROM b WHERE vec_id < 20),
+    c AS (SELECT DISTINCT b.vec_id, qb.query_id
+          FROM b JOIN qb ON b.band = qb.band AND b.band_val = qb.band_val
+          WHERE b.vec_id <> qb.query_id),
+    scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+                 list_sum(list_transform(range(1,65), i -> a.emb[i]*q.emb[i]))/(a.nrm*q.nrm) AS cos
+               FROM c JOIN n a ON c.vec_id = a.vec_id JOIN n q ON c.query_id = q.vec_id),
+    lr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS rank FROM scored),
+    lsh5 AS (SELECT query_id, neighbor_id FROM lr WHERE rank <= 5),
+    q2 AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm FROM n WHERE vec_id < 20),
+    p2 AS (SELECT query_id, vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(emb)+1), i -> emb[i]*q_emb[i]))
+               / (nrm * q_nrm) AS cos
+           FROM n JOIN q2 ON vec_id <> query_id),
+    br AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS rank FROM p2),
+    bf5 AS (SELECT query_id, neighbor_id FROM br WHERE rank <= 5),
+    m AS (SELECT (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) FROM bf5) AS n_queries,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM bf5) AS n_truth,
+                 (SELECT CAST(COUNT(*) AS BIGINT)
+                  FROM bf5 JOIN lsh5 USING (query_id, neighbor_id)) AS n_hit)
+    SELECT n_queries, n_truth, n_hit, n_hit::DOUBLE / n_truth AS recall_at_5 FROM m"""
+
   /** IVF ANN through the registry at full probe (nprobe = nLists): probing
     * every list searches every vector, so the exact brute-force oracle
     * applies bit-for-bit (SimilaritySpec separately proves the recall ramp
@@ -1498,6 +1557,7 @@ $sel
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
     Q("knn_bruteforce", knnBruteForce, Some(knnBruteForceSql)),
     Q("knn_lsh", knnLsh, Some(knnLshSql)),
+    Q("ann_recall", annRecall, Some(annRecallSql)),
     Q("multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
     Q("multimodal_frames", multimodalFrames, Some(multimodalFramesSql)),
     Q("multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),

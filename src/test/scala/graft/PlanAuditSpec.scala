@@ -32,14 +32,15 @@ class PlanAuditSpec extends SparkSpec {
     // events_gap_fill broadcasts its single-row day-span bounds onto the
     // user list before the map-side grid explode; coreset_kcenter
     // broadcasts the single-row newest center onto every corpus row each
-    // round (the Gonzalez update IS a corpus × 1 product)
+    // round (the Gonzalez update IS a corpus × 1 product); ann_recall
+    // cross-joins its single-row truth-count and hit-count summaries
     plans.filterNot(p =>
         Set("knn_bruteforce", "knn_ivf", "knn_ivf_disk", "knn_ivf_pq",
             "tfidf_topterms", "bigram_pmi", "incremental_distinct",
             "bm25_rank", "quantile_sketch", "q22_sales_opportunity",
             "events_gap_fill", "coreset_kcenter",
             "sliding_active_users", "hybrid_rrf", "skew_report",
-            "knn_ivf_partial")(p._1))
+            "knn_ivf_partial", "ann_recall")(p._1))
       .foreach { case (name, p) =>
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
       }
