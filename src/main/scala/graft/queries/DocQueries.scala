@@ -995,35 +995,9 @@ $sel
         shingleHash = c => md5(c.cast("binary")))
       .orderBy("d1", "d2")
 
-  private val spanDedupSql = """
-    WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
-    h AS (SELECT doc_id,
-            [md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) for i in range(1, len(w)-1)] AS hs
-          FROM t WHERE len(w) >= 3),
-    f AS (SELECT doc_id, CASE WHEN len(hs) >= 4
-            THEN list_sort(list_distinct(
-                   [list_aggregate(hs[i:i+3], 'min') for i in range(1, len(hs)-2)]))
-            ELSE [list_aggregate(hs, 'min')] END AS fp
-          FROM h),
-    fp AS (SELECT doc_id, unnest(fp) AS fp_hash FROM f),
-    rare AS (SELECT fp_hash FROM fp GROUP BY fp_hash HAVING COUNT(*) <= 16),
-    fpf AS (SELECT doc_id, fp_hash FROM fp WHERE fp_hash IN (SELECT fp_hash FROM rare))
-    SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS n_shared
-    FROM fpf a JOIN fpf b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
-    GROUP BY 1, 2 HAVING COUNT(*) >= 2
-    ORDER BY d1, d2"""
-
-  /** Asymmetric containment over the span_dedup pairs (md5 winnowing so
-    * the oracle replays every window minimum): cover fractions against
-    * the shared rare-fingerprint universe — see
-    * [[graft.ops.Dedup.spanContainment]]. */
-  private def spanContainment(s: SparkSession, d: String): DataFrame =
-    Dedup.spanContainment(Tables.documents(s, d), minShared = 2, maxDf = 16,
-        shingleHash = c => md5(c.cast("binary")))
-      .orderBy("d1", "d2")
-
-  private val spanContainmentSql = """
-    WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+  /** The md5-winnowing span-pair CTE chain shared by the three span
+    * oracles, ending in `sp(d1, d2, n_shared)`. */
+  private val spanPairsCtes = """t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
     h AS (SELECT doc_id,
             [md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) for i in range(1, len(w)-1)] AS hs
           FROM t WHERE len(w) >= 3),
@@ -1035,15 +1009,57 @@ $sel
     fp AS (SELECT doc_id, unnest(fp) AS fp_hash FROM f),
     rare AS (SELECT fp_hash FROM fp GROUP BY fp_hash HAVING COUNT(*) <= 16),
     fpf AS (SELECT doc_id, fp_hash FROM fp WHERE fp_hash IN (SELECT fp_hash FROM rare)),
-    cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM fpf GROUP BY doc_id),
-    p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS n_shared
-          FROM fpf a JOIN fpf b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
-          GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+    sp AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS n_shared
+           FROM fpf a JOIN fpf b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2)"""
+
+  private val spanDedupSql = s"""
+    WITH $spanPairsCtes
+    SELECT d1, d2, n_shared FROM sp ORDER BY d1, d2"""
+
+  /** Asymmetric containment over the span_dedup pairs (md5 winnowing so
+    * the oracle replays every window minimum): cover fractions against
+    * the shared rare-fingerprint universe — see
+    * [[graft.ops.Dedup.spanContainment]]. */
+  private def spanContainment(s: SparkSession, d: String): DataFrame =
+    Dedup.spanContainment(Tables.documents(s, d), minShared = 2, maxDf = 16,
+        shingleHash = c => md5(c.cast("binary")))
+      .orderBy("d1", "d2")
+
+  private val spanContainmentSql = s"""
+    WITH $spanPairsCtes,
+    cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM fpf GROUP BY doc_id)
     SELECT d1, d2, n_shared, c1.n_fp AS n_fp1, c2.n_fp AS n_fp2,
            n_shared::DOUBLE / c1.n_fp AS cover_d1,
            n_shared::DOUBLE / c2.n_fp AS cover_d2
-    FROM p JOIN cnt c1 ON p.d1 = c1.doc_id JOIN cnt c2 ON p.d2 = c2.doc_id
+    FROM sp JOIN cnt c1 ON sp.d1 = c1.doc_id JOIN cnt c2 ON sp.d2 = c2.doc_id
     ORDER BY d1, d2"""
+
+  /** Connected components over the shared-span pairs — the MOSS-style
+    * copy-group view (each cluster = docs transitively linked by shared
+    * spans): [[graft.ops.Dedup.clusters]]' pointer-jumping label
+    * propagation reused verbatim on a different pair generator, which is
+    * the point of keeping pair generation and clustering as separate
+    * composable operators. */
+  private def spanClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.clusters(
+        Dedup.spanDedup(Tables.documents(s, d), minShared = 2, maxDf = 16,
+            shingleHash = c => md5(c.cast("binary")))
+          .select("d1", "d2"))
+      .orderBy("doc_id")
+
+  private val spanClustersSql = s"""
+    WITH RECURSIVE $spanPairsCtes,
+    e AS (SELECT d1 AS src, d2 AS dst FROM sp UNION SELECT d2, d1 FROM sp),
+    reach AS (
+      SELECT src AS id, dst AS r FROM e
+      UNION
+      SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+    lab AS (SELECT id, least(id, MIN(r)) AS cluster_id FROM reach GROUP BY id)
+    SELECT id AS doc_id, cluster_id, CAST(n AS BIGINT) AS cluster_size
+    FROM lab JOIN (SELECT cluster_id, COUNT(*) AS n FROM lab GROUP BY 1) c
+      USING (cluster_id)
+    ORDER BY doc_id"""
 
   /** Concat-and-chunk sequence packing at ctxLen=512, sharded by source —
     * per-shard token cumsum replayed verbatim by the oracle window. */
@@ -1581,6 +1597,7 @@ $sel
     Q("contamination_score", contaminationScore, Some(contaminationScoreSql)),
     Q("span_dedup", spanDedup, Some(spanDedupSql)),
     Q("span_containment", spanContainment, Some(spanContainmentSql)),
+    Q("span_clusters", spanClusters, Some(spanClustersSql)),
     Q("pq_encode", pqEncode, Some(pqEncodeSql)),
     Q("knn_pq", knnPq, Some(knnPqSql)),
     Q("multimodal_wav", multimodalWav, Some(multimodalWavSql)),
