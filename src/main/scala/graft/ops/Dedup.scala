@@ -415,6 +415,39 @@ object Dedup {
           .as("contamination_score"))
   }
 
+  /** N-gram novelty — per doc, the fraction of its distinct word n-grams
+    * whose FIRST corpus occurrence (minimum doc_id) is the doc itself:
+    * ≈1 means genuinely new content, ≈0 means the doc restates n-grams
+    * earlier docs already carried — the "how much does this doc add"
+    * signal a curation pipeline reads next to near-dup flags (a doc can
+    * evade pairwise dedup yet contribute nothing new; first-occurrence
+    * attribution is also the standard accounting for crawl-order corpora,
+    * where doc_id encodes arrival).
+    *
+    * The [[contaminationScore]] shape generalized to self-reference:
+    * shingles reduce to 64-bit hashes map-side, the first-occurrence
+    * aggregate and the attribution join share the hash-keyed shuffle, and
+    * the per-doc rollup shuffles (doc_id, flag) only — document text
+    * never travels. Docs with no n-grams (shorter than n words) report
+    * 0/0 → novelty 0.0, like the other ratio metrics. */
+  def ngramNovelty(docs: DataFrame, n: Int = 8): DataFrame = {
+    val d = shingleRows(docs, n).select(col("doc_id"), xxhash64(col("g")).as("h"))
+    val first = d.groupBy(col("h")).agg(min(col("doc_id")).as("__first_doc"))
+    val scored = d.join(first, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct_ngrams"),
+           sum(when(col("__first_doc") === col("doc_id"), 1L).otherwise(0L))
+             .as("n_novel_ngrams"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_distinct_ngrams"), lit(0L)).as("n_distinct_ngrams"),
+        coalesce(col("n_novel_ngrams"), lit(0L)).as("n_novel_ngrams"),
+        when(col("n_distinct_ngrams").isNull, lit(0.0))
+          .otherwise(col("n_novel_ngrams").cast("double") / col("n_distinct_ngrams"))
+          .as("novelty"))
+  }
+
   /** Shared-span detection — doc pairs sharing at least `minShared`
     * winnowing fingerprints (the MOSS-style proxy for exact-substring
     * duplication: a shared fingerprint witnesses a shared k-token span, so

@@ -50,6 +50,26 @@ object TextAnalysis {
         .otherwise("fr"))
   }
 
+  /** Confusion matrix of [[langId]]'s heuristic against the corpus's
+    * stored `lang` label — the calibration read-out run before trusting
+    * the heuristic as a routing/filter signal: one row per (lang,
+    * predicted_lang) cell with the count and the cell's fraction of its
+    * TRUE-label row (the per-language recall on the diagonal). The matrix
+    * is |langs|²-sized; the corpus contributes one hash aggregate over
+    * (doc_id → two small columns), and the per-row fraction is a window
+    * over the tiny matrix, never the corpus. Long/long IEEE division —
+    * oracle-hashed like [[graft.queries.DocQueries]]'s other metrics. */
+  def langConfusion(docs: DataFrame): DataFrame = {
+    val cells = docs.select(col("doc_id"), col("lang"))
+      .join(langId(docs).select(col("doc_id"), col("predicted_lang")), "doc_id")
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+    cells.select(col("lang"), col("predicted_lang"), col("n"),
+      (col("n") / sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))))
+        .as("frac_of_lang"))
+  }
+
   /** Quality scores: length, word count, punctuation ratio, stopword ratio,
     * mean word length. Per-row double arithmetic (IEEE-deterministic, matches
     * the oracle bit-for-bit).

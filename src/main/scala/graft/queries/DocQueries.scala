@@ -33,6 +33,48 @@ object DocQueries {
            ELSE 'fr' END AS predicted_lang
     FROM s ORDER BY doc_id"""
 
+  /** Heuristic-vs-label confusion matrix (see
+    * [[graft.ops.TextAnalysis.langConfusion]]); the oracle re-runs the
+    * langIdSql pipeline as a subquery and cross-tabs in SQL. */
+  private def langConfusion(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.langConfusion(Tables.documents(s, d))
+      .orderBy("lang", "predicted_lang")
+
+  private val langConfusionSql = s"""
+    WITH p AS (SELECT doc_id, predicted_lang FROM ($langIdSql)),
+    j AS (SELECT d.lang, p.predicted_lang FROM documents d JOIN p USING (doc_id)),
+    c AS (SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+          FROM j GROUP BY 1, 2),
+    tot AS (SELECT lang, SUM(n) AS t FROM c GROUP BY 1)
+    SELECT c.lang, predicted_lang, n, n::DOUBLE / t AS frac_of_lang
+    FROM c JOIN tot USING (lang)
+    ORDER BY lang, predicted_lang"""
+
+  /** First-occurrence n-gram novelty (see
+    * [[graft.ops.Dedup.ngramNovelty]]); hash-vs-string equivalence as in
+    * the decontaminate oracle. */
+  private def ngramNovelty(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramNovelty(Tables.documents(s, d), n = 8).orderBy("doc_id")
+
+  private val ngramNoveltySql = """
+    WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+            unnest([list_aggregate(w[i:i+7], 'string_agg', ' ')
+                    for i in range(1, len(w)-6)]) AS g8
+          FROM t WHERE len(w) >= 8),
+    f AS (SELECT g8, MIN(doc_id) AS first_doc FROM g GROUP BY 1),
+    sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel
+           FROM g JOIN f USING (g8) GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(n_distinct, 0) AS n_distinct_ngrams,
+           COALESCE(n_novel, 0) AS n_novel_ngrams,
+           CASE WHEN n_distinct IS NULL THEN 0.0
+                ELSE n_novel::DOUBLE / n_distinct END AS novelty
+    FROM documents d LEFT JOIN sc USING (doc_id)
+    ORDER BY doc_id"""
+
   private def textQuality(s: SparkSession, d: String): DataFrame =
     TextAnalysis.quality(Tables.documents(s, d)).orderBy("doc_id")
 
@@ -1554,6 +1596,8 @@ $sel
 
   val registry: Seq[Q] = Seq(
     Q("lang_id", langId, Some(langIdSql)),
+    Q("lang_confusion", langConfusion, Some(langConfusionSql)),
+    Q("ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
     Q("text_quality", textQuality, Some(textQualitySql)),
     Q("token_count", tokenCount, Some(tokenCountSql)),
     Q("quality_repetition", qualityRepetition, Some(qualityRepetitionSql)),
