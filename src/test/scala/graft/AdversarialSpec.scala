@@ -198,6 +198,44 @@ class AdversarialSpec extends SparkSpec {
     assert(groups(8L) !== groups(10L))
   }
 
+  test("ngramNovelty: exact duplicates score 0, short docs 0/0, originals keep their grams") {
+    val eight = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = docs(
+      (1L, eight),                         // first occurrence: fully novel
+      (2L, eight),                         // exact restatement: fully stale
+      (3L, s"$eight extra tail words here continue onward"), // shares doc 1's grams, adds its own
+      (4L, "too short"))                   // < 8 words: no grams at all
+    val out = Dedup.ngramNovelty(d, n = 8)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L) === ((1L, 1L, 1L, 1.0)))
+    assert(byId(2L) === ((2L, 1L, 0L, 0.0)), "a verbatim copy must score 0 novelty")
+    val (_, n3, novel3, frac3) = byId(3L)
+    // doc 3 contains doc 1's single 8-gram (stale) plus its own later windows
+    assert(n3 > 1 && novel3 === n3 - 1 && frac3 < 1.0 && frac3 > 0.0)
+    assert(byId(4L) === ((4L, 0L, 0L, 0.0)), "a gramless doc reports 0/0 -> 0.0")
+    // corpus invariant: every distinct gram is novel exactly once
+    assert(out.map(_._3).sum ===
+      Dedup.shingleRows(d, 8).select($"g").distinct().count())
+  }
+
+  test("spanContainment: an identical-text flood above maxDf yields no pairs (stop-fingerprint cut)") {
+    // every fingerprint of a 30-copy flood has df=30 > maxDf=16: the cut
+    // that bounds candidate fan-out also (documentedly) blinds span ops to
+    // floods — exact dedup first is the mitigation, same as minhash
+    val flood = (1L to 30L).map(i => (i, "thirty exact copies of this one sentence repeated"))
+    val d = flood.toDF("doc_id", "text")
+    assert(Dedup.spanContainment(d, minShared = 1).count() === 0L)
+    // below the cap the flood is fully visible and containment is 1.0 both
+    // ways on every pair
+    val small = (1L to 5L).map(i => (i, "five exact copies of this one sentence repeated"))
+      .toDF("doc_id", "text")
+    val out = Dedup.spanContainment(small, minShared = 1)
+      .select($"cover_d1", $"cover_d2").as[(Double, Double)].collect()
+    assert(out.length === 5 * 4 / 2)
+    assert(out.forall(p => p._1 === 1.0 && p._2 === 1.0))
+  }
+
   // --------------------------------------------------------- duplicate flood
 
   test("duplicate flood: exact dedup collapses it; minhash returns the full clique") {
