@@ -86,8 +86,10 @@ object FuzzVerify {
       val dest = Paths.get(s"$outDir/${q.name}")
       if (Files.exists(dest)) {
         import scala.jdk.CollectionConverters._
-        Files.walk(dest).sorted(java.util.Comparator.reverseOrder())
+        val walk = Files.walk(dest)
+        try walk.sorted(java.util.Comparator.reverseOrder())
           .iterator().asScala.foreach(Files.delete)
+        finally walk.close()
       }
       try q.run(spark, fuzzDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/${q.name}")

@@ -145,12 +145,15 @@ object Ivf {
     *
     * Caller contract: arrival vec_ids are new (dedupe upstream — the
     * index append, like every blind append here, is at-least-once under
-    * replay). */
+    * replay). The returned assignments frame is PERSISTED (the write
+    * below materializes it into the cache, so a caller's count/collect
+    * does not re-run the broadcast-join + window assignment plan) —
+    * unpersist it when done. */
   def appendToIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                     newEmbeddings: DataFrame): DataFrame = {
     val centroids = spark.read.parquet(s"$dir/centroids")
     val data = prepared(newEmbeddings)
-    val assigned = assign(data, centroids)
+    val assigned = assign(data, centroids).persist()
     data.join(assigned, "vec_id")
       .repartition(col("centroid_id"))
       .sortWithinPartitions(col("centroid_id"), col("vec_id"))
@@ -198,24 +201,71 @@ object Ivf {
     * [[appendToIndex]] adds a file per touched centroid directory, so a
     * standing index accretes files at arrival-batch rate and probe scans
     * degrade to open-per-small-file. Each directory holding more than
-    * `maxFiles` parquet files is rewritten through
-    * [[graft.sources.FileFormats.compactAndSwap]] (row-count-verified
-    * atomic swap; an interrupted compaction never loses a list).
+    * `maxFiles` parquet files is rewritten into a row-count-verified copy
+    * and swapped in by rename. All staging lives OUTSIDE the partitioned
+    * `lists/` tree (under `$dir/compact_stage`) — a tmp or moved-aside
+    * directory INSIDE the tree would be discovered as a bogus
+    * `centroid_id` partition value on the next read, silently turning the
+    * partition column into strings and duplicating or orphaning a list.
+    * An interrupted swap therefore never corrupts discovery; the one
+    * crash window (list renamed aside, replacement not yet in) is
+    * self-healing: the next call finds the `.old` copy with no live
+    * directory and restores it before compacting anything.
     * Directory-at-a-time, so the cost is proportional to the ACCRETED
     * lists, not the index — untouched directories are never read.
+    * Hadoop FS API throughout (works on HDFS/S3A, not just file:).
     *
     * @return number of directories compacted */
   def compactLists(spark: org.apache.spark.sql.SparkSession, dir: String,
                    maxFiles: Int = 1): Int = {
-    val lists = new java.io.File(s"$dir/lists").listFiles()
-    if (lists == null) 0
-    else lists.toSeq
-      .filter(d => d.isDirectory && d.getName.startsWith("centroid_id="))
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val lists = new Path(s"$dir/lists")
+    val fs = lists.getFileSystem(hconf)
+    if (!fs.exists(lists)) return 0
+    val stage = new Path(s"$dir/compact_stage")
+    // recovery + hygiene from any interrupted prior run: restore a moved-
+    // aside list whose live directory is missing; drop every other leftover
+    if (fs.exists(stage)) {
+      fs.listStatus(stage).foreach { st =>
+        val name = st.getPath.getName
+        val live = new Path(lists, name.stripSuffix(".old"))
+        if (name.endsWith(".old") && !fs.exists(live)) {
+          if (!fs.rename(st.getPath, live)) throw new java.io.IOException(
+            s"could not restore ${st.getPath} to $live after an interrupted compaction")
+        } else fs.delete(st.getPath, true)
+      }
+    }
+    fs.mkdirs(stage)
+    fs.listStatus(lists).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
       .count { d =>
-        val accreted = d.listFiles()
-          .count(_.getName.endsWith(".parquet")) > maxFiles
-        if (accreted)
-          graft.sources.FileFormats.compactAndSwap(spark, d.toString)
+        val files = fs.listStatus(d.getPath)
+          .count(_.getPath.getName.endsWith(".parquet"))
+        val accreted = files > maxFiles
+        if (accreted) {
+          val name = d.getPath.getName
+          val tmp = new Path(stage, name)
+          val expected = spark.read.parquet(d.getPath.toString).count()
+          graft.sources.FileFormats.compact(spark, d.getPath.toString, tmp.toString)
+          val rewritten = spark.read.parquet(tmp.toString).count()
+          if (rewritten != expected) {
+            fs.delete(tmp, true)
+            throw new IllegalStateException(
+              s"list compaction refused for $name: rewrite has $rewritten " +
+                s"rows, source has $expected — original left untouched")
+          }
+          val old = new Path(stage, s"$name.old")
+          if (!fs.rename(d.getPath, old))
+            throw new java.io.IOException(s"could not move ${d.getPath} aside")
+          if (!fs.rename(tmp, d.getPath)) {
+            if (!fs.rename(old, d.getPath)) throw new java.io.IOException(
+              s"could not swap in $tmp AND could not restore — the list is " +
+                s"intact at $old; the next compactLists call restores it")
+            throw new java.io.IOException(s"could not swap $tmp into ${d.getPath}")
+          }
+          fs.delete(old, true)
+        }
         accreted
       }
   }
@@ -241,8 +291,10 @@ object Ivf {
                    minMeanCos: Double = 0.0,
                    maxSizeRatio: Double = Double.MaxValue): IvfRefresh = {
     val appended = arrivals match {
-      case Some(a) if !a.isEmpty => appendToIndex(spark, dir, a).count()
-      case _                     => 0L
+      case Some(a) if !a.isEmpty =>
+        val assigned = appendToIndex(spark, dir, a)
+        try assigned.count() finally assigned.unpersist(blocking = false)
+      case _ => 0L
     }
     val drifted = !driftReport(spark, dir)
       .filter(col("mean_cos") < minMeanCos ||

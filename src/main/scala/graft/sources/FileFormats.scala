@@ -313,10 +313,17 @@ object FileFormats {
       .bucketBy(n, keys.head, keys.tail: _*)
     (if (sorts.nonEmpty) writer.sortBy(sorts.head, sorts.tail: _*) else writer)
       .saveAsTable(outTable)
-    val written = new java.io.File(outPath).listFiles()
-      .count(_.getName.endsWith(".parquet"))
-    require(written == n,
-      s"compactBucketed invariant broken: $written files for $n buckets " +
+    // the invariant is one file per NON-EMPTY bucket (a bucket the hash
+    // never maps a row to legitimately has no file), checked from the
+    // bucket-id suffix the datasource writer embeds in every file name;
+    // Hadoop FS listing so the check works on cluster filesystems too
+    val p = new org.apache.hadoop.fs.Path(outPath)
+    val names = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(p).map(_.getPath.getName).filter(_.endsWith(".parquet"))
+    val bucketIds = names.flatMap("_(\\d{5})\\.".r.findFirstMatchIn(_).map(_.group(1)))
+    require(names.length == bucketIds.distinct.length && names.length <= n,
+      s"compactBucketed invariant broken: ${names.length} files over " +
+        s"${bucketIds.distinct.length} distinct bucket ids (spec: $n buckets) " +
         s"at $outPath — planner no longer preserves the bucket-id shuffle")
     n
   }

@@ -453,6 +453,12 @@ object EventsCdc {
                           keys: Seq[String], tsUsCol: String = "ts_us",
                           tieCol: String = "event_id", retain: Int = 2)
                          (batch: DataFrame, batchId: Long): Unit = {
+    // retain=1 would delete the very version a micro-batch replay reads:
+    // a crash between the retention sweep and the checkpoint commit would
+    // make the replayed batch re-bootstrap from the batch alone, silently
+    // dropping every untouched key's open row
+    require(retain >= 2,
+      s"retain must be >= 2 (replay of batch N needs open/v=N-1), got $retain")
     val versions = stateVersions(spark, s"$stateDir/open").filter(_ < batchId)
     val next = versions match {
       case vs if vs.isEmpty =>

@@ -37,7 +37,10 @@ object IndexMaintenance {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the returned assignments are persisted for callers that read
+        // them; this pipeline doesn't — release immediately
         graft.ops.Ivf.appendToIndex(spark, indexDir, batch)
+          .unpersist(blocking = false)
         ()
       }
       .start()
