@@ -342,6 +342,45 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("compactLists recovers an interrupted swap and never stages inside the lists tree") {
+    val all = graft.sources.Tables.embeddings(spark, sf)
+    val standing = all.filter($"vec_id" % 5 =!= 0)
+    val model = Ivf.fit(standing, nLists = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_rec").toString
+    Ivf.writeIndex(model, standing, dir)
+    Ivf.appendToIndex(spark, dir, all.filter($"vec_id" % 5 === 0))
+      .unpersist(blocking = false)
+    val lists = new java.io.File(s"$dir/lists")
+    def listDirs() = lists.listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("centroid_id=")).sortBy(_.getName)
+    val before = spark.read.parquet(s"$dir/lists")
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    // simulate the one crash window: a list renamed aside into the stage,
+    // its live directory gone
+    val victim = listDirs().head
+    val stage = new java.io.File(s"$dir/compact_stage")
+    stage.mkdirs()
+    val aside = new java.io.File(stage, victim.getName + ".old")
+    assert(victim.renameTo(aside), "test setup: move list aside")
+    // plus a stale tmp leftover that must be discarded, not restored
+    val staleTmp = new java.io.File(stage, listDirs().head.getName)
+    staleTmp.mkdirs()
+    val n = Ivf.compactLists(spark, dir)
+    assert(n > 0, "accreted lists should have been compacted")
+    // the victim is back, the stage holds no leftovers, and no tmp/old
+    // directory ever appeared INSIDE the partitioned tree
+    assert(new java.io.File(lists, aside.getName.stripSuffix(".old")).exists())
+    assert(stage.listFiles().isEmpty || !stage.exists())
+    assert(lists.listFiles().forall(f =>
+      f.getName.startsWith("centroid_id=") || !f.isDirectory),
+      "no staging directory may pollute partition discovery")
+    assert(listDirs().forall(_.listFiles().count(_.getName.endsWith(".parquet")) === 1))
+    // content identical after recovery + compaction
+    val after = spark.read.parquet(s"$dir/lists")
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    assert(after === before)
+  }
+
   test("int8 quantization: reconstruction within half a step, extremes hit ±127") {
     val data = graft.sources.Tables.embeddings(spark, sf)
     val q = Similarity.quantizeInt8(data)
