@@ -544,4 +544,96 @@ object TextAnalysis {
     }
     (merges.toSeq, vocab)
   }
+
+  /** Gopher-style rule-suite quality gate (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", §A1.1 repetition/quality filters),
+    * restricted to the word-level rules this corpus can exercise (the
+    * line-level bullet/ellipsis rules need multi-line text): word-count
+    * bounds, mean-word-length band, alphabetic-word ratio, and the
+    * "contains at least `minDistinctStop` distinct stop words" rule.
+    * Emits every signal plus the keep flag and the FIRST failing rule as
+    * a reason — filter-rate dashboards and per-rule ablations need the
+    * reason, not just the boolean.
+    *
+    * Shape: one token explode + one hash aggregate per doc (all counts
+    * map-side-combined), then a pure projection for the verdicts — one
+    * doc_id shuffle total, whole-stage codegen throughout. At 100 TB the
+    * rule evaluation is scan-speed; threshold changes are a re-projection
+    * of the persisted signal table, not a re-scan of text. */
+  def gopherRules(docs: DataFrame, minWords: Int = 30, maxWords: Int = 10000,
+                  minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 5.0,
+                  minAlphaRatio: Double = 0.8,
+                  minDistinctStop: Int = 2): DataFrame = {
+    val allStops = stopwords.values.flatten.toSeq.distinct
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+           sum(length(col("t"))).as("sum_word_len"),
+           sum(when(col("t").rlike("[a-z]"), 1L).otherwise(0L)).as("n_alpha"),
+           count_distinct(when(col("t").isin(allStops: _*), col("t")))
+             .as("n_stop_distinct"))
+      .select(col("doc_id"), col("n_words").cast("int").as("n_words"),
+        (col("sum_word_len").cast("double") / col("n_words")).as("mean_word_len"),
+        (col("n_alpha").cast("double") / col("n_words")).as("alpha_word_ratio"),
+        col("n_stop_distinct").cast("int").as("n_stop_distinct"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("alpha_word_ratio"), col("n_stop_distinct"),
+        when(col("n_words") < minWords, "too_short")
+          .when(col("n_words") > maxWords, "too_long")
+          .when(col("mean_word_len") < minMeanWordLen ||
+                col("mean_word_len") > maxMeanWordLen, "word_len")
+          .when(col("alpha_word_ratio") < minAlphaRatio, "alpha")
+          .when(col("n_stop_distinct") < minDistinctStop, "stopwords")
+          .otherwise("ok").as("fail_reason"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= minMeanWordLen &&
+          col("mean_word_len") <= maxMeanWordLen &&
+          col("alpha_word_ratio") >= minAlphaRatio &&
+          col("n_stop_distinct") >= minDistinctStop).as("keep"))
+  }
+
+  /** Bigram-LM quality proxy (the CCNet-style "score each document with a
+    * language model trained on the corpus" pass, Wenzek et al. 2020): train
+    * add-one-smoothed bigram probabilities p(w2|w1) = (c(w1,w2)+1)/(c(w1)+V)
+    * on the corpus itself, then score each document by the arithmetic mean
+    * of its bigram probabilities. Higher = more predictable text. The mean
+    * of probabilities (not of their logs) keeps the score fully rational:
+    * each p is one IEEE division of integer-valued doubles — bit-identical
+    * across engines — and the mean accumulates in DECIMAL(38,6) (see
+    * [[graft.queries.Exact]]); `ln` differs in the last ulp between libm
+    * implementations, exactly the hazard tfidfTopTerms documents. The
+    * ranking differs from true perplexity (arithmetic vs geometric mean)
+    * but both order "predictable" above "chaotic" text, which is what the
+    * filter consumes.
+    *
+    * Shape: ONE token explode feeds the unigram counts, the vocab size,
+    * and (via a doc_id-windowed lead) the per-doc bigram stream; bigram
+    * probabilities arrive by two shuffle joins keyed on the bigram and on
+    * w1 — both map-side-combined aggregates over the same explode. At
+    * 100 TB the count tables are corpus-level but key-partitioned; in a
+    * production CCNet pipeline the counts come from a fixed reference
+    * corpus and the join is a broadcast — the scoring shape is identical. */
+  def lmBigramScore(docs: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = docs.select(col("doc_id"), posexplode(tokens(col("text"))))
+      .toDF("doc_id", "pos", "t")
+    val uni = toks.groupBy(col("t").as("w1")).agg(count(lit(1)).as("n_w1"))
+    val vocab = uni.select(count(lit(1)).as("v"))
+    val bigrams = toks
+      .select(col("doc_id"), col("t").as("w1"),
+        lead(col("t"), 1).over(byDoc).as("w2"))
+      .filter(col("w2").isNotNull)
+    val pair = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+    bigrams
+      .join(pair, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        ((col("n_pair") + lit(1L)).cast("double") /
+          (col("n_w1") + col("v")).cast("double")).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+           graft.queries.Exact.davg(col("p")).as("avg_p"))
+  }
 }

@@ -87,6 +87,56 @@ object DocQueries {
       list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w) AS mean_word_len
     FROM t ORDER BY doc_id"""
 
+  /** Gopher rule-suite gate (see [[graft.ops.TextAnalysis.gopherRules]]);
+    * the oracle replays every rule and the first-failing-reason chain with
+    * the same thresholds. */
+  private def gopherRules(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.gopherRules(Tables.documents(s, d)).orderBy("doc_id")
+
+  private lazy val gopherRulesSql = s"""
+    WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+    q AS (SELECT doc_id,
+            CAST(len(w) AS INTEGER) AS n_words,
+            list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w) AS mean_word_len,
+            len(list_filter(w, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(w) AS alpha_word_ratio,
+            CAST(len(list_distinct(list_filter(w, x -> list_contains(${sqlList(TextAnalysis.stopwords.values.flatten.toSeq.distinct)}, x)))) AS INTEGER) AS n_stop_distinct
+          FROM t)
+    SELECT doc_id, n_words, mean_word_len, alpha_word_ratio, n_stop_distinct,
+      CASE WHEN n_words < 30 THEN 'too_short'
+           WHEN n_words > 10000 THEN 'too_long'
+           WHEN mean_word_len < 3.0 OR mean_word_len > 5.0 THEN 'word_len'
+           WHEN alpha_word_ratio < 0.8 THEN 'alpha'
+           WHEN n_stop_distinct < 2 THEN 'stopwords'
+           ELSE 'ok' END AS fail_reason,
+      (n_words >= 30 AND n_words <= 10000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 5.0
+        AND alpha_word_ratio >= 0.8 AND n_stop_distinct >= 2) AS keep
+    FROM q ORDER BY doc_id"""
+
+  /** Bigram-LM quality proxy (see
+    * [[graft.ops.TextAnalysis.lmBigramScore]]); the oracle retrains the
+    * same add-one bigram model in SQL and replays the decimal-mean. */
+  private def lmBigramScore(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.lmBigramScore(Tables.documents(s, d)).orderBy("doc_id")
+
+  private val lmBigramScoreSql = """
+    WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+    uni AS (SELECT tkn AS w1, CAST(COUNT(*) AS BIGINT) AS n_w1
+            FROM (SELECT unnest(w) AS tkn FROM t) GROUP BY 1),
+    voc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+    db AS (SELECT doc_id,
+             unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS pr
+           FROM t),
+    pair AS (SELECT pr, CAST(COUNT(*) AS BIGINT) AS n_pair FROM db GROUP BY 1),
+    scored AS (SELECT doc_id,
+                 (n_pair + 1)::DOUBLE / (n_w1 + v)::DOUBLE AS p
+               FROM db JOIN pair USING (pr)
+                       JOIN uni ON string_split(db.pr, ' ')[1] = uni.w1
+                       CROSS JOIN voc)
+    SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+           CAST(SUM(CAST(p AS DECIMAL(38,6))) AS DOUBLE) / COUNT(p) AS avg_p
+    FROM scored GROUP BY doc_id ORDER BY doc_id"""
+
   private def tokenCount(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tokenCount(Tables.documents(s, d)).orderBy("doc_id")
 
@@ -1628,6 +1678,8 @@ $sel
     Q("lang_confusion", langConfusion, Some(langConfusionSql)),
     Q("ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
     Q("text_quality", textQuality, Some(textQualitySql)),
+    Q("gopher_rules", gopherRules, Some(gopherRulesSql)),
+    Q("lm_bigram_score", lmBigramScore, Some(lmBigramScoreSql)),
     Q("token_count", tokenCount, Some(tokenCountSql)),
     Q("quality_repetition", qualityRepetition, Some(qualityRepetitionSql)),
     Q("token_topk", tokenTopK, Some(tokenTopKSql)),

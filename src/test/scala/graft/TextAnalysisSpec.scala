@@ -232,4 +232,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m2(1)._2 === "ab" && m2(1)._3 === "</w>")
   }
 
+  test("gopherRules: each rule fires alone and in first-fail order") {
+    val long = ("the of " + Seq.fill(40)("word").mkString(" ")) // 42 words, 2 stops
+    val docs = Seq(
+      (1L, long),                                    // passes every rule
+      (2L, "the of too short"),                      // < 30 words
+      (3L, ("the of " + Seq.fill(40)("lengthy-word-x").mkString(" "))), // word_len
+      (4L, ("the of " + Seq.fill(40)("12345").mkString(" "))), // alpha (digits)
+      (5L, Seq.fill(40)("word").mkString(" "))       // no stopwords at all
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs)
+      .select("doc_id", "fail_reason", "keep")
+      .as[(Long, String, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === (("ok", true)))
+    assert(out(2L) === (("too_short", false)))
+    assert(out(3L) === (("word_len", false)))
+    // doc 4: mean word len of '12345'(5)/'the'(3)/'of'(2) stays in band,
+    // alpha ratio 2/42 < 0.8 -> the alpha rule is the first to fire
+    assert(out(4L)._1 === "alpha" && !out(4L)._2)
+    assert(out(5L)._1 === "stopwords" && !out(5L)._2)
+  }
+
+  test("lmBigramScore: repeated bigrams score higher than novel ones") {
+    // corpus: "a b" appears 3x, "c d"/"e f" once each; V = 8 distinct tokens
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "c d"),
+      (3L, "e f g h")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmBigramScore(docs).orderBy("doc_id").collect()
+    assert(out.length === 3)
+    val d1 = out(0)
+    assert(d1.getAs[Int]("n_bigrams") === 5)
+    val d2 = out(1)
+    assert(d2.getAs[Int]("n_bigrams") === 1)
+    // doc 2's single bigram "c d": p = (1+1)/(c('c')=1 + V=8) = 2/9
+    assert(math.abs(d2.getAs[Double]("avg_p") - 2.0 / 9) < 1e-6)
+    // the templated doc scores strictly higher than both novel docs
+    assert(d1.getAs[Double]("avg_p") > d2.getAs[Double]("avg_p"))
+    assert(d1.getAs[Double]("avg_p") > out(2).getAs[Double]("avg_p"))
+  }
+
 }
