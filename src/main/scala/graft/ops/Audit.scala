@@ -76,4 +76,46 @@ object Audit {
       .filter(col("__n") > 1)
       .agg(count(lit(1)).as("n_dup_keys"),
            coalesce(sum(col("__n")), lit(0L)).as("n_rows_in_dups"))
+
+  /** Per-group z-score outlier flags over an INTEGER-valued measure: each
+    * row gets (value - group_mean)/group_std and an |z| > `threshold`
+    * flag — the distribution-drift audit a pipeline runs per source/shard
+    * before accepting a load (a source whose length distribution suddenly
+    * grows a tail is usually a scraper regression, not new content).
+    *
+    * Determinism: the group moments accumulate the integer value and its
+    * square in DECIMAL(38,6) (exact, associative — safe from both fp
+    * reduction order and long overflow at corpus scale), and only the
+    * final mean/variance/sqrt run in double — each a single IEEE
+    * operation, bit-identical across engines (the square itself happens in
+    * long arithmetic — exact while |value| <= ~3e9, which every length-like
+    * measure satisfies). Population variance (÷n).
+    * Degenerate groups (std = 0, e.g. a single-row group) emit z = 0 so
+    * the flag stays false rather than NaN-poisoning the report.
+    *
+    * Shape: one hash aggregate keyed by the group (map-side combined)
+    * joined back to the rows — the group-moment side is |groups|-sized,
+    * broadcast at any realistic cardinality; rows shuffle zero times. */
+  def groupZScoreOutliers(df: DataFrame, group: Column, value: Column,
+                          threshold: Double = 2.0): DataFrame = {
+    val D = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
+    val moments = df.groupBy(group.as("__g"))
+      .agg(count(lit(1)).as("__n"),
+           sum(value.cast(D)).cast("double").as("__sx"),
+           sum((value * value).cast(D)).cast("double").as("__sx2"))
+      .select(col("__g"),
+        (col("__sx") / col("__n")).as("__mean"),
+        // clamp at 0: fp cancellation can leave a tiny negative variance in
+        // a constant-valued group, and NaN ordering semantics differ across
+        // engines — the clamp routes that case into the std=0 arm instead
+        sqrt(greatest(col("__sx2") / col("__n") -
+          (col("__sx") / col("__n")) * (col("__sx") / col("__n")), lit(0.0)))
+          .as("__std"))
+    df.join(broadcast(moments), group === col("__g"))
+      .withColumn("z",
+        when(col("__std") === 0.0, 0.0)
+          .otherwise((value.cast("double") - col("__mean")) / col("__std")))
+      .withColumn("is_outlier", abs(col("z")) > threshold)
+      .drop("__g", "__mean", "__std")
+  }
 }

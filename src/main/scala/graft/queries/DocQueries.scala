@@ -417,6 +417,63 @@ object DocQueries {
     FROM lab JOIN tk ON lab.id = tk.doc_id
     ORDER BY doc_id"""
 
+  /** Per-source duplication health (see the cluster operator at
+    * [[graft.ops.Dedup.clusters]]): for each source, how many of its docs
+    * sit in a near-dup cluster and how many distinct clusters it touches
+    * (a cluster spanning two sources counts once in each — the read-out is
+    * "how contaminated is THIS source", not a partition of clusters). The
+    * corpus-health dashboard row a curation pipeline watches per crawl
+    * snapshot. Oracle composes the same closure CTEs as dedup_clusters. */
+  private def sourceDupStats(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val cl = Dedup.clusters(Dedup.minhashLsh(docs))
+      .select(col("doc_id"), col("cluster_id"))
+    docs.select(col("doc_id"), col("source"))
+      .join(cl, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           count(col("cluster_id")).as("n_dup"),
+           countDistinct(col("cluster_id")).as("n_clusters"))
+      .select(col("source"), col("n_docs"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_docs")).as("dup_share"),
+        col("n_clusters"))
+      .orderBy("source")
+  }
+
+  private lazy val sourceDupStatsSql = s"""
+    WITH RECURSIVE $jaccardPairsCtes,
+    $closureCtes
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(COUNT(cluster_id) AS BIGINT) AS n_dup,
+      COUNT(cluster_id)::DOUBLE / COUNT(*) AS dup_share,
+      CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+    FROM documents d LEFT JOIN lab ON d.doc_id = lab.id
+    GROUP BY source ORDER BY source"""
+
+  /** Per-source length-distribution outliers (see
+    * [[graft.ops.Audit.groupZScoreOutliers]]); the oracle replays the
+    * decimal-moment z-score pipeline. */
+  private def lengthOutliers(s: SparkSession, d: String): DataFrame =
+    graft.ops.Audit.groupZScoreOutliers(
+        Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+        col("source"), col("n_chars"))
+      .orderBy("doc_id")
+
+  private val lengthOutliersSql = """
+    WITH m AS (SELECT source, COUNT(*) AS n,
+                 CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(n_chars * n_chars AS DECIMAL(38,6))) AS DOUBLE) AS sx2
+               FROM documents GROUP BY source),
+    s AS (SELECT source, sx / n AS mean,
+            sqrt(greatest(sx2 / n - (sx / n) * (sx / n), 0.0)) AS std
+          FROM m),
+    z AS (SELECT doc_id, d.source, n_chars,
+            CASE WHEN std = 0.0 THEN 0.0
+                 ELSE (n_chars::DOUBLE - mean) / std END AS z
+          FROM documents d JOIN s USING (source))
+    SELECT doc_id, source, n_chars, z, abs(z) > 2.0 AS is_outlier
+    FROM z ORDER BY doc_id"""
+
   private def dedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashDup(Tables.documents(s, d),
         tokenHash = t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"),
@@ -1693,6 +1750,8 @@ $sel
     Q("ngram_jaccard", ngramJaccard, Some(jaccardPairsSql)),
     Q("dedup_minhash", dedupMinhash, Some(jaccardPairsSql)),
     Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
+    Q("source_dup_stats", sourceDupStats, Some(sourceDupStatsSql)),
+    Q("length_outliers", lengthOutliers, Some(lengthOutliersSql)),
     Q("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     Q("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),

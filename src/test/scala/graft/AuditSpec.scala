@@ -86,4 +86,25 @@ class AuditSpec extends SparkSpec {
       .as[(Long, Long)].head()
     assert(none === ((0L, 0L)))
   }
+
+  test("groupZScoreOutliers flags per-group tails and zeroes degenerate groups") {
+    // group a: values 10,10,10,10,50 -> mean 18, var (4*64+1024)/5 = 256, std 16
+    //   z(50) = 2.0 (not > 2), z(10) = -0.5
+    // group b: constant -> std 0 -> z 0, never outliers
+    // group c: one extreme point among tight cluster trips the flag
+    val df = (Seq.fill(4)(("a", 10L)) ++ Seq(("a", 50L)) ++
+      Seq(("b", 7L), ("b", 7L)) ++
+      (Seq.fill(9)(("c", 100L)) ++ Seq(("c", 1000L)))).toDF("g", "v")
+    val out = Audit.groupZScoreOutliers(df, $"g", $"v")
+      .select($"g", $"v", $"z", $"is_outlier")
+      .as[(String, Long, Double, Boolean)].collect()
+    val a50 = out.find(r => r._1 == "a" && r._2 == 50L).get
+    assert(math.abs(a50._3 - 2.0) < 1e-12 && !a50._4) // boundary: strict >
+    val a10 = out.find(r => r._1 == "a" && r._2 == 10L).get
+    assert(math.abs(a10._3 + 0.5) < 1e-12 && !a10._4)
+    assert(out.filter(_._1 == "b").forall(r => r._3 === 0.0 && !r._4))
+    val c1000 = out.find(r => r._1 == "c" && r._2 == 1000L).get
+    assert(c1000._4, s"extreme point should be flagged, z=${c1000._3}")
+    assert(out.count(r => r._1 == "c" && r._4) === 1)
+  }
 }
