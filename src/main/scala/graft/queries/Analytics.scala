@@ -1104,6 +1104,59 @@ object Analytics {
            min(revenue) AS min_revenue, max(revenue) AS max_revenue
     FROM t GROUP BY decile ORDER BY decile"""
 
+  /** RFM segmentation — the classic customer-value model: recency (days
+    * since the customer's last order, measured against the corpus's max
+    * order date), frequency (order count) and monetary (exact-decimal
+    * revenue), each cut into quartiles by a deterministic ntile(4)
+    * (measure then custkey — best customers in tile 1 on every axis), and
+    * the composite `rfm_code`. Like [[customerDeciles]], each global
+    * ntile sorts only the CUSTOMER-dim-sized aggregate — the fact table
+    * contributes one keyed aggregate and is never globally sorted; at a
+    * scale where even the dim sort hurts, quantile-threshold assignment
+    * replaces exact ntile. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.orders(spark, dir)
+    val maxD = orders.agg(max($"o_orderdate".cast("date")).as("max_d"))
+    orders.groupBy($"o_custkey")
+      .agg(max($"o_orderdate".cast("date")).as("last_d"),
+           count(lit(1)).as("frequency"),
+           dsum($"o_totalprice").as("monetary"))
+      .crossJoin(broadcast(maxD))
+      .select($"o_custkey", datediff($"max_d", $"last_d").as("recency_days"),
+        $"frequency", $"monetary")
+      .withColumn("r_tile",
+        ntile(4).over(Window.orderBy($"recency_days", $"o_custkey")))
+      .withColumn("f_tile",
+        ntile(4).over(Window.orderBy($"frequency".desc, $"o_custkey")))
+      .withColumn("m_tile",
+        ntile(4).over(Window.orderBy($"monetary".desc, $"o_custkey")))
+      .withColumn("rfm_code", concat($"r_tile".cast("string"), lit("-"),
+        $"f_tile".cast("string"), lit("-"), $"m_tile".cast("string")))
+      .orderBy($"o_custkey")
+  }
+
+  val rfmSegmentsSql: String = s"""
+    WITH maxd AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS max_d FROM orders),
+    per AS (SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_d,
+              CAST(COUNT(*) AS BIGINT) AS frequency,
+              ${sqlSum("o_totalprice")} AS monetary
+            FROM orders GROUP BY 1),
+    r AS (SELECT o_custkey,
+            CAST(date_diff('day', last_d, max_d) AS INTEGER) AS recency_days,
+            frequency, monetary
+          FROM per CROSS JOIN maxd),
+    t AS (SELECT *,
+            ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r_tile,
+            ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_tile,
+            ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_tile
+          FROM r)
+    SELECT o_custkey, recency_days, frequency, monetary, r_tile, f_tile, m_tile,
+      CAST(r_tile AS VARCHAR) || '-' || CAST(f_tile AS VARCHAR) || '-' ||
+        CAST(m_tile AS VARCHAR) AS rfm_code
+    FROM t ORDER BY o_custkey"""
+
   /** 3-hop BFS neighborhood of customer 1 over the same symmetrized
     * co-purchase graph graph_pagerank walks (see [[graft.ops.Graph.bfsHops]]):
     * hop 1 = their suppliers, hop 2 = customers sharing one, hop 3 =
@@ -1156,6 +1209,7 @@ object Analytics {
     Q("graph_bfs_hops", graphBfsHops, Some(graphBfsHopsSql)),
     Q("skyline_suppliers", skylineSuppliers, Some(skylineSuppliersSql)),
     Q("customer_deciles", customerDeciles, Some(customerDecilesSql)),
+    Q("rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
     Q("q1_pricing_summary", q1PricingSummary, Some(q1PricingSummarySql)),
     Q("q3_shipping_priority", q3ShippingPriority, Some(q3ShippingPrioritySql)),
     Q("q5_local_supplier", q5LocalSupplier, Some(q5LocalSupplierSql)),

@@ -60,4 +60,22 @@ class ReportOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq
     assert(out === Seq(1L, 2L))
   }
+
+  test("rfmSegments: balanced quartiles, best customers land in tile 1") {
+    val out = graft.queries.Analytics.rfmSegments(spark, sf).collect()
+    val n = out.length
+    assert(n > 0)
+    for (t <- Seq("r_tile", "f_tile", "m_tile")) {
+      val sizes = out.groupBy(_.getAs[Int](t)).view.mapValues(_.length).toMap
+      assert(sizes.keySet.subsetOf(Set(1, 2, 3, 4)), s"$t out of range")
+      // ntile balance: sizes differ by at most 1
+      assert(sizes.values.max - sizes.values.min <= 1, s"$t unbalanced: $sizes")
+    }
+    val topMonetary = out.maxBy(_.getAs[Double]("monetary"))
+    assert(topMonetary.getAs[Int]("m_tile") === 1)
+    val mostRecent = out.minBy(_.getAs[Int]("recency_days"))
+    assert(mostRecent.getAs[Int]("r_tile") === 1)
+    assert(out.forall(r => r.getAs[String]("rfm_code") ===
+      s"${r.getAs[Int]("r_tile")}-${r.getAs[Int]("f_tile")}-${r.getAs[Int]("m_tile")}"))
+  }
 }
