@@ -98,6 +98,33 @@ object Bench {
         graft.ops.Dedup.keepBest(s.read.parquet(dir), docs)
       }
     },
+    // steady-state per-source duplication dashboard: the same standing
+    // cluster table answered by one (doc_id, source) scan + left join +
+    // source-keyed aggregate — the recurring read a corpus-health monitor
+    // pays per snapshot, while the registry entry honestly re-pays the
+    // minhash -> clusters derivation for its oracle
+    "source_dup_stats_probe" -> {
+      val clusterCache = scala.collection.mutable.Map.empty[String, String]
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        val docs = graft.sources.Tables.documents(s, d)
+        val dir = clusterCache.getOrElseUpdate(d, {
+          val dd = java.nio.file.Files.createTempDirectory("graft_srcdup_bench").toString
+          graft.ops.Dedup.writeClusterTable(docs, dd)
+          dd
+        })
+        docs.select(col("doc_id"), col("source"))
+          .join(s.read.parquet(dir).select(col("doc_id"), col("cluster_id")),
+            Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+               count(col("cluster_id")).as("n_dup"),
+               countDistinct(col("cluster_id")).as("n_clusters"))
+          .select(col("source"), col("n_docs"), col("n_dup"),
+            (col("n_dup").cast("double") / col("n_docs")).as("dup_share"),
+            col("n_clusters"))
+      }
+    },
     "incremental_dedup_probe" -> {
       val indexCache = scala.collection.mutable.Map.empty[String, String]
       (s: SparkSession, d: String) => {

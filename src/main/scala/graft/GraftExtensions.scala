@@ -6,9 +6,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import graft.functions.NativeExpressions.{DotProduct, MinHashSignature, NfcNormalize, SimHashBits, SrpBandValues}
 
-/** SparkSessionExtensions hook registering the engine's native expressions
-  * as SQL functions, so `spark.sql` users (and external SQL tooling) reach
-  * the codegen'd hot loops without touching the Scala API:
+/** SparkSessionExtensions hook registering the engine's planner strategy
+  * for the native as-of join ([[graft.plans.AsOfJoinStrategy]]) and its
+  * native expressions as SQL functions, so `spark.sql` users (and external
+  * SQL tooling) reach the codegen'd hot loops without touching the Scala
+  * API:
   *
   *   - `graft_simhash_bits(array<bigint>, bits)`
   *   - `graft_minhash_signature(array<bigint>, perms, seed)`
@@ -67,6 +69,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator extension: the native as-of join (custom LogicalPlan
+    // -> Strategy -> SparkPlan; see graft.plans.AsOfJoin)
+    ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("graft_simhash_bits"),
       new ExpressionInfo(classOf[SimHashBits].getName, "graft_simhash_bits"),

@@ -85,6 +85,28 @@ object EventQueries {
       .orderBy("event_id")
   }
 
+  /** The SAME events⋈orders as-of match through the native whole-operator
+    * path ([[graft.plans.AsOfJoin]]: custom LogicalPlan → Strategy →
+    * merge SparkPlan) — one co-partitioned shuffle+sort per side, single
+    * forward merge pass, O(1) state per partition; shares [[asofJoinSql]]
+    * (DuckDB's native ASOF JOIN), so the custom operator is oracle-hashed
+    * end-to-end, not just spec-compared to the composed form. */
+  private def asofJoinNative(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"user_id".as("k"), unix_micros($"ts").as("t_us"), $"event_id")
+    val ord = graft.olap.StarSchema.scd1Latest(
+        Tables.orders(s, d)
+          .select($"o_custkey".as("k"),
+                  unix_micros($"o_orderdate".cast("timestamp")).as("t_us"),
+                  $"o_orderkey", $"o_totalprice"),
+        Seq("k", "t_us"), Seq($"o_orderkey".desc))
+    graft.plans.AsOfJoin(ev, ord, "k", "t_us", Seq("o_orderkey", "o_totalprice"))
+      .select($"event_id", $"k".as("user_id"), $"t_us".as("ts_us"),
+              $"matched_o_orderkey", $"matched_o_totalprice")
+      .orderBy("event_id")
+  }
+
   private val asofJoinSql = """
     WITH o AS (
       SELECT k, t_us, o_orderkey, o_totalprice FROM (
@@ -326,6 +348,7 @@ object EventQueries {
     Q("events_sessionize", eventsSessionize, Some(eventsSessionizeSql)),
     Q("events_sessionize_native", eventsSessionizeNative, Some(eventsSessionizeNativeSql)),
     Q("asof_join", asofJoinQ, Some(asofJoinSql)),
+    Q("asof_join_native", asofJoinNative, Some(asofJoinSql)),
     Q("range_join", rangeJoin, Some(rangeJoinSql)),
     Q("events_funnel", eventsFunnel, Some(eventsFunnelSql)),
     Q("events_retention", eventsRetention, Some(eventsRetentionSql)),

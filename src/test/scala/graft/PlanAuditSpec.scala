@@ -33,14 +33,18 @@ class PlanAuditSpec extends SparkSpec {
     // user list before the map-side grid explode; coreset_kcenter
     // broadcasts the single-row newest center onto every corpus row each
     // round (the Gonzalez update IS a corpus × 1 product); ann_recall
-    // cross-joins its single-row truth-count and hit-count summaries
+    // cross-joins its single-row truth-count and hit-count summaries;
+    // lm_bigram_score broadcasts its single-row vocabulary size onto the
+    // scored bigrams, rfm_segments its single-row corpus max-date onto
+    // the customer aggregate
     plans.filterNot(p =>
         Set("knn_bruteforce", "knn_ivf", "knn_ivf_disk", "knn_ivf_pq",
             "tfidf_topterms", "bigram_pmi", "incremental_distinct",
             "bm25_rank", "quantile_sketch", "q22_sales_opportunity",
             "events_gap_fill", "coreset_kcenter",
             "sliding_active_users", "hybrid_rrf", "skew_report",
-            "knn_ivf_partial", "ann_recall", "ivf_recall")(p._1))
+            "knn_ivf_partial", "ann_recall", "ivf_recall",
+            "lm_bigram_score", "rfm_segments")(p._1))
       .foreach { case (name, p) =>
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
       }
@@ -53,7 +57,7 @@ class PlanAuditSpec extends SparkSpec {
         "quality_filter", "bpe_pair_counts", "decontaminate",
         "tfidf_topterms", "bigram_pmi", "quality_weighted_sample",
         "dedup_eval", "contamination_score", "span_dedup",
-        "bm25_rank").foreach { name =>
+        "bm25_rank", "gopher_rules", "lm_bigram_score").foreach { name =>
       // (dedup_clusters' final plan starts from localCheckpointed label
       // RDDs — its upstream scans are audited via dedup_minhash;
       // bpe_pair_counts builds pairs per-doc with lead windows keyed by
@@ -220,6 +224,38 @@ class PlanAuditSpec extends SparkSpec {
             ex.group(1).contains("from_type"),
           s"event_transitions plans an unexpected exchange: ${ex.matched}")
       }
+  }
+
+  test("round-10 curation operators keep their intended shuffle shapes") {
+    val m = plans.toMap
+    // gopher_rules: one explode + one doc_id-keyed aggregate — every hash
+    // exchange rides the doc key; rule verdicts are a pure projection
+    "Exchange hashpartitioning\\(([^)]*)".r
+      .findAllMatchIn(m("gopher_rules")).foreach { ex =>
+        assert(ex.group(1).contains("doc_id"),
+          s"gopher_rules plans a non-doc-keyed exchange: ${ex.matched}")
+      }
+    // length_outliers: the |sources|-row moment table must BROADCAST back
+    // onto the rows — a shuffled join would move the corpus for a
+    // dim-sized lookup; the row side reads only (doc_id, source, n_chars)
+    val lo = m("length_outliers")
+    assert(lo.contains("BroadcastHashJoin"),
+      s"length_outliers should broadcast the group moments:\n$lo")
+    assert(lo.contains("ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>"),
+      s"length_outliers reads more than (doc_id, source, n_chars):\n$lo")
+    // source_dup_stats: the (doc_id, source) side prunes to exactly those
+    // two columns — duplication health must not re-read text for the join
+    assert(m("source_dup_stats")
+      .contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      s"source_dup_stats' join side reads more than (doc_id, source)")
+    // rfm_segments: ONE orders scan pruned to the three RFM source
+    // columns; the dim-sized ntiles never touch the fact again
+    val rfm = m("rfm_segments")
+    assert("Scan parquet .*orders".r.findAllIn(rfm).length <= 2,
+      s"rfm_segments should scan orders for the aggregate + 1-row max only:\n$rfm")
+    assert(rfm.contains(
+      "ReadSchema: struct<o_custkey:bigint,o_totalprice:double,o_orderdate:timestamp"),
+      s"rfm_segments reads more than (custkey, totalprice, orderdate):\n$rfm")
   }
 
   test("q15 takes the global max as a window over the aggregate, not a second fact scan") {

@@ -253,6 +253,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(5L)._1 === "stopwords" && !out(5L)._2)
   }
 
+  test("streaming quality screen: concatenated outputs equal the batch gate") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val b1 = docs.filter($"doc_id" < 250)
+    val b2 = docs.filter($"doc_id" >= 250)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_qs_src")
+    Seq(b1, b2).zipWithIndex.foreach { case (b, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_qs_tmp").toString
+      b.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, srcDir.resolve(s"$i.parquet"))
+      Thread.sleep(1000)
+    }
+    val kept = java.nio.file.Files.createTempDirectory("graft_qs_kept").toString
+    val report = java.nio.file.Files.createTempDirectory("graft_qs_rep").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_qs_ck").toString
+    val q = graft.streaming.StreamingQuality.runQualityScreen(
+      spark, srcDir.toString, docs, kept, report, ckpt, maxFilesPerTrigger = 1)
+    q.awaitTermination()
+    val rep = spark.read.parquet(report)
+    assert(rep.count() === docs.count(), "every arrived doc is scored")
+    assert(rep.select($"batch_id").distinct().count() === 2)
+    val batchKeep = TextAnalysis.gopherRules(docs)
+      .filter($"keep").select("doc_id").as[Long].collect().toSet
+    val gotKeep = spark.read.parquet(kept)
+      .select("doc_id").as[Long].collect().toSet
+    assert(gotKeep === batchKeep,
+      "streamed keepers must equal the batch gate's keep set")
+    assert(gotKeep.nonEmpty && gotKeep.size < docs.count(),
+      "the corpus should split across the gate")
+    // the kept store carries full document rows, not just ids
+    assert(spark.read.parquet(kept).columns.toSet === docs.columns.toSet)
+  }
+
   test("lmBigramScore: repeated bigrams score higher than novel ones") {
     // corpus: "a b" appears 3x, "c d"/"e f" once each; V = 8 distinct tokens
     val docs = Seq(
