@@ -362,4 +362,41 @@ class AdversarialSpec extends SparkSpec {
         .collect().map(_.toString).sorted.toSeq
     assert(runF(1) === runF(32))
   }
+
+  test("gopherRules on degenerate text: empty, whitespace, one word, no alpha") {
+    val docs = Seq(
+      (1L, ""),            // tokens of "" -> [""]: 1 zero-length "word"
+      (2L, "   "),         // trimmed to the same shape
+      (3L, "word"),
+      (4L, "1 2 3 4 5")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.gopherRules(docs)
+      .select($"doc_id", $"n_words", $"keep", $"fail_reason")
+      .as[(Long, Int, Boolean, String)].collect().map(r => r._1 -> r).toMap
+    // nothing degenerate passes, nothing NaN-poisons, reasons are concrete
+    out.values.foreach { case (id, n, keep, reason) =>
+      assert(!keep && reason === "too_short", s"doc $id: n=$n reason=$reason")
+      assert(n >= 1)
+    }
+  }
+
+  test("lmBigramScore drops bigram-less docs, never divides by zero") {
+    val docs = Seq(
+      (1L, "solo"),          // no bigrams -> no row
+      (2L, ""),              // [""] -> no bigrams -> no row
+      (3L, "a b")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.lmBigramScore(docs).collect()
+    assert(out.map(_.getLong(0)).toSet === Set(3L))
+    val p = out.head.getAs[Double]("avg_p")
+    assert(p > 0.0 && p <= 1.0 && !p.isNaN)
+  }
+
+  test("native as-of join is invariant to partition layout of both sides") {
+    val l = (1L to 200L).map(i => (i % 7, i * 10, i)).toDF("k", "t_us", "id")
+    val r = (1L to 50L).map(i => (i % 5, i * 37, i * 1.5)).toDF("k", "t_us", "v")
+    def run(lp: Int, rp: Int): Seq[String] =
+      graft.plans.AsOfJoin(l.repartition(lp), r.repartition(rp), "k", "t_us", Seq("v"))
+        .collect().map(_.toString).sorted.toSeq
+    val base = run(1, 1)
+    assert(base === run(32, 3) && base === run(3, 32))
+  }
 }
