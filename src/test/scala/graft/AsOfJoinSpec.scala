@@ -100,6 +100,42 @@ class AsOfJoinSpec extends SparkSpec {
       s"downstream sort should be elided by outputOrdering:\n$sortedPlan")
   }
 
+  test("streaming as-of enrichment: concatenated batches equal the batch join") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select($"user_id".as("k"), unix_micros($"ts").as("t_us"), $"event_id")
+    val ord = graft.olap.StarSchema.scd1Latest(
+      graft.sources.Tables.orders(spark, sf)
+        .select($"o_custkey".as("k"),
+          unix_micros($"o_orderdate".cast("timestamp")).as("t_us"),
+          $"o_orderkey", $"o_totalprice"),
+      Seq("k", "t_us"), Seq($"o_orderkey".desc))
+    val half = ev.agg(percentile_approx($"event_id", lit(0.5), lit(100)))
+      .head().getLong(0)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ae_src")
+    Seq(ev.filter($"event_id" <= half), ev.filter($"event_id" > half))
+      .zipWithIndex.foreach { case (b, i) =>
+        val tmp = java.nio.file.Files.createTempDirectory("graft_ae_tmp").toString
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(part.toPath, srcDir.resolve(s"$i.parquet"))
+        Thread.sleep(1000)
+      }
+    val out = java.nio.file.Files.createTempDirectory("graft_ae_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ae_ck").toString
+    val q = graft.streaming.StreamingEnrich.runAsofEnrich(
+      spark, srcDir.toString, ev, () => ord, "k", "t_us",
+      Seq("o_orderkey", "o_totalprice"), out, ckpt, maxFilesPerTrigger = 1)
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out)
+      .select("event_id", "matched_o_orderkey", "matched_o_totalprice")
+      .collect().toSet
+    val batch = AsOfJoin(ev, ord, "k", "t_us", Seq("o_orderkey", "o_totalprice"))
+      .select("event_id", "matched_o_orderkey", "matched_o_totalprice")
+      .collect().toSet
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("left duplicates at the same (key, time) all receive the match") {
     val l = Seq((1L, 100L, "x"), (1L, 100L, "y")).toDF("k", "t_us", "tag")
     val out = AsOfJoin(l, toyRight, "k", "t_us", Seq("v"))
