@@ -13,12 +13,14 @@ import Exact._
   * beyond the q1/q3/q4/q5/q6/q17/q21 set already in [[Analytics]]. With
   * q13/q15/q22 this covers every TPC-H query shape the test tables can
   * express. (They carry no partsupp and no ship-mode/receipt columns, so
-  * the partsupp-dependent TPC-H queries — q2/q11/q16/q20 — and the
+  * the remaining partsupp-dependent TPC-H queries — q2/q20 — and the
   * receipt-date ones — q12 — have no honest equivalent here and are
-  * deliberately absent rather than faked; where a single COLUMN is
-  * missing, the substitution is documented on the query: q13 swaps the
-  * o_comment pattern for an order-priority exclusion, q22 swaps the
-  * c_phone country code for c_nationkey.)
+  * deliberately absent rather than faked. Where the RELATION is
+  * derivable, the analog is documented on the query: q16/q11 derive the
+  * catalog from the fact's observed distinct (part, supplier) pairs;
+  * where a single COLUMN is missing, likewise: q13 swaps the o_comment
+  * pattern for an order-priority exclusion, q22 swaps the c_phone
+  * country code for c_nationkey.)
   *
   * Scale posture shared by all of these: lineitem⋈orders is the one
   * genuine shuffle (both sides huge, both keyed on orderkey); nation /
@@ -373,8 +375,83 @@ object TpchDeep {
                         AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
     GROUP BY 1 ORDER BY 1"""
 
+  /** TPC-H Q16-shaped supplier variety: how many distinct suppliers can
+    * deliver each surviving (brand, type, size) combination. The test
+    * tables carry no partsupp, so the catalog relation is derived from
+    * OBSERVED supply: the distinct (l_partkey, l_suppkey) pairs of the
+    * fact — a lineitem-derived analog, documented rather than faked
+    * (Q16's comment-pattern supplier exclusion becomes a negative-balance
+    * exclusion; no s_comment column exists). Shapes match Q16: the pair
+    * distinct is the one fact shuffle, part prunes+broadcasts onto the
+    * pair set, the excluded-supplier list is a broadcast anti join, and
+    * the final aggregate is catalog-sized. */
+  def q16SupplierVariety(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sizes = Seq(1, 4, 9, 14, 19, 23, 36, 45)
+    val pairs = Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_suppkey").distinct()
+    val parts = Tables.part(spark, dir)
+      .filter($"p_brand" =!= "Brand#1" && $"p_size".isin(sizes: _*))
+      .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+    val excluded = Tables.supplier(spark, dir)
+      .filter($"s_acctbal" < 0).select($"s_suppkey")
+    pairs
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .join(broadcast(excluded), $"l_suppkey" === $"s_suppkey", "left_anti")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+  }
+
+  val q16SupplierVarietySql: String = """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+  /** TPC-H Q11-shaped important stock: the highest-value parts flowing
+    * through one nation's suppliers. partsupp's supplycost×availqty is
+    * unavailable, so value = observed discounted revenue of the nation's
+    * suppliers per part (lineitem-derived analog, documented). Q11's
+    * value > fraction-of-total cut is share-based and empties at larger
+    * SFs (the per-part share shrinks as the catalog grows), so the
+    * surviving read-out is the deterministic top-100 by (value desc,
+    * partkey) — same "which stock matters" decision, scale-stable. The
+    * nation's supplier keys broadcast into the fact scan; the per-part
+    * aggregate is the one shuffle; the top-k sorts the part-level
+    * aggregate only. */
+  def q11NationPartShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sup = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .filter($"n_name" === "NATION_3")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey", "left_semi")
+      .groupBy($"l_partkey")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("value"))
+      .orderBy($"value".desc, $"l_partkey")
+      .limit(100)
+  }
+
+  val q11NationPartShareSql: String = s"""
+    SELECT l_partkey, ${sqlSum("l_extendedprice * (1 - l_discount)")} AS value
+    FROM lineitem
+    WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                        JOIN nation ON s_nationkey = n_nationkey
+                        WHERE n_name = 'NATION_3')
+    GROUP BY l_partkey
+    ORDER BY value DESC, l_partkey LIMIT 100"""
+
   val registry: Seq[Q] = Seq(
     Q("q7_volume_shipping", q7VolumeShipping, Some(q7VolumeShippingSql)),
+    Q("q16_supplier_variety", q16SupplierVariety, Some(q16SupplierVarietySql)),
+    Q("q11_nation_part_share", q11NationPartShare, Some(q11NationPartShareSql)),
     Q("q8_market_share", q8MarketShare, Some(q8MarketShareSql)),
     Q("q9_product_profit", q9ProductProfit, Some(q9ProductProfitSql)),
     Q("q10_returned_items", q10ReturnedItems, Some(q10ReturnedItemsSql)),
