@@ -9,7 +9,7 @@ object SparkEntry {
   /** All engine queries, assembled from the per-module registries. */
   def registry: Seq[Q] =
     Analytics.registry ++ TpchDeep.registry ++ StarQueries.registry ++
-      EventQueries.registry ++ DocQueries.registry
+      EventQueries.registry ++ DocQueries.registry ++ FeatureQueries.registry
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

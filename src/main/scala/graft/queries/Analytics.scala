@@ -1205,7 +1205,142 @@ object Analytics {
     FROM v3 ORDER BY hop, node_type, entity_id"""
   }
 
+  /** GROUPING SETS that neither ROLLUP nor CUBE can express: the two
+    * single-dimension marginals plus the full cross — but NOT the grand
+    * total (a dashboard that shows per-year and per-priority panels wants
+    * exactly these three). One scan, one expand + hash aggregate; Catalyst
+    * plans the Expand with only the requested 3 projections, not CUBE's 4.
+    * The grouping columns are never NULL in the data, so a NULL uniquely
+    * marks "aggregated over" (same contract rollup_sales relies on). */
+  def groupingSetsSales(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select(year($"o_orderdate").as("order_year"), $"o_orderpriority",
+        $"o_totalprice")
+      .groupingSets(
+        Seq(Seq($"order_year", $"o_orderpriority"), Seq($"order_year"),
+          Seq($"o_orderpriority")),
+        $"order_year", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_total"))
+      .orderBy($"order_year".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  val groupingSetsSalesSql: String = s"""
+    SELECT year(o_orderdate) AS order_year, o_orderpriority,
+           COUNT(*) AS n_orders, ${sqlSum("o_totalprice")} AS sum_total
+    FROM orders
+    GROUP BY GROUPING SETS ((year(o_orderdate), o_orderpriority),
+                            (year(o_orderdate)), (o_orderpriority))
+    ORDER BY order_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
+
+  /** EXACT per-group median + nearest-rank p90 — for when the contract is
+    * exactness (SLA attainment, billing percentiles) and approx_quantiles'
+    * error bound is not acceptable. Manual position selection — rank the
+    * group once, pick rows at integer positions, average the two middle
+    * values — instead of percentile()/quantile_cont(), whose interpolation
+    * arithmetic differs across engines; every step here is integer math
+    * plus one (a+b)/2, so the value is engine-independent and hash-pinned.
+    * Cost is the honest exact-quantile cost: one full sort per group (a
+    * single shuffle; at 100 TB this is why approx_quantiles exists — this
+    * operator is the small-group/exactness-mandated path). */
+  def exactMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy($"l_returnflag").orderBy($"l_quantity".asc)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy($"l_returnflag")
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_quantity")
+      .select($"l_returnflag", $"l_quantity",
+        row_number().over(wOrd).as("rn"), count(lit(1)).over(wAll).as("n"))
+      .groupBy($"l_returnflag")
+      .agg(
+        max($"n").as("n_rows"),
+        ((max(when(expr("rn = (n + 1) div 2"), $"l_quantity")) +
+          max(when(expr("rn = (n + 2) div 2"), $"l_quantity"))) / 2.0)
+          .as("median_qty"),
+        max(when(expr("rn = (9 * n + 9) div 10"), $"l_quantity")).as("p90_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  val exactMedianSql: String = """
+    WITH r AS (
+      SELECT l_returnflag, l_quantity,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_quantity) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem)
+    SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n_rows,
+           (MAX(CASE WHEN rn = (n + 1) // 2 THEN l_quantity END)
+          + MAX(CASE WHEN rn = (n + 2) // 2 THEN l_quantity END)) / 2.0
+             AS median_qty,
+           MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN l_quantity END) AS p90_qty
+    FROM r GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** Cross-table reconciliation audit — does the order header's total agree
+    * with the sum of its lines? The post-sync check a warehouse runs after
+    * every OLTP→OLAP load (the reference's RI repair trusts keys; this
+    * audits MEASURES). Differences land in relative-error bands, plus a
+    * band for headers with no lines at all. The per-order net accumulates
+    * in DECIMAL(38,6) (order-independent), the band edges compare IEEE
+    * doubles — deterministic on every engine. One aggregate + one join on
+    * the order key, both sides clustered on it. */
+  def factReconcile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
+    val net = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount") *
+        (lit(1.0) + $"l_tax")).cast(dec)).as("net"))
+    Tables.orders(spark, dir)
+      .join(net, $"o_orderkey" === $"l_orderkey", "left")
+      .select($"o_orderkey", $"o_totalprice",
+        abs($"o_totalprice".cast(dec) - $"net").as("abs_diff"),
+        when($"net".isNull, lit(null).cast("double"))
+          .otherwise(abs($"o_totalprice".cast(dec) - $"net").cast("double") /
+            $"o_totalprice").as("rel"))
+      .select(
+        when($"rel".isNull, "no_lineitems")
+          .when($"rel" < 0.001, "within_0.1pct")
+          .when($"rel" < 0.01, "within_1pct")
+          .when($"rel" < 0.1, "within_10pct")
+          .otherwise("off_10pct_plus").as("band"),
+        $"abs_diff")
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_orders"),
+        coalesce(sum($"abs_diff"), lit(0).cast(dec)).cast("double")
+          .as("sum_abs_diff"))
+      .orderBy($"band")
+  }
+
+  val factReconcileSql: String = """
+    WITH net AS (
+      SELECT l_orderkey,
+             SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                      AS DECIMAL(38,6))) AS net
+      FROM lineitem GROUP BY l_orderkey),
+    d AS (
+      SELECT o_orderkey,
+             abs(CAST(o_totalprice AS DECIMAL(38,6)) - net) AS abs_diff,
+             CASE WHEN net IS NULL THEN NULL
+                  ELSE CAST(abs(CAST(o_totalprice AS DECIMAL(38,6)) - net)
+                            AS DOUBLE) / o_totalprice END AS rel
+      FROM orders LEFT JOIN net ON o_orderkey = l_orderkey),
+    b AS (
+      SELECT CASE WHEN rel IS NULL THEN 'no_lineitems'
+                  WHEN rel < 0.001 THEN 'within_0.1pct'
+                  WHEN rel < 0.01 THEN 'within_1pct'
+                  WHEN rel < 0.1 THEN 'within_10pct'
+                  ELSE 'off_10pct_plus' END AS band, abs_diff
+      FROM d)
+    SELECT band, COUNT(*) AS n_orders,
+           CAST(COALESCE(SUM(abs_diff), 0) AS DOUBLE) AS sum_abs_diff
+    FROM b GROUP BY band ORDER BY band"""
+
   val registry: Seq[Q] = Seq(
+    Q("grouping_sets_sales", groupingSetsSales, Some(groupingSetsSalesSql)),
+    Q("exact_median", exactMedian, Some(exactMedianSql)),
+    Q("fact_reconcile", factReconcile, Some(factReconcileSql)),
     Q("graph_bfs_hops", graphBfsHops, Some(graphBfsHopsSql)),
     Q("skyline_suppliers", skylineSuppliers, Some(skylineSuppliersSql)),
     Q("customer_deciles", customerDeciles, Some(customerDecilesSql)),

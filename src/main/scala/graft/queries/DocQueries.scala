@@ -1730,7 +1730,104 @@ $sel
     FROM s8 GROUP BY word ORDER BY word"""
   }
 
+  /** Per-source character-class composition — the multilingual-corpus audit
+    * that catches mojibake, markup floods, and numeric-table scrapes before
+    * they reach training: what fraction of each source's characters are
+    * letters, digits, whitespace, anything else. Counting is
+    * `length(text) - length(regexp_replace(text, class, ''))` per class —
+    * pure codegen'd string ops, no explode, no UDF — then one integer
+    * aggregate per source; ratios are a single IEEE division at the end.
+    * At 100 TB this is a scan-bound single-shuffle profile over however
+    * many sources exist. */
+  private def unicodeScriptProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def classCount(pat: String) =
+      length($"text") - length(regexp_replace($"text", pat, ""))
+    val perDoc = Tables.documents(s, d).select(
+      $"source", length($"text").as("n"),
+      classCount("[A-Za-z]").as("alpha"),
+      classCount("[0-9]").as("digit"),
+      classCount("[ \\t\\n\\r]").as("space"))
+    perDoc.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n").as("total_chars"),
+        sum($"alpha").as("a"), sum($"digit").as("g"), sum($"space").as("w"))
+      .select($"source", $"n_docs", $"total_chars",
+        ($"a".cast("double") / $"total_chars").as("alpha_ratio"),
+        ($"g".cast("double") / $"total_chars").as("digit_ratio"),
+        ($"w".cast("double") / $"total_chars").as("space_ratio"),
+        (($"total_chars" - $"a" - $"g" - $"w").cast("double") / $"total_chars")
+          .as("other_ratio"))
+      .orderBy($"source")
+  }
+
+  private val unicodeScriptProfileSql: String = """
+    WITH p AS (
+      SELECT source, length(text) AS n,
+             length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS alpha,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit,
+             length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS space
+      FROM documents),
+    a AS (
+      SELECT source, COUNT(*) AS n_docs, SUM(n) AS total_chars,
+             SUM(alpha) AS a, SUM(digit) AS g, SUM(space) AS w
+      FROM p GROUP BY source)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_chars AS BIGINT) AS total_chars,
+           CAST(a AS DOUBLE) / total_chars AS alpha_ratio,
+           CAST(g AS DOUBLE) / total_chars AS digit_ratio,
+           CAST(w AS DOUBLE) / total_chars AS space_ratio,
+           CAST(total_chars - a - g - w AS DOUBLE) / total_chars AS other_ratio
+    FROM a ORDER BY source"""
+
+  /** Embedding-quality eval via a leave-one-out kNN classifier — the
+    * standard "are these vectors any good?" probe before an embedding
+    * column is trusted for semantic dedup or retrieval: predict each probe
+    * vector's label by majority vote of its exact top-5 cosine neighbors
+    * (tie → smallest label, so the verdict is deterministic), emit the
+    * per-probe prediction with its vote count and correctness bit. Reuses
+    * the registry's own brute-force search (bounded TopKAggregate state,
+    * broadcast probes); the vote is a candidate-sized aggregate. The
+    * accuracy this reports on the synthetic near-orthogonal corpus is
+    * honestly near-chance — the operator's job is to MEASURE that, the
+    * same honest-number discipline as ann_recall. */
+  private def knnClassifyEval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val labels = Tables.embeddings(s, d).select($"vec_id", $"label")
+    val votes = Similarity.knnBruteForce(Tables.embeddings(s, d), queries(s, d))
+      .join(labels.select($"vec_id".as("neighbor_id"), $"label"), "neighbor_id")
+      .groupBy($"query_id", $"label")
+      .agg(count(lit(1)).as("n_votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"n_votes".desc, $"label".asc)
+    votes.select($"query_id", $"label", $"n_votes",
+        row_number().over(w).as("rk"))
+      .filter($"rk" === 1)
+      .join(labels.select($"vec_id".as("query_id"), $"label".as("true_label")),
+        "query_id")
+      .select($"query_id", $"true_label", $"label".as("pred_label"), $"n_votes",
+        when($"label" === $"true_label", 1).otherwise(0).as("correct"))
+      .orderBy($"query_id")
+  }
+
+  private lazy val knnClassifyEvalSql: String = s"""
+    WITH nn AS ($knnBruteForceSql),
+    v AS (
+      SELECT query_id, e.label, COUNT(*) AS n_votes
+      FROM nn JOIN embeddings e ON nn.neighbor_id = e.vec_id
+      GROUP BY query_id, e.label),
+    p AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY n_votes DESC, label ASC) AS rk
+      FROM v)
+    SELECT p.query_id, e.label AS true_label, p.label AS pred_label,
+           CAST(p.n_votes AS BIGINT) AS n_votes,
+           CASE WHEN p.label = e.label THEN 1 ELSE 0 END AS correct
+    FROM p JOIN embeddings e ON p.query_id = e.vec_id
+    WHERE p.rk = 1 ORDER BY p.query_id"""
+
   val registry: Seq[Q] = Seq(
+    Q("unicode_script_profile", unicodeScriptProfile, Some(unicodeScriptProfileSql)),
+    Q("knn_classify_eval", knnClassifyEval, Some(knnClassifyEvalSql)),
     Q("lang_id", langId, Some(langIdSql)),
     Q("lang_confusion", langConfusion, Some(langConfusionSql)),
     Q("ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),

@@ -36,7 +36,8 @@ class PlanAuditSpec extends SparkSpec {
     // cross-joins its single-row truth-count and hit-count summaries;
     // lm_bigram_score broadcasts its single-row vocabulary size onto the
     // scored bigrams, rfm_segments its single-row corpus max-date onto
-    // the customer aggregate
+    // the customer aggregate; knn_classify_eval votes over the
+    // brute-force search so it inherits knn_bruteforce's intended BNLJ
     plans.filterNot(p =>
         Set("knn_bruteforce", "knn_ivf", "knn_ivf_disk", "knn_ivf_pq",
             "tfidf_topterms", "bigram_pmi", "incremental_distinct",
@@ -44,7 +45,7 @@ class PlanAuditSpec extends SparkSpec {
             "events_gap_fill", "coreset_kcenter",
             "sliding_active_users", "hybrid_rrf", "skew_report",
             "knn_ivf_partial", "ann_recall", "ivf_recall",
-            "lm_bigram_score", "rfm_segments")(p._1))
+            "lm_bigram_score", "rfm_segments", "knn_classify_eval")(p._1))
       .foreach { case (name, p) =>
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
       }
