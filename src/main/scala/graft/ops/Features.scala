@@ -83,6 +83,74 @@ object Features {
         sum(col("wv").cast(D)).cast("double").as("decayed_value"))
   }
 
+  /** Mergeable per-(key, day) feature partials — the online-feature-store
+    * state shape: each call reduces its input to AT MOST one row per
+    * (key, event-day, at-midnight) holding (row count, exact DECIMAL(38,6)
+    * value sum, latest timestamp). Partials merge by plain addition/max
+    * ([[mergePartials]]), so batch backfill and streaming maintenance
+    * ([[graft.streaming.StreamingFeatures]]) write the SAME table and a
+    * serving read answers from state alone — history is never rescanned.
+    *
+    * The `at_midnight` split exists for exactness, not convenience: a
+    * midnight as-of A gives elapsed-age A−d−1 to every row of day d EXCEPT
+    * one exactly at d's midnight (age A−d) — folding those into the day
+    * bucket would make day-level decay serving approximate at the
+    * boundary. Splitting them keeps [[serveFeatures]] exact for every
+    * midnight as-of.
+    *
+    * events: (k, t_us, value) → (k, day, at_midnight, n, sum_value, max_t)
+    */
+  def dayPartials(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("k"), expr("t_us div 86400000000L").as("day"),
+        (col("t_us") % 86400000000L === 0).as("at_midnight"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(D)).as("sum_value"),
+        max(col("t_us")).as("max_t"))
+
+  /** Merge partial rows (from any mix of batch backfill and streaming
+    * appends) back to at most one row per (key, day, at_midnight): counts
+    * and sums add, timestamps max — the same associative shapes the
+    * sketch tables rely on. */
+  def mergePartials(partials: DataFrame): DataFrame =
+    partials
+      .groupBy(col("k"), col("day"), col("at_midnight"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_value")).as("sum_value"),
+        max(col("max_t")).as("max_t"))
+
+  /** Serve per-key features from the partial table at a midnight as-of:
+    * event count, exact value sum, latest event time, and the hyperbolic
+    * decay-weighted sum — all computed from O(keys × days) state, never
+    * from raw history. Rows at or after the as-of instant are excluded
+    * (strictly-before, matching [[decayWeighted]]).
+    *
+    * Decay arithmetic note: [[decayWeighted]] weights each ROW then
+    * decimal-sums; serving weights each DAY BUCKET's decimal sum. The two
+    * agree exactly when per-row products are representable in
+    * DECIMAL(38,6) (FeaturesSpec pins such a case); in general they are
+    * two rounding placements of the same hyperbolic decay — the bucket
+    * placement is the one O(state)-serving can afford, and is
+    * deterministic in its own right.
+    */
+  def serveFeatures(partials: DataFrame, asofUs: Long): DataFrame = {
+    val usPerDay = 86400000000L
+    require(asofUs % usPerDay == 0, "serveFeatures requires a midnight as-of")
+    val asofDay = asofUs / usPerDay
+    mergePartials(partials)
+      .filter(col("day") < asofDay)
+      .select(col("k"), col("n"), col("sum_value"), col("max_t"),
+        when(col("at_midnight"), lit(asofDay) - col("day"))
+          .otherwise(lit(asofDay) - col("day") - 1).as("age_days"))
+      .select(col("k"), col("n"), col("sum_value"), col("max_t"),
+        (col("sum_value").cast("double") *
+          (lit(1.0) / (lit(1.0) + col("age_days").cast("double"))))
+          .cast(D).as("wv"))
+      .groupBy(col("k"))
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("sum_value")).cast("double").as("sum_value"),
+        max(col("max_t")).as("last_t"),
+        sum(col("wv")).cast("double").as("decayed_value"))
+  }
+
   /** Peak concurrency per key — the sweep-line classic: each point opens a
     * half-open interval [t, t+durUs); emit +1 at the start and -1 at the
     * end, order by (t, delta, id) so an interval ending at the exact

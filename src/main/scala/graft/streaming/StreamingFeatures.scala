@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Continuous online-feature maintenance — the streaming twin of
+  * [[graft.ops.Features.decayWeighted]]'s serving path: every micro-batch
+  * reduces its arrivals to per-(key, day) partial rows
+  * ([[graft.ops.Features.dayPartials]] — at most one row per key×day per
+  * batch, regardless of batch size) and APPENDS them to the feature state
+  * table. Blind deterministic appends: no streaming state, no
+  * read-modify-write, so maintenance cost is O(batch) and the state table
+  * is O(keys × days). Serving ([[graft.ops.Features.serveFeatures]])
+  * merges partials by addition/max and computes count / exact sum /
+  * recency / hyperbolic decay at ANY midnight as-of from state alone —
+  * the moving-as-of serving the fixed-as-of batch operator cannot give
+  * without rescanning history.
+  *
+  * Replay caveat (the CM/MG one, not the HLL/Bloom one): counts and sums
+  * add, so an at-least-once source that redelivers a batch appends its
+  * exact partials again and served features describe the REPLAYED stream.
+  * Exactness over the logical stream needs upstream
+  * [[EventsCdc.dedupStream]] or an exactly-once source — spec-pinned, not
+  * assumed.
+  */
+object StreamingFeatures {
+
+  /** Launch feature-partial maintenance over a file-arrival stream.
+    * `stream` must carry (k, t_us, value) — pre-project upstream. */
+  def runFeatureMaintenance(stream: DataFrame, stateDir: String,
+                            checkpointDir: String,
+                            trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Features.dayPartials(batch.select("k", "t_us", "value"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(stateDir)
+        ()
+      }
+      .start()
+}

@@ -90,6 +90,93 @@ class FeaturesSpec extends SparkSpec {
     assert(got.getAs[Long]("first_peak_us") === 1L)
   }
 
+  test("dayPartials + serveFeatures: plain features exact, decay matches row-level on exact weights") {
+    val day = 86400000000L
+    val asof = 10L * day
+    // ages 0/1/3 → weights 1, 1/2, 1/4: per-row products are exact in
+    // DECIMAL(38,6), so bucket-placement and row-placement decay agree
+    // exactly and the serve path can be pinned against decayWeighted
+    val events = Seq(
+      (1L, 9L * day + 5L, 1.0),  // day 9, not midnight → age 0
+      (1L, 8L * day + 7L, 2.0),  // day 8 → age 1
+      (1L, 6L * day + 9L, 4.0),  // day 6 → age 3
+      (1L, 6L * day, 8.0),       // day 6 AT midnight → age 10-6 = 4
+      (2L, asof, 100.0)          // at the as-of instant → excluded
+    ).toDF("k", "t_us", "value")
+    val served = Features.serveFeatures(Features.dayPartials(events), asof)
+      .orderBy("k").collect()
+    assert(served.length === 1) // key 2 has nothing strictly before as-of
+    val r = served.head
+    assert(r.getAs[Long]("n_events") === 4L)
+    assert(r.getAs[Double]("sum_value") === 15.0)
+    assert(r.getAs[Long]("last_t") === 9L * day + 5L)
+    // 1*1 + 2*(1/2) + 4*(1/4) + 8*(1/5) = 1 + 1 + 1 + 1.6
+    assert(r.getAs[Double]("decayed_value") === 4.6)
+    // row-level reference agrees on these exact weights (the midnight row
+    // gets the same age under both formulations: elapsed 4 days exactly)
+    val rowLevel = Features.decayWeighted(events, asof).collect().head
+    assert(rowLevel.getAs[Double]("decayed_value") === 4.6)
+  }
+
+  test("partials merge by addition/max: split-anyhow ≡ one-shot") {
+    val day = 86400000000L
+    val events = (1 to 50).map(i =>
+      ((i % 3).toLong, (i % 7).toLong * day + i * 1000L, i / 10.0))
+      .toDF("k", "t_us", "value")
+    val oneShot = Features.dayPartials(events)
+    val split = Features.mergePartials(
+      Features.dayPartials(events.filter($"t_us" % 2 === 0))
+        .unionAll(Features.dayPartials(events.filter($"t_us" % 2 =!= 0))))
+    val cols = Seq("k", "day", "at_midnight", "n", "sum_value", "max_t")
+    assert(split.select(cols.map(col): _*).collect().toSet ===
+      oneShot.select(cols.map(col): _*).collect().toSet)
+  }
+
+  test("streaming feature maintenance: served state ≡ batch partials; replay appends again") {
+    import java.nio.file.Files
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select($"user_id".as("k"), unix_micros($"ts").as("t_us"), $"value")
+      .withColumn("b", ntile(2).over(org.apache.spark.sql.expressions.Window
+        .orderBy($"t_us", $"k")))
+    val dir = Files.createTempDirectory("graft_feat_src")
+    def writeFile(name: String, filter: org.apache.spark.sql.Column): Unit = {
+      val tmp = Files.createTempDirectory("graft_feat_tmp").toString
+      ev.filter(filter).drop("b").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, dir.resolve(name))
+      Thread.sleep(1000)
+    }
+    writeFile("1.parquet", $"b" === 1)
+    writeFile("2.parquet", $"b" === 2)
+    writeFile("3.parquet", $"b" === 1) // at-least-once source replays batch 1
+    val stateDir = Files.createTempDirectory("graft_feat_state").toString
+    val ckpt = Files.createTempDirectory("graft_feat_ckpt").toString
+    val q = graft.streaming.StreamingFeatures.runFeatureMaintenance(
+      graft.streaming.EventsCdc.readEventStream(
+        spark, dir.toString, ev.drop("b"), maxFilesPerTrigger = 1),
+      stateDir, ckpt)
+    q.awaitTermination()
+    val state = spark.read.parquet(stateDir)
+    assert(state.select($"batch_id").distinct().count() === 3)
+    // true batches only (0,1): served features equal the batch aggregate
+    // of everything that arrived — state alone answers, history unread
+    val asof = 1706745600000000L // 2024-02-01 midnight, after all events
+    val cols = Seq("k", "n_events", "sum_value", "last_t", "decayed_value")
+    val served = Features.serveFeatures(
+        state.filter($"batch_id" < 2).drop("batch_id"), asof)
+      .select(cols.map(col): _*).collect().toSet
+    val batchRef = Features.serveFeatures(
+        Features.dayPartials(ev.drop("b")), asof)
+      .select(cols.map(col): _*).collect().toSet
+    assert(served === batchRef)
+    // replay caveat pinned: the redelivered batch appended EXACTLY its
+    // original partial rows again (blind deterministic appends)
+    val p0 = state.filter($"batch_id" === 0).drop("batch_id").collect().toSet
+    val p2 = state.filter($"batch_id" === 2).drop("batch_id").collect().toSet
+    assert(p2 === p0)
+  }
+
   test("registry feature queries: single window shuffle, no cartesian, pruned scans") {
     val ptf = planOf(graft.queries.FeatureQueries.pointInTimeFeatures(spark, sf))
     assert(!ptf.contains("CartesianProduct"))
