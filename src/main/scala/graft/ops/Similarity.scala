@@ -330,4 +330,53 @@ object Similarity {
         (col("norm_sq") === 0.0).as("is_zero"),
         (abs(col("norm_sq") - 1.0) <= 0.02).as("near_unit"))
   }
+
+  /** Cluster-coherence read-out over a labeled embedding corpus — the
+    * "is this clustering/labeling any good?" pass (the silhouette idea in
+    * a set-oriented, cross-engine-hashable form): per label, the mean
+    * cosine of members to their OWN [[labelCentroids]] prototype, the mean
+    * cosine to the best OTHER prototype, and the mean separation margin.
+    * High own / low other = coherent; margin ≤ 0 = the label is not a
+    * cluster.
+    *
+    * Shape: member dims explode once and join centroids on dim, so the
+    * scored frame is members × k × d rows — the unavoidable quality-pass
+    * cost, linear in the corpus for the few-centroid k this exists for
+    * (never member × member like true silhouette, which is quadratic and
+    * was deliberately not implemented). Dots/norms accumulate in
+    * DECIMAL(38,6) over exact per-row IEEE products; sqrt and one divide
+    * are correctly rounded, so every cosine replays bit-for-bit in any
+    * engine ([[labelCentroids]]' quantized-sum discipline end-to-end).
+    */
+  def clusterQuality(embeddings: DataFrame): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
+    val cents = labelCentroids(embeddings)
+      .select(col("label").as("c_label"), col("dim"), col("centroid"))
+    val cnorm = cents.groupBy(col("c_label"))
+      .agg(sqrt(sum((col("centroid") * col("centroid")).cast(d38))
+        .cast("double")).as("c_norm"))
+    val dims = embeddings
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .toDF("vec_id", "label", "dim", "x")
+    val vnorm = dims.groupBy(col("vec_id"))
+      .agg(sqrt(sum((col("x").cast("double") * col("x").cast("double"))
+        .cast(d38)).cast("double")).as("v_norm"))
+    val cos = dims
+      .join(broadcast(cents), Seq("dim"))
+      .groupBy(col("vec_id"), col("label"), col("c_label"))
+      .agg(sum((col("x").cast("double") * col("centroid")).cast(d38))
+        .cast("double").as("dot"))
+      .join(vnorm, Seq("vec_id"))
+      .join(broadcast(cnorm), Seq("c_label"))
+      .select(col("vec_id"), col("label"), col("c_label"),
+        (col("dot") / (col("v_norm") * col("c_norm"))).as("cos"))
+    val perMember = cos.groupBy(col("vec_id"), col("label"))
+      .agg(max(when(col("label") === col("c_label"), col("cos"))).as("own"),
+        max(when(col("label") =!= col("c_label"), col("cos"))).as("best_other"))
+    perMember.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"),
+        graft.queries.Exact.davg(col("own")).as("mean_own_cos"),
+        graft.queries.Exact.davg(col("best_other")).as("mean_best_other_cos"),
+        graft.queries.Exact.davg(col("own") - col("best_other")).as("mean_margin"))
+  }
 }

@@ -1337,7 +1337,80 @@ object Analytics {
            CAST(COALESCE(SUM(abs_diff), 0) AS DOUBLE) AS sum_abs_diff
     FROM b GROUP BY band ORDER BY band"""
 
+  /** Semi-additive measure: month-end "balance" per market segment — the
+    * aggregation class (account balances, inventory levels) that sums
+    * across ENTITIES but takes LAST-VALUE across TIME, which plain
+    * GROUP BY cannot express. Per (customer, month) the latest order's
+    * total is selected by lexicographic struct-argmax (deterministic
+    * ties), carried forward across empty months with an ignore-nulls
+    * last() over a customer×month grid, then summed per (month, segment)
+    * in DECIMAL(38,6). The grid explodes MAP-SIDE from the customer dim ×
+    * a 1-row broadcast month span — dimension-bounded (|customers| ×
+    * |months|), never fact-bounded; the fact is touched exactly once
+    * (events_gap_fill's posture at month grain). */
+  def semiAdditiveBalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
+    val mo = Tables.orders(spark, dir).select($"o_custkey",
+      (year($"o_orderdate") * 12 + month($"o_orderdate") - 1).as("mi"),
+      unix_micros($"o_orderdate".cast("timestamp")).as("t"),
+      $"o_orderkey", $"o_totalprice")
+    val lastPer = mo.groupBy($"o_custkey", $"mi")
+      .agg(max(struct($"t", $"o_orderkey", $"o_totalprice")).as("m"))
+      .select($"o_custkey", $"mi".as("lmi"), $"m.o_totalprice".as("bal"))
+    val span = mo.agg(min($"mi").as("lo"), max($"mi").as("hi"))
+    val grid = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_mktsegment")
+      .crossJoin(broadcast(span))
+      .select($"c_custkey", $"c_mktsegment",
+        explode(sequence($"lo", $"hi")).as("mi"))
+    val wFill = org.apache.spark.sql.expressions.Window
+      .partitionBy($"c_custkey").orderBy($"mi")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid
+      .join(lastPer,
+        $"c_custkey" === $"o_custkey" && $"mi" === $"lmi", "left")
+      .select($"c_custkey", $"c_mktsegment", $"mi",
+        last($"bal", ignoreNulls = true).over(wFill).as("balance"))
+      .filter($"balance".isNotNull)
+      .groupBy($"mi", $"c_mktsegment")
+      .agg(count(lit(1)).as("n_active"),
+        sum($"balance".cast(dec)).cast("double").as("total_balance"))
+      .select(expr("mi div 12").cast("int").as("yr"),
+        ($"mi" % 12 + 1).cast("int").as("mo_num"),
+        $"c_mktsegment", $"n_active", $"total_balance")
+      .orderBy($"yr", $"mo_num", $"c_mktsegment")
+  }
+
+  val semiAdditiveBalanceSql: String = """
+    WITH mo AS (
+      SELECT o_custkey, year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mi,
+             epoch_us(o_orderdate) AS t, o_orderkey, o_totalprice
+      FROM orders),
+    lastper AS (
+      SELECT o_custkey, mi AS lmi, o_totalprice AS bal
+      FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey, mi
+                                         ORDER BY t DESC, o_orderkey DESC) AS rn
+            FROM mo) WHERE rn = 1),
+    span AS (SELECT min(mi) AS lo, max(mi) AS hi FROM mo),
+    grid AS (
+      SELECT c_custkey, c_mktsegment, unnest(range(lo, hi + 1)) AS mi
+      FROM customer CROSS JOIN span),
+    filled AS (
+      SELECT c_custkey, c_mktsegment, mi,
+             last_value(bal IGNORE NULLS)
+               OVER (PARTITION BY c_custkey ORDER BY mi
+                     ROWS UNBOUNDED PRECEDING) AS balance
+      FROM grid g LEFT JOIN lastper l
+        ON g.c_custkey = l.o_custkey AND g.mi = l.lmi)
+    SELECT CAST(mi // 12 AS INT) AS yr, CAST(mi % 12 + 1 AS INT) AS mo_num,
+           c_mktsegment, COUNT(*) AS n_active,
+           CAST(SUM(CAST(balance AS DECIMAL(38,6))) AS DOUBLE) AS total_balance
+    FROM filled WHERE balance IS NOT NULL
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
   val registry: Seq[Q] = Seq(
+    Q("semi_additive_balance", semiAdditiveBalance, Some(semiAdditiveBalanceSql)),
     Q("grouping_sets_sales", groupingSetsSales, Some(groupingSetsSalesSql)),
     Q("exact_median", exactMedian, Some(exactMedianSql)),
     Q("fact_reconcile", factReconcile, Some(factReconcileSql)),

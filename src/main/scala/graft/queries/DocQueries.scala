@@ -1825,7 +1825,125 @@ $sel
     FROM p JOIN embeddings e ON p.query_id = e.vec_id
     WHERE p.rk = 1 ORDER BY p.query_id"""
 
+  /** RAG-style token-window chunking: every document split into overlapping
+    * 64-token windows at stride 32 — the chunk table an embedding/retrieval
+    * stage consumes. Pure codegen: tokens once, chunk indices explode
+    * map-side from the integer chunk count ((n-W+S-1) div S + 1, exact
+    * integer math both engines), each chunk a `slice` + `array_join` — no
+    * UDF, no shuffle at all until a consumer asks for one; at 100 TB this
+    * is a scan-bound map stage. Chunk grid is token-bounded (≤ n/S + 1
+    * chunks per doc), and a short doc yields exactly one chunk. */
+  private def docChunking(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = 64
+    val S = 32
+    Tables.documents(s, d)
+      .select($"doc_id", TextAnalysis.tokens($"text").as("w"))
+      .select($"doc_id", $"w", size($"w").as("n"))
+      .select($"doc_id", $"w",
+        explode(sequence(lit(0),
+          when($"n" <= W, 0).otherwise(expr(s"(n - $W + $S - 1) div $S"))))
+          .as("i"))
+      .select($"doc_id", ($"i" + 1).cast("int").as("chunk_idx"),
+        ($"i" * S + 1).cast("int").as("start_tok"),
+        slice($"w", $"i" * S + 1, lit(W)).as("c"))
+      .select($"doc_id", $"chunk_idx", $"start_tok",
+        size($"c").as("n_tokens"), array_join($"c", " ").as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  private val docChunkingSql: String = """
+    WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+    n AS (SELECT doc_id, w, len(w) AS n FROM t),
+    c AS (SELECT doc_id, w,
+            unnest(range(0, CASE WHEN n <= 64 THEN 0
+                                 ELSE (n - 64 + 31) // 32 END + 1)) AS i
+          FROM n)
+    SELECT doc_id, CAST(i + 1 AS INT) AS chunk_idx,
+           CAST(i * 32 + 1 AS INT) AS start_tok,
+           CAST(len(w[(i*32+1):(i*32+64)]) AS INT) AS n_tokens,
+           list_aggregate(w[(i*32+1):(i*32+64)], 'string_agg', ' ') AS chunk_text
+    FROM c ORDER BY doc_id, chunk_idx"""
+
+  /** The CCNet head/middle/tail partition (Wenzek et al. 2020 §4.3) over
+    * the registry's own LM quality proxy: docs ranked by their
+    * `lm_bigram_score` and cut into thirds by deterministic ntile
+    * (score DESC, doc_id ties) — head = most language-model-like. The
+    * global ntile sorts only the |docs|-row score table (the
+    * customer_deciles discipline; at extreme scale swap for quantile
+    * thresholds from approx_percentile). Single-token docs have no
+    * bigrams and are absent, matching the score operator's domain. */
+  private def ccnetPerplexityBuckets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"avg_p".desc, $"doc_id".asc)
+    TextAnalysis.lmBigramScore(Tables.documents(s, d))
+      .select($"doc_id", $"avg_p", ntile(3).over(w).as("tert"))
+      .select($"doc_id", $"avg_p",
+        when($"tert" === 1, "head").when($"tert" === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy($"doc_id")
+  }
+
+  private lazy val ccnetPerplexityBucketsSql: String = s"""
+    WITH s AS ($lmBigramScoreSql)
+    SELECT doc_id, avg_p,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS bucket
+    FROM (SELECT doc_id, avg_p,
+                 ntile(3) OVER (ORDER BY avg_p DESC, doc_id ASC) AS nt
+          FROM s)
+    ORDER BY doc_id"""
+
+  /** Cluster-coherence read-out (see [[graft.ops.Similarity.clusterQuality]]):
+    * per label, mean member-to-own-prototype cosine vs the best other
+    * prototype, and the margin — the "is k right / are these labels
+    * clusters" decision input. */
+  private def clusterQualityQ(s: SparkSession, d: String): DataFrame =
+    Similarity.clusterQuality(Tables.embeddings(s, d)).orderBy("label")
+
+  private val clusterQualitySql: String = s"""
+    WITH dims AS (
+      SELECT vec_id, label, u.dim AS dim, u.x AS x
+      FROM (SELECT vec_id, label,
+              unnest([{'dim': i-1, 'x': CAST(embedding[i] AS DOUBLE)}
+                      for i in range(1, len(embedding)+1)]) AS u
+            FROM embeddings)),
+    cents AS (
+      SELECT label AS c_label, dim,
+             CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(x) AS centroid
+      FROM dims GROUP BY 1, 2),
+    cnorm AS (
+      SELECT c_label,
+             sqrt(CAST(SUM(CAST(centroid * centroid AS DECIMAL(38,6))) AS DOUBLE))
+               AS c_norm
+      FROM cents GROUP BY 1),
+    vnorm AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE)) AS v_norm
+      FROM dims GROUP BY 1),
+    dots AS (
+      SELECT vec_id, d.label, c.c_label,
+             CAST(SUM(CAST(d.x * c.centroid AS DECIMAL(38,6))) AS DOUBLE) AS dot
+      FROM dims d JOIN cents c USING (dim) GROUP BY 1, 2, 3),
+    cosv AS (
+      SELECT vec_id, label, c_label, dot / (v_norm * c_norm) AS cos
+      FROM dots JOIN vnorm USING (vec_id) JOIN cnorm USING (c_label)),
+    pm AS (
+      SELECT vec_id, label,
+             MAX(CASE WHEN label = c_label THEN cos END) AS own,
+             MAX(CASE WHEN label <> c_label THEN cos END) AS best_other
+      FROM cosv GROUP BY 1, 2)
+    SELECT label, COUNT(*) AS n_members,
+           ${Exact.sqlAvg("own")} AS mean_own_cos,
+           ${Exact.sqlAvg("best_other")} AS mean_best_other_cos,
+           ${Exact.sqlAvg("own - best_other")} AS mean_margin
+    FROM pm GROUP BY label ORDER BY label"""
+
   val registry: Seq[Q] = Seq(
+    Q("doc_chunking", docChunking, Some(docChunkingSql)),
+    Q("ccnet_perplexity_buckets", ccnetPerplexityBuckets, Some(ccnetPerplexityBucketsSql)),
+    Q("cluster_quality", clusterQualityQ, Some(clusterQualitySql)),
     Q("unicode_script_profile", unicodeScriptProfile, Some(unicodeScriptProfileSql)),
     Q("knn_classify_eval", knnClassifyEval, Some(knnClassifyEvalSql)),
     Q("lang_id", langId, Some(langIdSql)),

@@ -78,4 +78,26 @@ class ReportOpsSpec extends SparkSpec {
     assert(out.forall(r => r.getAs[String]("rfm_code") ===
       s"${r.getAs[Int]("r_tile")}-${r.getAs[Int]("f_tile")}-${r.getAs[Int]("m_tile")}"))
   }
+
+  test("semi-additive balance: actives never shrink, last month covers every buyer") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("semi_additive_balance")(spark, sf)
+      .select($"yr" * 12 + $"mo_num" - 1, $"c_mktsegment", $"n_active")
+      .as[(Int, String, Long)].collect()
+    // a balance, once established, persists (LOCF): per segment the
+    // active-customer count is non-decreasing month over month
+    out.groupBy(_._2).values.foreach { seg =>
+      val counts = seg.sortBy(_._1).map(_._3)
+      counts.toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(b >= a, s"actives shrank: $a -> $b")
+        case _         =>
+      }
+    }
+    // the final month's actives across segments = distinct buying customers
+    val lastMi = out.map(_._1).max
+    val lastTotal = out.filter(_._1 == lastMi).map(_._3).sum
+    val buyers = graft.sources.Tables.orders(spark, sf)
+      .select($"o_custkey").distinct().count()
+    assert(lastTotal === buyers)
+  }
 }

@@ -488,4 +488,29 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2)._3 === 9.0 && !out(2)._4 && !out(2)._5)
     assert(!out(3)._4 && !out(3)._5)
   }
+
+  test("clusterQuality separates tight clusters from a mislabeled one") {
+    // labels 0/1 along orthogonal axes → coherent (own ≈ 1, margin > 0);
+    // label 2 mixes both axes → its members sit closer to a foreign
+    // prototype than label 0/1 members do
+    val data = Seq(
+      (1L, 0, Array(1.0f, 0.02f, 0f)), (2L, 0, Array(0.98f, 0f, 0.01f)),
+      (3L, 1, Array(0f, 1.0f, 0.03f)), (4L, 1, Array(0.01f, 0.97f, 0f)),
+      (5L, 2, Array(1.0f, 0.05f, 0f)), (6L, 2, Array(0f, 1.0f, 0.05f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = graft.ops.Similarity.clusterQuality(data)
+      .select($"label", $"n_members", $"mean_own_cos", $"mean_best_other_cos",
+        $"mean_margin")
+      .as[(Int, Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(out.map(_._2).toSeq === Seq(2L, 2L, 2L))
+    out.foreach { r =>
+      assert(r._3 <= 1.0 + 1e-9 && r._4 <= 1.0 + 1e-9)
+    }
+    // tight axis clusters: high own-cosine, positive margin
+    assert(out(0)._3 > 0.99 && out(0)._5 > 0)
+    assert(out(1)._3 > 0.99 && out(1)._5 > 0)
+    // the mixed label's centroid is diagonal: members are closer to the
+    // axis prototypes than to their own → negative margin flags it
+    assert(out(2)._5 < 0, s"mixed cluster should have negative margin: ${out(2)}")
+  }
 }

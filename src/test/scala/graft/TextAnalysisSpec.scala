@@ -306,4 +306,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d1.getAs[Double]("avg_p") > out(2).getAs[Double]("avg_p"))
   }
 
+  test("doc_chunking: chunks tile every token with stride-32 overlap; short docs one chunk") {
+    val rows = SparkEntry.queries("doc_chunking")(spark, sf)
+      .select($"doc_id", $"chunk_idx", $"start_tok", $"n_tokens")
+      .as[(Long, Int, Int, Int)].collect()
+      .groupBy(_._1).values
+    rows.foreach { chunks =>
+      val sorted = chunks.sortBy(_._2)
+      // first chunk starts at token 1; consecutive starts step by exactly 32
+      assert(sorted.head._3 === 1)
+      sorted.toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(b._3 - a._3 === 32)
+        case _         =>
+      }
+      // every chunk but the last is full-width; all chunks ≤ 64 tokens
+      sorted.init.foreach(c => assert(c._4 === 64))
+      assert(sorted.last._4 <= 64 && sorted.last._4 >= 1)
+      // the doc has more than one chunk ONLY if it overflows one window,
+      // and the final chunk reaches past what the previous chunks covered
+      if (sorted.length > 1) {
+        val last = sorted.last
+        assert(last._3 + last._4 - 1 > sorted.init.last._3 + 31)
+      }
+    }
+  }
+
+  test("ccnet buckets: near-equal thirds, head scores >= tail scores") {
+    val out = SparkEntry.queries("ccnet_perplexity_buckets")(spark, sf)
+      .select($"bucket", $"avg_p").as[(String, Double)].collect()
+    val byBucket = out.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val sizes = byBucket.view.mapValues(_.length).toMap
+    assert(sizes.values.max - sizes.values.min <= 1) // ntile near-equality
+    // ranked cut: scores only descend across head → middle → tail (ties
+    // may sit exactly on a boundary, hence >=)
+    assert(byBucket("head").min >= byBucket("middle").max)
+    assert(byBucket("middle").min >= byBucket("tail").max)
+  }
 }
