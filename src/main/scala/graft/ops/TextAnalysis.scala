@@ -636,4 +636,38 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("int").as("n_bigrams"),
            graft.queries.Exact.davg(col("p")).as("avg_p"))
   }
+
+  /** Character-distribution diversity per doc — Gini impurity
+    * (1 − Σ(cᵢ/n)²) plus the top-character share: the "is this document a
+    * single character repeated / a low-diversity flood" signal next to the
+    * word-level repetition metrics. Gini instead of Shannon entropy is the
+    * POINT, not a shortcut: entropy needs ln, whose rounding differs
+    * across libm implementations (the tfidf/lm_bigram rational-arithmetic
+    * discipline), while Gini is Σcᵢ² over n² — exact integers below 2⁵³ —
+    * and ONE correctly-rounded IEEE division, so the score replays
+    * bit-for-bit in any engine. Per-char explode + two doc_id-keyed
+    * aggregates; empty docs have no distribution and are absent (the
+    * lm_bigram_score domain convention).
+    *
+    * Guard note: the explode grid comes from sequence(1, length) — Spark's
+    * sequence DESCENDS when stop < start, so empty text would yield [1, 0]
+    * and fabricate two phantom chars; the length > 0 filter is
+    * load-bearing.
+    */
+  def charGini(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")))).as("i"))
+      .select(col("doc_id"), expr("substring(text, i, 1)").as("ch"))
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_chars"),
+        count(lit(1)).cast("int").as("distinct_chars"),
+        sum(col("c") * col("c")).as("sq"), max(col("c")).as("maxc"))
+      .select(col("doc_id"), col("n_chars"), col("distinct_chars"),
+        (lit(1.0) - col("sq").cast("double") /
+          (col("n_chars") * col("n_chars")).cast("double")).as("gini"),
+        (col("maxc").cast("double") / col("n_chars")).as("top_char_ratio"))
 }

@@ -1940,7 +1940,27 @@ $sel
            ${Exact.sqlAvg("own - best_other")} AS mean_margin
     FROM pm GROUP BY label ORDER BY label"""
 
+  /** Character-diversity signal (see [[graft.ops.TextAnalysis.charGini]]):
+    * Gini impurity of each doc's character distribution + top-char share —
+    * entropy's job without entropy's cross-engine `ln` hazard. */
+  private def charGiniQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.charGini(Tables.documents(s, d)).orderBy("doc_id")
+
+  private val charGiniSql: String = """
+    WITH ch AS (
+      SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
+      FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+            FROM documents WHERE length(text) > 0)),
+    cnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2)
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS INT) AS distinct_chars,
+           1.0 - CAST(SUM(c * c) AS DOUBLE)
+               / CAST(SUM(c) * SUM(c) AS DOUBLE) AS gini,
+           CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_char_ratio
+    FROM cnt GROUP BY doc_id ORDER BY doc_id"""
+
   val registry: Seq[Q] = Seq(
+    Q("char_gini", charGiniQ, Some(charGiniSql)),
     Q("doc_chunking", docChunking, Some(docChunkingSql)),
     Q("ccnet_perplexity_buckets", ccnetPerplexityBuckets, Some(ccnetPerplexityBucketsSql)),
     Q("cluster_quality", clusterQualityQ, Some(clusterQualitySql)),

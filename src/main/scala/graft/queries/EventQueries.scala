@@ -342,7 +342,73 @@ object EventQueries {
            min(k) AS min_k, max(k) AS max_k, ${sqlSum("value")} AS sum_value
     FROM e GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Two-sample A/B read-out per event type — the experiment-analysis
+    * staple: users split into arms by id parity (the deterministic hash
+    * assignment every platform uses), per-arm counts, means, Welch z on
+    * the value metric, plus the sample-ratio-mismatch chi² that must be
+    * checked BEFORE the z is believed (SRM = broken assignment = invalid
+    * experiment). Every moment accumulates in DECIMAL(38,6) (per-row
+    * value² products are IEEE-exact); the z itself is a handful of
+    * correctly-rounded double ops + one sqrt, so the statistic replays
+    * bit-for-bit cross-engine — no t-distribution/p-value (that needs the
+    * incomplete beta — libm territory; the z and chi² ARE the portable
+    * decision inputs). One scan, one shuffle on event_type.
+    */
+  private def abTestZscore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
+    Tables.events(s, d)
+      .select($"event_type", ($"user_id" % 2).cast("int").as("arm"), $"value")
+      .groupBy($"event_type")
+      .agg(
+        sum(when($"arm" === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"arm" === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when($"arm" === 0, $"value".cast(dec))).cast("double").as("s_a"),
+        sum(when($"arm" === 1, $"value".cast(dec))).cast("double").as("s_b"),
+        sum(when($"arm" === 0, ($"value" * $"value").cast(dec)))
+          .cast("double").as("q_a"),
+        sum(when($"arm" === 1, ($"value" * $"value").cast(dec)))
+          .cast("double").as("q_b"))
+      .select($"event_type", $"n_a", $"n_b",
+        ($"s_a" / $"n_a").as("mean_a"), ($"s_b" / $"n_b").as("mean_b"),
+        (($"q_a" - $"s_a" * $"s_a" / $"n_a") / ($"n_a" - 1)).as("var_a"),
+        (($"q_b" - $"s_b" * $"s_b" / $"n_b") / ($"n_b" - 1)).as("var_b"))
+      .select($"event_type", $"n_a", $"n_b", $"mean_a", $"mean_b",
+        ($"mean_b" - $"mean_a").as("diff"),
+        (($"mean_b" - $"mean_a") /
+          sqrt($"var_a" / $"n_a" + $"var_b" / $"n_b")).as("z"),
+        ((($"n_a" - $"n_b") * ($"n_a" - $"n_b")).cast("double") /
+          ($"n_a" + $"n_b")).as("srm_chi2"))
+      .orderBy($"event_type")
+  }
+
+  private val abTestZscoreSql: String = """
+    WITH g AS (
+      SELECT event_type,
+        SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+        SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b,
+        CAST(SUM(CASE WHEN user_id % 2 = 0
+                      THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS s_a,
+        CAST(SUM(CASE WHEN user_id % 2 = 1
+                      THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS s_b,
+        CAST(SUM(CASE WHEN user_id % 2 = 0
+                      THEN CAST(value * value AS DECIMAL(38,6)) END) AS DOUBLE) AS q_a,
+        CAST(SUM(CASE WHEN user_id % 2 = 1
+                      THEN CAST(value * value AS DECIMAL(38,6)) END) AS DOUBLE) AS q_b
+      FROM events GROUP BY event_type),
+    v AS (
+      SELECT event_type, n_a, n_b, s_a / n_a AS mean_a, s_b / n_b AS mean_b,
+             (q_a - s_a * s_a / n_a) / (n_a - 1) AS var_a,
+             (q_b - s_b * s_b / n_b) / (n_b - 1) AS var_b
+      FROM g)
+    SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           mean_a, mean_b, mean_b - mean_a AS diff,
+           (mean_b - mean_a) / sqrt(var_a / n_a + var_b / n_b) AS z,
+           CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b) AS srm_chi2
+    FROM v ORDER BY event_type"""
+
   val registry: Seq[Q] = Seq(
+    Q("ab_test_zscore", abTestZscore, Some(abTestZscoreSql)),
     Q("events_windowed", eventsWindowed, Some(eventsWindowedSql)),
     Q("events_sliding_windows", eventsSliding, Some(eventsSlidingSql)),
     Q("events_sessionize", eventsSessionize, Some(eventsSessionizeSql)),

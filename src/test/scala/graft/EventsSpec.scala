@@ -98,4 +98,25 @@ class EventsSpec extends SparkSpec {
     val h11 = ts("2024-01-01 11:00:00").getTime * 1000
     assert(out === Set((h10, 2L, 3.0), (h11, 1L, 4.0)))
   }
+
+  test("ab_test_zscore: arms partition each type, identities hold exactly") {
+    val rows = SparkEntry.queries("ab_test_zscore")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val typeCounts = graft.sources.Tables.events(spark, sf)
+      .groupBy($"event_type").count()
+      .as[(String, Long)].collect().toMap
+    rows.foreach { r =>
+      val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      // the parity split loses no rows
+      assert(na + nb === typeCounts(r.getAs[String]("event_type")))
+      // diff is exactly mean_b - mean_a (no hidden re-derivation)
+      assert(r.getAs[Double]("diff") ===
+        r.getAs[Double]("mean_b") - r.getAs[Double]("mean_a"))
+      // SRM chi² is the exact rational (n_a-n_b)²/(n_a+n_b)
+      assert(r.getAs[Double]("srm_chi2") ===
+        ((na - nb) * (na - nb)).toDouble / (na + nb))
+      // the synthetic value metric is arm-independent: z must not scream
+      assert(math.abs(r.getAs[Double]("z")) < 5.0)
+    }
+  }
 }

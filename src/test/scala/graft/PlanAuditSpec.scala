@@ -37,7 +37,11 @@ class PlanAuditSpec extends SparkSpec {
     // lm_bigram_score broadcasts its single-row vocabulary size onto the
     // scored bigrams, rfm_segments its single-row corpus max-date onto
     // the customer aggregate; knn_classify_eval votes over the
-    // brute-force search so it inherits knn_bruteforce's intended BNLJ
+    // brute-force search so it inherits knn_bruteforce's intended BNLJ;
+    // semi_additive_balance broadcasts its single-row month span onto the
+    // customer dim before the map-side grid explode (events_gap_fill's
+    // shape); ccnet_perplexity_buckets wraps lm_bigram_score and inherits
+    // its single-row vocabulary-size broadcast
     plans.filterNot(p =>
         Set("knn_bruteforce", "knn_ivf", "knn_ivf_disk", "knn_ivf_pq",
             "tfidf_topterms", "bigram_pmi", "incremental_distinct",
@@ -45,7 +49,8 @@ class PlanAuditSpec extends SparkSpec {
             "events_gap_fill", "coreset_kcenter",
             "sliding_active_users", "hybrid_rrf", "skew_report",
             "knn_ivf_partial", "ann_recall", "ivf_recall",
-            "lm_bigram_score", "rfm_segments", "knn_classify_eval")(p._1))
+            "lm_bigram_score", "rfm_segments", "knn_classify_eval",
+            "semi_additive_balance", "ccnet_perplexity_buckets")(p._1))
       .foreach { case (name, p) =>
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
       }
@@ -58,7 +63,8 @@ class PlanAuditSpec extends SparkSpec {
         "quality_filter", "bpe_pair_counts", "decontaminate",
         "tfidf_topterms", "bigram_pmi", "quality_weighted_sample",
         "dedup_eval", "contamination_score", "span_dedup",
-        "bm25_rank", "gopher_rules", "lm_bigram_score").foreach { name =>
+        "bm25_rank", "gopher_rules", "lm_bigram_score",
+        "doc_chunking", "ccnet_perplexity_buckets").foreach { name =>
       // (dedup_clusters' final plan starts from localCheckpointed label
       // RDDs — its upstream scans are audited via dedup_minhash;
       // bpe_pair_counts builds pairs per-doc with lead windows keyed by

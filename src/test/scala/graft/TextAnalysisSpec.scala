@@ -306,6 +306,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d1.getAs[Double]("avg_p") > out(2).getAs[Double]("avg_p"))
   }
 
+  test("charGini: uniform text scores high, single-char floods score zero, empty text absent") {
+    val docs = Seq(
+      (1L, "aaaa"),         // one char: gini 0, top share 1
+      (2L, "abab"),         // two chars 2+2: gini = 1 - 8/16 = 0.5
+      (3L, "abcd"),         // four distinct: gini = 1 - 4/16 = 0.75
+      (4L, "")              // empty: no distribution, absent — and the
+                            // sequence(1,0) descending trap must NOT
+                            // fabricate phantom characters
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.charGini(docs)
+      .select($"doc_id", $"n_chars", $"distinct_chars", $"gini", $"top_char_ratio")
+      .as[(Long, Long, Int, Double, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(out(0) === ((1L, 4L, 1, 0.0, 1.0)))
+    assert(out(1) === ((2L, 4L, 2, 0.5, 0.5)))
+    assert(out(2) === ((3L, 4L, 4, 0.75, 0.25)))
+  }
+
   test("doc_chunking: chunks tile every token with stride-32 overlap; short docs one chunk") {
     val rows = SparkEntry.queries("doc_chunking")(spark, sf)
       .select($"doc_id", $"chunk_idx", $"start_tok", $"n_tokens")
