@@ -352,33 +352,18 @@ object EventQueries {
     * correctly-rounded double ops + one sqrt, so the statistic replays
     * bit-for-bit cross-engine — no t-distribution/p-value (that needs the
     * incomplete beta — libm territory; the z and chi² ARE the portable
-    * decision inputs). One scan, one shuffle on event_type.
+    * decision inputs). One scan, one shuffle on event_type. Computed via
+    * [[graft.ops.Experiments]]' mergeable moment partials — the SAME read
+    * path the streaming monitor serves from, so batch and continuous
+    * answers are structurally identical.
     */
   private def abTestZscore(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
-    Tables.events(s, d)
-      .select($"event_type", ($"user_id" % 2).cast("int").as("arm"), $"value")
-      .groupBy($"event_type")
-      .agg(
-        sum(when($"arm" === 0, 1L).otherwise(0L)).as("n_a"),
-        sum(when($"arm" === 1, 1L).otherwise(0L)).as("n_b"),
-        sum(when($"arm" === 0, $"value".cast(dec))).cast("double").as("s_a"),
-        sum(when($"arm" === 1, $"value".cast(dec))).cast("double").as("s_b"),
-        sum(when($"arm" === 0, ($"value" * $"value").cast(dec)))
-          .cast("double").as("q_a"),
-        sum(when($"arm" === 1, ($"value" * $"value").cast(dec)))
-          .cast("double").as("q_b"))
-      .select($"event_type", $"n_a", $"n_b",
-        ($"s_a" / $"n_a").as("mean_a"), ($"s_b" / $"n_b").as("mean_b"),
-        (($"q_a" - $"s_a" * $"s_a" / $"n_a") / ($"n_a" - 1)).as("var_a"),
-        (($"q_b" - $"s_b" * $"s_b" / $"n_b") / ($"n_b" - 1)).as("var_b"))
-      .select($"event_type", $"n_a", $"n_b", $"mean_a", $"mean_b",
-        ($"mean_b" - $"mean_a").as("diff"),
-        (($"mean_b" - $"mean_a") /
-          sqrt($"var_a" / $"n_a" + $"var_b" / $"n_b")).as("z"),
-        ((($"n_a" - $"n_b") * ($"n_a" - $"n_b")).cast("double") /
-          ($"n_a" + $"n_b")).as("srm_chi2"))
+    graft.ops.Experiments.zFromMoments(
+        graft.ops.Experiments.armMoments(
+          Tables.events(s, d).select($"event_type".as("key"),
+            ($"user_id" % 2).cast("int").as("arm"), $"value")))
+      .withColumnRenamed("key", "event_type")
       .orderBy($"event_type")
   }
 

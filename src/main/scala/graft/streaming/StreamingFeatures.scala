@@ -42,4 +42,32 @@ object StreamingFeatures {
         ()
       }
       .start()
+
+  /** Continuous experiment monitoring — the streaming twin of
+    * `ab_test_zscore`: every micro-batch reduces its arrivals to
+    * per-(key, arm) moment partials ([[graft.ops.Experiments.armMoments]]
+    * — at most 2 rows per experiment key per batch) and blind-appends
+    * them; the dashboard read
+    * ([[graft.ops.Experiments.zFromMoments]] over
+    * [[graft.ops.Experiments.mergeMoments]]) answers current counts,
+    * means, Welch z, and SRM chi² from state alone. Because the moments
+    * are DECIMAL and merge by addition, the served z equals the batch
+    * operator's over everything arrived EXACTLY — not approximately
+    * (spec-pinned). Same replay caveat as the other additive state
+    * tables: a redelivered batch counts again; dedupe upstream or use an
+    * exactly-once source. `stream` must carry (key, arm, value). */
+  def runAbMaintenance(stream: DataFrame, stateDir: String,
+                       checkpointDir: String,
+                       trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Experiments.armMoments(batch.select("key", "arm", "value"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(stateDir)
+        ()
+      }
+      .start()
 }

@@ -177,6 +177,50 @@ class FeaturesSpec extends SparkSpec {
     assert(p2 === p0)
   }
 
+  test("streaming A/B monitor: served z EXACTLY equals the batch operator; replay re-appends") {
+    import java.nio.file.Files
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select($"event_type".as("key"),
+        ($"user_id" % 2).cast("int").as("arm"), $"value")
+      .withColumn("b", ntile(2).over(org.apache.spark.sql.expressions.Window
+        .orderBy($"value", $"key")))
+    val dir = Files.createTempDirectory("graft_ab_src")
+    def writeFile(name: String, filter: org.apache.spark.sql.Column): Unit = {
+      val tmp = Files.createTempDirectory("graft_ab_tmp").toString
+      ev.filter(filter).drop("b").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, dir.resolve(name))
+      Thread.sleep(1000)
+    }
+    writeFile("1.parquet", $"b" === 1)
+    writeFile("2.parquet", $"b" === 2)
+    writeFile("3.parquet", $"b" === 1) // at-least-once replay
+    val stateDir = Files.createTempDirectory("graft_ab_state").toString
+    val ckpt = Files.createTempDirectory("graft_ab_ckpt").toString
+    val q = graft.streaming.StreamingFeatures.runAbMaintenance(
+      graft.streaming.EventsCdc.readEventStream(
+        spark, dir.toString, ev.drop("b"), maxFilesPerTrigger = 1),
+      stateDir, ckpt)
+    q.awaitTermination()
+    val state = spark.read.parquet(stateDir)
+    assert(state.select($"batch_id").distinct().count() === 3)
+    // served over the true batches ≡ batch operator over everything
+    // arrived — bit-for-bit (decimal moments merge by addition)
+    val served = graft.ops.Experiments.zFromMoments(
+        graft.ops.Experiments.mergeMoments(
+          state.filter($"batch_id" < 2).drop("batch_id")))
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ops.Experiments.zFromMoments(
+        graft.ops.Experiments.armMoments(ev.drop("b")))
+      .collect().map(_.toSeq).toSet
+    assert(served === batch)
+    // replay caveat: the redelivered batch appended identical partials
+    val p0 = state.filter($"batch_id" === 0).drop("batch_id").collect().toSet
+    val p2 = state.filter($"batch_id" === 2).drop("batch_id").collect().toSet
+    assert(p2 === p0)
+  }
+
   test("registry feature queries: single window shuffle, no cartesian, pruned scans") {
     val ptf = planOf(graft.queries.FeatureQueries.pointInTimeFeatures(spark, sf))
     assert(!ptf.contains("CartesianProduct"))
