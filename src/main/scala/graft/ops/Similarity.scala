@@ -350,11 +350,22 @@ object Similarity {
     */
   def clusterQuality(embeddings: DataFrame): DataFrame = {
     val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
-    val cents = labelCentroids(embeddings)
-      .select(col("label").as("c_label"), col("dim"), col("centroid"))
+    // the k×d centroid table is referenced twice (its norms and the dim
+    // join) — land it driver-local once so the corpus-scanning centroid
+    // aggregate is not re-planned per reference (Checkpoints.drain is the
+    // repo's contract for bounded-by-k outputs; without it this operator
+    // would scan the corpus twice before scoring even starts)
+    val cents = Checkpoints.drain(
+      labelCentroids(embeddings)
+        .select(col("label").as("c_label"), col("dim"), col("centroid")),
+      owned = Nil)
     val cnorm = cents.groupBy(col("c_label"))
       .agg(sqrt(sum((col("centroid") * col("centroid")).cast(d38))
         .cast("double")).as("c_norm"))
+    // member norms stay a SEPARATE O(n·d) pass + vec_id join: folding Σx²
+    // into the dots aggregation looks like it saves an explode, but the
+    // (vec_id, c_label) grid replicates the norm's decimal work k times —
+    // measured 2.86s → 4.2s at sf0.1, the decimal arithmetic dominates
     val dims = embeddings
       .select(col("vec_id"), col("label"), posexplode(col("embedding")))
       .toDF("vec_id", "label", "dim", "x")
