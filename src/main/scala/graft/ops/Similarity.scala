@@ -348,7 +348,18 @@ object Similarity {
     * are correctly rounded, so every cosine replays bit-for-bit in any
     * engine ([[labelCentroids]]' quantized-sum discipline end-to-end).
     */
-  def clusterQuality(embeddings: DataFrame): DataFrame = {
+  def clusterQuality(embeddings: DataFrame): DataFrame =
+    memberPrototypeCos(embeddings)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"),
+        graft.queries.Exact.davg(col("own")).as("mean_own_cos"),
+        graft.queries.Exact.davg(col("best_other")).as("mean_best_other_cos"),
+        graft.queries.Exact.davg(col("own") - col("best_other")).as("mean_margin"))
+
+  /** Per-member prototype cosines — the frame both [[clusterQuality]]
+    * (label-level aggregate) and the embedding outlier flags (per-member
+    * z-scores over `own`) read: (vec_id, label, own, best_other). */
+  def memberPrototypeCos(embeddings: DataFrame): DataFrame = {
     val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
     // the k×d centroid table is referenced twice (its norms and the dim
     // join) — land it driver-local once so the corpus-scanning centroid
@@ -381,13 +392,8 @@ object Similarity {
       .join(broadcast(cnorm), Seq("c_label"))
       .select(col("vec_id"), col("label"), col("c_label"),
         (col("dot") / (col("v_norm") * col("c_norm"))).as("cos"))
-    val perMember = cos.groupBy(col("vec_id"), col("label"))
+    cos.groupBy(col("vec_id"), col("label"))
       .agg(max(when(col("label") === col("c_label"), col("cos"))).as("own"),
         max(when(col("label") =!= col("c_label"), col("cos"))).as("best_other"))
-    perMember.groupBy(col("label"))
-      .agg(count(lit(1)).as("n_members"),
-        graft.queries.Exact.davg(col("own")).as("mean_own_cos"),
-        graft.queries.Exact.davg(col("best_other")).as("mean_best_other_cos"),
-        graft.queries.Exact.davg(col("own") - col("best_other")).as("mean_margin"))
   }
 }

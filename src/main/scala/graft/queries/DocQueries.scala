@@ -1902,7 +1902,10 @@ $sel
   private def clusterQualityQ(s: SparkSession, d: String): DataFrame =
     Similarity.clusterQuality(Tables.embeddings(s, d)).orderBy("label")
 
-  private val clusterQualitySql: String = s"""
+  /** Shared CTE body ending in `pm` = (vec_id, label, own, best_other) —
+    * the oracle twin of [[graft.ops.Similarity.memberPrototypeCos]];
+    * cluster_quality aggregates it, embedding_outliers z-scores it. */
+  private val prototypeCosCtes: String = s"""
     WITH dims AS (
       SELECT vec_id, label, u.dim AS dim, u.x AS x
       FROM (SELECT vec_id, label,
@@ -1933,12 +1936,46 @@ $sel
       SELECT vec_id, label,
              MAX(CASE WHEN label = c_label THEN cos END) AS own,
              MAX(CASE WHEN label <> c_label THEN cos END) AS best_other
-      FROM cosv GROUP BY 1, 2)
+      FROM cosv GROUP BY 1, 2)"""
+
+  private lazy val clusterQualitySql: String = s"""$prototypeCosCtes
     SELECT label, COUNT(*) AS n_members,
            ${Exact.sqlAvg("own")} AS mean_own_cos,
            ${Exact.sqlAvg("best_other")} AS mean_best_other_cos,
            ${Exact.sqlAvg("own - best_other")} AS mean_margin
     FROM pm GROUP BY label ORDER BY label"""
+
+  /** Embedding outlier flags — the SemDeDup-style pruning input: vectors
+    * far from their OWN label prototype are mislabel/noise candidates.
+    * Per-label z-scores of the own-prototype cosine via the generic
+    * [[graft.ops.Audit.groupZScoreOutliers]] (exact DECIMAL moments,
+    * clamped variance, degenerate groups z=0 — the length_outliers
+    * discipline applied to the [[graft.ops.Similarity.memberPrototypeCos]]
+    * frame). The |labels|-row moment table broadcasts back; members never
+    * shuffle twice. */
+  private def embeddingOutliers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Audit.groupZScoreOutliers(
+        Similarity.memberPrototypeCos(Tables.embeddings(s, d))
+          .select($"vec_id", $"label", $"own"),
+        col("label"), col("own"))
+      .select($"vec_id", $"label", $"own", $"z", $"is_outlier")
+      .orderBy($"vec_id")
+  }
+
+  private lazy val embeddingOutliersSql: String = s"""$prototypeCosCtes,
+    m AS (SELECT label, COUNT(*) AS n,
+            CAST(SUM(CAST(own AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(own * own AS DECIMAL(38,6))) AS DOUBLE) AS sx2
+          FROM pm GROUP BY label),
+    st AS (SELECT label, sx / n AS mean,
+             sqrt(greatest(sx2 / n - (sx / n) * (sx / n), 0.0)) AS std
+           FROM m),
+    zz AS (SELECT vec_id, pm.label, own,
+             CASE WHEN std = 0.0 THEN 0.0 ELSE (own - mean) / std END AS z
+           FROM pm JOIN st ON pm.label = st.label)
+    SELECT vec_id, label, own, z, abs(z) > 2.0 AS is_outlier
+    FROM zz ORDER BY vec_id"""
 
   /** Character-diversity signal (see [[graft.ops.TextAnalysis.charGini]]):
     * Gini impurity of each doc's character distribution + top-char share —
@@ -1959,7 +1996,55 @@ $sel
            CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_char_ratio
     FROM cnt GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Per-source characteristic keywords via class-based TF-IDF (the
+    * BERTopic c-TF-IDF idea at source granularity): terms counted per
+    * source, document-frequency counted ACROSS sources, score =
+    * tf·|sources|/df — corpus-wide boilerplate (df = all sources) scores
+    * low, source-specific vocabulary scores high. Pure rational
+    * arithmetic (one exact long product, one IEEE division). The term
+    * stats are one shuffle on (source, term); the top-5 window runs over
+    * the vocab-sized aggregate, never the corpus. The "what is this crawl
+    * actually full of" dashboard behind domain_balance decisions. */
+  private def sourceKeywords(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tf = Tables.documents(s, d)
+      .select($"source", explode(TextAnalysis.tokens($"text")).as("term"))
+      .groupBy($"source", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val nsrc = Tables.documents(s, d)
+      .agg(countDistinct($"source").as("nsrc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"score".desc, $"term".asc)
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(nsrc))
+      .select($"source", $"term", $"tf", $"df",
+        (($"tf" * $"nsrc").cast("double") / $"df").as("score"))
+      .select($"source", $"term", $"tf", $"df", $"score",
+        row_number().over(w).as("rank"))
+      .filter($"rank" <= 5)
+      .select($"source", $"rank", $"term", $"tf", $"df", $"score")
+      .orderBy($"source", $"rank")
+  }
+
+  private val sourceKeywordsSql: String = """
+    WITH t AS (SELECT source, unnest(string_split(lower(trim(text)), ' ')) AS term
+               FROM documents),
+    tf AS (SELECT source, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    ns AS (SELECT COUNT(DISTINCT source) AS nsrc FROM documents),
+    sc AS (SELECT source, term, tf, df,
+             CAST(tf * nsrc AS DOUBLE) / df AS score
+           FROM tf JOIN df USING (term) CROSS JOIN ns),
+    r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY score DESC, term ASC) AS rank
+          FROM sc)
+    SELECT source, CAST(rank AS INT) AS rank, term,
+           CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+    FROM r WHERE rank <= 5 ORDER BY source, rank"""
+
   val registry: Seq[Q] = Seq(
+    Q("embedding_outliers", embeddingOutliers, Some(embeddingOutliersSql)),
+    Q("source_keywords", sourceKeywords, Some(sourceKeywordsSql)),
     Q("char_gini", charGiniQ, Some(charGiniSql)),
     Q("doc_chunking", docChunking, Some(docChunkingSql)),
     Q("ccnet_perplexity_buckets", ccnetPerplexityBuckets, Some(ccnetPerplexityBucketsSql)),

@@ -50,7 +50,8 @@ class PlanAuditSpec extends SparkSpec {
             "sliding_active_users", "hybrid_rrf", "skew_report",
             "knn_ivf_partial", "ann_recall", "ivf_recall",
             "lm_bigram_score", "rfm_segments", "knn_classify_eval",
-            "semi_additive_balance", "ccnet_perplexity_buckets")(p._1))
+            "semi_additive_balance", "ccnet_perplexity_buckets",
+            "source_keywords")(p._1))
       .foreach { case (name, p) =>
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
       }

@@ -489,6 +489,26 @@ class SimilaritySpec extends SparkSpec {
     assert(!out(3)._4 && !out(3)._5)
   }
 
+  test("embedding outliers: a planted off-cluster member is the one flagged row") {
+    // five tight vectors on the x-axis plus one orthogonal stray, all
+    // under ONE label: the stray's own-prototype cosine is far below the
+    // group mean → most negative z, and the only |z| > 2
+    val data = (1L to 5L).map(i =>
+        (i, 0, Array(1.0f, (i * 0.01).toFloat, 0f))) :+
+      (6L, 0, Array(0f, 0f, 1.0f))
+    val out = graft.ops.Audit.groupZScoreOutliers(
+        graft.ops.Similarity.memberPrototypeCos(data.toDF("vec_id", "label", "embedding"))
+          .select($"vec_id", $"label", $"own"),
+        org.apache.spark.sql.functions.col("label"),
+        org.apache.spark.sql.functions.col("own"))
+      .select($"vec_id", $"z", $"is_outlier")
+      .as[(Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(out.length === 6)
+    val flagged = out.filter(_._3).map(_._1).toSeq
+    assert(flagged === Seq(6L), s"expected only the stray flagged: $out")
+    assert(out.minBy(_._2)._1 === 6L)
+  }
+
   test("clusterQuality separates tight clusters from a mislabeled one") {
     // labels 0/1 along orthogonal axes → coherent (own ≈ 1, margin > 0);
     // label 2 mixes both axes → its members sit closer to a foreign

@@ -306,6 +306,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d1.getAs[Double]("avg_p") > out(2).getAs[Double]("avg_p"))
   }
 
+  test("source_keywords: 5 ranked rows per source, scores exact and non-increasing") {
+    val out = SparkEntry.queries("source_keywords")(spark, sf)
+      .select($"source", $"rank", $"tf", $"df", $"score")
+      .as[(String, Int, Long, Long, Double)].collect()
+    val nsrc = graft.sources.Tables.documents(spark, sf)
+      .select($"source").distinct().count()
+    out.groupBy(_._1).values.foreach { src =>
+      assert(src.map(_._2).sorted.toSeq === (1 to src.length).toSeq)
+      assert(src.length <= 5)
+      val byRank = src.sortBy(_._2)
+      byRank.toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a._5 >= b._5, "scores must not increase with rank")
+        case _         =>
+      }
+    }
+    // the score is the exact rational tf·|sources|/df, not an approximation
+    out.foreach { r =>
+      assert(r._5 === (r._3 * nsrc).toDouble / r._4)
+    }
+  }
+
   test("charGini: uniform text scores high, single-char floods score zero, empty text absent") {
     val docs = Seq(
       (1L, "aaaa"),         // one char: gini 0, top share 1
