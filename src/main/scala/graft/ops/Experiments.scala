@@ -61,8 +61,15 @@ object Experiments {
           (col("n_b") - 1)).as("var_b"))
       .select(col("key"), col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
         (col("mean_b") - col("mean_a")).as("diff"),
-        ((col("mean_b") - col("mean_a")) /
-          sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b"))).as("z"),
+        // degenerate variance (constant metric in both arms) → z = 0, not
+        // 0/0 = NaN — the groupZScoreOutliers std=0 convention; fp
+        // cancellation can also leave var microscopically NEGATIVE, so
+        // clamp the standard error at 0 before the division test
+        when(greatest(col("var_a") / col("n_a") + col("var_b") / col("n_b"),
+          lit(0.0)) === 0.0, lit(0.0))
+          .otherwise((col("mean_b") - col("mean_a")) /
+            sqrt(greatest(col("var_a") / col("n_a") + col("var_b") / col("n_b"),
+              lit(0.0)))).as("z"),
         (((col("n_a") - col("n_b")) * (col("n_a") - col("n_b"))).cast("double") /
           (col("n_a") + col("n_b"))).as("srm_chi2"))
 }

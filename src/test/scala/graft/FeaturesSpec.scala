@@ -177,6 +177,18 @@ class FeaturesSpec extends SparkSpec {
     assert(p2 === p0)
   }
 
+  test("zFromMoments: constant metric in both arms gives z = 0, never NaN") {
+    val events = Seq(
+      ("exp", 0, 5.0), ("exp", 0, 5.0), ("exp", 1, 5.0), ("exp", 1, 5.0)
+    ).toDF("key", "arm", "value")
+    val r = graft.ops.Experiments.zFromMoments(
+      graft.ops.Experiments.armMoments(events)).collect().head
+    assert(r.getAs[Double]("diff") === 0.0)
+    assert(r.getAs[Double]("z") === 0.0)
+    assert(!r.getAs[Double]("z").isNaN)
+    assert(r.getAs[Double]("srm_chi2") === 0.0)
+  }
+
   test("streaming A/B monitor: served z EXACTLY equals the batch operator; replay re-appends") {
     import java.nio.file.Files
     val ev = graft.sources.Tables.events(spark, sf)
