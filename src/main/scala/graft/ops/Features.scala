@@ -102,8 +102,14 @@ object Features {
     */
   def dayPartials(events: DataFrame): DataFrame =
     events
-      .groupBy(col("k"), expr("t_us div 86400000000L").as("day"),
-        (col("t_us") % 86400000000L === 0).as("at_midnight"))
+      // FLOOR day index, not `div`: div truncates toward zero, so a
+      // pre-epoch t = -1µs would land in day 0 instead of day -1 and
+      // break serveFeatures' age correspondence with decayWeighted
+      // (whose elapsed-age domain is non-negative after its as-of
+      // filter). (t - pmod(t, d)) / d is exact integer floor division.
+      .groupBy(col("k"),
+        expr("(t_us - pmod(t_us, 86400000000L)) div 86400000000L").as("day"),
+        (pmod(col("t_us"), lit(86400000000L)) === 0).as("at_midnight"))
       .agg(count(lit(1)).as("n"), sum(col("value").cast(D)).as("sum_value"),
         max(col("t_us")).as("max_t"))
 
@@ -163,6 +169,7 @@ object Features {
     * points: (key, t, id) → (key, peak_concurrency, first_peak_us)
     */
   def peakConcurrency(points: DataFrame, durUs: Long): DataFrame = {
+    require(durUs > 0, s"interval duration must be positive, got $durUs")
     val e = points.select(col("key"), col("t"), col("id"))
     val pts = e.select(col("key"), col("t"), lit(1).as("delta"), col("id"))
       .unionAll(e.select(col("key"), (col("t") + durUs).as("t"),

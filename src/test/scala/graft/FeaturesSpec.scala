@@ -177,6 +177,33 @@ class FeaturesSpec extends SparkSpec {
     assert(p2 === p0)
   }
 
+  test("dayPartials floors pre-epoch timestamps into the correct day bucket") {
+    val day = 86400000000L
+    val events = Seq(
+      (1L, -1L, 1.0),        // 1µs before epoch → day -1, not day 0
+      (1L, -day, 2.0),       // exactly midnight of day -1
+      (1L, 0L, 4.0)          // epoch midnight → day 0
+    ).toDF("k", "t_us", "value")
+    val got = graft.ops.Features.dayPartials(events)
+      .select($"day", $"at_midnight", $"n")
+      .as[(Long, Boolean, Long)].collect().toSet
+    assert(got === Set((-1L, false, 1L), (-1L, true, 1L), (0L, true, 1L)))
+  }
+
+  test("decayWeighted: null-valued events count as events but add no value") {
+    val day = 86400000000L
+    val events = Seq(
+      (1L, day - 1, Some(2.0)), (1L, day - 2, None)
+    ).toDF("k", "t_us", "value")
+    val r = graft.ops.Features.decayWeighted(events, asofUs = day).collect().head
+    // the event HAPPENED (activity count) even if its metric is missing;
+    // sums treat a missing metric as contributing nothing — pinned so a
+    // refactor can't silently flip either half of that contract
+    assert(r.getAs[Long]("n_events") === 2L)
+    assert(r.getAs[Double]("sum_value") === 2.0)
+    assert(r.getAs[Double]("decayed_value") === 2.0)
+  }
+
   test("zFromMoments: constant metric in both arms gives z = 0, never NaN") {
     val events = Seq(
       ("exp", 0, 5.0), ("exp", 0, 5.0), ("exp", 1, 5.0), ("exp", 1, 5.0)
