@@ -394,7 +394,67 @@ object EventQueries {
            CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b) AS srm_chi2
     FROM v ORDER BY event_type"""
 
+  /** Activity heatmap: event volume and exact value by (ISO weekday,
+    * hour-of-day) — the 7×24 usage-profile dashboard. Weekday convention
+    * pinned to ISO (Monday=1) explicitly: Spark's dayofweek() counts
+    * Sunday=1 while DuckDB's counts Sunday=0 — a silent off-by-one across
+    * engines — so BOTH sides compute the ISO number (weekday()+1 here,
+    * isodow() there). One scan, one 168-key shuffle, map-side partials. */
+  private def eventsHeatmap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select((expr("weekday(ts)") + 1).as("iso_dow"), hour($"ts").as("hr"),
+        $"value")
+      .groupBy($"iso_dow", $"hr")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .orderBy($"iso_dow", $"hr")
+  }
+
+  private val eventsHeatmapSql: String = s"""
+    SELECT CAST(isodow(ts) AS INT) AS iso_dow, CAST(hour(ts) AS INT) AS hr,
+           COUNT(*) AS n_events, ${sqlSum("value")} AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** New-vs-returning daily actives — the product-analytics split every
+    * growth dashboard leads with: per day, distinct users seen for the
+    * FIRST time that day vs users seen before. The fact reduces to
+    * distinct (user, day) FIRST (map-side dedup), the first-seen day is
+    * one min() window over that user-keyed frame — no self-join against
+    * the full history, no per-day scans; the sliding_active_users
+    * reduction discipline. */
+  private def newVsReturning(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val userDays = Tables.events(s, d)
+      .select($"user_id", expr("unix_micros(ts) div 86400000000L").as("day"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+    userDays
+      .select($"user_id", $"day", min($"day").over(w).as("first_day"))
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when($"day" === $"first_day", 1L).otherwise(0L)).as("n_new"))
+      .select($"day", $"n_active", $"n_new",
+        ($"n_active" - $"n_new").as("n_returning"))
+      .orderBy($"day")
+  }
+
+  private val newVsReturningSql: String = """
+    WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events),
+    f AS (
+      SELECT user_id, day, MIN(day) OVER (PARTITION BY user_id) AS first_day
+      FROM ud)
+    SELECT day, COUNT(*) AS n_active,
+           CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(COUNT(*) - SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returning
+    FROM f GROUP BY day ORDER BY day"""
+
   val registry: Seq[Q] = Seq(
+    Q("events_heatmap", eventsHeatmap, Some(eventsHeatmapSql)),
+    Q("new_vs_returning", newVsReturning, Some(newVsReturningSql)),
     Q("ab_test_zscore", abTestZscore, Some(abTestZscoreSql)),
     Q("events_windowed", eventsWindowed, Some(eventsWindowedSql)),
     Q("events_sliding_windows", eventsSliding, Some(eventsSlidingSql)),

@@ -99,6 +99,28 @@ class EventsSpec extends SparkSpec {
     assert(out === Set((h10, 2L, 3.0), (h11, 1L, 4.0)))
   }
 
+  test("events_heatmap covers the event count exactly with ISO cells") {
+    val rows = SparkEntry.queries("events_heatmap")(spark, sf)
+      .select($"iso_dow", $"hr", $"n_events").as[(Int, Int, Long)].collect()
+    assert(rows.forall(r => r._1 >= 1 && r._1 <= 7 && r._2 >= 0 && r._2 <= 23))
+    assert(rows.map(_._3).sum ===
+      graft.sources.Tables.events(spark, sf).count())
+    // no duplicate cells
+    assert(rows.map(r => (r._1, r._2)).distinct.length === rows.length)
+  }
+
+  test("new_vs_returning: every user is new exactly once, splits add up") {
+    val rows = SparkEntry.queries("new_vs_returning")(spark, sf)
+      .select($"day", $"n_active", $"n_new", $"n_returning")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.forall(r => r._2 === r._3 + r._4))
+    assert(rows.map(_._3).sum ===
+      graft.sources.Tables.events(spark, sf)
+        .select($"user_id").distinct().count())
+    // the first observed day has no history: everyone is new
+    assert(rows.head._4 === 0L)
+  }
+
   test("ab_test_zscore: arms partition each type, identities hold exactly") {
     val rows = SparkEntry.queries("ab_test_zscore")(spark, sf).collect()
     assert(rows.nonEmpty)
