@@ -1409,7 +1409,62 @@ object Analytics {
     FROM filled WHERE balance IS NOT NULL
     GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
 
+  /** Market-basket association at brand granularity: for brand pairs
+    * co-purchased in the same order, support and LIFT
+    * (P(a,b)/(P(a)·P(b)) — >1 means genuinely bought together, not just
+    * both popular). The basket first reduces to DISTINCT (order, brand) —
+    * pair fan-out is then bounded by the small brand count per order,
+    * never the lineitem count, and the self-join runs on the orderkey
+    * both sides are clustered by. Counts are exact longs; lift/support
+    * are single IEEE divisions of exact products. The min-support cut
+    * (≥5 orders) is part of the operator: below it, lift is noise. */
+  def basketLift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ob = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("ok"), $"p_brand".as("brand"))
+      .distinct()
+    val nOrders = ob.select($"ok").distinct().agg(count(lit(1)).as("n_orders"))
+    val brandN = ob.groupBy($"brand").agg(count(lit(1)).as("bn"))
+    val pairs = ob.as("a")
+      .join(ob.as("b"), $"a.ok" === $"b.ok" && $"a.brand" < $"b.brand")
+      .groupBy($"a.brand".as("brand_a"), $"b.brand".as("brand_b"))
+      .agg(count(lit(1)).as("pair_n"))
+      .filter($"pair_n" >= 5)
+    pairs
+      .join(broadcast(brandN.select($"brand".as("brand_a"), $"bn".as("na"))),
+        Seq("brand_a"))
+      .join(broadcast(brandN.select($"brand".as("brand_b"), $"bn".as("nb"))),
+        Seq("brand_b"))
+      .crossJoin(broadcast(nOrders))
+      .select($"brand_a", $"brand_b", $"pair_n",
+        ($"pair_n".cast("double") / $"n_orders").as("support"),
+        (($"pair_n" * $"n_orders").cast("double") / ($"na" * $"nb"))
+          .as("lift"))
+      .orderBy($"brand_a", $"brand_b")
+  }
+
+  val basketLiftSql: String = """
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM ob),
+    bn AS (SELECT brand, COUNT(*) AS bn FROM ob GROUP BY brand),
+    p AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS pair_n
+      FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+    SELECT brand_a, brand_b, CAST(pair_n AS BIGINT) AS pair_n,
+           CAST(pair_n AS DOUBLE) / n_orders AS support,
+           CAST(pair_n * n_orders AS DOUBLE) / (na.bn * nb.bn) AS lift
+    FROM p
+    JOIN bn na ON p.brand_a = na.brand
+    JOIN bn nb ON p.brand_b = nb.brand
+    CROSS JOIN n
+    ORDER BY brand_a, brand_b"""
+
   val registry: Seq[Q] = Seq(
+    Q("basket_lift", basketLift, Some(basketLiftSql)),
     Q("semi_additive_balance", semiAdditiveBalance, Some(semiAdditiveBalanceSql)),
     Q("grouping_sets_sales", groupingSetsSales, Some(groupingSetsSalesSql)),
     Q("exact_median", exactMedian, Some(exactMedianSql)),

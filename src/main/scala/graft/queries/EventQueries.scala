@@ -452,7 +452,111 @@ object EventQueries {
                 AS BIGINT) AS n_returning
     FROM f GROUP BY day ORDER BY day"""
 
+  /** OHLC bars per (event type, hour): open/close = the value of the
+    * chronologically first/last event — selected by lexicographic
+    * struct-min/max over (t, event_id, value), ONE aggregation pass, ties
+    * pinned by event_id — plus high/low/volume/exact sum. The oracle
+    * selects the same rows via row_number windows: two formulations, one
+    * deterministic answer (first/last are well-defined because the order
+    * key is unique). The time-series bar aggregation every monitoring
+    * store needs; map-side partial, one (type, hour) shuffle. */
+  private def eventsOhlc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hourUs = 3600000000L
+    Tables.events(s, d)
+      .select($"event_type", unix_micros($"ts").as("t"), $"event_id", $"value")
+      .select($"event_type", expr(s"(t - pmod(t, ${hourUs}L)) div ${hourUs}L").as("hour_idx"),
+        $"t", $"event_id", $"value")
+      .groupBy($"event_type", $"hour_idx")
+      .agg(
+        min(struct($"t", $"event_id", $"value")).as("o"),
+        max(struct($"t", $"event_id", $"value")).as("c"),
+        max($"value").as("high"), min($"value").as("low"),
+        count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .select($"event_type", $"hour_idx", $"o.value".as("open"),
+        $"high", $"low", $"c.value".as("close"), $"n_events", $"sum_value")
+      .orderBy($"event_type", $"hour_idx")
+  }
+
+  private val eventsOhlcSql: String = s"""
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS t, event_id, value,
+             epoch_us(ts) // 3600000000 AS hour_idx
+      FROM events),
+    r AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY event_type, hour_idx
+                           ORDER BY t ASC, event_id ASC) AS ra,
+        row_number() OVER (PARTITION BY event_type, hour_idx
+                           ORDER BY t DESC, event_id DESC) AS rd
+      FROM e)
+    SELECT event_type, hour_idx,
+           MAX(CASE WHEN ra = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MAX(CASE WHEN rd = 1 THEN value END) AS close,
+           COUNT(*) AS n_events, ${sqlSum("value")} AS sum_value
+    FROM r GROUP BY event_type, hour_idx
+    ORDER BY event_type, hour_idx"""
+
+  /** Weekly growth accounting — the new/retained/resurrected/churned
+    * decomposition (active(w) = new + retained + resurrected;
+    * churned(w) = active(w-1) − retained(w)): the fact reduces to
+    * distinct (user, week) FIRST, then ONE lag window over that
+    * user-keyed frame classifies every active row; churn falls out of
+    * the week totals by subtraction — no per-week scans, no history
+    * self-join. Pure integer arithmetic. */
+  private def userLifecycle(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val weekUs = 7L * 86400000000L
+    val uw = Tables.events(s, d)
+      .select($"user_id",
+        expr(s"(unix_micros(ts) - pmod(unix_micros(ts), ${weekUs}L)) div ${weekUs}L")
+          .as("week"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"week")
+    val classified = uw
+      .select($"user_id", $"week", lag($"week", 1).over(w).as("prev_week"))
+      .groupBy($"week")
+      .agg(
+        sum(when($"prev_week".isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when($"week" === $"prev_week" + 1, 1L).otherwise(0L)).as("n_retained"),
+        sum(when($"prev_week".isNotNull && $"week" > $"prev_week" + 1, 1L)
+          .otherwise(0L)).as("n_resurrected"),
+        count(lit(1)).as("n_active"))
+    val wk = org.apache.spark.sql.expressions.Window.orderBy($"week")
+    classified
+      .select($"week", $"n_active", $"n_new", $"n_retained", $"n_resurrected",
+        (coalesce(lag($"n_active", 1).over(wk), lit(0L)) - $"n_retained")
+          .as("n_churned"))
+      .orderBy($"week")
+  }
+
+  private val userLifecycleSql: String = """
+    WITH uw AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+      FROM events),
+    c AS (
+      SELECT week,
+        CAST(SUM(CASE WHEN prev_week IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_new,
+        CAST(SUM(CASE WHEN week = prev_week + 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_retained,
+        CAST(SUM(CASE WHEN prev_week IS NOT NULL AND week > prev_week + 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+        COUNT(*) AS n_active
+      FROM (SELECT user_id, week,
+              lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week
+            FROM uw)
+      GROUP BY week)
+    SELECT week, n_active, n_new, n_retained, n_resurrected,
+           CAST(COALESCE(lag(n_active) OVER (ORDER BY week), 0) - n_retained
+                AS BIGINT) AS n_churned
+    FROM c ORDER BY week"""
+
   val registry: Seq[Q] = Seq(
+    Q("events_ohlc", eventsOhlc, Some(eventsOhlcSql)),
+    Q("user_lifecycle", userLifecycle, Some(userLifecycleSql)),
     Q("events_heatmap", eventsHeatmap, Some(eventsHeatmapSql)),
     Q("new_vs_returning", newVsReturning, Some(newVsReturningSql)),
     Q("ab_test_zscore", abTestZscore, Some(abTestZscoreSql)),

@@ -99,6 +99,36 @@ class EventsSpec extends SparkSpec {
     assert(out === Set((h10, 2L, 3.0), (h11, 1L, 4.0)))
   }
 
+  test("events_ohlc bars: low <= open/close <= high, volumes cover the stream") {
+    val rows = SparkEntry.queries("events_ohlc")(spark, sf)
+      .select($"open", $"high", $"low", $"close", $"n_events")
+      .as[(Double, Double, Double, Double, Long)].collect()
+    rows.foreach { case (o, h, l, c, n) =>
+      assert(l <= o && o <= h, s"open $o outside [$l, $h]")
+      assert(l <= c && c <= h, s"close $c outside [$l, $h]")
+      assert(n >= 1)
+    }
+    assert(rows.map(_._5).sum === graft.sources.Tables.events(spark, sf).count())
+  }
+
+  test("user_lifecycle: growth accounting identities hold every week") {
+    val rows = SparkEntry.queries("user_lifecycle")(spark, sf)
+      .select($"week", $"n_active", $"n_new", $"n_retained",
+        $"n_resurrected", $"n_churned")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    rows.foreach { case (_, act, nw, ret, res, _) =>
+      assert(act === nw + ret + res, "active must decompose exactly")
+    }
+    // churned(w) = active(w-1) - retained(w); first week churns nobody
+    assert(rows.head._6 === 0L)
+    rows.toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(b._6 === a._2 - b._4)
+      case _         =>
+    }
+    assert(rows.map(_._3).sum ===
+      graft.sources.Tables.events(spark, sf).select($"user_id").distinct().count())
+  }
+
   test("events_heatmap covers the event count exactly with ISO cells") {
     val rows = SparkEntry.queries("events_heatmap")(spark, sf)
       .select($"iso_dow", $"hr", $"n_events").as[(Int, Int, Long)].collect()

@@ -51,7 +51,7 @@ class PlanAuditSpec extends SparkSpec {
             "knn_ivf_partial", "ann_recall", "ivf_recall",
             "lm_bigram_score", "rfm_segments", "knn_classify_eval",
             "semi_additive_balance", "ccnet_perplexity_buckets",
-            "source_keywords")(p._1))
+            "source_keywords", "basket_lift")(p._1))
       .foreach { case (name, p) =>
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
       }

@@ -79,6 +79,26 @@ class ReportOpsSpec extends SparkSpec {
       s"${r.getAs[Int]("r_tile")}-${r.getAs[Int]("f_tile")}-${r.getAs[Int]("m_tile")}"))
   }
 
+  test("basket_lift: ordered pairs above min-support, exact rational lift") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("basket_lift")(spark, sf)
+      .select($"brand_a", $"brand_b", $"pair_n", $"support", $"lift")
+      .as[(String, String, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    val ob = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.part(spark, sf), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"p_brand").distinct()
+    val nOrders = ob.select($"l_orderkey").distinct().count()
+    val brandN = ob.groupBy($"p_brand").count()
+      .as[(String, Long)].collect().toMap
+    rows.foreach { case (a, b, pn, sup, lift) =>
+      assert(a < b, "pairs must be canonically ordered")
+      assert(pn >= 5, "min-support cut")
+      assert(sup === pn.toDouble / nOrders)
+      assert(lift === (pn * nOrders).toDouble / (brandN(a) * brandN(b)))
+    }
+  }
+
   test("semi-additive balance: actives never shrink, last month covers every buyer") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("semi_additive_balance")(spark, sf)
