@@ -1463,7 +1463,87 @@ object Analytics {
     CROSS JOIN n
     ORDER BY brand_a, brand_b"""
 
+  /** Cohort LTV triangle: customers grouped by FIRST-order month, each
+    * cohort's exact cumulative revenue tracked by months-since-first —
+    * the "how much is a cohort worth after N months" table subscription
+    * and retail teams steer by. First-order month is one min() window
+    * over the order frame (no self-join); the cumulative sum is a window
+    * over the |cohorts|×|offsets| aggregate, never the fact. Revenue
+    * accumulates in DECIMAL(38,6); month math is pure integers. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
+    val o = Tables.orders(spark, dir).select($"o_custkey",
+      (year($"o_orderdate") * 12 + month($"o_orderdate") - 1).as("mi"),
+      $"o_totalprice")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"o_custkey")
+    val cohorted = o.select($"o_custkey", $"mi", $"o_totalprice",
+      min($"mi").over(w).as("cohort_mi"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cohort_mi").orderBy($"month_offset")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    cohorted
+      .groupBy($"cohort_mi", ($"mi" - $"cohort_mi").as("month_offset"))
+      .agg(countDistinct($"o_custkey").as("n_customers"),
+        sum($"o_totalprice".cast(dec)).as("rev"))
+      .select($"cohort_mi", $"month_offset", $"n_customers",
+        $"rev".cast("double").as("revenue"),
+        sum($"rev").over(wCum).cast("double").as("cum_revenue"))
+      .orderBy($"cohort_mi", $"month_offset")
+  }
+
+  val cohortLtvSql: String = """
+    WITH o AS (
+      SELECT o_custkey, year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mi,
+             o_totalprice,
+             MIN(year(o_orderdate) * 12 + month(o_orderdate) - 1)
+               OVER (PARTITION BY o_custkey) AS cohort_mi
+      FROM orders),
+    g AS (
+      SELECT cohort_mi, mi - cohort_mi AS month_offset,
+             COUNT(DISTINCT o_custkey) AS n_customers,
+             SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+      FROM o GROUP BY 1, 2)
+    SELECT cohort_mi, month_offset, CAST(n_customers AS BIGINT) AS n_customers,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(SUM(rev) OVER (PARTITION BY cohort_mi ORDER BY month_offset
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             AS cum_revenue
+    FROM g ORDER BY cohort_mi, month_offset"""
+
+  /** Discount-response profile: per discount band, volume, exact average
+    * quantity, and revenue — the "does discounting move units" read-out
+    * (TPC-H Q6's domain, aggregated instead of filtered). Bands are
+    * integer percent floors (pure integer math both engines); averages
+    * come from DECIMAL sums. One scan, one tiny-key shuffle.
+    *
+    * round(), deliberately not floor(): discounts are 2-decimal values
+    * whose IEEE double image sits a few ulps off the integer percent
+    * (0.06*100 computes BELOW 6.0), so floor would mislabel bands;
+    * round lands every near-integer on the intended band and its
+    * HALF_UP-vs-half-even difference never engages off the .5 tie. */
+  def discountEffect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select(round($"l_discount" * 100).cast("int").as("discount_pct"),
+        $"l_quantity", $"l_extendedprice", $"l_discount")
+      .groupBy($"discount_pct")
+      .agg(count(lit(1)).as("n_lines"),
+        davg($"l_quantity").as("avg_qty"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("net_revenue"))
+      .orderBy($"discount_pct")
+  }
+
+  val discountEffectSql: String = s"""
+    SELECT CAST(round(l_discount * 100) AS INT) AS discount_pct,
+           COUNT(*) AS n_lines,
+           ${sqlAvg("l_quantity")} AS avg_qty,
+           ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS net_revenue
+    FROM lineitem GROUP BY 1 ORDER BY 1"""
+
   val registry: Seq[Q] = Seq(
+    Q("cohort_ltv", cohortLtv, Some(cohortLtvSql)),
+    Q("discount_effect", discountEffect, Some(discountEffectSql)),
     Q("basket_lift", basketLift, Some(basketLiftSql)),
     Q("semi_additive_balance", semiAdditiveBalance, Some(semiAdditiveBalanceSql)),
     Q("grouping_sets_sales", groupingSetsSales, Some(groupingSetsSalesSql)),

@@ -79,6 +79,35 @@ class ReportOpsSpec extends SparkSpec {
       s"${r.getAs[Int]("r_tile")}-${r.getAs[Int]("f_tile")}-${r.getAs[Int]("m_tile")}"))
   }
 
+  test("cohort_ltv: every cohort starts at offset 0, cumulative revenue never falls") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("cohort_ltv")(spark, sf)
+      .select($"cohort_mi", $"month_offset", $"revenue", $"cum_revenue")
+      .as[(Int, Int, Double, Double)].collect()
+    rows.groupBy(_._1).values.foreach { cohort =>
+      val sorted = cohort.sortBy(_._2)
+      assert(sorted.head._2 === 0, "a cohort exists because someone ordered in month 0")
+      sorted.toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(b._4 >= a._4, "LTV is cumulative")
+        case _         =>
+      }
+    }
+    // the triangle partitions total revenue exactly (decimal sums)
+    val total = graft.sources.Tables.orders(spark, sf)
+      .agg(sum($"o_totalprice"
+        .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6))))
+      .head().getDecimal(0).doubleValue()
+    assert(math.abs(rows.map(_._3).sum - total) < 1e-3)
+  }
+
+  test("discount_effect: bands cover every lineitem with plausible percents") {
+    val rows = SparkEntry.queries("discount_effect")(spark, sf)
+      .select($"discount_pct", $"n_lines").as[(Int, Long)].collect()
+    assert(rows.forall(r => r._1 >= 0 && r._1 <= 50))
+    assert(rows.map(_._2).sum ===
+      graft.sources.Tables.lineitem(spark, sf).count())
+  }
+
   test("basket_lift: ordered pairs above min-support, exact rational lift") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("basket_lift")(spark, sf)
