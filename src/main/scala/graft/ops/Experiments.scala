@@ -63,13 +63,19 @@ object Experiments {
         (col("mean_b") - col("mean_a")).as("diff"),
         // degenerate variance (constant metric in both arms) → z = 0, not
         // 0/0 = NaN — the groupZScoreOutliers std=0 convention; fp
-        // cancellation can also leave var microscopically NEGATIVE, so
-        // clamp the standard error at 0 before the division test
-        when(greatest(col("var_a") / col("n_a") + col("var_b") / col("n_b"),
-          lit(0.0)) === 0.0, lit(0.0))
+        // cancellation can also leave var microscopically NEGATIVE (the
+        // <= 0 arm). The null test comes FIRST and explicitly: a
+        // one-armed key has a NULL standard error and must surface as a
+        // NULL z, not a fake 0 verdict — greatest() SKIPS nulls in both
+        // engines, so a greatest()-based clamp would silently convert
+        // "no control arm" into "no effect" (caught by FeaturesSpec).
+        when((col("var_a") / col("n_a") + col("var_b") / col("n_b")).isNull,
+          lit(null).cast("double"))
+          .when(col("var_a") / col("n_a") + col("var_b") / col("n_b") <= 0.0,
+            lit(0.0))
           .otherwise((col("mean_b") - col("mean_a")) /
-            sqrt(greatest(col("var_a") / col("n_a") + col("var_b") / col("n_b"),
-              lit(0.0)))).as("z"),
+            sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")))
+          .as("z"),
         (((col("n_a") - col("n_b")) * (col("n_a") - col("n_b"))).cast("double") /
           (col("n_a") + col("n_b"))).as("srm_chi2"))
 }

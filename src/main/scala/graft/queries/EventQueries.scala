@@ -388,9 +388,10 @@ object EventQueries {
       FROM g)
     SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
            mean_a, mean_b, mean_b - mean_a AS diff,
-           CASE WHEN greatest(var_a / n_a + var_b / n_b, 0.0) = 0.0 THEN 0.0
+           CASE WHEN (var_a / n_a + var_b / n_b) IS NULL THEN NULL
+                WHEN var_a / n_a + var_b / n_b <= 0.0 THEN 0.0
                 ELSE (mean_b - mean_a)
-                     / sqrt(greatest(var_a / n_a + var_b / n_b, 0.0)) END AS z,
+                     / sqrt(var_a / n_a + var_b / n_b) END AS z,
            CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b) AS srm_chi2
     FROM v ORDER BY event_type"""
 

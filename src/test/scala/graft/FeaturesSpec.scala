@@ -204,6 +204,21 @@ class FeaturesSpec extends SparkSpec {
     assert(r.getAs[Double]("decayed_value") === 2.0)
   }
 
+  test("zFromMoments: a one-armed key yields null counts/z, not a crash or a fake verdict") {
+    // an experiment key where assignment broke and ONLY arm 0 ever fired:
+    // the read-out must surface the absence (nulls) rather than invent a
+    // z — the SRM/absence check is the caller's gate, and a fabricated
+    // number here would defeat it
+    val events = Seq(("exp", 0, 1.0), ("exp", 0, 3.0)).toDF("key", "arm", "value")
+    val r = graft.ops.Experiments.zFromMoments(
+      graft.ops.Experiments.armMoments(events)).collect().head
+    assert(r.getAs[Long]("n_a") === 2L)
+    assert(r.isNullAt(r.fieldIndex("n_b")))
+    assert(r.getAs[Double]("mean_a") === 2.0)
+    assert(r.isNullAt(r.fieldIndex("mean_b")))
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
+
   test("zFromMoments: constant metric in both arms gives z = 0, never NaN") {
     val events = Seq(
       ("exp", 0, 5.0), ("exp", 0, 5.0), ("exp", 1, 5.0), ("exp", 1, 5.0)
