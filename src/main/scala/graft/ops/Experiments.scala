@@ -55,10 +55,17 @@ object Experiments {
       .select(col("key"), col("n_a"), col("n_b"),
         (col("s_a") / col("n_a")).as("mean_a"),
         (col("s_b") / col("n_b")).as("mean_b"),
-        ((col("q_a") - col("s_a") * col("s_a") / col("n_a")) /
-          (col("n_a") - 1)).as("var_a"),
-        ((col("q_b") - col("s_b") * col("s_b") / col("n_b")) /
-          (col("n_b") - 1)).as("var_b"))
+        // n <= 1 → variance undefined. The explicit gate matters
+        // cross-engine: Spark's non-ANSI x/0 is NULL, but DuckDB's IEEE
+        // division yields Inf/NaN, so relying on the divide-by-(n-1)=0
+        // behavior would break the bit-for-bit contract on any dataset
+        // with a singleton arm. NULL in BOTH engines, by construction.
+        when(col("n_a") > 1,
+          (col("q_a") - col("s_a") * col("s_a") / col("n_a")) /
+            (col("n_a") - 1)).as("var_a"),
+        when(col("n_b") > 1,
+          (col("q_b") - col("s_b") * col("s_b") / col("n_b")) /
+            (col("n_b") - 1)).as("var_b"))
       .select(col("key"), col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
         (col("mean_b") - col("mean_a")).as("diff"),
         // degenerate variance (constant metric in both arms) → z = 0, not

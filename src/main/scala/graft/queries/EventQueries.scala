@@ -370,8 +370,12 @@ object EventQueries {
   private val abTestZscoreSql: String = """
     WITH g AS (
       SELECT event_type,
-        SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
-        SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b,
+        -- no ELSE 0: an absent arm must be NULL (matching Spark's
+        -- sum(when(...)) which skips non-matching rows entirely), so a
+        -- one-armed key yields NULL n/srm_chi2 in BOTH engines instead
+        -- of 0 here and NULL there.
+        SUM(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n_a,
+        SUM(CASE WHEN user_id % 2 = 1 THEN 1 END) AS n_b,
         CAST(SUM(CASE WHEN user_id % 2 = 0
                       THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS s_a,
         CAST(SUM(CASE WHEN user_id % 2 = 1
@@ -383,8 +387,10 @@ object EventQueries {
       FROM events GROUP BY event_type),
     v AS (
       SELECT event_type, n_a, n_b, s_a / n_a AS mean_a, s_b / n_b AS mean_b,
-             (q_a - s_a * s_a / n_a) / (n_a - 1) AS var_a,
-             (q_b - s_b * s_b / n_b) / (n_b - 1) AS var_b
+             CASE WHEN n_a > 1
+                  THEN (q_a - s_a * s_a / n_a) / (n_a - 1) END AS var_a,
+             CASE WHEN n_b > 1
+                  THEN (q_b - s_b * s_b / n_b) / (n_b - 1) END AS var_b
       FROM g)
     SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
            mean_a, mean_b, mean_b - mean_a AS diff,
@@ -425,8 +431,13 @@ object EventQueries {
     * reduction discipline. */
   private def newVsReturning(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // Floor form, not bare div: Spark's div truncates toward zero while
+    // the oracle's // floors, so pre-epoch timestamps would bucket into
+    // different days — same discipline as dayPartials / events_ohlc.
     val userDays = Tables.events(s, d)
-      .select($"user_id", expr("unix_micros(ts) div 86400000000L").as("day"))
+      .select($"user_id",
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000L))" +
+          " div 86400000000L").as("day"))
       .distinct()
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
     userDays
@@ -505,7 +516,12 @@ object EventQueries {
     * distinct (user, week) FIRST, then ONE lag window over that
     * user-keyed frame classifies every active row; churn falls out of
     * the week totals by subtraction — no per-week scans, no history
-    * self-join. Pure integer arithmetic. */
+    * self-join. The week axis is DENSIFIED over the observed min..max
+    * span before the churn lag, so a globally-empty week carries its own
+    * all-zero row and its churn (everyone active the week before) is
+    * attributed to IT, not silently shifted onto the next active week.
+    * The axis is weeks-of-span sized (bounded, not data-sized), built
+    * from a broadcast 1-row bounds frame. Pure integer arithmetic. */
   private def userLifecycle(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val weekUs = 7L * 86400000000L
@@ -525,8 +541,15 @@ object EventQueries {
         sum(when($"prev_week".isNotNull && $"week" > $"prev_week" + 1, 1L)
           .otherwise(0L)).as("n_resurrected"),
         count(lit(1)).as("n_active"))
+    val axis = uw.agg(min($"week").as("lo"), max($"week").as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("week"))
     val wk = org.apache.spark.sql.expressions.Window.orderBy($"week")
-    classified
+    axis.join(classified, Seq("week"), "left")
+      .select($"week",
+        coalesce($"n_active", lit(0L)).as("n_active"),
+        coalesce($"n_new", lit(0L)).as("n_new"),
+        coalesce($"n_retained", lit(0L)).as("n_retained"),
+        coalesce($"n_resurrected", lit(0L)).as("n_resurrected"))
       .select($"week", $"n_active", $"n_new", $"n_retained", $"n_resurrected",
         (coalesce(lag($"n_active", 1).over(wk), lit(0L)) - $"n_retained")
           .as("n_churned"))
@@ -549,11 +572,20 @@ object EventQueries {
       FROM (SELECT user_id, week,
               lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week
             FROM uw)
-      GROUP BY week)
+      GROUP BY week),
+    axis AS (
+      SELECT unnest(generate_series(MIN(week), MAX(week))) AS week FROM uw),
+    dense AS (
+      SELECT axis.week,
+             COALESCE(n_active, 0) AS n_active,
+             COALESCE(n_new, 0) AS n_new,
+             COALESCE(n_retained, 0) AS n_retained,
+             COALESCE(n_resurrected, 0) AS n_resurrected
+      FROM axis LEFT JOIN c ON axis.week = c.week)
     SELECT week, n_active, n_new, n_retained, n_resurrected,
            CAST(COALESCE(lag(n_active) OVER (ORDER BY week), 0) - n_retained
                 AS BIGINT) AS n_churned
-    FROM c ORDER BY week"""
+    FROM dense ORDER BY week"""
 
   val registry: Seq[Q] = Seq(
     Q("events_ohlc", eventsOhlc, Some(eventsOhlcSql)),

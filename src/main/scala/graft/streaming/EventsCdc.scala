@@ -263,9 +263,9 @@ object EventsCdc {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.Sketches.distinctSketch(batch, col(bucketCol), col(keyCol), lgK)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(sketchDir)
+        StateSink.appendIdempotent(
+          graft.ops.Sketches.distinctSketch(batch, col(bucketCol), col(keyCol), lgK),
+          batchId, sketchDir)
         ()
       }
       .start()
@@ -301,10 +301,10 @@ object EventsCdc {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.Sketches.bloomSketch(
-            batch, col(bucketCol), col(itemCol), k, bits)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(sketchDir)
+        StateSink.appendIdempotent(
+          graft.ops.Sketches.bloomSketch(
+            batch, col(bucketCol), col(itemCol), k, bits),
+          batchId, sketchDir)
         ()
       }
       .start()
@@ -331,9 +331,10 @@ object EventsCdc {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.Sketches.heavyHitterSketch(
-            batch, col(bucketCol), lit(batchId), col(itemCol), k)
-          .write.mode("append").parquet(sketchDir)
+        StateSink.appendIdempotent(
+          graft.ops.Sketches.heavyHitterSketch(
+            batch, col(bucketCol), lit(batchId), col(itemCol), k),
+          batchId, sketchDir, idCol = "shard")
         ()
       }
       .start()
@@ -536,10 +537,10 @@ object EventsCdc {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.Sketches.countMinSketch(
-            batch, col(bucketCol), col(itemCol), depth, width)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(sketchDir)
+        StateSink.appendIdempotent(
+          graft.ops.Sketches.countMinSketch(
+            batch, col(bucketCol), col(itemCol), depth, width),
+          batchId, sketchDir)
         ()
       }
       .start()
@@ -571,10 +572,10 @@ object EventsCdc {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.Sketches.histogramSketch(
-            batch, col(bucketCol), col(valueCol), lo, hi, nbins)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(sketchDir)
+        StateSink.appendIdempotent(
+          graft.ops.Sketches.histogramSketch(
+            batch, col(bucketCol), col(valueCol), lo, hi, nbins),
+          batchId, sketchDir)
         ()
       }
       .start()

@@ -66,9 +66,16 @@ object IndexMaintenance {
     * step 3 of batch N). The concatenated pairs over any run equal the
     * batch [[graft.ops.Dedup.minhashLsh]] over everything that arrived,
     * minus the bootstrap corpus's internal pairs (found when ITS index
-    * was built) — spec-pinned. Replay caveat: blind appends; dedupe
-    * upstream ([[EventsCdc.dedupStream]]) or re-deliveries duplicate
-    * band rows and re-emit their pairs. */
+    * was built) — spec-pinned. Retry/replay posture: the PAIRS sink
+    * writes through [[StateSink.appendIdempotent]], so an engine retry
+    * of the same batchId replaces its own pair partition; the index and
+    * corpus appends stay blind (they must mix with the unpartitioned
+    * bootstrap layout), but a retry's duplicate rows there are
+    * semantically inert — candidate pairs are `distinct()`-ed and
+    * shingle sets are per-doc distinct, so emitted pairs are unchanged
+    * (only corpus row COUNTS inflate). SOURCE-level redelivery (new
+    * batchId, same docs) still re-emits pairs; dedupe upstream
+    * ([[EventsCdc.dedupStream]]) or use an exactly-once source. */
   def runDedupScreen(spark: SparkSession, srcDir: String, schemaFrom: DataFrame,
                      indexDir: String, corpusDir: String, pairsDir: String,
                      checkpointDir: String, n: Int = 3, threshold: Double = 0.8,
@@ -80,13 +87,12 @@ object IndexMaintenance {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import org.apache.spark.sql.functions.lit
         val old = spark.read.parquet(corpusDir)
-        graft.ops.Dedup
-          .incrementalMinhash(spark, indexDir, old, batch,
-            n, threshold, bands, rows, seed)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(pairsDir)
+        StateSink.appendIdempotent(
+          graft.ops.Dedup
+            .incrementalMinhash(spark, indexDir, old, batch,
+              n, threshold, bands, rows, seed),
+          batchId, pairsDir)
         graft.ops.Dedup.appendSignatureIndex(batch, indexDir,
           n, bands, rows, seed)
         batch.write.mode("append").parquet(corpusDir)

@@ -22,7 +22,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * exact partials again and served features describe the REPLAYED stream.
   * Exactness over the logical stream needs upstream
   * [[EventsCdc.dedupStream]] or an exactly-once source — spec-pinned, not
-  * assumed.
+  * assumed. ENGINE retries (same batchId re-run after a failure) are a
+  * different hazard and ARE handled: both sinks write through
+  * [[StateSink.appendIdempotent]], so a re-run batch replaces its own
+  * partition instead of double-appending.
   */
 object StreamingFeatures {
 
@@ -36,9 +39,9 @@ object StreamingFeatures {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.Features.dayPartials(batch.select("k", "t_us", "value"))
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(stateDir)
+        StateSink.appendIdempotent(
+          graft.ops.Features.dayPartials(batch.select("k", "t_us", "value")),
+          batchId, stateDir)
         ()
       }
       .start()
@@ -64,9 +67,9 @@ object StreamingFeatures {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.Experiments.armMoments(batch.select("key", "arm", "value"))
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(stateDir)
+        StateSink.appendIdempotent(
+          graft.ops.Experiments.armMoments(batch.select("key", "arm", "value")),
+          batchId, stateDir)
         ()
       }
       .start()

@@ -16,9 +16,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * The rules are per-doc and corpus-independent, so there is NO streaming
   * state and no cross-batch coupling: per-batch cost is batch-sized, and
   * the concatenated outputs over any run equal the batch gate over
-  * everything that arrived (spec-pinned). Replay caveat: blind appends —
-  * a re-delivered batch re-appends its rows; dedupe upstream
-  * ([[EventsCdc.dedupStream]]) or use an exactly-once source.
+  * everything that arrived (spec-pinned). Replay caveat: a batch
+  * re-delivered by an at-least-once SOURCE arrives under a new batchId and
+  * re-appends its rows — dedupe upstream ([[EventsCdc.dedupStream]]) or
+  * use an exactly-once source; ENGINE retries of the same batchId are
+  * idempotent (both sinks write through [[StateSink.appendIdempotent]]).
   */
 object StreamingQuality {
 
@@ -35,13 +37,16 @@ object StreamingQuality {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // the report feeds two writes (full log + keeper semi-join);
-        // persist the batch-sized frame across them
+        // persist the batch-sized frame across them. Both sinks write
+        // through StateSink: an engine retry of the same batchId replaces
+        // its own partition instead of double-appending report rows or
+        // keeper docs.
         val report = graft.ops.TextAnalysis.gopherRules(batch).persist()
-        report.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(reportDir)
-        batch.join(report.filter(col("keep")).select("doc_id"),
-            Seq("doc_id"), "left_semi")
-          .write.mode("append").parquet(keptDir)
+        StateSink.appendIdempotent(report, batchId, reportDir)
+        StateSink.appendIdempotent(
+          batch.join(report.filter(col("keep")).select("doc_id"),
+            Seq("doc_id"), "left_semi"),
+          batchId, keptDir)
         report.unpersist(blocking = false)
         ()
       }

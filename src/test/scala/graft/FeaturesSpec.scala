@@ -219,6 +219,22 @@ class FeaturesSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("z")))
   }
 
+  test("zFromMoments: a singleton arm (n=1) yields null z — variance is undefined") {
+    // n_b = 1 → (n-1) = 0: Spark's non-ANSI divide would give NULL here
+    // anyway, but DuckDB's IEEE divide gives Inf/NaN — the explicit n>1
+    // gate (mirrored in the SQL oracle) is what keeps the cross-engine
+    // bit-for-bit contract on singleton-arm data
+    val events = Seq(
+      ("exp", 0, 1.0), ("exp", 0, 3.0), ("exp", 1, 2.0)
+    ).toDF("key", "arm", "value")
+    val r = graft.ops.Experiments.zFromMoments(
+      graft.ops.Experiments.armMoments(events)).collect().head
+    assert(r.getAs[Long]("n_a") === 2L)
+    assert(r.getAs[Long]("n_b") === 1L)
+    assert(r.getAs[Double]("mean_b") === 2.0, "the mean IS defined at n=1")
+    assert(r.isNullAt(r.fieldIndex("z")), "z must be NULL, not Inf/NaN/0")
+  }
+
   test("zFromMoments: constant metric in both arms gives z = 0, never NaN") {
     val events = Seq(
       ("exp", 0, 5.0), ("exp", 0, 5.0), ("exp", 1, 5.0), ("exp", 1, 5.0)
@@ -273,6 +289,28 @@ class FeaturesSpec extends SparkSpec {
     val p0 = state.filter($"batch_id" === 0).drop("batch_id").collect().toSet
     val p2 = state.filter($"batch_id" === 2).drop("batch_id").collect().toSet
     assert(p2 === p0)
+  }
+
+  test("StateSink: engine retry of the same batchId replaces, never double-counts") {
+    // the Spark micro-batch engine re-runs a FAILED batch under the SAME
+    // batchId — simulate that by invoking the sink twice for batch 0
+    // (second call = the retry, possibly after a partial write landed)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val b0 = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    graft.streaming.StateSink.appendIdempotent(b0, 0L, dir)
+    graft.streaming.StateSink.appendIdempotent(b0, 0L, dir) // engine retry
+    val b1 = Seq((1L, 30L)).toDF("k", "v")
+    graft.streaming.StateSink.appendIdempotent(b1, 1L, dir)
+    val state = spark.read.parquet(dir)
+    // batch 0's rows appear ONCE; an additive reader sums to the truth
+    assert(state.count() === 3)
+    assert(state.groupBy($"k").agg(sum($"v").as("s")).orderBy($"k")
+      .select($"s").as[Long].collect().toSeq === Seq(40L, 20L))
+    // the batch_id tag survives as the partition column for provenance
+    assert(state.select($"batch_id").distinct().count() === 2)
+    // a retry of an OLD batch while newer state exists must not touch it
+    graft.streaming.StateSink.appendIdempotent(b0, 0L, dir)
+    assert(spark.read.parquet(dir).count() === 3)
   }
 
   test("registry feature queries: single window shuffle, no cartesian, pruned scans") {

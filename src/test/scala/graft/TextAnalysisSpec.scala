@@ -283,8 +283,10 @@ class TextAnalysisSpec extends SparkSpec {
       "streamed keepers must equal the batch gate's keep set")
     assert(gotKeep.nonEmpty && gotKeep.size < docs.count(),
       "the corpus should split across the gate")
-    // the kept store carries full document rows, not just ids
-    assert(spark.read.parquet(kept).columns.toSet === docs.columns.toSet)
+    // the kept store carries full document rows plus the batch_id
+    // provenance partition (the idempotent-retry sink's tag)
+    assert(spark.read.parquet(kept).columns.toSet ===
+      docs.columns.toSet + "batch_id")
   }
 
   test("lmBigramScore: repeated bigrams score higher than novel ones") {
