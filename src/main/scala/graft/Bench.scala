@@ -284,10 +284,24 @@ object Bench {
     // a partial total would read as "faster than a green run" — report -1
     // for the headline when anything failed (per-query warm times remain)
     val total = if (errors.nonEmpty) -1.0 else warm.values.sum
+    val coldTotal = if (errors.nonEmpty) -1.0 else cold.values.sum
     val qs = jmap(warm.toSeq.map { case (k, v) => k -> v.toString })
     val cs = jmap(cold.toSeq.map { case (k, v) => k -> v.toString })
     val es = jmap(errors.toSeq.map { case (k, v) => k -> jstr(v) })
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","partial":${errors.nonEmpty},"queries":$qs,"cold":$cs,"errors":$es,"n_errors":${errors.size},"sf":${jstr(sfDir)}}"""
+    // the HEAD commit ties a recorded bench line to the exact sources it
+    // measured (best-effort: absent outside a git checkout)
+    val commit = try {
+      val p = new ProcessBuilder("git", "rev-parse", "HEAD").start()
+      val sha = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      if (p.waitFor() == 0 && sha.nonEmpty) sha else "unknown"
+    } catch { case _: Exception => "unknown" }
+    // field order is deliberate: the big per-query maps come FIRST and the
+    // scalar headline (metric/value/totals/errors/sf/commit) LAST, so a
+    // recorder that keeps only the tail of stdout (the driver truncates to
+    // 2000 chars) still retains every headline number — r10's recorded
+    // bench lost its warm map AND total to exactly that truncation
+    val line = s"""{"queries":$qs,"cold":$cs,"errors":$es,"metric":"total","value":$total,"unit":"sec","partial":${errors.nonEmpty},"n_errors":${errors.size},"warm_total":$total,"cold_total":$coldTotal,"n_entries":${entries.size},"commit":${jstr(commit)},"sf":${jstr(sfDir)}}"""
     println(line)
     // stdout capture can truncate to a tail (r4 lost the whole warm map that
     // way) — also persist the full line next to the sources. A filtered
