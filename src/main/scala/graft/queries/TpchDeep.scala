@@ -11,16 +11,15 @@ import Exact._
   * outer-join distributions, argmax reports and anti-join opportunity
   * scans — the report queries an OLAP user of the reference would run
   * beyond the q1/q3/q4/q5/q6/q17/q21 set already in [[Analytics]]. With
-  * q13/q15/q22 this covers every TPC-H query shape the test tables can
-  * express. (They carry no partsupp and no ship-mode/receipt columns, so
-  * the remaining partsupp-dependent TPC-H queries — q2/q20 — and the
-  * receipt-date ones — q12 — have no honest equivalent here and are
-  * deliberately absent rather than faked. Where the RELATION is
-  * derivable, the analog is documented on the query: q16/q11 derive the
-  * catalog from the fact's observed distinct (part, supplier) pairs;
-  * where a single COLUMN is missing, likewise: q13 swaps the o_comment
-  * pattern for an order-priority exclusion, q22 swaps the c_phone
-  * country code for c_nationkey.)
+  * q13/q15/q22 and the q2/q20 catalog analogs this covers every TPC-H
+  * query shape the test tables can express. (Where the partsupp RELATION
+  * is needed, the analog derives it from the fact's observed distinct
+  * (part, supplier) pairs and documents the cost proxy on the query —
+  * q16/q11/q2/q20; where a single COLUMN is missing, likewise: q13 swaps
+  * the o_comment pattern for an order-priority exclusion, q22 swaps the
+  * c_phone country code for c_nationkey. Only q12 stays data-blocked:
+  * lineitem has no receiptdate/commitdate/shipmode at all, so it is
+  * deliberately absent rather than faked.)
   *
   * Scale posture shared by all of these: lineitem⋈orders is the one
   * genuine shuffle (both sides huge, both keyed on orderkey); nation /
@@ -448,7 +447,118 @@ object TpchDeep {
     GROUP BY l_partkey
     ORDER BY value DESC, l_partkey LIMIT 100"""
 
+  /** TPC-H Q2-shaped min-cost supplier: for each qualifying part, the
+    * EUROPE supplier offering it at the minimum cost. The test tables
+    * carry no partsupp, so (as in q16/q11) the catalog relation is the
+    * fact's observed distinct (part, supplier) pairs, and supply cost is
+    * the observed unit price of the pair — exact-decimal sums divided
+    * once in IEEE double (sum price / sum qty), a per-PAIR cost (q9's
+    * part-level 0.6×retail proxy is constant across a part's suppliers
+    * and would make every argmin a tie). Q2's correlated MIN subquery
+    * becomes an argmin-per-part window over the catalog-sized candidate
+    * frame: the pair aggregate is the ONE fact shuffle; part (filtered)
+    * and the region's supplier roster broadcast onto it; the window and
+    * final top-100 sort touch catalog rows only. Cost equality across
+    * engines is sound because both divide the identical exact-decimal
+    * doubles once. */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cost = Tables.lineitem(spark, dir)
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg((dsum($"l_extendedprice") / dsum($"l_quantity")).as("supply_cost"))
+    val sup = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .join(broadcast(Tables.region(spark, dir).filter($"r_name" === "EUROPE")),
+            $"n_regionkey" === $"r_regionkey")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+    val parts = Tables.part(spark, dir)
+      .filter($"p_type" === "STANDARD" && $"p_size" <= 10)
+      .select($"p_partkey")
+    val cand = cost
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+    cand
+      .withColumn("mn", min($"supply_cost").over(Window.partitionBy($"p_partkey")))
+      .filter($"supply_cost" === $"mn")
+      .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey", $"supply_cost")
+      .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
+      .limit(100)
+  }
+
+  val q2MinCostSupplierSql: String = s"""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             ${sqlSum("l_extendedprice")} / ${sqlSum("l_quantity")} AS supply_cost
+      FROM lineitem GROUP BY 1, 2),
+    sup AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+    cand AS (
+      SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name, supply_cost
+      FROM cost JOIN part ON l_partkey = p_partkey
+      JOIN sup ON l_suppkey = s_suppkey
+      WHERE p_type = 'STANDARD' AND p_size <= 10)
+    SELECT s_acctbal, s_name, n_name, p_partkey, supply_cost
+    FROM cand c
+    WHERE supply_cost = (SELECT MIN(supply_cost) FROM cand c2
+                         WHERE c2.p_partkey = c.p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"""
+
+  /** TPC-H Q20-shaped potential promotion: NATION_3 suppliers who are
+    * surging on promo-candidate parts. Q20's availqty > half-of-shipped
+    * threshold needs partsupp's availqty; the documented analog keeps the
+    * nested semi-join CHAIN (part name filter → correlated pair-level
+    * aggregate threshold → supplier roster) with the pair's own history
+    * as the denominator: a (part, supplier) pair qualifies when its 1996
+    * shipped quantity exceeds half of its all-time shipped quantity —
+    * both sides exact-decimal sums over ONE grouped scan (the CASE sum
+    * replaces Q20's correlated scalar subquery re-scan). The part filter
+    * broadcasts into the fact scan as a semi-join, the pair aggregate is
+    * the one shuffle, and the qualifying supplier ids collapse to a
+    * distinct id set before the roster semi-join — at 100 TB nothing
+    * wider than (partkey, suppkey, two decimals) ever shuffles. */
+  def q20PotentialPromotion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val promoParts = Tables.part(spark, dir)
+      .filter($"p_name".like("%gear%")).select($"p_partkey")
+    val qualifying = Tables.lineitem(spark, dir)
+      .join(broadcast(promoParts), $"l_partkey" === $"p_partkey", "left_semi")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(
+        dsum(when(year($"l_shipdate") === 1996, $"l_quantity").otherwise(lit(0.0)))
+          .as("q_year"),
+        dsum($"l_quantity").as("q_total"))
+      .filter($"q_year" > lit(0.5) * $"q_total")
+      .select($"l_suppkey").distinct()
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).filter($"n_name" === "NATION_3")),
+        $"s_nationkey" === $"n_nationkey")
+      .join(qualifying, $"s_suppkey" === $"l_suppkey", "left_semi")
+      .select($"s_suppkey", $"s_name")
+      .orderBy($"s_name", $"s_suppkey")
+  }
+
+  val q20PotentialPromotionSql: String = s"""
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM (
+          SELECT l_partkey, l_suppkey,
+            ${sqlSum("CASE WHEN year(CAST(l_shipdate AS DATE)) = 1996 THEN l_quantity ELSE 0 END")} AS q_year,
+            ${sqlSum("l_quantity")} AS q_total
+          FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE '%gear%')
+          GROUP BY 1, 2) pair
+        WHERE q_year > 0.5 * q_total)
+    ORDER BY s_name, s_suppkey"""
+
   val registry: Seq[Q] = Seq(
+    Q("q2_min_cost_supplier", q2MinCostSupplier, Some(q2MinCostSupplierSql)),
+    Q("q20_potential_promotion", q20PotentialPromotion, Some(q20PotentialPromotionSql)),
     Q("q7_volume_shipping", q7VolumeShipping, Some(q7VolumeShippingSql)),
     Q("q16_supplier_variety", q16SupplierVariety, Some(q16SupplierVarietySql)),
     Q("q11_nation_part_share", q11NationPartShare, Some(q11NationPartShareSql)),

@@ -335,6 +335,31 @@ class PlanAuditSpec extends SparkSpec {
       s"q17 should scan lineitem and part exactly once each:\n$p")
   }
 
+  test("q2/q20 catalog analogs: broadcast join-backs, one fact shuffle each") {
+    val p2 = plans.toMap.apply("q2_min_cost_supplier")
+    // part filter and the EUROPE roster broadcast onto the pair aggregate;
+    // the only SMJ-eligible shuffle is the (partkey, suppkey) groupBy
+    assert(p2.contains("BroadcastHashJoin"),
+      s"q2 should broadcast parts + roster onto the catalog:\n$p2")
+    assert(!p2.contains("SortMergeJoin"),
+      s"q2 must not shuffle the fact for its joins:\n$p2")
+    // argmin runs as a window over the catalog-sized frame, never a
+    // second fact scan (the scalar-subquery plan would re-scan lineitem)
+    assert(p2.contains("Window"), s"q2 argmin should be a window:\n$p2")
+    assert("Scan parquet".r.findAllIn(p2).length === 5,
+      s"q2 should scan lineitem/part/supplier/nation/region once each:\n$p2")
+    val p20 = plans.toMap.apply("q20_potential_promotion")
+    // the promo-part prune enters the fact scan as a broadcast semi-join;
+    // the supplier roster semi-join is likewise broadcast
+    assert(p20.contains("BroadcastHashJoin") && p20.contains("LeftSemi"),
+      s"q20's nested chain should be broadcast semi-joins:\n$p20")
+    assert(!p20.contains("SortMergeJoin"),
+      s"q20 must not shuffle the fact for its joins:\n$p20")
+    // the correlated threshold folds into ONE grouped scan of lineitem
+    assert("Scan parquet".r.findAllIn(p20).length === 4,
+      s"q20 should scan lineitem/part/supplier/nation once each:\n$p20")
+  }
+
   test("event operators do not read the props payload column") {
     Seq("events_windowed", "events_sessionize", "scd1_upsert", "cdc_apply")
       .foreach { name =>
