@@ -145,6 +145,17 @@ object StarSchemaJob {
     val slice = StarSchema.factSales(
       Tables.lineitem(spark, srcDir), ordersOnDates,
       Tables.part(spark, srcDir), Tables.supplier(spark, srcDir))
+    // schema-evolution gate: a partition-grain overwrite lands new files
+    // NEXT TO standing ones, so a narrowed/retyped slice would silently
+    // fork the directory's schema — refuse it before any partition is
+    // replaced (a widened slice is fine: old partitions read the new
+    // column as NULL through FileFormats.readEvolved)
+    FileFormats.standingSchema(spark, s"$outDir/fact_sales").foreach { s0 =>
+      graft.sources.SchemaEvolution.requireEvolvable(
+        org.apache.spark.sql.types.StructType(
+          s0.fields.filterNot(_.name == "month_key")),
+        slice.schema, s"syncIncremental($outDir/fact_sales)")
+    }
     // row count comes from an observe() metric on the write itself — a
     // separate count() action would run the whole semijoin+star-join twice
     val obs = org.apache.spark.sql.Observation("incremental_sync")

@@ -134,10 +134,48 @@ object FileFormats {
     * layout below ~1 GB/day; rows stay date-sorted within each month file,
     * so day-level predicates still skip row groups via parquet min/max on
     * the leading sort column even though directory pruning is month-grain. */
+  /** The standing schema of a parquet directory, if it exists and holds
+    * data — the anchor the [[SchemaEvolution]] gate compares a new batch
+    * against. One footer read (Spark's default schema pick), NOT a
+    * mergeSchema sweep — the gate anchors on the latest layout; a
+    * mixed-schema dir is read back through [[readEvolved]]. */
+  private[graft] def standingSchema(spark: SparkSession,
+                                    dir: String): Option[StructType] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else try Some(spark.read.parquet(dir).schema)
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+  }
+
+  /** Read a standing table that may span schema versions (a widened batch
+    * wrote newer files with more columns): `mergeSchema` unions every
+    * footer's schema and older files surface the added columns as NULL —
+    * the read half of the [[SchemaEvolution]] contract. */
+  def readEvolved(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dir)
+
   def writeFact(fact: DataFrame, outDir: String,
                 partitionCol: String = "date_key",
                 sortCols: Seq[String] = Seq("l_orderkey", "l_linenumber"),
-                granularity: String = "day"): Unit = granularity match {
+                granularity: String = "day"): Unit = {
+    // schema-evolution gate BEFORE the overwrite touches anything: a
+    // widened fact is fine (full rewrite carries the new column), a
+    // narrowed or retyped one refuses loudly while the standing data is
+    // still intact. month_key is sink-derived (never part of the caller's
+    // frame), so it is excluded from the standing anchor.
+    standingSchema(fact.sparkSession, outDir).foreach { s0 =>
+      SchemaEvolution.requireEvolvable(
+        StructType(s0.fields.filterNot(_.name == "month_key")),
+        fact.schema, s"writeFact($outDir)")
+    }
+    writeFactUnchecked(fact, outDir, partitionCol, sortCols, granularity)
+  }
+
+  private def writeFactUnchecked(fact: DataFrame, outDir: String,
+                partitionCol: String,
+                sortCols: Seq[String],
+                granularity: String): Unit = granularity match {
     case "day" =>
       fact
         .repartition(col(partitionCol))
@@ -171,11 +209,17 @@ object FileFormats {
     * bucket fact and dim on the join key and the recurring fact⋈dim join
     * runs as a zero-Exchange sort-merge join. */
   def writeDim(dim: DataFrame, outDir: String, large: Boolean = false,
-               maxRecordsPerFile: Long = 4L * 1000 * 1000): Unit =
+               maxRecordsPerFile: Long = 4L * 1000 * 1000): Unit = {
+    // same evolution gate as writeFact: widened dim rewrites fine,
+    // narrowed/retyped refuses before the standing copy is destroyed
+    standingSchema(dim.sparkSession, outDir).foreach { s0 =>
+      SchemaEvolution.requireEvolvable(s0, dim.schema, s"writeDim($outDir)")
+    }
     (if (large) dim else dim.coalesce(1))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile.toString)
       .parquet(outDir)
+  }
 
   /** Range-sorted sink: `repartitionByRange` + in-partition sort on `key`
     * yields files whose key ranges are DISJOINT and ordered — so any

@@ -73,13 +73,76 @@ object Jdbc {
       s"ON CONFLICT (${keyCols.mkString(", ")}) $setClause"
   }
 
+  /** SQL column type for ALTER TABLE ADD COLUMN when evolving the OLAP
+    * target under a widened frame — ANSI names only, so the same DDL runs
+    * on Postgres and DuckDB. */
+  private[graft] def sqlType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType          => "BIGINT"
+      case IntegerType       => "INTEGER"
+      case ShortType         => "SMALLINT"
+      case DoubleType        => "DOUBLE PRECISION"
+      case FloatType         => "REAL"
+      case StringType        => "VARCHAR"
+      case BooleanType       => "BOOLEAN"
+      case TimestampType     => "TIMESTAMP"
+      case DateType          => "DATE"
+      case d: DecimalType    => s"DECIMAL(${d.precision},${d.scale})"
+      case other => throw new IllegalArgumentException(
+        s"no JDBC DDL mapping for Spark type ${other.simpleString} — " +
+          "evolve the target table manually")
+    }
+  }
+
+  /** The target table's column names, from driver-side metadata (a
+    * zero-row probe query — no data moves). */
+  private def tableColumns(c: java.sql.Connection, table: String): Seq[String] = {
+    val st = c.createStatement()
+    try {
+      val md = st.executeQuery(s"SELECT * FROM $table WHERE 1=0").getMetaData
+      (1 to md.getColumnCount).map(md.getColumnName)
+    } finally st.close()
+  }
+
   /** Distributed batched upsert: each partition opens one connection, binds
     * rows into `batchSize` JDBC batches, and commits once. Executors write
     * concurrently; idempotency comes from the ON CONFLICT statement, so
-    * task retries are safe (at-least-once → effectively-once). */
+    * task retries are safe (at-least-once → effectively-once).
+    *
+    * Schema evolution (the [[SchemaEvolution]] contract at the JDBC
+    * boundary, checked on the DRIVER before any executor writes a row —
+    * never discovered as a mid-partition SQLException): a frame carrying
+    * columns the target table lacks refuses loudly unless
+    * `addMissingColumns = true`, which first evolves the table with
+    * `ALTER TABLE ADD COLUMN` (standing rows read NULL — the widened-batch
+    * semantics). A frame NARROWER than the table is fine here by upsert
+    * algebra — `ON CONFLICT DO UPDATE` sets only the provided columns, so
+    * existing values are retained, never nulled (the reference's fixed
+    * column lists, sync_oltp_to_olap.py:56-62, are the degenerate
+    * always-aligned case). */
   def upsert(df: DataFrame, conn: ConnInfo, table: String, keyCols: Seq[String],
-             batchSize: Int = 1000): Unit = {
+             batchSize: Int = 1000, addMissingColumns: Boolean = false): Unit = {
     val cols = df.columns.toSeq
+    Class.forName(conn.driver)
+    val probe = java.sql.DriverManager.getConnection(conn.url, conn.user, conn.password)
+    try {
+      val existing = tableColumns(probe, table).map(_.toLowerCase).toSet
+      val added = cols.filterNot(c0 => existing(c0.toLowerCase))
+      if (added.nonEmpty) {
+        require(addMissingColumns,
+          s"Jdbc.upsert($table): frame carries column(s) " +
+            s"[${added.mkString(", ")}] the target table lacks — refusing " +
+            "before any row is written. Pass addMissingColumns = true to " +
+            "evolve the table (ALTER TABLE ADD COLUMN), or align the frame.")
+        added.foreach { a =>
+          val st = probe.createStatement()
+          try st.execute(
+            s"ALTER TABLE $table ADD COLUMN $a ${sqlType(df.schema(a).dataType)}")
+          finally st.close()
+        }
+      }
+    } finally probe.close()
     val sql = upsertSql(table, cols, keyCols)
     val (url, user, pass, driver) = (conn.url, conn.user, conn.password, conn.driver)
     df.foreachPartition { rows: Iterator[Row] =>

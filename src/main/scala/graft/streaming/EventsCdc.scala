@@ -61,10 +61,18 @@ object EventsCdc {
               col("n_events"), col("sum_value"))
 
   /** One SCD1 merge step: newest row per key across (current state ∪ batch).
-    * Exposed for both the streaming sink below and direct batch use. */
+    * Exposed for both the streaming sink below and direct batch use.
+    * Schema evolution per the [[graft.sources.SchemaEvolution]] contract:
+    * a WIDENED batch (column added upstream) merges — standing rows carry
+    * NULL for the new column; a NARROWED or retyped batch refuses loudly
+    * before any state is written. */
   def mergeStep(state: Option[DataFrame], batch: DataFrame,
                 keys: Seq[String]): DataFrame = {
-    val all = state.map(_.unionByName(batch)).getOrElse(batch)
+    val all = state.map { st =>
+      graft.sources.SchemaEvolution
+        .requireEvolvable(st.schema, batch.schema, "SCD1 mergeStep")
+      st.unionByName(batch, allowMissingColumns = true)
+    }.getOrElse(batch)
     StarSchema.scd1Latest(all, keys, Seq(col("ts").desc, col("event_id").desc))
   }
 
@@ -125,14 +133,23 @@ object EventsCdc {
   def mergeStepCoLocated(state: DataFrame, batch: DataFrame, keys: Seq[String],
                          tsCol: String = "ts",
                          tieCol: String = "event_id"): DataFrame = {
-    val nonKeys = state.columns.toSeq.filterNot(keys.contains)
+    // evolution gate + widen (SchemaEvolution contract): a widened batch
+    // is admitted — the standing side gains the new columns as NULL via a
+    // PROJECTION over the bucketed scan, which preserves its output
+    // partitioning, so the merge stays exchange-free on the state side; a
+    // narrowed/retyped batch refuses loudly here, before any write
+    val added = graft.sources.SchemaEvolution
+      .requireEvolvable(state.schema, batch.schema, "SCD1 co-located merge")
+    val st = graft.sources.SchemaEvolution.widen(state, batch.schema)
+    val nonKeys = state.columns.toSeq.filterNot(keys.contains) ++
+      added.map(_.name)
     val batchLatest = StarSchema
       .scd1Latest(batch, keys, Seq(col(tsCol).desc, col(tieCol).desc))
       .select(keys.map(col) ++ nonKeys.map(c => col(c).as(s"__b_$c")): _*)
     val takeBatch = col(s"__b_$tsCol").isNotNull &&
       (col(tsCol).isNull || col(s"__b_$tsCol") > col(tsCol) ||
        (col(s"__b_$tsCol") === col(tsCol) && col(s"__b_$tieCol") >= col(tieCol)))
-    state.join(batchLatest, keys, "full_outer")
+    st.join(batchLatest, keys, "full_outer")
       .select(keys.map(col) ++ nonKeys.map(c =>
         when(takeBatch, col(s"__b_$c")).otherwise(col(c)).as(c)): _*)
   }
@@ -358,13 +375,33 @@ object EventsCdc {
     * redelivery). With in-order batches the result is IDENTICAL to
     * running scd2History over the concatenated change log (spec-pinned).
     */
+  /** The four columns [[graft.olap.StarSchema.scd2History]] adds to the
+    * change rows — excluded from the evolution gate's standing anchor
+    * (the arriving batch is raw changes and never carries them). */
+  private val Scd2Meta =
+    Set("version", "valid_from_us", "valid_to_us", "is_current")
+
+  /** SCD2 evolution gate + widen: enforce the
+    * [[graft.sources.SchemaEvolution]] contract between the standing
+    * history's DATA columns and the batch, then widen the standing frame
+    * with any added columns (historical versions predate the column, so
+    * NULL is the honest value). */
+  private def scd2Evolve(state: DataFrame, batch: DataFrame): DataFrame = {
+    graft.sources.SchemaEvolution.requireEvolvable(
+      org.apache.spark.sql.types.StructType(
+        state.schema.fields.filterNot(f => Scd2Meta(f.name))),
+      batch.schema, "SCD2 merge")
+    graft.sources.SchemaEvolution.widen(state, batch.schema)
+  }
+
   def scd2MergeStep(state: Option[DataFrame], batch: DataFrame,
                     keys: Seq[String], tsUsCol: String = "ts_us",
                     tieCol: String = "event_id"): DataFrame = {
     state match {
       case None => StarSchema.scd2History(batch, keys, col(tsUsCol),
         Seq(col(tsUsCol), col(tieCol)))
-      case Some(st) =>
+      case Some(st0) =>
+        val st = scd2Evolve(st0, batch)
         st.filter(!col("is_current")).unionByName(
           scd2MergeOpen(st.filter(col("is_current")), batch,
             keys, tsUsCol, tieCol))
@@ -376,9 +413,13 @@ object EventsCdc {
     * the touched keys' full new version runs: previously-open rows now
     * closed at their key's first batch change, plus the batch's own
     * versions (ordinals continued), last one per key current. */
-  private def scd2MergeOpen(open: DataFrame, batch: DataFrame,
+  private def scd2MergeOpen(open0: DataFrame, batch: DataFrame,
                             keys: Seq[String], tsUsCol: String,
                             tieCol: String): DataFrame = {
+    // gate + widen here as well: the split sink calls this directly with
+    // the open slice read from disk (idempotent when the caller already
+    // widened — widen of a covered schema is the identity)
+    val open = scd2Evolve(open0, batch)
     val batchHist = StarSchema.scd2History(batch, keys, col(tsUsCol),
       Seq(col(tsUsCol), col(tieCol)))
     val firsts = batch.groupBy(keys.map(col): _*)
@@ -496,8 +537,14 @@ object EventsCdc {
     val closedPath = new org.apache.hadoop.fs.Path(s"$stateDir/closed")
     val fs = closedPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(closedPath)) open
+    // mergeSchema + allowMissingColumns: closed appends can span schema
+    // versions (a widened batch wrote newer files with more columns) —
+    // older closed rows surface the added columns as NULL, per the
+    // SchemaEvolution contract
     else spark.read.option("basePath", s"$stateDir/closed")
-      .parquet(s"$stateDir/closed").drop("batch").unionByName(open)
+      .option("mergeSchema", "true")
+      .parquet(s"$stateDir/closed").drop("batch")
+      .unionByName(open, allowMissingColumns = true)
   }
 
   /** [[runScd2]] with the split closed/open sink. */

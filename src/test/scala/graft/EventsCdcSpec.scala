@@ -915,4 +915,86 @@ class EventsCdcSpec extends SparkSpec {
       .select($"user_id").as[Long].collect().toSet
     assert(liveUsers === Set(2L))
   }
+
+  test("SCD1 merges: a widened batch evolves state without loss; a narrowed batch refuses by name") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00")
+    val keys = Seq("user_id")
+    val b1 = Seq((1L, 10L, t0, "a"), (2L, 11L, t0, "b"))
+      .toDF("user_id", "event_id", "ts", "payload")
+    val s1 = EventsCdc.mergeStep(None, b1, keys)
+    // a column added upstream: the widened batch merges; the untouched
+    // key's standing row carries NULL for the new column — no data loss
+    val b2 = Seq((1L, 20L, t1, "a2", "eu-west"))
+      .toDF("user_id", "event_id", "ts", "payload", "region")
+    val s2 = EventsCdc.mergeStep(Some(s1), b2, keys)
+    assert(s2.columns.contains("region"))
+    val rows = s2.orderBy($"user_id")
+      .select($"user_id", $"payload", $"region")
+      .as[(Long, String, Option[String])].collect().toSeq
+    assert(rows === Seq((1L, "a2", Some("eu-west")), (2L, "b", None)),
+      "key 2's standing row must survive with NULL in the added column")
+    // the CO-LOCATED merge makes the same evolution decision
+    val s2co = EventsCdc.mergeStepCoLocated(s1, b2, keys)
+    assert(s2co.orderBy($"user_id")
+      .select($"user_id", $"payload", $"region")
+      .as[(Long, String, Option[String])].collect().toSeq === rows)
+    // a batch MISSING a standing column is upstream breakage: both merge
+    // forms refuse loudly, naming the dropped column, before any write
+    val narrowed = Seq((3L, 30L, t1)).toDF("user_id", "event_id", "ts")
+    val e1 = intercept[IllegalArgumentException] {
+      EventsCdc.mergeStep(Some(s1), narrowed, keys)
+    }
+    assert(e1.getMessage.contains("payload"))
+    val e2 = intercept[IllegalArgumentException] {
+      EventsCdc.mergeStepCoLocated(s1, narrowed, keys)
+    }
+    assert(e2.getMessage.contains("payload"))
+    // a retyped column refuses too, naming both types
+    val retyped = Seq((3L, 30L, t1, 7.5))
+      .toDF("user_id", "event_id", "ts", "payload")
+    val e3 = intercept[IllegalArgumentException] {
+      EventsCdc.mergeStep(Some(s1), retyped, keys)
+    }
+    assert(e3.getMessage.contains("payload") && e3.getMessage.contains("string")
+      && e3.getMessage.contains("double"))
+  }
+
+  test("SCD2 split sink: a widened batch evolves history in place; a narrowed batch refuses") {
+    def df(rows: (Long, Long, Long, String)*) =
+      rows.toDF("k", "ts_us", "event_id", "payload")
+    val stateDir = Files.createTempDirectory("graft_scd2evo").toString
+    val keys = Seq("k")
+    EventsCdc.scd2MergeBatchSplit(spark, stateDir, keys)(
+      df((1L, 100L, 1L, "a1"), (2L, 100L, 2L, "b1")), 0L)
+    // batch 1 arrives WIDENED (a source column added): the merge runs,
+    // closed rows that predate the column read NULL, new versions carry it
+    val widened = Seq((1L, 200L, 3L, "a2", "mobile"))
+      .toDF("k", "ts_us", "event_id", "payload", "channel")
+    EventsCdc.scd2MergeBatchSplit(spark, stateDir, keys)(widened, 1L)
+    val state = EventsCdc.scd2SplitState(spark, stateDir)
+    assert(state.columns.contains("channel"))
+    assert(state.count() === 3)
+    val k1 = state.filter($"k" === 1L).orderBy($"version")
+      .select($"payload", $"channel")
+      .as[(String, Option[String])].collect().toSeq
+    assert(k1 === Seq(("a1", None), ("a2", Some("mobile"))),
+      "pre-evolution history reads NULL; the new version carries the value")
+    assert(state.filter($"k" === 2L && $"is_current").count() === 1,
+      "untouched key's open row survives the widened merge")
+    // the versioned full-rewrite sink gates identically (shared scd2Evolve)
+    val s1 = EventsCdc.scd2MergeStep(None, df((1L, 100L, 1L, "a1")), keys)
+    assert(EventsCdc.scd2MergeStep(Some(s1), widened, keys)
+      .columns.contains("channel"))
+    // a narrowed batch refuses loudly with the standing state intact
+    val before = state.collect().map(_.toString).sorted.toSeq
+    val err = intercept[IllegalArgumentException] {
+      EventsCdc.scd2MergeBatchSplit(spark, stateDir, keys)(
+        Seq((1L, 300L, 4L)).toDF("k", "ts_us", "event_id"), 2L)
+    }
+    assert(err.getMessage.contains("payload"))
+    assert(EventsCdc.scd2SplitState(spark, stateDir)
+      .collect().map(_.toString).sorted.toSeq === before,
+      "refused batch must leave the split state untouched")
+  }
 }

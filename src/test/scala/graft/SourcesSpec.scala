@@ -68,6 +68,92 @@ class SourcesSpec extends SparkSpec {
     } finally ddl.close()
   }
 
+  test("star sinks: widened rewrite accepted, narrowed/retyped refused with data intact") {
+    val dir = Files.createTempDirectory("graft_evo_dim").toString + "/dim"
+    FileFormats.writeDim(Seq((1L, "a"), (2L, "b")).toDF("k", "name"), dir)
+    // widening (a column added upstream) rewrites fine
+    FileFormats.writeDim(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "score"), dir)
+    assert(spark.read.parquet(dir).columns.toSet === Set("k", "name", "score"))
+    // narrowing refuses BEFORE the overwrite destroys the standing copy,
+    // naming every dropped column
+    val err = intercept[IllegalArgumentException] {
+      FileFormats.writeDim(Seq(1L).toDF("k"), dir)
+    }
+    assert(err.getMessage.contains("name") && err.getMessage.contains("score"))
+    assert(spark.read.parquet(dir).count() === 2, "standing data intact")
+    // a retyped column refuses too, naming both types
+    val err2 = intercept[IllegalArgumentException] {
+      FileFormats.writeDim(
+        Seq((1L, "a", "high")).toDF("k", "name", "score"), dir)
+    }
+    assert(err2.getMessage.contains("score") &&
+      err2.getMessage.contains("double") && err2.getMessage.contains("string"))
+
+    // the fact sink makes the same decision through its partitioned layout
+    val fdir = Files.createTempDirectory("graft_evo_fact").toString + "/fact"
+    def fact(cols: String*) = Tables.lineitem(spark, sf)
+      .select($"l_shipdate".cast("date").as("date_key") +:
+        cols.map(c => org.apache.spark.sql.functions.col(c)): _*)
+      .limit(200)
+    FileFormats.writeFact(fact("l_orderkey", "l_linenumber"), fdir)
+    FileFormats.writeFact(
+      fact("l_orderkey", "l_linenumber", "l_quantity"), fdir) // widened: ok
+    assert(spark.read.parquet(fdir).columns.contains("l_quantity"))
+    val ferr = intercept[IllegalArgumentException] {
+      FileFormats.writeFact(fact("l_orderkey"), fdir)
+    }
+    assert(ferr.getMessage.contains("l_linenumber"))
+  }
+
+  test("readEvolved surfaces columns across schema versions of one directory") {
+    // a standing table whose newer files carry an added column (the
+    // mixed-file state a widened partition-grain sync leaves behind): the
+    // default single-footer read may MISS the column; the evolved read
+    // unions every footer and older rows surface it as NULL
+    val dir = Files.createTempDirectory("graft_evo_read").toString + "/t"
+    Seq((1L, "a")).toDF("k", "name")
+      .write.mode("append").parquet(dir)
+    Seq((2L, "b", 9.0)).toDF("k", "name", "score")
+      .write.mode("append").parquet(dir)
+    val got = FileFormats.readEvolved(spark, dir)
+      .orderBy($"k").select($"k", $"name", $"score")
+      .as[(Long, String, Option[Double])].collect().toSeq
+    assert(got === Seq((1L, "a", None), (2L, "b", Some(9.0))))
+  }
+
+  test("JDBC upsert evolution: widened frame gated on opt-in, narrower frame retains unset columns") {
+    val db = Files.createTempDirectory("graft-duckdb-evo").resolve("olap.db").toString
+    val conn = Jdbc.ConnInfo(s"jdbc:duckdb:$db", "", "", "org.duckdb.DuckDBDriver")
+    Class.forName(conn.driver)
+    val ddl = java.sql.DriverManager.getConnection(conn.url)
+    try {
+      ddl.createStatement().execute(
+        "CREATE TABLE t (k BIGINT PRIMARY KEY, a VARCHAR)")
+      Jdbc.upsert(Seq((1L, "x"), (2L, "y")).toDF("k", "a"), conn, "t", Seq("k"))
+      // widened frame without opt-in: refused on the DRIVER before any row
+      // moves, naming the new column — never a mid-partition SQLException
+      val widened = Seq((1L, "x2", 1.5)).toDF("k", "a", "b")
+      val err = intercept[IllegalArgumentException] {
+        Jdbc.upsert(widened, conn, "t", Seq("k"))
+      }
+      assert(err.getMessage.contains("b") &&
+        err.getMessage.contains("addMissingColumns"))
+      // with opt-in the table evolves (ALTER TABLE ADD COLUMN): updated row
+      // carries the value, untouched rows read NULL
+      Jdbc.upsert(widened, conn, "t", Seq("k"), addMissingColumns = true)
+      def readBack(): Seq[(Long, String, Option[Double])] =
+        Jdbc.readTable(spark, conn, "t")
+          .select($"k".cast("long"), $"a", $"b")
+          .orderBy("k").as[(Long, String, Option[Double])].collect().toSeq
+      assert(readBack() === Seq((1L, "x2", Some(1.5)), (2L, "y", None)))
+      // a NARROWER frame is legal upsert algebra: ON CONFLICT DO UPDATE
+      // sets only the provided columns, so k=1's b survives its update
+      Jdbc.upsert(Seq((1L, "x3")).toDF("k", "a"), conn, "t", Seq("k"))
+      assert(readBack() === Seq((1L, "x3", Some(1.5)), (2L, "y", None)))
+    } finally ddl.close()
+  }
+
   test("partitioned JDBC read runs for real: range slices + pushed predicate against embedded DuckDB") {
     val db = Files.createTempDirectory("graft-duckdb-src").resolve("oltp.db").toString
     val conn = Jdbc.ConnInfo(s"jdbc:duckdb:$db", "", "", "org.duckdb.DuckDBDriver")
