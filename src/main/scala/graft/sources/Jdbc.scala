@@ -61,16 +61,66 @@ object Jdbc {
   /** The idempotent upsert statement (SCD Type 1, last-write-wins) — the
     * exact semantics of the reference's `ON CONFLICT (key) DO UPDATE SET
     * col = EXCLUDED.col` (sync_oltp_to_olap.py:63-73). Pure function so
-    * specs can pin the SQL without a live database. */
-  def upsertSql(table: String, cols: Seq[String], keyCols: Seq[String]): String = {
+    * specs can pin the SQL without a live database.
+    *
+    * `guardCols` (optional) makes the conflict update NEWEST-WINS instead
+    * of last-statement-wins: the update applies only when the incoming
+    * row is strictly newer under the lexicographic (guard...) order —
+    * `WHERE (table.g1, g2) < (EXCLUDED.g1, g2)` — so an out-of-order or
+    * replayed OLDER row can never clobber newer OLAP state (the JDBC form
+    * of the parquet merge's ts/tie comparison; row-value comparison is
+    * ANSI, runs on Postgres and DuckDB alike). */
+  def upsertSql(table: String, cols: Seq[String], keyCols: Seq[String],
+                guardCols: Seq[String] = Nil): String = {
     require(keyCols.nonEmpty && keyCols.forall(cols.contains), "keys must be columns")
+    require(guardCols.forall(cols.contains), "guards must be columns")
     val updatable = cols.filterNot(keyCols.contains)
+    val guard =
+      if (guardCols.isEmpty) ""
+      else s" WHERE (${guardCols.map(c => s"$table.$c").mkString(", ")}) < " +
+        s"(${guardCols.map(c => s"EXCLUDED.$c").mkString(", ")})"
     val setClause =
       if (updatable.isEmpty) "DO NOTHING"
-      else "DO UPDATE SET " + updatable.map(c => s"$c = EXCLUDED.$c").mkString(", ")
+      else "DO UPDATE SET " +
+        updatable.map(c => s"$c = EXCLUDED.$c").mkString(", ") + guard
     s"INSERT INTO $table (${cols.mkString(", ")}) " +
       s"VALUES (${cols.map(_ => "?").mkString(", ")}) " +
       s"ON CONFLICT (${keyCols.mkString(", ")}) $setClause"
+  }
+
+  /** Distributed batched DELETE by key — the tombstone half of the
+    * reference worker's apply loop (worker_sync.py:96-101 deletes on a
+    * change of type delete). Same executor shape as [[upsert]]: one
+    * connection per partition, `batchSize` keys per round trip, one
+    * commit. Idempotent by construction (deleting an absent key is a
+    * no-op), so task retries and batch replays are safe. */
+  def deleteKeys(df: DataFrame, conn: ConnInfo, table: String,
+                 keyCols: Seq[String], batchSize: Int = 1000): Unit = {
+    require(keyCols.nonEmpty && keyCols.forall(df.columns.contains),
+      "keys must be columns of the frame")
+    val sql = s"DELETE FROM $table WHERE " +
+      keyCols.map(c => s"$c = ?").mkString(" AND ")
+    val (url, user, pass, driver) = (conn.url, conn.user, conn.password, conn.driver)
+    df.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+      .foreachPartition { rows: Iterator[Row] =>
+        if (rows.nonEmpty) {
+          Class.forName(driver)
+          val c = java.sql.DriverManager.getConnection(url, user, pass)
+          try {
+            c.setAutoCommit(false)
+            val st = c.prepareStatement(sql)
+            var n = 0
+            rows.foreach { r =>
+              var i = 0
+              while (i < keyCols.length) { st.setObject(i + 1, r.get(i)); i += 1 }
+              st.addBatch(); n += 1
+              if (n % batchSize == 0) st.executeBatch()
+            }
+            if (n % batchSize != 0) st.executeBatch()
+            c.commit()
+          } finally c.close()
+        }
+      }
   }
 
   /** SQL column type for ALTER TABLE ADD COLUMN when evolving the OLAP
@@ -122,7 +172,8 @@ object Jdbc {
     * column lists, sync_oltp_to_olap.py:56-62, are the degenerate
     * always-aligned case). */
   def upsert(df: DataFrame, conn: ConnInfo, table: String, keyCols: Seq[String],
-             batchSize: Int = 1000, addMissingColumns: Boolean = false): Unit = {
+             batchSize: Int = 1000, addMissingColumns: Boolean = false,
+             guardCols: Seq[String] = Nil): Unit = {
     val cols = df.columns.toSeq
     Class.forName(conn.driver)
     val probe = java.sql.DriverManager.getConnection(conn.url, conn.user, conn.password)
@@ -143,7 +194,7 @@ object Jdbc {
         }
       }
     } finally probe.close()
-    val sql = upsertSql(table, cols, keyCols)
+    val sql = upsertSql(table, cols, keyCols, guardCols)
     val (url, user, pass, driver) = (conn.url, conn.user, conn.password, conn.driver)
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.nonEmpty) {

@@ -212,6 +212,61 @@ object EventsCdc {
         scd1MergeBatchBucketed(spark, stateTable, statePath, keys, buckets) _)
       .start()
 
+  /** One micro-batch of the JDBC worker: reduce the batch to its newest
+    * row per key FIRST (a batch carrying several versions of a key must
+    * apply only the last — applying them as separate statements would
+    * race across executor connections), then split on the tombstone
+    * predicate: survivors upsert with the NEWEST-WINS guard
+    * ([[graft.sources.Jdbc.upsertSql]] guardCols), tombstoned keys
+    * DELETE. The key sets are disjoint by construction (one row per key
+    * after the reduction), so the two statements cannot contend.
+    *
+    * Replay posture: an engine retry or source redelivery re-applies the
+    * same reduced rows — upserts are value-idempotent, the guard stops a
+    * replayed OLDER row from clobbering newer table state, and deleting
+    * an absent key is a no-op. The one semantic difference from the
+    * parquet state sink: a DELETE leaves no tombstone ROW in the table,
+    * so an upsert for that key arriving LATER than its delete re-inserts
+    * — the reference worker's exact semantics (worker_sync.py:96-101);
+    * use [[runWorker]]'s parquet state when resurrect-proof tombstones
+    * matter. */
+  def scd1JdbcBatch(conn: graft.sources.Jdbc.ConnInfo, table: String,
+                    keys: Seq[String], deleteWhen: org.apache.spark.sql.Column,
+                    tsCol: String = "ts", tieCol: String = "event_id")
+                   (batch: DataFrame, batchId: Long): Unit = {
+    val latest = StarSchema
+      .scd1Latest(batch, keys, Seq(col(tsCol).desc, col(tieCol).desc))
+      .persist()
+    try {
+      graft.sources.Jdbc.upsert(latest.filter(!deleteWhen), conn, table, keys,
+        guardCols = Seq(tsCol, tieCol))
+      graft.sources.Jdbc.deleteKeys(latest.filter(deleteWhen), conn, table, keys)
+    } finally latest.unpersist(blocking = false)
+  }
+
+  /** The reference worker's LITERAL deployment shape (worker_sync.py:
+    * 96-108): change stream → exactly-once guard → tombstone-aware upsert
+    * into a LIVE JDBC OLAP database — [[runWorker]] with the warehouse,
+    * not a parquet directory, as the state. Composes [[dedupStream]] with
+    * [[scd1JdbcBatch]] under foreachBatch; delivery is at-least-once into
+    * an idempotent apply, i.e. effectively-once for the table state. */
+  def runWorkerJdbc(spark: SparkSession, srcDir: String, schemaFrom: DataFrame,
+                    conn: graft.sources.Jdbc.ConnInfo, table: String,
+                    checkpointDir: String,
+                    keys: Seq[String] = Seq("user_id"),
+                    deleteWhen: org.apache.spark.sql.Column =
+                      col("event_type") === "error",
+                    dedupDelay: String = "2 hours",
+                    maxFilesPerTrigger: Int = 0,
+                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    dedupStream(readEventStream(spark, srcDir, schemaFrom, maxFilesPerTrigger),
+                dedupDelay)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch(scd1JdbcBatch(conn, table, keys, deleteWhen) _)
+      .start()
+
   /** Stream-stream interval join — the streaming twin of the batch
     * `range_join`: each event joined to the SAME user's events strictly
     * within the following `window`. Both sides carry watermarks and the

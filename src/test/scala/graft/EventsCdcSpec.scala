@@ -916,6 +916,81 @@ class EventsCdcSpec extends SparkSpec {
     assert(liveUsers === Set(2L))
   }
 
+  test("JDBC worker: file arrivals → dedup → tombstone-aware upsert into live DuckDB equals batch SCD1") {
+    // the reference worker's literal deployment shape, end to end: the
+    // second arrival file fully REPLAYS the first (at-least-once source)
+    // plus new rows including tombstones; the live table must equal the
+    // batch SCD1 live view over the distinct delivered events
+    val ev = Tables.events(spark, sf).withColumn("b",
+      ntile(3).over(org.apache.spark.sql.expressions.Window
+        .orderBy($"ts", $"event_id")))
+    val dir = Files.createTempDirectory("graft_jworker_src")
+    def writeFile(name: String, filter: org.apache.spark.sql.Column): Unit = {
+      val tmp = Files.createTempDirectory("graft_jworker_tmp").toString
+      ev.filter(filter).drop("b").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, dir.resolve(name))
+      Thread.sleep(1000)
+    }
+    writeFile("1.parquet", $"b" === 1)
+    writeFile("2.parquet", $"b" === 1 || $"b" === 2) // full replay + new rows
+    val db = Files.createTempDirectory("graft-duckdb-worker")
+      .resolve("olap.db").toString
+    val conn = graft.sources.Jdbc.ConnInfo(
+      s"jdbc:duckdb:$db", "", "", "org.duckdb.DuckDBDriver")
+    Class.forName(conn.driver)
+    val ddl = java.sql.DriverManager.getConnection(conn.url)
+    try {
+      ddl.createStatement().execute(
+        "CREATE TABLE user_state (event_id BIGINT, ts TIMESTAMP, " +
+          "user_id BIGINT PRIMARY KEY, event_type VARCHAR, value DOUBLE, " +
+          "props VARCHAR)")
+      val ckpt = Files.createTempDirectory("graft_jworker_ckpt").toString
+      val q = EventsCdc.runWorkerJdbc(spark, dir.toString,
+        Tables.events(spark, sf), conn, "user_state", ckpt,
+        keys = Seq("user_id"), deleteWhen = $"event_type" === "error",
+        dedupDelay = "3650 days", maxFilesPerTrigger = 1)
+      q.awaitTermination()
+      // expected: batch SCD1 over the distinct delivered events, with
+      // tombstoned users DELETED (the JDBC worker's delete semantics)
+      val batchState = StarSchema.scd1Latest(
+        ev.filter($"b" === 1 || $"b" === 2).drop("b"),
+        Seq("user_id"), Seq($"ts".desc, $"event_id".desc))
+      val expected = StarSchema.live(batchState, $"event_type" === "error")
+        .select($"user_id", $"event_id", $"event_type")
+        .as[(Long, Long, String)].collect().toSet
+      def readState(): Set[(Long, Long, String)] =
+        graft.sources.Jdbc.readTable(spark, conn, "user_state")
+          .select($"user_id".cast("long"), $"event_id".cast("long"),
+            $"event_type")
+          .as[(Long, Long, String)].collect().toSet
+      assert(expected.nonEmpty && readState() === expected)
+      // at least one tombstone actually deleted a previously-upserted user
+      val tombstoned = batchState.filter($"event_type" === "error")
+        .select($"user_id").as[Long].collect().toSet
+      assert(tombstoned.nonEmpty &&
+        tombstoned.forall(u => !expected.exists(_._1 == u)))
+      // replay idempotence at the BATCH level: re-applying batch 1's whole
+      // file (same rows, same reduction) leaves the table bit-identical
+      val before = readState()
+      EventsCdc.scd1JdbcBatch(conn, "user_state", Seq("user_id"),
+        deleteWhen = $"event_type" === "error")(
+        ev.filter($"b" === 1 || $"b" === 2).drop("b"), 99L)
+      assert(readState() === before)
+      // newest-wins guard: a LATE batch carrying an older version of a
+      // live user must not clobber the newer table state
+      val liveUser = expected.head._1
+      val older = Seq((0L, java.sql.Timestamp.valueOf("1990-01-01 00:00:00"),
+          liveUser, "stale", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      EventsCdc.scd1JdbcBatch(conn, "user_state", Seq("user_id"),
+        deleteWhen = $"event_type" === "error")(older, 100L)
+      assert(readState() === before,
+        "an out-of-order older row must lose to the ts/tie guard")
+    } finally ddl.close()
+  }
+
   test("SCD1 merges: a widened batch evolves state without loss; a narrowed batch refuses by name") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val t1 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00")

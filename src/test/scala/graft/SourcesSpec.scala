@@ -21,6 +21,11 @@ class SourcesSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] {
       Jdbc.upsertSql("t", Seq("a"), Seq("missing"))
     }
+    // the newest-wins guard rides the conflict update as a row-value compare
+    assert(Jdbc.upsertSql("t", Seq("k", "a", "ts", "id"), Seq("k"),
+        guardCols = Seq("ts", "id"))
+      .endsWith("DO UPDATE SET a = EXCLUDED.a, ts = EXCLUDED.ts, " +
+        "id = EXCLUDED.id WHERE (t.ts, t.id) < (EXCLUDED.ts, EXCLUDED.id)"))
   }
 
   test("upsert runs for real against an embedded DuckDB: insert, conflict-update, idempotent rerun") {
