@@ -7,16 +7,32 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import graft.functions.NativeExpressions.{DotProduct, MinHashSignature, NfcNormalize, SimHashBits, SrpBandValues}
 
 /** SparkSessionExtensions hook registering the engine's planner strategy
-  * for the native as-of join ([[graft.plans.AsOfJoinStrategy]]) and its
-  * native expressions as SQL functions, so `spark.sql` users (and external
-  * SQL tooling) reach the codegen'd hot loops without touching the Scala
-  * API:
+  * for the native as-of join ([[graft.plans.AsOfJoinStrategy]]), its
+  * native expressions as SQL functions, and the top whole-table operators
+  * as table-valued functions, so `spark.sql` users (and external SQL
+  * tooling — the reference's own audience drove it over HTTP) reach the
+  * library without touching the Scala API.
   *
+  * Scalar / aggregate functions:
   *   - `graft_simhash_bits(array<bigint>, bits)`
   *   - `graft_minhash_signature(array<bigint>, perms, seed)`
   *   - `graft_srp_band_values(array<double>, array<array<double>>, rows)`
   *   - `graft_dot(array<double>, array<double>)`
   *   - `graft_nfc_normalize(string)`
+  *   - `graft_sample_bucket(id)` — the portable md5 sampling bucket in
+  *     [0, 100) every deterministic sample/split decision keys on
+  *   - `graft_mg_sketch(item, k)` / `graft_mg_merge(sketch, k)` — the
+  *     Misra-Gries heavy-hitter sketch pair (build shards, merge subsets)
+  *
+  * Table-valued functions (FROM-clause; table names as string literals,
+  * resolved against the session catalog — temp views included):
+  *   - `graft_asof_join('l', 'r', 'key', 'time_us', 'v1,v2')` — the
+  *     NATIVE as-of join plan, identical to [[graft.plans.AsOfJoin]]
+  *   - `graft_dedup_exact('t')` — exact dedup canonical mapping
+  *   - `graft_minhash_pairs('t', 'n', 'threshold')` — MinHash+LSH
+  *     near-dup pairs with exact-Jaccard verification
+  *   - `graft_heavy_hitters('t', 'bucket_col', 'item_col', 'k')` —
+  *     one-shot Misra-Gries heavy hitters per bucket
   *
   * Wire up via `GraftSession.builder` (already applied) or
   * `--conf spark.sql.extensions=graft.GraftExtensions` on a stock session.
@@ -68,10 +84,105 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }.toArray
   }
 
+  private def constStr(e: Expression, what: String): String = {
+    require(e.foldable, s"$what must be a constant string")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case s: String => s
+      case other => throw new IllegalArgumentException(
+        s"$what must be a string, got $other")
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-operator extension: the native as-of join (custom LogicalPlan
     // -> Strategy -> SparkPlan; see graft.plans.AsOfJoin)
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
+    // SQL-surface resolution rules: rewrite the table-function markers
+    // below into real operator plans once their relations resolve
+    ext.injectResolutionRule(_ => graft.plans.AsOfJoinResolution)
+    ext.injectResolutionRule(s => new graft.plans.GraftTableOpResolution(s))
+
+    // ---- table-valued functions: whole-table operators from plain SQL ----
+    // SELECT * FROM graft_asof_join('trades', 'quotes', 'sym', 'ts_us', 'bid,ask')
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_asof_join"),
+      new ExpressionInfo(classOf[graft.plans.AsOfJoinPlan].getName, "graft_asof_join"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "graft_asof_join('left', 'right', 'key', 'time_us', 'v1,v2')")
+        graft.plans.AsOfJoinSqlPlan(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(
+            constStr(args(0), "left table").split('.').toIndexedSeq),
+          org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(
+            constStr(args(1), "right table").split('.').toIndexedSeq),
+          constStr(args(2), "key"), constStr(args(3), "time column"),
+          constStr(args(4), "value columns")
+            .split(',').map(_.trim).filter(_.nonEmpty).toIndexedSeq)
+      }))
+    def tableOp(name: String, nArgs: Int, usage: String)
+               (mk: Seq[String] => (String, Seq[String])): Unit =
+      ext.injectTableFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[graft.plans.GraftTableOpPlan].getName, name),
+        (args: Seq[Expression]) => {
+          require(args.length == nArgs, usage)
+          val strs = args.zipWithIndex.map { case (a, i) => constStr(a, s"arg $i") }
+          val (op, params) = mk(strs)
+          graft.plans.GraftTableOpPlan(
+            org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(
+              strs.head.split('.').toIndexedSeq),
+            op, params)
+        }))
+    // SELECT * FROM graft_dedup_exact('docs')
+    tableOp("graft_dedup_exact", 1,
+      "graft_dedup_exact('table')")(s => ("dedup_exact", Nil))
+    // SELECT * FROM graft_minhash_pairs('docs', '3', '0.8')
+    tableOp("graft_minhash_pairs", 3,
+      "graft_minhash_pairs('table', 'ngram_n', 'threshold')")(
+      s => ("minhash_pairs", s.tail))
+    // SELECT * FROM graft_heavy_hitters('events', 'event_type', 'props', '64')
+    tableOp("graft_heavy_hitters", 4,
+      "graft_heavy_hitters('table', 'bucket_col', 'item_col', 'k')")(
+      s => ("heavy_hitters", s.tail))
+
+    // ---- scalar + aggregate functions ----
+    // the portable sampling bucket every deterministic sampling/split
+    // decision keys on (md5-based — reproducible in ANY engine)
+    ext.injectFunction((
+      FunctionIdentifier("graft_sample_bucket"),
+      new ExpressionInfo(graft.ops.Sampling.getClass.getName, "graft_sample_bucket"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_sample_bucket(id)")
+        // the EXACT catalyst tree graft.ops.Sampling.bucket composes via
+        // the Column DSL (pmod(conv(substring(md5(...))))) — built
+        // directly here because an injected builder must return a plain
+        // Expression, not a Column-node wrapper (those never resolve when
+        // spliced into a tree mid-analysis); ExtensionsSpec pins SQL ≡
+        // Scala equality so the two constructions cannot drift
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Literal, Md5, Pmod, Substring}
+        import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType}
+        val bin = Cast(Cast(args(0), StringType), BinaryType)
+        val num = Conv(Substring(Md5(bin), Literal(1), Literal(15)),
+          Literal(16), Literal(10))
+        Cast(Pmod(Cast(num, LongType), Literal(100L)), IntegerType)
+      }))
+    // the Misra-Gries sketch pair: build per-shard summaries, merge any
+    // subset — the heavy-hitter maintenance path from SQL
+    ext.injectFunction((
+      FunctionIdentifier("graft_mg_sketch"),
+      new ExpressionInfo(classOf[graft.functions.MGSketchAgg].getName, "graft_mg_sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_mg_sketch(item, k)")
+        graft.functions.MGSketchAgg(args(0), constInt(args(1), "k"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_mg_merge"),
+      new ExpressionInfo(classOf[graft.functions.MGMergeAgg].getName, "graft_mg_merge"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_mg_merge(sketch, k)")
+        graft.functions.MGMergeAgg(args(0), constInt(args(1), "k"))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash_bits"),
       new ExpressionInfo(classOf[SimHashBits].getName, "graft_simhash_bits"),

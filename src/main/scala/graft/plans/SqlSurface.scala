@@ -1,0 +1,90 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** The SQL-surface glue for whole-TABLE operators: Spark's
+  * `injectTableFunction` hands a builder only the argument EXPRESSIONS
+  * (no session, no resolved children), so a table-valued call like
+  * `SELECT * FROM graft_dedup_exact('docs')` cannot build its final plan
+  * at parse time. The pattern here is the view-resolution one: the
+  * builder emits a MARKER plan over an `UnresolvedRelation`, and an
+  * injected resolution rule rewrites the marker into the real operator
+  * plan once the child has resolved — for Scala-composed operators by
+  * invoking the library function on the child DataFrame and splicing its
+  * analyzed plan back in.
+  *
+  * This is what closes the "SQL reachability" gap: the reference's users
+  * drove it over HTTP with SQL — with these rules a `spark.sql`-only
+  * client reaches the as-of join, dedup, and sketch operators without
+  * touching the Scala API. Each marker is deliberately `resolved = false`
+  * so an unknown op or missing rule fails analysis loudly instead of
+  * producing an empty-schema plan.
+  */
+final case class GraftTableOpPlan(child: LogicalPlan, op: String,
+                                  params: Seq[String]) extends UnaryNode {
+  override def output: Seq[Attribute] = Nil
+  override lazy val resolved: Boolean = false
+  override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan =
+    copy(child = c)
+}
+
+/** Rewrites [[GraftTableOpPlan]] markers into the library operator's
+  * analyzed plan. The op registry is deliberately small and explicit —
+  * each entry is an operator whose SQL reachability the round's contract
+  * promises (ExtensionsSpec pins SQL ≡ Scala for every one). */
+class GraftTableOpResolution(session: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.functions.{col, lit}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case GraftTableOpPlan(child, op, params) if child.resolved =>
+      val df = org.apache.spark.sql.graft.GraftSqlShim.ofRows(session, child)
+      val out = op match {
+        case "dedup_exact" =>
+          graft.ops.Dedup.exact(df)
+        case "minhash_pairs" =>
+          graft.ops.Dedup.minhashLsh(df, params(0).toInt, params(1).toDouble)
+        case "heavy_hitters" =>
+          val k = params(2).toInt
+          graft.ops.Sketches.heavyHittersMerged(
+            graft.ops.Sketches.heavyHitterSketch(
+              df, col(params(0)), lit(0L), col(params(1)), k), k)
+        case other => throw new IllegalArgumentException(
+          s"unknown graft table op '$other'")
+      }
+      out.queryExecution.analyzed
+  }
+}
+
+/** Unresolved form of [[AsOfJoinPlan]] for the `graft_asof_join` table
+  * function: carries the column NAMES until both relations resolve. */
+final case class AsOfJoinSqlPlan(left: LogicalPlan, right: LogicalPlan,
+                                 key: String, timeUs: String,
+                                 valueCols: Seq[String]) extends BinaryNode {
+  override def output: Seq[Attribute] = Nil
+  override lazy val resolved: Boolean = false
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Rewrites [[AsOfJoinSqlPlan]] into the native [[AsOfJoinPlan]] once both
+  * sides resolve — the same attribute lookup [[AsOfJoin.apply]] performs
+  * on the Scala path, so SQL and Scala build the IDENTICAL plan node. */
+object AsOfJoinResolution extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case AsOfJoinSqlPlan(l, r, key, ts, vals) if l.resolved && r.resolved =>
+      def attr(p: LogicalPlan, n: String, side: String): Attribute =
+        p.output.find(_.name.equalsIgnoreCase(n)).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft_asof_join: $side side has no column '$n' " +
+              s"(has: ${p.output.map(_.name).mkString(", ")})"))
+      val rv = vals.map(c => attr(r, c, "right"))
+      val mo = rv.map(a =>
+        AttributeReference(s"matched_${a.name}", a.dataType, nullable = true)())
+      AsOfJoinPlan(l, r, attr(l, key, "left"), attr(l, ts, "left"),
+        attr(r, key, "right"), attr(r, ts, "right"), rv, mo)
+  }
+}

@@ -50,6 +50,93 @@ class ExtensionsSpec extends SparkSpec {
     assert(fromSql === "café")
   }
 
+  test("graft_sample_bucket is SQL-callable and matches the Scala API") {
+    val docs = graft.sources.Tables.documents(spark, sf).select($"doc_id")
+    docs.createOrReplaceTempView("ext_docs_ids")
+    val fromSql = spark.sql(
+      "SELECT doc_id, graft_sample_bucket(doc_id) AS b FROM ext_docs_ids")
+      .as[(Long, Int)].collect().toMap
+    val fromApi = docs
+      .select($"doc_id", graft.ops.Sampling.bucket($"doc_id").as("b"))
+      .as[(Long, Int)].collect().toMap
+    assert(fromSql === fromApi)
+    assert(fromSql.values.forall(b => b >= 0 && b < 100))
+  }
+
+  test("graft_asof_join TVF builds the native plan and matches the Scala API") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id")
+    val marks = graft.sources.Tables.events(spark, sf)
+      .filter($"event_id" % 5 === 0)
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"value")
+    ev.createOrReplaceTempView("ext_asof_l")
+    marks.createOrReplaceTempView("ext_asof_r")
+    val sql = spark.sql("SELECT * FROM graft_asof_join(" +
+      "'ext_asof_l', 'ext_asof_r', 'user_id', 'ts_us', 'value')")
+    // the TVF path must plan the NATIVE exec, not a composed fallback
+    assert(planOf(sql).contains("AsOfJoin"),
+      s"graft_asof_join should plan AsOfJoinExec:\n${planOf(sql)}")
+    val api = graft.plans.AsOfJoin(ev, marks, "user_id", "ts_us", Seq("value"))
+    assert(sql.columns.toSeq === api.columns.toSeq)
+    assert(sql.collect().map(_.toString).sorted.toSeq ===
+      api.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("graft_dedup_exact and graft_minhash_pairs TVFs match the Scala operators") {
+    graft.sources.Tables.documents(spark, sf)
+      .createOrReplaceTempView("ext_docs")
+    val exactSql = spark.sql("SELECT * FROM graft_dedup_exact('ext_docs')")
+      .collect().map(_.toString).sorted.toSeq
+    val exactApi = graft.ops.Dedup
+      .exact(graft.sources.Tables.documents(spark, sf))
+      .collect().map(_.toString).sorted.toSeq
+    assert(exactSql === exactApi && exactSql.nonEmpty)
+    val pairsSql = spark.sql(
+      "SELECT * FROM graft_minhash_pairs('ext_docs', '3', '0.8')")
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    val pairsApi = graft.ops.Dedup
+      .minhashLsh(graft.sources.Tables.documents(spark, sf), 3, 0.8)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(pairsSql === pairsApi && pairsSql.nonEmpty)
+  }
+
+  test("graft_heavy_hitters TVF and the MG sketch/merge aggregates match the Scala API") {
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select($"source".as("bucket"),
+        explode(graft.ops.TextAnalysis.tokens($"text")).as("item"))
+    toks.createOrReplaceTempView("ext_toks")
+    val sql = spark.sql(
+      "SELECT * FROM graft_heavy_hitters('ext_toks', 'bucket', 'item', '16')")
+      .collect().map(_.toString).sorted.toSeq
+    val api = graft.ops.Sketches.heavyHittersMerged(
+        graft.ops.Sketches.heavyHitterSketch(
+          toks, $"bucket", lit(0L), $"item", 16), 16)
+      .collect().map(_.toString).sorted.toSeq
+    assert(sql === api && sql.nonEmpty)
+    // the sketch pair composes from SQL exactly as from Scala: shard-build
+    // then merged read, identical decoded counters
+    val sqlAgg = spark.sql("""
+      WITH shards AS (
+        SELECT bucket, pmod(hash(item), 4) AS shard,
+               graft_mg_sketch(item, 16) AS sketch
+        FROM ext_toks GROUP BY 1, 2),
+      merged AS (
+        SELECT bucket, graft_mg_merge(sketch, 16) AS items
+        FROM shards GROUP BY bucket)
+      SELECT bucket, it.item AS item, it.count_est AS count_est
+      FROM merged LATERAL VIEW explode(items) ex AS it""")
+      .collect().map(_.toString).sorted.toSeq
+    val apiAgg = {
+      val shards = toks.groupBy($"bucket", pmod(hash($"item"), lit(4)).as("shard"))
+        .agg(graft.functions.MisraGries.mgSketchAgg($"item", 16).as("sketch"))
+      shards.groupBy($"bucket")
+        .agg(graft.functions.MisraGries.mgMergeAgg($"sketch", 16).as("items"))
+        .select($"bucket", explode($"items").as("it"))
+        .select($"bucket", $"it.item".as("item"), $"it.count_est".as("count_est"))
+    }.collect().map(_.toString).sorted.toSeq
+    assert(sqlAgg === apiAgg && sqlAgg.nonEmpty)
+  }
+
   test("graft_srp_band_values is SQL-callable and matches the Scala API") {
     val planes = Similarity.planeMatrix(8, 4, 42L)
     val planesSql = planes
