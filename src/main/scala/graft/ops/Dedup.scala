@@ -496,6 +496,96 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** ExactSubstr-semantics dedup — REMOVE-THE-SPAN, not drop-the-doc (the
+    * curation literature's exact formulation; [[spanDedup]] is its
+    * fingerprint PROXY and stays for triage): emit (doc_id, start_tok,
+    * len_tok) removal spans for every maximal cross-document verbatim
+    * token run of length >= `minLen`, keeping the occurrence in the
+    * SMALLEST doc_id (keep-first — for a chain A<B<C sharing a span, A
+    * keeps it and B, C get removal spans).
+    *
+    * Candidate pairs come from the winnowing index at minShared = 1,
+    * which is LOSSLESS for qualifying spans: a shared run of >= k+w-1
+    * tokens contains a full w-gram window inside the run in both docs, so
+    * both select the same window minimum — every pair with a span >=
+    * minLen (>= k+w-1) shares >= 1 fingerprint. The one deliberate cut is
+    * the shared stop-fingerprint cap (df > maxDf): spans whose every
+    * witness is boilerplate present in more than maxDf docs are the
+    * boilerplate gate's domain, not pairwise dedup's (and the oracle
+    * replays the same cap, so the contract is exact).
+    *
+    * VERIFICATION is by actual token comparison, not fingerprints: only
+    * candidate-involved docs are re-read (semi-join prune), their
+    * positional k-gram hashes join per pair, and matches group into
+    * maximal diagonal runs (p1 − p2 constant, consecutive p1 — the
+    * standard dot-plot diagonal). A doc's removal spans from ALL partners
+    * then merge per doc (interval sweep: running max-end, new island when
+    * start exceeds it), so overlapping spans from different partners
+    * emit once. Cost is pairs × doc-length — the pruned-pair price of
+    * positional verification (the suffix-array formulation is the
+    * single-machine alternative; this is the join-shaped one that
+    * scales out).
+    *
+    * Positions are 1-based token indices; `len_tok` counts tokens. */
+  def exactSubstrSpans(docs: DataFrame, minLen: Int = 8,
+                       k: Int = 3, w: Int = 4, maxDf: Int = 16,
+                       shingleHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(minLen >= k + w - 1,
+      s"minLen must be >= k+w-1 = ${k + w - 1} for the winnowing candidate " +
+        s"prune to be lossless, got $minLen")
+    val pairs = spanPairs(rareFingerprintLists(docs, k, w, maxDf, shingleHash),
+        minShared = 1, maxDf)
+      .select(col("d1"), col("d2"))
+    val involved = pairs.select(col("d1").as("doc_id"))
+      .union(pairs.select(col("d2").as("doc_id"))).distinct()
+    val grams = posGramRows(
+      docs.select(col("doc_id"), col("text"))
+        .join(involved, Seq("doc_id"), "left_semi"),
+      k, shingleHash)
+    val matches = pairs
+      .join(grams.toDF("d1", "p1", "gh"), "d1")
+      .join(grams.toDF("d2", "p2", "gh"), Seq("d2", "gh"))
+    val byDiag = Window.partitionBy(col("d1"), col("d2"), col("diag"))
+      .orderBy(col("p1"))
+    val runs = matches
+      .withColumn("diag", col("p1") - col("p2"))
+      .withColumn("island", col("p1") - row_number().over(byDiag))
+      .groupBy(col("d1"), col("d2"), col("diag"), col("island"))
+      .agg(min(col("p2")).as("start"), count(lit(1)).as("ng"))
+      .withColumn("len", col("ng") + lit(k - 1).cast("long"))
+      .filter(col("len") >= minLen)
+    // removal spans land on d2 (keep-first); merge overlaps per doc
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"), col("e"))
+    runs
+      .select(col("d2").as("doc_id"), col("start").cast("long").as("start"),
+        (col("start") + col("len")).cast("long").as("e"))
+      .withColumn("max_e_before",
+        max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("start") > coalesce(col("max_e_before"), lit(-1L)), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("start")).as("start_tok"),
+        (max(col("e")) - min(col("start"))).as("len_tok"))
+      .select(col("doc_id"), col("start_tok"), col("len_tok"))
+  }
+
+  /** Positional k-gram hashes: (doc_id, pos, gh) with 1-based token
+    * positions — [[shingleRows]] keeping positions and duplicates (the
+    * verification path needs every occurrence, not the distinct set). */
+  private def posGramRows(docs: DataFrame, k: Int,
+                          shingleHash: Column => Column): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs.select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))))
+      .toDF("doc_id", "pos", "t")
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        concat_ws(" ", (0 until k).map(j => lead(col("t"), j).over(byDoc)): _*).as("g"),
+        lead(col("t"), k - 1).over(byDoc).isNotNull.as("full"))
+      .filter(col("full"))
+      .select(col("doc_id"), col("pos"), shingleHash(col("g")).as("gh"))
+  }
+
   /** Asymmetric span containment over the [[spanDedup]] pairs — the
     * quote/boilerplate-superset detector: for each shared-span pair, what
     * FRACTION of each doc's fingerprints the other doc covers.

@@ -1195,6 +1195,63 @@ $sel
     WITH $spanPairsCtes
     SELECT d1, d2, n_shared FROM sp ORDER BY d1, d2"""
 
+  /** ExactSubstr remove-the-span dedup ([[graft.ops.Dedup.exactSubstrSpans]]):
+    * (doc_id, start_tok, len_tok) removal spans for maximal cross-doc
+    * verbatim runs >= 8 tokens, keep-first, overlaps merged per doc. The
+    * oracle replays the WHOLE pipeline — md5 winnowing candidates at
+    * minShared=1, positional gram matches per pair, diagonal runs, the
+    * interval-merge sweep — so the span-level output is hash-compared,
+    * not just pair membership. */
+  private def exactSubstrSpans(s: SparkSession, d: String): DataFrame =
+    Dedup.exactSubstrSpans(Tables.documents(s, d), minLen = 8, maxDf = 16,
+        shingleHash = c => md5(c.cast("binary")))
+      .orderBy("doc_id", "start_tok")
+
+  private val exactSubstrSpansSql = s"""
+    WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+    h AS (SELECT doc_id,
+            [md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) for i in range(1, len(w)-1)] AS hs
+          FROM t WHERE len(w) >= 3),
+    f AS (SELECT doc_id, CASE WHEN len(hs) >= 4
+            THEN list_sort(list_distinct(
+                   [list_aggregate(hs[i:i+3], 'min') for i in range(1, len(hs)-2)]))
+            ELSE [list_aggregate(hs, 'min')] END AS fp
+          FROM h),
+    fpx AS (SELECT doc_id, unnest(fp) AS fp_hash FROM f),
+    rare AS (SELECT fp_hash FROM fpx GROUP BY fp_hash HAVING COUNT(*) <= 16),
+    fpf AS (SELECT doc_id, fp_hash FROM fpx
+            WHERE fp_hash IN (SELECT fp_hash FROM rare)),
+    sp AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+           FROM fpf a JOIN fpf b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+    pg AS (SELECT doc_id, u.pos AS pos, u.gh AS gh
+           FROM (SELECT doc_id,
+                   unnest([{'pos': i, 'gh': hs[i]} for i in range(1, len(hs)+1)]) AS u
+                 FROM h)),
+    m AS (SELECT sp.d1, sp.d2, a.pos AS p1, b.pos AS p2
+          FROM sp JOIN pg a ON a.doc_id = sp.d1
+                  JOIN pg b ON b.doc_id = sp.d2 AND b.gh = a.gh),
+    r0 AS (SELECT d1, d2, p1 - p2 AS diag, p2,
+             p1 - row_number() OVER (PARTITION BY d1, d2, p1 - p2 ORDER BY p1)
+               AS island
+           FROM m),
+    runs AS (SELECT d2, MIN(p2) AS strt, COUNT(*) + 2 AS len
+             FROM r0 GROUP BY d1, d2, diag, island
+             HAVING COUNT(*) + 2 >= 8),
+    b0 AS (SELECT d2 AS doc_id, strt, strt + len AS e FROM runs),
+    fl AS (SELECT doc_id, strt, e,
+             CASE WHEN strt > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+                    ORDER BY strt, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS ni
+           FROM b0),
+    isl AS (SELECT doc_id, strt, e,
+              SUM(ni) OVER (PARTITION BY doc_id ORDER BY strt, e) AS island
+            FROM fl)
+    SELECT doc_id, CAST(MIN(strt) AS BIGINT) AS start_tok,
+           CAST(MAX(e) - MIN(strt) AS BIGINT) AS len_tok
+    FROM isl GROUP BY doc_id, island ORDER BY doc_id, start_tok"""
+
   /** Asymmetric containment over the span_dedup pairs (md5 winnowing so
     * the oracle replays every window minimum): cover fractions against
     * the shared rare-fingerprint universe — see
@@ -2100,6 +2157,7 @@ $sel
     Q("dedup_eval", dedupEval, Some(dedupEvalSql)),
     Q("contamination_score", contaminationScore, Some(contaminationScoreSql)),
     Q("span_dedup", spanDedup, Some(spanDedupSql)),
+    Q("exact_substr_spans", exactSubstrSpans, Some(exactSubstrSpansSql)),
     Q("span_containment", spanContainment, Some(spanContainmentSql)),
     Q("span_clusters", spanClusters, Some(spanClustersSql)),
     Q("pq_encode", pqEncode, Some(pqEncodeSql)),

@@ -158,6 +158,47 @@ class DedupSpec extends SparkSpec {
       "the superset doc must have extra fingerprints of its own")
   }
 
+  test("exactSubstrSpans: span-level removal, keep-first, overlaps merged") {
+    // docs 1 < 2 < 3 share the 8-token run "c d e f g h i j"; doc 2 also
+    // shares a second, OVERLAPPING run with doc 3 only — the merge must
+    // emit ONE span for doc 3 covering the union
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y c d e f g h i j k l m n o p"),
+      (3L, "q r c d e f g h i j k l m n s t"),
+      (4L, "completely unrelated text with no shared runs at all here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrSpans(docs, minLen = 8)
+      .orderBy($"doc_id", $"start_tok")
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc 1 (smallest id) KEEPS its occurrence — no removal span
+    assert(!out.exists(_._1 == 1L))
+    // doc 2 removes c..j (8 tokens from position 3) — matched from doc 1;
+    // its longer overlap with doc 3 (c..n, 12 tokens) does NOT land on
+    // doc 2 because 2 < 3 (keep-first: doc 3 is the remover)
+    assert(out.filter(_._1 == 2L) === Seq((2L, 3L, 8L)))
+    // doc 3: the doc-1 match (c..j = 8) and the doc-2 match (c..n = 12)
+    // overlap — merged to ONE span of 12 tokens at position 3
+    assert(out.filter(_._1 == 3L) === Seq((3L, 3L, 12L)))
+    assert(!out.exists(_._1 == 4L))
+  }
+
+  test("exactSubstrSpans: disjoint runs stay separate spans; sub-minLen runs drop") {
+    val docs = Seq(
+      (1L, "s1a s1b s1c s1d s1e s1f s1g s1h gap1 gap2 gap3 s2a s2b s2c s2d s2e s2f s2g s2h"),
+      // shares run1 (8 toks, from pos 1) and run2 (8 toks) with doc 1,
+      // separated by DIFFERENT gap tokens — two disjoint removal spans
+      (2L, "s1a s1b s1c s1d s1e s1f s1g s1h other1 other2 s2a s2b s2c s2d s2e s2f s2g s2h"),
+      // shares only a 7-token run (< minLen=8) — no span emitted
+      (3L, "s1a s1b s1c s1d s1e s1f s1g tail1 tail2 tail3 tail4 tail5 tail6 tail7 tail8")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrSpans(docs, minLen = 8)
+      .orderBy($"doc_id", $"start_tok")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((2L, 1L, 8L), (2L, 11L, 8L)),
+      s"expected doc 2's two disjoint 8-token spans, got $out")
+  }
+
   test("streaming dedup screen: per-batch probe+absorb, concatenated pairs equal the batch run") {
     // runDedupScreen through the real streaming wiring: two arrival files,
     // one micro-batch each — batch 0's docs must be corpus by the time
