@@ -158,6 +158,56 @@ object DocQueries {
            top_bigram_count::DOUBLE / n_bigrams AS top_bigram_ratio
     FROM words w LEFT JOIN top USING (doc_id) ORDER BY doc_id"""
 
+  /** Per-source token-count drift report — the corpus-health staple a
+    * recurring ingest dashboard leads with: per source, token volume and
+    * mean document length compared between the two doc_id-parity halves
+    * (the deterministic stand-in for before/after snapshots — swap the
+    * predicate for an ingest-batch column in production). A collapsed or
+    * exploded drift_ratio flags a source whose extraction changed. All
+    * counts are exact integer sums; each mean is ONE long/long IEEE
+    * division and the ratio one double division — engine-identical. An
+    * absent half yields NULL mean and NULL ratio in both engines (no
+    * ELSE in the conditional counts). One scan, one |sources|-sized
+    * shuffle with map-side partials. */
+  private def tokenDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val isOld = $"doc_id" % 2 === 0
+    Tables.documents(s, d)
+      .select($"source", isOld.as("is_old"),
+        size(TextAnalysis.tokens($"text")).cast("long").as("n_tok"))
+      .groupBy($"source")
+      .agg(
+        sum(when($"is_old", 1L)).as("n_old"),
+        sum(when(!$"is_old", 1L)).as("n_new"),
+        sum(when($"is_old", $"n_tok")).as("tok_old"),
+        sum(when(!$"is_old", $"n_tok")).as("tok_new"))
+      .select($"source", $"n_old", $"n_new", $"tok_old", $"tok_new",
+        ($"tok_old".cast("double") / $"n_old").as("mean_old"),
+        ($"tok_new".cast("double") / $"n_new").as("mean_new"),
+        (($"tok_new".cast("double") / $"n_new") /
+          ($"tok_old".cast("double") / $"n_old")).as("drift_ratio"))
+      .orderBy($"source")
+  }
+
+  private val tokenDriftSql = """
+    WITH d AS (
+      SELECT source, doc_id % 2 = 0 AS is_old,
+             len(string_split(lower(trim(text)), ' ')) AS n_tok
+      FROM documents),
+    g AS (
+      SELECT source,
+             SUM(CASE WHEN is_old THEN 1 END) AS n_old,
+             SUM(CASE WHEN NOT is_old THEN 1 END) AS n_new,
+             SUM(CASE WHEN is_old THEN n_tok END) AS tok_old,
+             SUM(CASE WHEN NOT is_old THEN n_tok END) AS tok_new
+      FROM d GROUP BY source)
+    SELECT source, CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+           CAST(tok_old AS BIGINT) AS tok_old, CAST(tok_new AS BIGINT) AS tok_new,
+           tok_old::DOUBLE / n_old AS mean_old,
+           tok_new::DOUBLE / n_new AS mean_new,
+           (tok_new::DOUBLE / n_new) / (tok_old::DOUBLE / n_old) AS drift_ratio
+    FROM g ORDER BY source"""
+
   /** Corpus-level token frequency head — the vocabulary/Zipf stats a
     * pipeline inspects before tokenizer training. */
   private def tokenTopK(s: SparkSession, d: String): DataFrame = {
@@ -2158,6 +2208,7 @@ $sel
     Q("contamination_score", contaminationScore, Some(contaminationScoreSql)),
     Q("span_dedup", spanDedup, Some(spanDedupSql)),
     Q("exact_substr_spans", exactSubstrSpans, Some(exactSubstrSpansSql)),
+    Q("token_drift", tokenDrift, Some(tokenDriftSql)),
     Q("span_containment", spanContainment, Some(spanContainmentSql)),
     Q("span_clusters", spanClusters, Some(spanClustersSql)),
     Q("pq_encode", pqEncode, Some(pqEncodeSql)),

@@ -21,6 +21,46 @@ object EventQueries {
     FROM events
     GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Exact per-group MODE with deterministic tie-break — the argmax
+    * dashboard staple next to exact_median's percentile-disc family: per
+    * event type, the most frequent user (ties → lowest user_id, pinned in
+    * BOTH engines — built-in mode() breaks ties arbitrarily and is not
+    * oracle-safe), its count, and its share of the group. The (group,
+    * user) aggregate is the ONE data-sized shuffle; the argmax window
+    * runs over the aggregate (|groups × distinct users per group| rows),
+    * never the raw events. */
+  private def groupMode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.events(s, d)
+      .groupBy($"event_type", $"user_id").agg(count(lit(1)).as("n_mode"))
+    val byCnt = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"n_mode".desc, $"user_id".asc)
+    val grp = org.apache.spark.sql.expressions.Window.partitionBy($"event_type")
+    counts
+      .withColumn("rk", row_number().over(byCnt))
+      .withColumn("n_group", sum($"n_mode").over(grp))
+      .filter($"rk" === 1)
+      .select($"event_type", $"user_id".as("mode_user"), $"n_mode",
+        $"n_group".cast("long").as("n_group"),
+        ($"n_mode".cast("double") / $"n_group").as("mode_share"))
+      .orderBy($"event_type")
+  }
+
+  private val groupModeSql: String = """
+    WITH c AS (
+      SELECT event_type, user_id, COUNT(*) AS n_mode
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT event_type, user_id, n_mode,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n_mode DESC, user_id) AS rk,
+             SUM(n_mode) OVER (PARTITION BY event_type) AS n_group
+      FROM c)
+    SELECT event_type, user_id AS mode_user, n_mode,
+           CAST(n_group AS BIGINT) AS n_group,
+           n_mode::DOUBLE / n_group AS mode_share
+    FROM r WHERE rk = 1 ORDER BY event_type"""
+
   private def eventsSessionize(s: SparkSession, d: String): DataFrame =
     Events.sessionize(Tables.events(s, d))
       .orderBy("user_id", "session_id")
@@ -591,6 +631,7 @@ object EventQueries {
     Q("events_ohlc", eventsOhlc, Some(eventsOhlcSql)),
     Q("user_lifecycle", userLifecycle, Some(userLifecycleSql)),
     Q("events_heatmap", eventsHeatmap, Some(eventsHeatmapSql)),
+    Q("group_mode", groupMode, Some(groupModeSql)),
     Q("new_vs_returning", newVsReturning, Some(newVsReturningSql)),
     Q("ab_test_zscore", abTestZscore, Some(abTestZscoreSql)),
     Q("events_windowed", eventsWindowed, Some(eventsWindowedSql)),
