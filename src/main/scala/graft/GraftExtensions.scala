@@ -145,6 +145,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     tableOp("graft_heavy_hitters", 4,
       "graft_heavy_hitters('table', 'bucket_col', 'item_col', 'k')")(
       s => ("heavy_hitters", s.tail))
+    // SELECT * FROM graft_gopher_rules('docs') — the curation quality gate
+    tableOp("graft_gopher_rules", 1,
+      "graft_gopher_rules('table')")(s => ("gopher_rules", Nil))
+    // SELECT * FROM graft_sessionize('events', '1800000000') — gap in µs
+    tableOp("graft_sessionize", 2,
+      "graft_sessionize('table', 'gap_us')")(s => ("sessionize", s.tail))
 
     // ---- scalar + aggregate functions ----
     // the portable sampling bucket every deterministic sampling/split

@@ -51,6 +51,10 @@ class GraftTableOpResolution(session: SparkSession) extends Rule[LogicalPlan] {
           graft.ops.Sketches.heavyHittersMerged(
             graft.ops.Sketches.heavyHitterSketch(
               df, col(params(0)), lit(0L), col(params(1)), k), k)
+        case "gopher_rules" =>
+          graft.ops.TextAnalysis.gopherRules(df)
+        case "sessionize" =>
+          graft.ops.Events.sessionize(df, params(0).toLong)
         case other => throw new IllegalArgumentException(
           s"unknown graft table op '$other'")
       }

@@ -137,6 +137,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(sqlAgg === apiAgg && sqlAgg.nonEmpty)
   }
 
+  test("graft_gopher_rules and graft_sessionize TVFs match the Scala operators") {
+    graft.sources.Tables.documents(spark, sf)
+      .createOrReplaceTempView("ext_docs_gr")
+    val gSql = spark.sql("SELECT * FROM graft_gopher_rules('ext_docs_gr')")
+    val gApi = graft.ops.TextAnalysis.gopherRules(
+      graft.sources.Tables.documents(spark, sf))
+    assert(gSql.columns.toSeq === gApi.columns.toSeq)
+    assert(gSql.collect().map(_.toString).sorted.toSeq ===
+      gApi.collect().map(_.toString).sorted.toSeq)
+    graft.sources.Tables.events(spark, sf)
+      .createOrReplaceTempView("ext_events_sess")
+    val sSql = spark.sql(
+      "SELECT * FROM graft_sessionize('ext_events_sess', '1800000000')")
+    val sApi = graft.ops.Events.sessionize(
+      graft.sources.Tables.events(spark, sf), 1800000000L)
+    assert(sSql.columns.toSeq === sApi.columns.toSeq)
+    assert(sSql.collect().map(_.toString).sorted.toSeq ===
+      sApi.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("graft_srp_band_values is SQL-callable and matches the Scala API") {
     val planes = Similarity.planeMatrix(8, 4, 42L)
     val planesSql = planes
