@@ -571,6 +571,60 @@ object Dedup {
       .select(col("doc_id"), col("start_tok"), col("len_tok"))
   }
 
+  /** WITHIN-doc repeated-run spans — the intra-document complement of
+    * [[exactSubstrSpans]] (that one finds cross-doc copies; this one finds
+    * a document repeating ITSELF — the generation-loop / boilerplate-
+    * stutter signal curation pipelines strip span-wise): for each doc,
+    * maximal token runs of length >= `minLen` that appear again LATER in
+    * the same doc, emitted as removal spans (doc_id, start_tok, len_tok)
+    * over the LATER occurrence — the first occurrence is kept, exactly
+    * the keep-first rule of the cross-doc operator. Overlapping repeat
+    * spans (a run repeated 3× yields pairwise matches) merge per doc with
+    * the same interval sweep.
+    *
+    * Shape: positional gram self-join keyed on (doc_id, gh) with p1 < p2
+    * — ONE doc-and-hash-keyed shuffle, per-key fan-out bounded by a
+    * gram's repeat count within one doc (never cross-doc); diagonal runs
+    * and the merge are windows over match rows. No candidate index is
+    * needed — the join key carries the doc_id, so the work is
+    * per-document local by construction and scales with total repeated
+    * grams, not corpus size. */
+  def intraDocRepeats(docs: DataFrame, minLen: Int = 8, k: Int = 3,
+                      shingleHash: Column => Column = xxhash64(_)): DataFrame = {
+    val grams = posGramRows(docs.select(col("doc_id"), col("text")),
+      k, shingleHash)
+    val matches = grams.toDF("doc_id", "p1", "gh")
+      .join(grams.toDF("doc_id", "p2", "gh"), Seq("doc_id", "gh"))
+      .filter(col("p1") < col("p2"))
+    val byDiag = Window.partitionBy(col("doc_id"), col("diag"))
+      .orderBy(col("p1"))
+    val runs = matches
+      .withColumn("diag", col("p2") - col("p1"))
+      .withColumn("island", col("p1") - row_number().over(byDiag))
+      .groupBy(col("doc_id"), col("diag"), col("island"))
+      .agg(min(col("p2")).as("start"), count(lit(1)).as("ng"))
+      // a short period repeated many times yields a long diagonal run;
+      // the span is genuine (the text really does repeat for that long),
+      // so the run length is the span length exactly as in the cross-doc
+      // operator
+      .withColumn("len", col("ng") + lit(k - 1).cast("long"))
+      .filter(col("len") >= minLen)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"), col("e"))
+    runs
+      .select(col("doc_id"), col("start").cast("long").as("start"),
+        (col("start") + col("len")).cast("long").as("e"))
+      .withColumn("max_e_before",
+        max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("start") > coalesce(col("max_e_before"), lit(-1L)), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("start")).as("start_tok"),
+        (max(col("e")) - min(col("start"))).as("len_tok"))
+      .select(col("doc_id"), col("start_tok"), col("len_tok"))
+  }
+
   /** Positional k-gram hashes: (doc_id, pos, gh) with 1-based token
     * positions — [[shingleRows]] keeping positions and duplicates (the
     * verification path needs every occurrence, not the distinct set). */

@@ -199,6 +199,28 @@ class DedupSpec extends SparkSpec {
       s"expected doc 2's two disjoint 8-token spans, got $out")
   }
 
+  test("intraDocRepeats: later occurrences of repeated runs become removal spans") {
+    val docs = Seq(
+      // "r1..r8" appears twice; the LATER copy (pos 12) is the removal span
+      (1L, "a b c r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8 tail"),
+      // a generation loop: period-4 phrase repeated 4x — everything after
+      // the first period is one merged removal span (self-overlapping
+      // diagonals must still merge to a single interval)
+      (2L, "p1 p2 p3 p4 p1 p2 p3 p4 p1 p2 p3 p4 p1 p2 p3 p4"),
+      (3L, "no repeats in this document at all just distinct words")
+    ).toDF("doc_id", "text")
+    val out = Dedup.intraDocRepeats(docs, minLen = 8)
+      .orderBy($"doc_id", $"start_tok")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.filter(_._1 == 1L) === Seq((1L, 12L, 8L)),
+      s"doc 1's second copy should be the span, got $out")
+    // doc 2: diag-4 matches run p1=1..9 (grams up to pos 12 match pos
+    // 16-wide text), span covers positions 5..16 = 12 tokens
+    assert(out.filter(_._1 == 2L) === Seq((2L, 5L, 12L)),
+      s"loop removal should keep exactly the first period, got $out")
+    assert(!out.exists(_._1 == 3L))
+  }
+
   test("streaming dedup screen: per-batch probe+absorb, concatenated pairs equal the batch run") {
     // runDedupScreen through the real streaming wiring: two arrival files,
     // one micro-batch each — batch 0's docs must be corpus by the time
