@@ -289,6 +289,38 @@ class TextAnalysisSpec extends SparkSpec {
       docs.columns.toSet + "batch_id")
   }
 
+  test("streaming corpus stats: drift served from state equals the batch token_drift") {
+    // file 1 = even doc_ids, file 2 = odd — the same split the batch
+    // token_drift entry pins at plan time; with boundary = batch 0 the
+    // served moving-boundary report must equal it EXACTLY (long sums +
+    // one division per mean)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_cs_src")
+    Seq($"doc_id" % 2 === 0, $"doc_id" % 2 =!= 0).zipWithIndex.foreach {
+      case (f, i) =>
+        val tmp = java.nio.file.Files.createTempDirectory("graft_cs_tmp").toString
+        docs.filter(f).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(part.toPath, srcDir.resolve(s"$i.parquet"))
+        Thread.sleep(1000)
+    }
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_cs_state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cs_ck").toString
+    val q = graft.streaming.StreamingCorpusStats.runTokenStats(
+      spark, srcDir.toString, docs, stateDir, ckpt, maxFilesPerTrigger = 1)
+    q.awaitTermination()
+    val state = spark.read.parquet(stateDir)
+    assert(state.select($"batch_id").distinct().count() === 2)
+    val served = graft.streaming.StreamingCorpusStats
+      .driftFromState(state, boundary = 0L)
+      .collect().map(_.toString).toSet
+    val batch = SparkEntry.queries("token_drift")(spark, sf)
+      .collect().map(_.toString).toSet
+    assert(served === batch && served.nonEmpty,
+      "served drift must equal the batch token_drift bit-for-bit")
+  }
+
   test("lmBigramScore: repeated bigrams score higher than novel ones") {
     // corpus: "a b" appears 3x, "c d"/"e f" once each; V = 8 distinct tokens
     val docs = Seq(
