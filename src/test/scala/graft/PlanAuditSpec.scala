@@ -360,6 +360,29 @@ class PlanAuditSpec extends SparkSpec {
       s"q20 should scan lineitem/part/supplier/nation once each:\n$p20")
   }
 
+  test("r11 entries prune their scans and keep the argmax/merge windows off the raw data") {
+    val gm = plans.toMap.apply("group_mode")
+    // the events scan feeds a (type, user) aggregate — value/props/ts must
+    // not be read at all
+    val evScan = gm.linesIterator.filter(_.contains("events.parquet")).mkString
+    Seq("props", "value").foreach(c =>
+      assert(!evScan.contains(c), s"group_mode reads events.$c needlessly:\n$gm"))
+    val td = plans.toMap.apply("token_drift")
+    // token_drift needs (doc_id, source, text) only — the decoy columns
+    // (lang, n_chars) exist precisely to catch sloppy scans
+    val docScan = td.linesIterator.filter(_.contains("documents.parquet")).mkString
+    Seq("lang", "n_chars").foreach(c =>
+      assert(!docScan.contains(c), s"token_drift reads documents.$c needlessly:\n$td"))
+    assert(!td.contains("SortMergeJoin") && !td.contains("Window"),
+      s"token_drift is one grouped scan — no join, no window:\n$td")
+    val ess = plans.toMap.apply("exact_substr_spans")
+    // candidate pairs are small → both match-join probes must broadcast;
+    // the only SMJ-eligible shuffles are the gram/window exchanges
+    assert(ess.contains("BroadcastHashJoin"),
+      s"exact_substr_spans should broadcast the pair set:\n$ess")
+    assert(!ess.contains("CartesianProduct"))
+  }
+
   test("event operators do not read the props payload column") {
     Seq("events_windowed", "events_sessionize", "scd1_upsert", "cdc_apply")
       .foreach { name =>
