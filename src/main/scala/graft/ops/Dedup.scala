@@ -542,6 +542,17 @@ object Dedup {
       docs.select(col("doc_id"), col("text"))
         .join(involved, Seq("doc_id"), "left_semi"),
       k, shingleHash)
+    removalSpans(pairs, grams, minLen, k)
+  }
+
+  /** The span-verification core shared by [[exactSubstrSpans]] and
+    * [[incrementalSpanScreen]]: per (d1, d2 = remove side) pair, match
+    * positional grams, group matches into maximal diagonal runs >=
+    * `minLen`, emit removal spans on d2, and merge overlapping spans per
+    * doc with the interval sweep. `grams` must cover every doc appearing
+    * in `pairs`. */
+  private def removalSpans(pairs: DataFrame, grams: DataFrame,
+                           minLen: Int, k: Int): DataFrame = {
     val matches = pairs
       .join(grams.toDF("d1", "p1", "gh"), "d1")
       .join(grams.toDF("d2", "p2", "gh"), Seq("d2", "gh"))
@@ -554,7 +565,7 @@ object Dedup {
       .agg(min(col("p2")).as("start"), count(lit(1)).as("ng"))
       .withColumn("len", col("ng") + lit(k - 1).cast("long"))
       .filter(col("len") >= minLen)
-    // removal spans land on d2 (keep-first); merge overlaps per doc
+    // removal spans land on d2; merge overlaps per doc
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"), col("e"))
     runs
       .select(col("d2").as("doc_id"), col("start").cast("long").as("start"),
@@ -569,6 +580,104 @@ object Dedup {
       .agg(min(col("start")).as("start_tok"),
         (max(col("e")) - min(col("start"))).as("len_tok"))
       .select(col("doc_id"), col("start_tok"), col("len_tok"))
+  }
+
+  /** Persist the corpus's winnowing-fingerprint index — the standing
+    * artifact that makes exact-substring dedup INCREMENTAL (the span-level
+    * twin of [[writeSignatureIndex]]): one (doc_id, fp_hash) row per
+    * distinct fingerprint per doc, hash-distributed and sort-led by
+    * fp_hash so an arrival probe's fingerprint lookups get tight row-group
+    * stats. Stored UNFILTERED (no maxDf cut): document frequency is a
+    * corpus-relative quantity that changes as arrivals absorb, so the cap
+    * is applied at PROBE time against the union df — a cap baked into the
+    * index would go stale with every batch. */
+  def writeFingerprintIndex(docs: DataFrame, dir: String, k: Int = 3,
+                            w: Int = 4,
+                            shingleHash: Column => Column = xxhash64(_)): Unit =
+    TextAnalysis.fingerprintHashes(docs, k, w, shingleHash)
+      .repartition(col("fp_hash"))
+      .sortWithinPartitions(col("fp_hash"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** Absorb an arrival batch into the standing fingerprint index (append —
+    * same caller contract as [[appendSignatureIndex]]: arrival doc_ids are
+    * new; at-least-once under replay, and duplicate rows are semantically
+    * inert for span detection — candidates are distinct pairs). */
+  def appendFingerprintIndex(docs: DataFrame, dir: String, k: Int = 3,
+                             w: Int = 4,
+                             shingleHash: Column => Column = xxhash64(_)): Unit =
+    TextAnalysis.fingerprintHashes(docs, k, w, shingleHash)
+      .repartition(col("fp_hash"))
+      .sortWithinPartitions(col("fp_hash"))
+      .write.mode("append").parquet(dir)
+
+  /** Incremental exact-substring screen — the arrival path of a standing
+    * span-level dedup: a batch of new documents is checked against the
+    * corpus's persisted fingerprint index ([[writeFingerprintIndex]]) and
+    * returns the ARRIVALS' removal spans (doc_id, start_tok, len_tok) —
+    * maximal verbatim runs >= minLen the arrival shares with any standing
+    * doc or an earlier-id arrival peer.
+    *
+    * Keep semantics are KEEP-STANDING, which is what a production screen
+    * means: the corpus is immutable, so a shared span always lands on the
+    * ARRIVAL regardless of id order; among arrival peers, keep-first by
+    * id as in the batch operator. When arrival ids are larger than every
+    * standing id (monotone ingestion — the normal case), the output
+    * equals [[exactSubstrSpans]] over (corpus ∪ arrivals) restricted to
+    * arrival doc_ids exactly (DedupSpec pins it across two absorb
+    * cycles).
+    *
+    * Cost ∝ arrivals: the index is probed with a broadcast of the
+    * arrivals' fingerprints (index scans, corpus text never re-shingles
+    * wholesale); the union document-frequency cap is computed over ONLY
+    * the probed fingerprints; and positional verification re-reads just
+    * the candidate-involved standing docs through a semi-join prune.
+    * After the run, absorb the batch with [[appendFingerprintIndex]]. */
+  def incrementalSpanScreen(spark: org.apache.spark.sql.SparkSession,
+                            indexDir: String, oldDocs: DataFrame,
+                            newDocs: DataFrame, minLen: Int = 8,
+                            k: Int = 3, w: Int = 4, maxDf: Int = 16,
+                            shingleHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(minLen >= k + w - 1,
+      s"minLen must be >= k+w-1 = ${k + w - 1}, got $minLen")
+    val newFps = TextAnalysis.fingerprintHashes(newDocs, k, w, shingleHash)
+    val stored = spark.read.parquet(indexDir)
+      .select(col("doc_id"), col("fp_hash"))
+    // index rows for fingerprints the arrivals carry (broadcast probe),
+    // plus the arrivals' own rows = every (doc, fp) row of the UNION
+    // corpus for the probed fingerprints — exactly the df universe the
+    // batch operator's cap sees for these fingerprints
+    val probed = stored
+      .join(broadcast(newFps.select(col("fp_hash")).distinct()), "fp_hash")
+      .unionByName(newFps)
+    val rare = probed.groupBy(col("fp_hash"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("fp_hash"))
+    val rareRows = probed.join(rare, Seq("fp_hash"), "left_semi")
+    val newIds = newDocs.select(col("doc_id"))
+    // pairs with the REMOVE side (d2) always the arrival: corpus↔arrival
+    // regardless of id order (keep-standing), arrival↔arrival keep-first
+    val a = rareRows.select(col("fp_hash"), col("doc_id").as("da"))
+    val b = rareRows.select(col("fp_hash"), col("doc_id").as("db"))
+      .join(broadcast(newIds.toDF("db")), Seq("db"), "left_semi")
+    val pairs = a.join(b, "fp_hash")
+      .filter(col("da") =!= col("db"))
+      .select(col("da").as("d1"), col("db").as("d2"))
+      // among arrivals keep-first: drop the (bigger, smaller) direction;
+      // corpus rows are never a d2, so the asymmetric filter only needs
+      // to order arrival peers
+      .join(broadcast(newIds.toDF("d1")).withColumn("__d1new", lit(true)),
+        Seq("d1"), "left")
+      .filter(col("__d1new").isNull || col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+      .distinct()
+    val involved = pairs.select(col("d1").as("doc_id"))
+      .union(pairs.select(col("d2").as("doc_id"))).distinct()
+    val touched = oldDocs.select(col("doc_id"), col("text"))
+      .unionByName(newDocs.select(col("doc_id"), col("text")))
+      .join(involved, Seq("doc_id"), "left_semi")
+    removalSpans(pairs, posGramRows(touched, k, shingleHash), minLen, k)
   }
 
   /** WITHIN-doc repeated-run spans — the intra-document complement of

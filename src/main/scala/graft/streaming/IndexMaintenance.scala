@@ -76,6 +76,40 @@ object IndexMaintenance {
     * (only corpus row COUNTS inflate). SOURCE-level redelivery (new
     * batchId, same docs) still re-emits pairs; dedupe upstream
     * ([[EventsCdc.dedupStream]]) or use an exactly-once source. */
+  /** Continuous exact-substring screen — the span-level twin of
+    * [[runDedupScreen]]: per micro-batch, (1) probe the arrivals against
+    * the standing winnowing-fingerprint index and emit their REMOVAL
+    * SPANS ([[graft.ops.Dedup.incrementalSpanScreen]] — keep-standing
+    * semantics, spans land on arrivals) into a batch-partitioned span
+    * table ([[StateSink]] — engine retries replace their own output),
+    * then (2) absorb the batch into the index and (3) the corpus store,
+    * so the next batch's probe sees it. Concatenated spans over a run of
+    * monotone-id arrivals equal the batch
+    * [[graft.ops.Dedup.exactSubstrSpans]] over everything, restricted to
+    * arrival doc_ids (DedupSpec pins it through the real streaming
+    * wiring). Same source-redelivery caveat as the dedup screen. */
+  def runSpanScreen(spark: SparkSession, srcDir: String, schemaFrom: DataFrame,
+                    indexDir: String, corpusDir: String, spansDir: String,
+                    checkpointDir: String, minLen: Int = 8, k: Int = 3,
+                    w: Int = 4, maxDf: Int = 16,
+                    maxFilesPerTrigger: Int = 0,
+                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    EventsCdc.readEventStream(spark, srcDir, schemaFrom, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val old = spark.read.parquet(corpusDir)
+        StateSink.appendIdempotent(
+          graft.ops.Dedup.incrementalSpanScreen(spark, indexDir, old, batch,
+            minLen, k, w, maxDf),
+          batchId, spansDir)
+        graft.ops.Dedup.appendFingerprintIndex(batch, indexDir, k, w)
+        batch.write.mode("append").parquet(corpusDir)
+        ()
+      }
+      .start()
+
   def runDedupScreen(spark: SparkSession, srcDir: String, schemaFrom: DataFrame,
                      indexDir: String, corpusDir: String, pairsDir: String,
                      checkpointDir: String, n: Int = 3, threshold: Double = 0.8,

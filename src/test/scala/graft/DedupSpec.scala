@@ -199,6 +199,52 @@ class DedupSpec extends SparkSpec {
       s"expected doc 2's two disjoint 8-token spans, got $out")
   }
 
+  test("incremental span screen: two absorb cycles equal the batch spans for arrivals") {
+    // standing corpus (smaller ids) + two arrival batches with monotone
+    // ids: concatenated per-batch screen output must equal the batch
+    // exactSubstrSpans over EVERYTHING, restricted to arrival doc_ids.
+    // maxDf is raised so no probed fingerprint straddles the cap between
+    // cycles (the df universe grows as batches absorb — documented).
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val standing = docs.filter($"doc_id" < 300)
+    val b1 = docs.filter($"doc_id" >= 300 && $"doc_id" < 400)
+    val b2 = docs.filter($"doc_id" >= 400)
+    val idx = java.nio.file.Files.createTempDirectory("graft_fpidx").toString
+    Dedup.writeFingerprintIndex(standing, idx)
+    val s1 = Dedup.incrementalSpanScreen(spark, idx, standing, b1, maxDf = 64)
+      .as[(Long, Long, Long)].collect().toSet
+    Dedup.appendFingerprintIndex(b1, idx)
+    val s2 = Dedup.incrementalSpanScreen(spark, idx,
+        standing.unionByName(b1), b2, maxDf = 64)
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = Dedup.exactSubstrSpans(docs, maxDf = 64)
+      .filter($"doc_id" >= 300)
+      .as[(Long, Long, Long)].collect().toSet
+    assert((s1 ++ s2) === batch,
+      s"incremental spans must equal batch-restricted: extra=${(s1 ++ s2) -- batch} missing=${batch -- (s1 ++ s2)}")
+    assert(s1.nonEmpty && s2.nonEmpty,
+      "testdata should plant cross-batch shared spans")
+    // batch-1 spans never reference batch-2 docs (they hadn't arrived)
+    assert(s1.forall(_._1 < 400))
+  }
+
+  test("incremental span screen: keep-standing — a low-id arrival still gets the span") {
+    // the arrival's id is SMALLER than the standing doc's: batch keep-first
+    // would put the removal on the standing doc, but the screen's contract
+    // is keep-standing (the corpus is immutable) — the span must land on
+    // the arrival
+    val standing = Seq(
+      (10L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val arrival = Seq(
+      (1L, "x y c d e f g h i j z")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_fpidx2").toString
+    Dedup.writeFingerprintIndex(standing, idx)
+    val out = Dedup.incrementalSpanScreen(spark, idx, standing, arrival)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 3L, 8L)),
+      s"the shared c..j run must be removed from the ARRIVAL, got $out")
+  }
+
   test("intraDocRepeats: later occurrences of repeated runs become removal spans") {
     val docs = Seq(
       // "r1..r8" appears twice; the LATER copy (pos 12) is the removal span
@@ -264,6 +310,48 @@ class DedupSpec extends SparkSpec {
     val early = got.filter($"batch_id" === 0)
       .select("d1", "d2").as[(Long, Long)].collect()
     assert(early.forall(p => p._1 < 400 && p._2 < 400))
+    // both stores absorbed both batches
+    assert(spark.read.parquet(corpus).count() === docs.count())
+    assert(spark.read.parquet(idx).select($"doc_id").distinct().count()
+      === docs.count())
+  }
+
+  test("streaming span screen: per-batch probe+absorb spans equal the batch run") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val standing = docs.filter($"doc_id" < 300)
+    val b1 = docs.filter($"doc_id" >= 300 && $"doc_id" < 400)
+    val b2 = docs.filter($"doc_id" >= 400)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ss_idx").toString
+    val corpus = java.nio.file.Files.createTempDirectory("graft_ss_corp").toString
+    val spans = java.nio.file.Files.createTempDirectory("graft_ss_spans").toString
+    Dedup.writeFingerprintIndex(standing, idx)
+    standing.write.mode("overwrite").parquet(corpus)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ss_src")
+    Seq(b1, b2).zipWithIndex.foreach { case (b, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ss_tmp").toString
+      b.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, srcDir.resolve(s"$i.parquet"))
+      Thread.sleep(1000)
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ss_ck").toString
+    val q = graft.streaming.IndexMaintenance.runSpanScreen(
+      spark, srcDir.toString, docs, idx, corpus, spans, ckpt,
+      maxDf = 64, maxFilesPerTrigger = 1)
+    q.awaitTermination()
+    val got = spark.read.parquet(spans)
+    assert(got.select($"batch_id").distinct().count() === 2)
+    val gotSpans = got.select($"doc_id", $"start_tok", $"len_tok")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = Dedup.exactSubstrSpans(docs, maxDf = 64)
+      .filter($"doc_id" >= 300)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotSpans === batch)
+    assert(gotSpans.nonEmpty, "testdata should plant cross-batch spans")
+    // a span is emitted in the batch its doc arrived in
+    assert(got.filter($"batch_id" === 0).select($"doc_id").as[Long]
+      .collect().forall(_ < 400))
     // both stores absorbed both batches
     assert(spark.read.parquet(corpus).count() === docs.count())
     assert(spark.read.parquet(idx).select($"doc_id").distinct().count()
