@@ -140,6 +140,27 @@ object Bench {
           standing, all.filter(col("doc_id") % 25 === 0))
       }
     },
+    // steady-state exact-substring screen: a 4% arrival batch probing the
+    // STANDING winnowing-fingerprint index. The index builds once
+    // (first/cold call) and is reused, so the warm number is the pure
+    // per-arrival span-screen cost — the recurring production path —
+    // while the registry's exact_substr_spans honestly re-pays the whole
+    // corpus-wide pipeline every run
+    "span_screen_probe" -> {
+      val indexCache = scala.collection.mutable.Map.empty[String, String]
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions.col
+        val all = graft.sources.Tables.documents(s, d)
+        val standing = all.filter(col("doc_id") % 25 =!= 0)
+        val dir = indexCache.getOrElseUpdate(d, {
+          val dd = java.nio.file.Files.createTempDirectory("graft_fp_bench").toString
+          graft.ops.Dedup.writeFingerprintIndex(standing, dd)
+          dd
+        })
+        graft.ops.Dedup.incrementalSpanScreen(s, dir,
+          standing, all.filter(col("doc_id") % 25 === 0))
+      }
+    },
     // the SCD2 sink decision, measured: SAME 6-batch in-order change-log
     // maintenance through the full-state-rewrite sink (every batch
     // rewrites closed history too) vs the split sink (closed appends

@@ -526,9 +526,17 @@ object Dedup {
     * single-machine alternative; this is the join-shaped one that
     * scales out).
     *
-    * Positions are 1-based token indices; `len_tok` counts tokens. */
+    * Positions are 1-based token indices; `len_tok` counts tokens.
+    *
+    * Gram width k = 5 (not the MOSS proxy's 3) is a measured specificity
+    * choice: 3-gram window minima collide all over natural text — at
+    * sf0.1 they generate 322,878 candidate pairs touching ALL 5,000 docs
+    * (verification cost ∝ corpus, defeating the prune) — while 5-gram
+    * minima yield 626 pairs over 1,059 docs for the identical span
+    * output, and k+w−1 = 8 keeps the winnowing prune lossless at the
+    * default minLen. */
   def exactSubstrSpans(docs: DataFrame, minLen: Int = 8,
-                       k: Int = 3, w: Int = 4, maxDf: Int = 16,
+                       k: Int = 5, w: Int = 4, maxDf: Int = 16,
                        shingleHash: Column => Column = xxhash64(_)): DataFrame = {
     require(minLen >= k + w - 1,
       s"minLen must be >= k+w-1 = ${k + w - 1} for the winnowing candidate " +
@@ -591,7 +599,7 @@ object Dedup {
     * corpus-relative quantity that changes as arrivals absorb, so the cap
     * is applied at PROBE time against the union df — a cap baked into the
     * index would go stale with every batch. */
-  def writeFingerprintIndex(docs: DataFrame, dir: String, k: Int = 3,
+  def writeFingerprintIndex(docs: DataFrame, dir: String, k: Int = 5,
                             w: Int = 4,
                             shingleHash: Column => Column = xxhash64(_)): Unit =
     TextAnalysis.fingerprintHashes(docs, k, w, shingleHash)
@@ -603,7 +611,7 @@ object Dedup {
     * same caller contract as [[appendSignatureIndex]]: arrival doc_ids are
     * new; at-least-once under replay, and duplicate rows are semantically
     * inert for span detection — candidates are distinct pairs). */
-  def appendFingerprintIndex(docs: DataFrame, dir: String, k: Int = 3,
+  def appendFingerprintIndex(docs: DataFrame, dir: String, k: Int = 5,
                              w: Int = 4,
                              shingleHash: Column => Column = xxhash64(_)): Unit =
     TextAnalysis.fingerprintHashes(docs, k, w, shingleHash)
@@ -632,15 +640,25 @@ object Dedup {
     * wholesale); the union document-frequency cap is computed over ONLY
     * the probed fingerprints; and positional verification re-reads just
     * the candidate-involved standing docs through a semi-join prune.
-    * After the run, absorb the batch with [[appendFingerprintIndex]]. */
+    * After the run, absorb the batch with [[appendFingerprintIndex]].
+    *
+    * The arrival fingerprints and the candidate pairs are EAGERLY
+    * materialized (`localCheckpoint(true)`): both feed several plan
+    * branches (the df cap, both probe sides, the involved-doc prune,
+    * the verification join), and left lazy each branch re-shingles the
+    * arrival batch — measured 6s → ~1s at sf0.1 for a 4% batch. Both
+    * frames are batch-bounded, never corpus-bounded; the fingerprint
+    * blocks are released before returning, the pair blocks stay pinned
+    * behind the returned (lazy) spans frame. */
   def incrementalSpanScreen(spark: org.apache.spark.sql.SparkSession,
                             indexDir: String, oldDocs: DataFrame,
                             newDocs: DataFrame, minLen: Int = 8,
-                            k: Int = 3, w: Int = 4, maxDf: Int = 16,
+                            k: Int = 5, w: Int = 4, maxDf: Int = 16,
                             shingleHash: Column => Column = xxhash64(_)): DataFrame = {
     require(minLen >= k + w - 1,
       s"minLen must be >= k+w-1 = ${k + w - 1}, got $minLen")
     val newFps = TextAnalysis.fingerprintHashes(newDocs, k, w, shingleHash)
+      .localCheckpoint(true)
     val stored = spark.read.parquet(indexDir)
       .select(col("doc_id"), col("fp_hash"))
     // index rows for fingerprints the arrivals carry (broadcast probe),
@@ -650,34 +668,48 @@ object Dedup {
     val probed = stored
       .join(broadcast(newFps.select(col("fp_hash")).distinct()), "fp_hash")
       .unionByName(newFps)
-    val rare = probed.groupBy(col("fp_hash"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select(col("fp_hash"))
-    val rareRows = probed.join(rare, Seq("fp_hash"), "left_semi")
+    // ONE groupBy applies the union-df cap AND yields per-hash doc lists
+    // (the batch operator's [[rareFingerprintLists]] shape) — the
+    // cap-then-rejoin formulation evaluated the probe subtree once per
+    // branch for the same candidates
+    val lists = probed.groupBy(col("fp_hash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
     val newIds = newDocs.select(col("doc_id"))
-    // pairs with the REMOVE side (d2) always the arrival: corpus↔arrival
-    // regardless of id order (keep-standing), arrival↔arrival keep-first
-    val a = rareRows.select(col("fp_hash"), col("doc_id").as("da"))
-    val b = rareRows.select(col("fp_hash"), col("doc_id").as("db"))
-      .join(broadcast(newIds.toDF("db")), Seq("db"), "left_semi")
-    val pairs = a.join(b, "fp_hash")
-      .filter(col("da") =!= col("db"))
-      .select(col("da").as("d1"), col("db").as("d2"))
-      // among arrivals keep-first: drop the (bigger, smaller) direction;
-      // corpus rows are never a d2, so the asymmetric filter only needs
-      // to order arrival peers
-      .join(broadcast(newIds.toDF("d1")).withColumn("__d1new", lit(true)),
-        Seq("d1"), "left")
-      .filter(col("__d1new").isNull || col("d1") < col("d2"))
-      .select(col("d1"), col("d2"))
+    val ids = col("ids")
+    // unordered candidate pairs (x < y), map-side from the ≤maxDf lists;
+    // then orient each pair with the REMOVE side (d2) always an arrival:
+    // corpus↔arrival regardless of id order (keep-standing),
+    // arrival↔arrival keep-first by id; standing↔standing drops
+    val pairs = lists
+      .select(explode(flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + 2, lit(maxDf)),
+          y => struct(x.as("x"), y.as("y")))))).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
       .distinct()
+      .join(broadcast(newIds.toDF("y")).withColumn("__ynew", lit(true)),
+        Seq("y"), "left")
+      .join(broadcast(newIds.toDF("x")).withColumn("__xnew", lit(true)),
+        Seq("x"), "left")
+      .select(explode(array(
+        when(col("__ynew").isNotNull,
+          struct(col("x").as("d1"), col("y").as("d2"))),
+        when(col("__xnew").isNotNull && col("__ynew").isNull,
+          struct(col("y").as("d1"), col("x").as("d2"))))).as("q"))
+      .filter(col("q").isNotNull)
+      .select(col("q.d1").as("d1"), col("q.d2").as("d2"))
+      .localCheckpoint(true)
+    Checkpoints.unpersist(newFps) // pairs is materialized; fps now unreferenced
     val involved = pairs.select(col("d1").as("doc_id"))
       .union(pairs.select(col("d2").as("doc_id"))).distinct()
     val touched = oldDocs.select(col("doc_id"), col("text"))
       .unionByName(newDocs.select(col("doc_id"), col("text")))
       .join(involved, Seq("doc_id"), "left_semi")
-    removalSpans(pairs, posGramRows(touched, k, shingleHash), minLen, k)
+    // also candidate-bounded, and verification joins it twice (both pair
+    // sides) — left lazy each side re-scans the corpus for the touched
+    // docs' text and re-grams it
+    val grams = posGramRows(touched, k, shingleHash).localCheckpoint(true)
+    removalSpans(pairs, grams, minLen, k)
   }
 
   /** WITHIN-doc repeated-run spans — the intra-document complement of

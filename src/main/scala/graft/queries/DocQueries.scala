@@ -1260,8 +1260,9 @@ $sel
   private val exactSubstrSpansSql = s"""
     WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
     h AS (SELECT doc_id,
-            [md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) for i in range(1, len(w)-1)] AS hs
-          FROM t WHERE len(w) >= 3),
+            [md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])
+             for i in range(1, len(w)-3)] AS hs
+          FROM t WHERE len(w) >= 5),
     f AS (SELECT doc_id, CASE WHEN len(hs) >= 4
             THEN list_sort(list_distinct(
                    [list_aggregate(hs[i:i+3], 'min') for i in range(1, len(hs)-2)]))
@@ -1285,9 +1286,9 @@ $sel
              p1 - row_number() OVER (PARTITION BY d1, d2, p1 - p2 ORDER BY p1)
                AS island
            FROM m),
-    runs AS (SELECT d2, MIN(p2) AS strt, COUNT(*) + 2 AS len
+    runs AS (SELECT d2, MIN(p2) AS strt, COUNT(*) + 4 AS len
              FROM r0 GROUP BY d1, d2, diag, island
-             HAVING COUNT(*) + 2 >= 8),
+             HAVING COUNT(*) + 4 >= 8),
     b0 AS (SELECT d2 AS doc_id, strt, strt + len AS e FROM runs),
     fl AS (SELECT doc_id, strt, e,
              CASE WHEN strt > COALESCE(MAX(e) OVER (PARTITION BY doc_id

@@ -90,7 +90,7 @@ object IndexMaintenance {
     * wiring). Same source-redelivery caveat as the dedup screen. */
   def runSpanScreen(spark: SparkSession, srcDir: String, schemaFrom: DataFrame,
                     indexDir: String, corpusDir: String, spansDir: String,
-                    checkpointDir: String, minLen: Int = 8, k: Int = 3,
+                    checkpointDir: String, minLen: Int = 8, k: Int = 5,
                     w: Int = 4, maxDf: Int = 16,
                     maxFilesPerTrigger: Int = 0,
                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
