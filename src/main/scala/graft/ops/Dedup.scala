@@ -464,10 +464,15 @@ object Dedup {
     * SELF-JOIN would instead evaluate the whole shingle→winnow subtree
     * once per join branch (4× the scan work for identical output).
     *
+    * Gram width defaults to k = 5 like [[exactSubstrSpans]] (same measured
+    * specificity rationale — 3-gram window minima collide across natural
+    * text and flood the pair aggregate with noise candidates); MOSS's
+    * classic k = 3 stays available as a parameter.
+    *
     * @param shingleHash as in [[TextAnalysis.fingerprintHashes]]; the md5
     *                    variant makes every minimum replayable by the oracle
     */
-  def spanDedup(docs: DataFrame, k: Int = 3, w: Int = 4, minShared: Int = 2,
+  def spanDedup(docs: DataFrame, k: Int = 5, w: Int = 4, minShared: Int = 2,
                 maxDf: Int = 16,
                 shingleHash: Column => Column = xxhash64(_)): DataFrame =
     spanPairs(rareFingerprintLists(docs, k, w, maxDf, shingleHash),
@@ -797,7 +802,7 @@ object Dedup {
     * counts; at scale persist it (or the plan evaluates the
     * shingle→winnow subtree twice). Long/long division is IEEE double on
     * both engines — oracle-hashable. */
-  def spanContainment(docs: DataFrame, k: Int = 3, w: Int = 4,
+  def spanContainment(docs: DataFrame, k: Int = 5, w: Int = 4,
                       minShared: Int = 2, maxDf: Int = 16,
                       shingleHash: Column => Column = xxhash64(_)): DataFrame = {
     val rare = rareFingerprintLists(docs, k, w, maxDf, shingleHash)

@@ -1227,8 +1227,9 @@ $sel
     * oracles, ending in `sp(d1, d2, n_shared)`. */
   private val spanPairsCtes = """t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
     h AS (SELECT doc_id,
-            [md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) for i in range(1, len(w)-1)] AS hs
-          FROM t WHERE len(w) >= 3),
+            [md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])
+             for i in range(1, len(w)-3)] AS hs
+          FROM t WHERE len(w) >= 5),
     f AS (SELECT doc_id, CASE WHEN len(hs) >= 4
             THEN list_sort(list_distinct(
                    [list_aggregate(hs[i:i+3], 'min') for i in range(1, len(hs)-2)]))
