@@ -579,10 +579,19 @@ object Dedup {
       .withColumn("len", col("ng") + lit(k - 1).cast("long"))
       .filter(col("len") >= minLen)
     // removal spans land on d2; merge overlaps per doc
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"), col("e"))
-    runs
+    mergeSpanIntervals(runs
       .select(col("d2").as("doc_id"), col("start").cast("long").as("start"),
-        (col("start") + col("len")).cast("long").as("e"))
+        (col("start") + col("len")).cast("long").as("e")))
+  }
+
+  /** Per-doc interval union — the sweep shared by every span-emitting
+    * operator: input (doc_id, start, e) half-open token intervals,
+    * output (doc_id, start_tok, len_tok) with overlapping/touching-
+    * at-overlap intervals merged. Running max-end per doc; a new island
+    * starts when an interval begins past everything seen. */
+  private def mergeSpanIntervals(spans: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"), col("e"))
+    spans
       .withColumn("max_e_before",
         max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("ni",
@@ -593,6 +602,36 @@ object Dedup {
       .agg(min(col("start")).as("start_tok"),
         (max(col("e")) - min(col("start"))).as("len_tok"))
       .select(col("doc_id"), col("start_tok"), col("len_tok"))
+  }
+
+  /** Hot-gram boilerplate spans — the COMPLEMENT of pairwise span dedup
+    * (which caps candidate fingerprints at df <= maxDf and hands
+    * everything hotter to "the boilerplate gate"; this IS that gate): for
+    * each document, the merged token spans covered by k-grams that occur
+    * in MORE than `minDf` distinct documents — site templates, license
+    * headers, navigation chrome — emitted as (doc_id, start_tok,
+    * len_tok) removal spans. Pairwise dedup ignores these regions by
+    * construction; a curation pipeline strips them span-wise with this
+    * operator and leaves the rarer cross-doc copies to
+    * [[exactSubstrSpans]].
+    *
+    * Shape: positional grams → one hash-keyed distinct-doc count → the
+    * hot set joins back on gh (hash-partitioned join, NOT a broadcast:
+    * the hot set is corpus-dependent and unbounded in principle) → each
+    * hot gram covers [pos, pos+k) → per-doc interval union. No pair
+    * explosion anywhere — cost is linear in gram rows, which is what
+    * makes the df-capped split between this operator and the pairwise
+    * family the scalable decomposition. */
+  def boilerplateSpans(docs: DataFrame, minDf: Int = 16, k: Int = 5,
+                       shingleHash: Column => Column = xxhash64(_)): DataFrame = {
+    val grams = posGramRows(docs, k, shingleHash)
+    val hot = grams.select(col("gh"), col("doc_id")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > minDf)
+      .select(col("gh"))
+    mergeSpanIntervals(grams.join(hot, Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("pos").cast("long").as("start"),
+        (col("pos") + lit(k)).cast("long").as("e")))
   }
 
   /** Persist the corpus's winnowing-fingerprint index — the standing

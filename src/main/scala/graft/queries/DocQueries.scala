@@ -1258,8 +1258,10 @@ $sel
         shingleHash = c => md5(c.cast("binary")))
       .orderBy("doc_id", "start_tok")
 
-  private val exactSubstrSpansSql = s"""
-    WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+  /** The full ExactSubstr oracle chain through `isl` (merged span islands
+    * per doc) — shared by the corpus-wide entry and the incremental screen
+    * (whose output is the same pipeline restricted to arrival docs). */
+  private val exactSubstrSpansCtes = """t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
     h AS (SELECT doc_id,
             [md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])
              for i in range(1, len(w)-3)] AS hs
@@ -1291,6 +1293,75 @@ $sel
              FROM r0 GROUP BY d1, d2, diag, island
              HAVING COUNT(*) + 4 >= 8),
     b0 AS (SELECT d2 AS doc_id, strt, strt + len AS e FROM runs),
+    fl AS (SELECT doc_id, strt, e,
+             CASE WHEN strt > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+                    ORDER BY strt, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS ni
+           FROM b0),
+    isl AS (SELECT doc_id, strt, e,
+              SUM(ni) OVER (PARTITION BY doc_id ORDER BY strt, e) AS island
+            FROM fl)"""
+
+  private val exactSubstrSpansSql = s"""
+    WITH $exactSubstrSpansCtes
+    SELECT doc_id, CAST(MIN(strt) AS BIGINT) AS start_tok,
+           CAST(MAX(e) - MIN(strt) AS BIGINT) AS len_tok
+    FROM isl GROUP BY doc_id, island ORDER BY doc_id, start_tok"""
+
+  /** Incremental exact-substring screen as a registry entry
+    * ([[graft.ops.Dedup.incrementalSpanScreen]]): docs < 400 are the
+    * standing corpus (fingerprint index persisted to disk), docs >= 400
+    * the arrival batch probed against it — the [[incrementalDedup]]
+    * convention at span granularity. Arrival ids are all larger than
+    * standing ids (monotone ingestion), so keep-standing coincides with
+    * keep-first and the oracle is exactly the corpus-wide ExactSubstr
+    * pipeline restricted to arrival docs. */
+  private def spanScreen(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val all = Tables.documents(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp_idx").toString
+    val md5h: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => md5(c.cast("binary"))
+    Dedup.writeFingerprintIndex(all.filter($"doc_id" < 400), dir,
+      shingleHash = md5h)
+    Dedup.incrementalSpanScreen(s, dir,
+        all.filter($"doc_id" < 400), all.filter($"doc_id" >= 400),
+        minLen = 8, maxDf = 16, shingleHash = md5h)
+      .orderBy("doc_id", "start_tok")
+  }
+
+  private val spanScreenSql = s"""
+    WITH $exactSubstrSpansCtes
+    SELECT doc_id, CAST(MIN(strt) AS BIGINT) AS start_tok,
+           CAST(MAX(e) - MIN(strt) AS BIGINT) AS len_tok
+    FROM isl WHERE doc_id >= 400
+    GROUP BY doc_id, island ORDER BY doc_id, start_tok"""
+
+  /** Hot-gram boilerplate spans ([[graft.ops.Dedup.boilerplateSpans]]) —
+    * merged per-doc spans covered by 5-grams occurring in more than
+    * `minDf` distinct docs. minDf = 2 exercises the gate on this corpus
+    * (its hottest 5-gram reaches df = 3; production corpora set this to
+    * the same order as the pairwise family's maxDf). */
+  private def boilerplateSpans(s: SparkSession, d: String): DataFrame =
+    Dedup.boilerplateSpans(Tables.documents(s, d), minDf = 2,
+        shingleHash = c => md5(c.cast("binary")))
+      .orderBy("doc_id", "start_tok")
+
+  private val boilerplateSpansSql = s"""
+    WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+    h AS (SELECT doc_id,
+            [md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])
+             for i in range(1, len(w)-3)] AS hs
+          FROM t WHERE len(w) >= 5),
+    pg AS (SELECT doc_id, u.pos AS pos, u.gh AS gh
+           FROM (SELECT doc_id,
+                   unnest([{'pos': i, 'gh': hs[i]} for i in range(1, len(hs)+1)]) AS u
+                 FROM h)),
+    hot AS (SELECT gh FROM (SELECT gh, COUNT(DISTINCT doc_id) AS df
+                            FROM pg GROUP BY gh) WHERE df > 2),
+    b0 AS (SELECT doc_id, pos AS strt, pos + 5 AS e FROM pg
+           WHERE gh IN (SELECT gh FROM hot)),
     fl AS (SELECT doc_id, strt, e,
              CASE WHEN strt > COALESCE(MAX(e) OVER (PARTITION BY doc_id
                     ORDER BY strt, e
@@ -2210,6 +2281,8 @@ $sel
     Q("contamination_score", contaminationScore, Some(contaminationScoreSql)),
     Q("span_dedup", spanDedup, Some(spanDedupSql)),
     Q("exact_substr_spans", exactSubstrSpans, Some(exactSubstrSpansSql)),
+    Q("span_screen", spanScreen, Some(spanScreenSql)),
+    Q("boilerplate_spans", boilerplateSpans, Some(boilerplateSpansSql)),
     Q("token_drift", tokenDrift, Some(tokenDriftSql)),
     Q("span_containment", spanContainment, Some(spanContainmentSql)),
     Q("span_clusters", spanClusters, Some(spanClustersSql)),

@@ -245,6 +245,24 @@ class DedupSpec extends SparkSpec {
       s"the shared c..j run must be removed from the ARRIVAL, got $out")
   }
 
+  test("boilerplateSpans: hot-gram covers merge; rare grams and cold docs emit nothing") {
+    // "h1..h6" (two overlapping hot 5-grams) appears in docs 1, 2 and 3 →
+    // df = 3 > minDf = 2 → every carrier gets the merged 6-token span;
+    // "r1..r5" appears in docs 1 and 2 only (df = 2, NOT hot); doc 4 has
+    // no hot grams at all
+    val docs = Seq(
+      (1L, "a b h1 h2 h3 h4 h5 h6 c r1 r2 r3 r4 r5 d"),
+      (2L, "h1 h2 h3 h4 h5 h6 x y r1 r2 r3 r4 r5"),
+      (3L, "p q r h1 h2 h3 h4 h5 h6"),
+      (4L, "nothing shared with anything else in this corpus at all here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.boilerplateSpans(docs, minDf = 2)
+      .orderBy($"doc_id", $"start_tok")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 3L, 6L), (2L, 1L, 6L), (3L, 4L, 6L)),
+      s"each carrier doc should get exactly the merged h1..h6 span, got $out")
+  }
+
   test("intraDocRepeats: later occurrences of repeated runs become removal spans") {
     val docs = Seq(
       // "r1..r8" appears twice; the LATER copy (pos 12) is the removal span
