@@ -55,6 +55,31 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training — per query vector,
+    * the top-k HIGHEST-cosine vectors carrying a DIFFERENT label: the
+    * semantically-near-but-wrong-class examples a retrieval/embedding
+    * trainer wants in each batch (easy negatives are random vectors; the
+    * informative ones are these near-misses). Same bounded-state shape
+    * as [[knnBruteForce]]: queries broadcast, per-partition local
+    * scoring, O(k) top-k aggregate state per query — the shuffle never
+    * carries the score matrix. The different-label join predicate
+    * subsumes self-exclusion (a vector has one label). Rows with a NULL
+    * label never pair (null-propagating inequality) — curate labels
+    * first. Ties break to the smaller neighbor id. */
+  def hardNegatives(embeddings: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    val data = embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"), col("label"))
+      .withColumn("nrm", norm(col("emb")))
+    val q = queries
+      .select(col("vec_id").as("query_id"),
+        toDouble(col("embedding")).as("q_emb"), col("label").as("q_label"))
+      .withColumn("q_nrm", norm(col("q_emb")))
+    val scored = data.join(broadcast(q), col("label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosinePrenormed(col("emb"), col("q_emb"), col("nrm"), col("q_nrm")).as("cos"))
+    topKPerQuery(scored, k)
+  }
+
   /** Per-query top-k through the bounded [[graft.functions.TopKAggregate]]
     * aggregate: partial state is AT MOST k (cos, id) pairs per query at
     * every stage — map-side partials, the shuffle, and the final merge.

@@ -672,6 +672,31 @@ object DocQueries {
     Similarity.knnLsh(Tables.embeddings(s, d), queries(s, d))
       .orderBy("query_id", "rank")
 
+  /** Hard-negative mining ([[graft.ops.Similarity.hardNegatives]]): per
+    * query, top-5 highest-cosine vectors with a DIFFERENT label — the
+    * near-miss negatives a contrastive trainer batches. Same query set
+    * and scoring machinery as knn_bruteforce; oracle adds the
+    * label-inequality predicate. */
+  private def hardNegatives(s: SparkSession, d: String): DataFrame =
+    Similarity.hardNegatives(Tables.embeddings(s, d), queries(s, d))
+      .orderBy("query_id", "rank")
+
+  private val hardNegativesSql = """
+    WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS emb
+               FROM embeddings),
+    n AS (SELECT vec_id, label, emb,
+            sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm FROM v),
+    q AS (SELECT vec_id AS query_id, label AS q_label, emb AS q_emb, nrm AS q_nrm
+          FROM n WHERE vec_id < 20),
+    p AS (SELECT query_id, vec_id AS neighbor_id,
+            list_sum(list_transform(range(1, len(emb)+1), i -> emb[i]*q_emb[i]))
+              / (nrm * q_nrm) AS cos
+          FROM n JOIN q ON label <> q_label),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rank FROM p)
+    SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 5
+    ORDER BY query_id, rank"""
+
   /** ANN recall measurement — the tuning read-out every approximate
     * search deployment runs before trusting an index: recall@5 of the
     * sublinear LSH path against the exact brute-force top-5 over the same
@@ -2256,6 +2281,7 @@ $sel
     Q("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
     Q("knn_bruteforce", knnBruteForce, Some(knnBruteForceSql)),
+    Q("hard_negatives", hardNegatives, Some(hardNegativesSql)),
     Q("knn_lsh", knnLsh, Some(knnLshSql)),
     Q("ann_recall", annRecall, Some(annRecallSql)),
     Q("multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),

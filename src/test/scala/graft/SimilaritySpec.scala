@@ -32,6 +32,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._1).toSeq === Seq(1, 2, 3, 4))
   }
 
+  test("hardNegatives: top-k restricted to OTHER labels, same-label near-dups excluded") {
+    // vec 1 is nearly parallel to the query but shares its label — a
+    // positive, not a negative; the miner must skip it and rank the
+    // cross-label vectors by cosine
+    val labeled = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 7),
+      (1L, Array(0.99f, 0.1f, 0.0f, 0.0f), 7), // same label as query
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f), 8),
+      (3L, Array(0.7f, 0.7f, 0.0f, 0.0f), 8),
+      (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 9)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(labeled,
+        labeled.filter($"vec_id" === 0L), k = 4)
+      .orderBy("rank").select("rank", "neighbor_id").as[(Int, Long)].collect()
+    assert(out.map(_._2).toSeq === Seq(3L, 2L, 4L),
+      s"expected cross-label ranking 3,2,4 (1 excluded as same-label), got ${out.toSeq}")
+  }
+
   test("LSH kNN with high-recall tuning matches brute-force on testdata") {
     val queries = graft.sources.Tables.embeddings(spark, sf).filter($"vec_id" < 5)
     val data = graft.sources.Tables.embeddings(spark, sf)
