@@ -502,6 +502,37 @@ object TextAnalysis {
       .orderBy("word")
   }
 
+  /** Tokenizer fertility by source — THE tokenizer-health metric a
+    * pipeline tracks per corpus slice: BPE tokens per word (fertility;
+    * 1.0 = every word is one token, higher = the tokenizer fragments
+    * this slice) and characters per token (compression), over the
+    * ASCII-alphanumeric vocabulary the trainer sees. A slice whose
+    * fertility spikes is out-of-distribution for the tokenizer —
+    * the signal that decides re-training or re-weighting.
+    *
+    * Shape: the corpus collapses to its word histogram once inside
+    * [[bpeTrainState]] (the one corpus-sized shuffle) and per-(source,
+    * word) counts are a second single shuffle; everything else is
+    * vocabulary-sized — the encode state joins on the word key and three
+    * integer sums roll up per source. Token counts include the `</w>`
+    * sentinel exactly as [[bpeEncode]] publishes them. */
+  def bpeFertility(docs: DataFrame, nMerges: Int = 8): DataFrame = {
+    val (_, vocab) = bpeTrainState(docs, nMerges)
+    val enc = vocab.select(col("w"), size(col("syms")).as("n_tokens"))
+    docs.select(col("source"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+      .join(enc, Seq("w"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_tokens")).as("n_bpe_tokens"),
+        sum(col("cnt") * length(col("w"))).as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_bpe_tokens"), col("n_chars"),
+        (col("n_bpe_tokens").cast("double") / col("n_words")).as("fertility"),
+        (col("n_chars").cast("double") / col("n_bpe_tokens")).as("chars_per_token"))
+      .orderBy(col("source"))
+  }
+
   /** Shared training loop: returns the merge table and the final
     * (w, freq, syms) vocabulary state (checkpointed — caller releases or
     * consumes it). */

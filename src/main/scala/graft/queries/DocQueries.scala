@@ -1935,6 +1935,32 @@ $sel
     FROM s8 GROUP BY word ORDER BY word"""
   }
 
+  /** Per-source tokenizer fertility ([[TextAnalysis.bpeFertility]]):
+    * BPE tokens per word and chars per token over the trained vocabulary
+    * — the slice-level tokenizer-health dashboard row. Oracle reuses the
+    * train chain's final symbol state (`s8`) for per-word token counts. */
+  private def bpeFertilityQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bpeFertility(Tables.documents(s, d), nMerges = 8)
+
+  private lazy val bpeFertilitySql: String = {
+    val prefix = bpeTrainSql.substring(0, bpeTrainSql.lastIndexOf("\n    SELECT * FROM ("))
+    s"""$prefix,
+    enc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM s8 GROUP BY word),
+    sw AS (SELECT source, w, COUNT(*) AS cnt
+           FROM (SELECT source, unnest(string_split(lower(trim(text)), ' ')) AS w
+                 FROM documents)
+           WHERE regexp_matches(w, '^[a-z0-9]+$$')
+           GROUP BY 1, 2),
+    j AS (SELECT source, cnt, n_tokens, length(w) AS wlen
+          FROM sw JOIN enc ON sw.w = enc.word)
+    SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_words,
+           CAST(SUM(cnt * n_tokens) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(cnt * wlen) AS BIGINT) AS n_chars,
+           SUM(cnt * n_tokens)::DOUBLE / SUM(cnt) AS fertility,
+           SUM(cnt * wlen)::DOUBLE / SUM(cnt * n_tokens) AS chars_per_token
+    FROM j GROUP BY source ORDER BY source"""
+  }
+
   /** Per-source character-class composition — the multilingual-corpus audit
     * that catches mojibake, markup floods, and numeric-table scrapes before
     * they reach training: what fraction of each source's characters are
@@ -2324,5 +2350,6 @@ $sel
     Q("heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     Q("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
     Q("coreset_kcenter", coresetKcenter, Some(coresetKcenterSql(8))),
-    Q("bpe_encode", bpeEncodeQ, Some(bpeEncodeSql)))
+    Q("bpe_encode", bpeEncodeQ, Some(bpeEncodeSql)),
+    Q("bpe_fertility", bpeFertilityQ, Some(bpeFertilitySql)))
 }

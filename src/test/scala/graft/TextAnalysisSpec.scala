@@ -232,6 +232,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m2(1)._2 === "ab" && m2(1)._3 === "</w>")
   }
 
+  test("bpeFertility: per-source tokens/word and chars/token from the trained state") {
+    // same low/lowest corpus split across sources: after 4 merges
+    // low -> [low</w>] (1 token), lowest -> [low es t </w>] (4 tokens)
+    val docs = Seq(
+      (1L, "low low low", "s1"),
+      (2L, "lowest lowest", "s2")).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.bpeFertility(docs, nMerges = 4)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(out("s1") === ((3L, 3L, 9L, 1.0, 3.0)))
+    assert(out("s2") === ((2L, 8L, 12L, 4.0, 1.5)))
+  }
+
   test("gopherRules: each rule fires alone and in first-fail order") {
     val long = ("the of " + Seq.fill(40)("word").mkString(" ")) // 42 words, 2 stops
     val docs = Seq(
