@@ -624,12 +624,45 @@ object Dedup {
     * family the scalable decomposition. */
   def boilerplateSpans(docs: DataFrame, minDf: Int = 16, k: Int = 5,
                        shingleHash: Column => Column = xxhash64(_)): DataFrame = {
-    val grams = posGramRows(docs, k, shingleHash)
-    val hot = grams.select(col("gh"), col("doc_id")).distinct()
-      .groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    val hot = gramDf(docs, k, shingleHash)
       .filter(col("df") > minDf)
       .select(col("gh"))
-    mergeSpanIntervals(grams.join(hot, Seq("gh"), "left_semi")
+    mergeSpanIntervals(posGramRows(docs, k, shingleHash)
+      .join(hot, Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("pos").cast("long").as("start"),
+        (col("pos") + lit(k)).cast("long").as("e")))
+  }
+
+  /** Distinct-document frequency per k-gram — the standing statistic
+    * behind the boilerplate gate ([[boilerplateSpans]]) and its
+    * incremental maintenance: one (gh, df) row per gram. Additive across
+    * disjoint document sets (each doc counts once per gram), so
+    * per-batch partials sum to the corpus value — what lets a stream
+    * maintain the table by blind batch-tagged appends. */
+  def gramDf(docs: DataFrame, k: Int = 5,
+             shingleHash: Column => Column = xxhash64(_)): DataFrame =
+    posGramRows(docs, k, shingleHash)
+      .select(col("gh"), col("doc_id")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("df"))
+
+  /** Boilerplate spans for `docs` against a STANDING gram-df table
+    * (written by [[graft.streaming.IndexMaintenance.runGramDfMaintenance]]
+    * partials or a batch [[gramDf]] dump): partials sum per gram, the
+    * hot set (df > minDf) semi-joins the probed docs' grams, intervals
+    * merge per doc. Cost ∝ probed docs + table scan — corpus text never
+    * re-grams. The df a probe sees is as-of the table's last absorbed
+    * batch: a gram that turns hot LATER flags only docs screened after
+    * that point (run the batch operator for a retroactive sweep). */
+  def boilerplateSpansFromTable(spark: org.apache.spark.sql.SparkSession,
+                                dfDir: String, docs: DataFrame,
+                                minDf: Int = 16, k: Int = 5,
+                                shingleHash: Column => Column = xxhash64(_)): DataFrame = {
+    val hot = spark.read.parquet(dfDir)
+      .groupBy(col("gh")).agg(sum(col("df")).as("df"))
+      .filter(col("df") > minDf)
+      .select(col("gh"))
+    mergeSpanIntervals(posGramRows(docs, k, shingleHash)
+      .join(hot, Seq("gh"), "left_semi")
       .select(col("doc_id"), col("pos").cast("long").as("start"),
         (col("pos") + lit(k)).cast("long").as("e")))
   }

@@ -110,6 +110,34 @@ object IndexMaintenance {
       }
       .start()
 
+  /** Streaming boilerplate-gate maintenance — the standing gram-df table
+    * ([[graft.ops.Dedup.gramDf]]) kept current by blind batch-tagged
+    * appends: per-gram distinct-doc counts are ADDITIVE across disjoint
+    * document batches (each doc arrives once), so each micro-batch
+    * appends its own partials and readers sum per gram — no
+    * read-modify-write, no streaming state, history never rescanned
+    * (the [[EventsCdc.runDistinctSketches]] posture). Readers answer
+    * "which grams are hot?" and screen documents span-wise through
+    * [[graft.ops.Dedup.boilerplateSpansFromTable]]. Engine retries of a
+    * batchId replace their own partition ([[StateSink]]); SOURCE-level
+    * redelivery (same docs, new batchId) double-counts df — dedupe
+    * upstream or use an exactly-once source. */
+  def runGramDfMaintenance(spark: SparkSession, srcDir: String,
+                           schemaFrom: DataFrame, dfDir: String,
+                           checkpointDir: String, k: Int = 5,
+                           maxFilesPerTrigger: Int = 0,
+                           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    EventsCdc.readEventStream(spark, srcDir, schemaFrom, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        StateSink.appendIdempotent(graft.ops.Dedup.gramDf(batch, k),
+          batchId, dfDir)
+        ()
+      }
+      .start()
+
   def runDedupScreen(spark: SparkSession, srcDir: String, schemaFrom: DataFrame,
                      indexDir: String, corpusDir: String, pairsDir: String,
                      checkpointDir: String, n: Int = 3, threshold: Double = 0.8,

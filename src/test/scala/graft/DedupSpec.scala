@@ -376,6 +376,40 @@ class DedupSpec extends SparkSpec {
       === docs.count())
   }
 
+  test("streaming gram-df maintenance: summed partials equal batch df; table probe equals batch gate") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val b1 = docs.filter($"doc_id" < 300)
+    val b2 = docs.filter($"doc_id" >= 300)
+    val dfDir = java.nio.file.Files.createTempDirectory("graft_gdf").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_gdf_src")
+    Seq(b1, b2).zipWithIndex.foreach { case (b, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_gdf_tmp").toString
+      b.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, srcDir.resolve(s"$i.parquet"))
+      Thread.sleep(1000)
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_gdf_ck").toString
+    val q = graft.streaming.IndexMaintenance.runGramDfMaintenance(
+      spark, srcDir.toString, docs, dfDir, ckpt, maxFilesPerTrigger = 1)
+    q.awaitTermination()
+    val table = spark.read.parquet(dfDir)
+    assert(table.select($"batch_id").distinct().count() === 2)
+    val summed = table.groupBy($"gh").agg(sum($"df").as("df"))
+      .as[(Long, Long)].collect().toMap
+    val batchDf = Dedup.gramDf(docs).as[(Long, Long)].collect().toMap
+    assert(summed === batchDf,
+      "per-batch partials must sum to the corpus gram-df")
+    // the probe read path equals the batch gate at the same threshold
+    val fromTable = Dedup.boilerplateSpansFromTable(spark, dfDir, docs, minDf = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val direct = Dedup.boilerplateSpans(docs, minDf = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fromTable === direct)
+    assert(fromTable.nonEmpty, "testdata should have df>2 grams")
+  }
+
   test("decontaminate flags only docs sharing an 8-gram with the benchmark") {
     val bench = Seq(
       (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
