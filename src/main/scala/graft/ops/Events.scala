@@ -62,6 +62,46 @@ object Events {
         tsCols.map(c => when(c.isNotNull, 1).otherwise(0)).reduce(_ + _).as("stage"): _*)
   }
 
+  /** Per-transition conversion-latency summary over [[funnel]] — the
+    * "how long does each funnel step take" dashboard row product teams
+    * read next to the conversion counts: for every consecutive step pair,
+    * the converted-user count and the EXACT median / nearest-rank p90 /
+    * mean of (step i+1 ts − step i ts). Exactness discipline as in the
+    * exact-median entry: manual rank-position selection and integer sums
+    * (one IEEE division at the end) instead of percentile()/avg(), whose
+    * interpolation and accumulation arithmetic differ across engines.
+    *
+    * All transitions extract in ONE pass over the funnel frame (array +
+    * explode — no per-transition re-joins); the rank window partitions by
+    * transition, so the sort is per-transition over converted users only
+    * (user-sized, never fact-sized). */
+  def funnelTimings(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "need at least one transition")
+    val f = funnel(events, steps)
+    val durs = f.select(explode(array((1 until steps.size).map { i =>
+        struct(lit(steps(i - 1)).as("from_step"), lit(steps(i)).as("to_step"),
+          (unix_micros(col(s"step_${i + 1}_ts")) - unix_micros(col(s"step_${i}_ts")))
+            .as("dur_us"))
+      }: _*)).as("t"))
+      .select(col("t.from_step").as("from_step"), col("t.to_step").as("to_step"),
+        col("t.dur_us").as("dur_us"))
+      .filter(col("dur_us").isNotNull)
+    val wOrd = Window.partitionBy(col("from_step"), col("to_step"))
+      .orderBy(col("dur_us"))
+    val wAll = Window.partitionBy(col("from_step"), col("to_step"))
+    durs
+      .select(col("from_step"), col("to_step"), col("dur_us"),
+        row_number().over(wOrd).as("rn"), count(lit(1)).over(wAll).as("n"))
+      .groupBy(col("from_step"), col("to_step"))
+      .agg(max(col("n")).as("n_converted"),
+        ((max(when(expr("rn = (n + 1) div 2"), col("dur_us"))) +
+          max(when(expr("rn = (n + 2) div 2"), col("dur_us")))) / 2.0)
+          .as("median_us"),
+        max(when(expr("rn = (9 * n + 9) div 10"), col("dur_us"))).as("p90_us"),
+        (sum(col("dur_us")).cast("double") / max(col("n"))).as("mean_us"))
+      .orderBy(col("from_step"), col("to_step"))
+  }
+
   /** Weekly retention cohorts: users grouped by the week of their FIRST
     * event; each (cohort week, weeks-since) cell counts the cohort's users
     * active that week. The fact scans ONCE (PlanAuditSpec pins it): the

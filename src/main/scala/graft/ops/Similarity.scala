@@ -55,6 +55,38 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Corpus-wide k-NN graph — EVERY vector is a query: the substrate
+    * graph-based curation builds on (SemDeDup-style cluster pruning,
+    * graph clustering, connectivity diagnostics all start from "each
+    * item's k nearest"). Same bounded top-k machinery as
+    * [[knnBruteForce]]; the corpus broadcasts to itself, so this exact
+    * form is the small/medium-corpus and oracle-verification path — at
+    * index scale, run the SAME shape through the IVF lists
+    * ([[graft.ops.Ivf.searchIndex]] with queries = all vectors), which
+    * replaces the all-pairs score with per-list locality. */
+  def knnGraph(embeddings: DataFrame, k: Int = 5): DataFrame =
+    knnBruteForce(embeddings, embeddings, k)
+
+  /** Mutual k-NN edges — the graph pruning that keeps an edge only when
+    * BOTH endpoints rank each other in their top-k: the standard
+    * symmetrization that strips hub vectors (a hub appears in thousands
+    * of top-k lists but reciprocates few — mutuality is the cheap hub
+    * filter). Output one undirected row (d1 < d2) with the cosine. The
+    * directed graph is corpus×k-sized and feeds both the edge and the
+    * reciprocity probes, so it materializes once (eager checkpoint) —
+    * left lazy the all-pairs scoring would run twice. */
+  def mutualKnn(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val g = knnGraph(embeddings, k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+      .localCheckpoint(true)
+    val e = g.select(col("query_id").as("d1"), col("neighbor_id").as("d2"),
+        col("cos"))
+      .filter(col("d1") < col("d2"))
+    val back = g.select(col("neighbor_id").as("d1"), col("query_id").as("d2"))
+      .filter(col("d1") < col("d2"))
+    e.join(back, Seq("d1", "d2"), "left_semi")
+  }
+
   /** Hard-negative mining for contrastive training — per query vector,
     * the top-k HIGHEST-cosine vectors carrying a DIFFERENT label: the
     * semantically-near-but-wrong-class examples a retrieval/embedding

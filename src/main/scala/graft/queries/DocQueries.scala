@@ -672,6 +672,51 @@ object DocQueries {
     Similarity.knnLsh(Tables.embeddings(s, d), queries(s, d))
       .orderBy("query_id", "rank")
 
+  /** Corpus-wide k-NN graph ([[graft.ops.Similarity.knnGraph]]): every
+    * vector a query. The ORACLE is the honest all-pairs rank — exact at
+    * sf0.01; at sf0.1 it is an O(n²) DuckDB list fold (engine side runs
+    * in every bench; oracle joins the documented O(n²)-skip list). */
+  private def knnGraphQ(s: SparkSession, d: String): DataFrame =
+    Similarity.knnGraph(Tables.embeddings(s, d)).orderBy("query_id", "rank")
+
+  private val knnGraphSql = """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+               FROM embeddings),
+    n AS (SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm FROM v),
+    p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+            list_sum(list_transform(range(1, len(n.emb)+1), i -> n.emb[i]*q.emb[i]))
+              / (n.nrm * q.nrm) AS cos
+          FROM n JOIN n q ON n.vec_id <> q.vec_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rank FROM p)
+    SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 5
+    ORDER BY query_id, rank"""
+
+  /** Mutual k-NN edges ([[graft.ops.Similarity.mutualKnn]]): undirected
+    * (d1 < d2) edges present in BOTH endpoints' top-5 — the
+    * hub-stripping symmetrization graph curation runs on the raw graph. */
+  private def mutualKnnQ(s: SparkSession, d: String): DataFrame =
+    Similarity.mutualKnn(Tables.embeddings(s, d)).orderBy("d1", "d2")
+
+  private val mutualKnnSql = """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+               FROM embeddings),
+    n AS (SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm FROM v),
+    p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+            list_sum(list_transform(range(1, len(n.emb)+1), i -> n.emb[i]*q.emb[i]))
+              / (n.nrm * q.nrm) AS cos
+          FROM n JOIN n q ON n.vec_id <> q.vec_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rank FROM p),
+    g AS (SELECT query_id, neighbor_id, cos FROM r WHERE rank <= 5),
+    e AS (SELECT query_id AS d1, neighbor_id AS d2, cos FROM g
+          WHERE query_id < neighbor_id),
+    b AS (SELECT neighbor_id AS d1, query_id AS d2 FROM g
+          WHERE neighbor_id < query_id)
+    SELECT d1, d2, cos FROM e
+    WHERE EXISTS (SELECT 1 FROM b WHERE b.d1 = e.d1 AND b.d2 = e.d2)
+    ORDER BY d1, d2"""
+
   /** Hard-negative mining ([[graft.ops.Similarity.hardNegatives]]): per
     * query, top-5 highest-cosine vectors with a DIFFERENT label — the
     * near-miss negatives a contrastive trainer batches. Same query set
@@ -2308,6 +2353,8 @@ $sel
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
     Q("knn_bruteforce", knnBruteForce, Some(knnBruteForceSql)),
     Q("hard_negatives", hardNegatives, Some(hardNegativesSql)),
+    Q("knn_graph", knnGraphQ, Some(knnGraphSql)),
+    Q("mutual_knn", mutualKnnQ, Some(mutualKnnSql)),
     Q("knn_lsh", knnLsh, Some(knnLshSql)),
     Q("ann_recall", annRecall, Some(annRecallSql)),
     Q("multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),

@@ -203,6 +203,42 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** Conversion latency per funnel transition
+    * ([[graft.ops.Events.funnelTimings]]): exact rank-selected median,
+    * nearest-rank p90 and integer-sum mean of each step-to-step duration
+    * — interpolation-free so both engines agree bit-for-bit. */
+  private def funnelTimeToConvert(s: SparkSession, d: String): DataFrame =
+    Events.funnelTimings(Tables.events(s, d), Seq("view", "click", "purchase"))
+
+  private val funnelTimeToConvertSql = """
+    WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS step_1_us
+                FROM events WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS step_2_us
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.step_1_us
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS step_3_us
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.step_2_us
+           GROUP BY e.user_id),
+    f AS (SELECT s1.user_id, step_1_us, step_2_us, step_3_us
+          FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)),
+    d AS (SELECT 'view' AS from_step, 'click' AS to_step,
+                 step_2_us - step_1_us AS dur_us
+          FROM f WHERE step_2_us IS NOT NULL
+          UNION ALL
+          SELECT 'click', 'purchase', step_3_us - step_2_us
+          FROM f WHERE step_3_us IS NOT NULL),
+    r AS (SELECT *, row_number() OVER (PARTITION BY from_step, to_step
+                                       ORDER BY dur_us) AS rn,
+            COUNT(*) OVER (PARTITION BY from_step, to_step) AS n FROM d)
+    SELECT from_step, to_step, CAST(MAX(n) AS BIGINT) AS n_converted,
+           (MAX(CASE WHEN rn = (n + 1) // 2 THEN dur_us END)
+          + MAX(CASE WHEN rn = (n + 2) // 2 THEN dur_us END)) / 2.0 AS median_us,
+           MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN dur_us END) AS p90_us,
+           CAST(SUM(dur_us) AS DOUBLE) / MAX(n) AS mean_us
+    FROM r GROUP BY from_step, to_step ORDER BY from_step, to_step"""
+
   private val eventsFunnelSql = """
     WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS step_1_us
                 FROM events WHERE event_type = 'view' GROUP BY user_id),
@@ -642,6 +678,7 @@ object EventQueries {
     Q("asof_join_native", asofJoinNative, Some(asofJoinSql)),
     Q("range_join", rangeJoin, Some(rangeJoinSql)),
     Q("events_funnel", eventsFunnel, Some(eventsFunnelSql)),
+    Q("funnel_time_to_convert", funnelTimeToConvert, Some(funnelTimeToConvertSql)),
     Q("events_retention", eventsRetention, Some(eventsRetentionSql)),
     Q("events_gap_fill", eventsGapFill, Some(eventsGapFillSql)),
     Q("event_transitions", eventTransitions, Some(eventTransitionsSql)),

@@ -62,6 +62,27 @@ class EventsSpec extends SparkSpec {
     assert(!out.contains(4L), "user with no step-1 event is outside the funnel")
   }
 
+  test("funnelTimings: exact rank median / p90 / integer-sum mean per transition") {
+    // three converters view->click at 1, 2 and 10 minutes; one of them
+    // goes on to purchase 5 minutes after the click
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:01:00"), "click"),
+      (1L, ts("2024-01-01 10:06:00"), "purchase"),
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 10:02:00"), "click"),
+      (3L, ts("2024-01-01 10:00:00"), "view"),
+      (3L, ts("2024-01-01 10:10:00"), "click"),
+      (4L, ts("2024-01-01 10:00:00"), "view") // never converts
+    ).toDF("user_id", "ts", "event_type")
+    val out = Events.funnelTimings(events, Seq("view", "click", "purchase"))
+      .as[(String, String, Long, Double, Long, Double)].collect().toSeq
+    val m = 60e6 // minutes in micros
+    assert(out === Seq(
+      ("click", "purchase", 1L, 5 * m, (5 * m).toLong, 5 * m),
+      ("view", "click", 3L, 2 * m, (10 * m).toLong, (13 * m) / 3)))
+  }
+
   test("retentionCohorts counts distinct users per (cohort week, week offset)") {
     val events = Seq(
       // two users first seen week of Mon 2024-01-01; one returns in week 1

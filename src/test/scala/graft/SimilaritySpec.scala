@@ -32,6 +32,14 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._1).toSeq === Seq(1, 2, 3, 4))
   }
 
+  test("mutualKnn keeps only reciprocated edges, undirected d1 < d2") {
+    // at k=1: 0↔1 point at each other (mutual); 2's top-1 is 3 but 3's
+    // top-1 is 1 — unreciprocated, dropped
+    val out = Similarity.mutualKnn(vecs, k = 1)
+      .select("d1", "d2").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((0L, 1L)), s"only the reciprocal pair survives: $out")
+  }
+
   test("hardNegatives: top-k restricted to OTHER labels, same-label near-dups excluded") {
     // vec 1 is nearly parallel to the query but shares its label — a
     // positive, not a negative; the miner must skip it and rank the
