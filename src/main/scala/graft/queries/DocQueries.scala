@@ -717,6 +717,47 @@ object DocQueries {
     WHERE EXISTS (SELECT 1 FROM b WHERE b.d1 = e.d1 AND b.d2 = e.d2)
     ORDER BY d1, d2"""
 
+  /** Connected components over the mutual k-NN graph
+    * ([[graft.ops.Dedup.clusters]] on [[graft.ops.Similarity.mutualKnn]])
+    * — the graph-clustering step after symmetrization: mutual edges have
+    * degree ≤ k by construction, so the component loop's per-round
+    * shuffles stay corpus×k-bounded (the property that makes THIS graph,
+    * not the raw directed one, the clustering substrate). Same
+    * pointer-jumping label propagation as the dedup components —
+    * pair generation and clustering stay composable operators. */
+  private def mutualKnnClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.clusters(
+        Similarity.mutualKnn(Tables.embeddings(s, d)).select("d1", "d2"))
+      .toDF("vec_id", "cluster_id", "cluster_size")
+      .orderBy("vec_id")
+
+  private val mutualKnnClustersSql = """
+    WITH RECURSIVE v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+               FROM embeddings),
+    n AS (SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm FROM v),
+    p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+            list_sum(list_transform(range(1, len(n.emb)+1), i -> n.emb[i]*q.emb[i]))
+              / (n.nrm * q.nrm) AS cos
+          FROM n JOIN n q ON n.vec_id <> q.vec_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rank FROM p),
+    g AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 5),
+    e0 AS (SELECT query_id AS d1, neighbor_id AS d2 FROM g
+           WHERE query_id < neighbor_id
+             AND EXISTS (SELECT 1 FROM g b
+                         WHERE b.query_id = g.neighbor_id
+                           AND b.neighbor_id = g.query_id)),
+    e AS (SELECT d1 AS src, d2 AS dst FROM e0 UNION SELECT d2, d1 FROM e0),
+    reach AS (
+      SELECT src AS id, dst AS r FROM e
+      UNION
+      SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+    lab AS (SELECT id, least(id, MIN(r)) AS cluster_id FROM reach GROUP BY id)
+    SELECT id AS vec_id, cluster_id, CAST(n AS BIGINT) AS cluster_size
+    FROM lab JOIN (SELECT cluster_id, COUNT(*) AS n FROM lab GROUP BY 1) c
+      USING (cluster_id)
+    ORDER BY vec_id"""
+
   /** Hard-negative mining ([[graft.ops.Similarity.hardNegatives]]): per
     * query, top-5 highest-cosine vectors with a DIFFERENT label — the
     * near-miss negatives a contrastive trainer batches. Same query set
@@ -2355,6 +2396,7 @@ $sel
     Q("hard_negatives", hardNegatives, Some(hardNegativesSql)),
     Q("knn_graph", knnGraphQ, Some(knnGraphSql)),
     Q("mutual_knn", mutualKnnQ, Some(mutualKnnSql)),
+    Q("mutual_knn_clusters", mutualKnnClusters, Some(mutualKnnClustersSql)),
     Q("knn_lsh", knnLsh, Some(knnLshSql)),
     Q("ann_recall", annRecall, Some(annRecallSql)),
     Q("multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
