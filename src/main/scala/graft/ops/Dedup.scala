@@ -616,12 +616,14 @@ object Dedup {
     * [[exactSubstrSpans]].
     *
     * Shape: positional grams → one hash-keyed distinct-doc count → the
-    * hot set joins back on gh (hash-partitioned join, NOT a broadcast:
-    * the hot set is corpus-dependent and unbounded in principle) → each
-    * hot gram covers [pos, pos+k) → per-doc interval union. No pair
-    * explosion anywhere — cost is linear in gram rows, which is what
-    * makes the df-capped split between this operator and the pairwise
-    * family the scalable decomposition. */
+    * hot set joins back on gh — size-adaptively: the hot set is
+    * corpus-dependent (unbounded in principle, small in practice — hot
+    * grams are few by definition), so the join is left to Catalyst/AQE
+    * stats rather than a forced broadcast → each hot gram covers
+    * [pos, pos+k) → per-doc interval union. No pair explosion anywhere —
+    * cost is linear in gram rows, which is what makes the df-capped
+    * split between this operator and the pairwise family the scalable
+    * decomposition. */
   def boilerplateSpans(docs: DataFrame, minDf: Int = 16, k: Int = 5,
                        shingleHash: Column => Column = xxhash64(_)): DataFrame = {
     val hot = gramDf(docs, k, shingleHash)

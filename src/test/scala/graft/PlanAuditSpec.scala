@@ -51,7 +51,12 @@ class PlanAuditSpec extends SparkSpec {
             "knn_ivf_partial", "ann_recall", "ivf_recall",
             "lm_bigram_score", "rfm_segments", "knn_classify_eval",
             "semi_additive_balance", "ccnet_perplexity_buckets",
-            "source_keywords", "basket_lift")(p._1))
+            "source_keywords", "basket_lift",
+            // the r11 knn family inherits knn_bruteforce's intended
+            // broadcast-NL scoring join (every vector scores the
+            // broadcast query/corpus set by design)
+            "hard_negatives", "knn_graph", "mutual_knn",
+            "mutual_knn_clusters")(p._1))
       .foreach { case (name, p) =>
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
       }
@@ -381,6 +386,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(ess.contains("BroadcastHashJoin"),
       s"exact_substr_spans should broadcast the pair set:\n$ess")
     assert(!ess.contains("CartesianProduct"))
+  }
+
+  test("r11 continuation entries keep their intended shapes") {
+    val bp = plans.toMap.apply("boilerplate_spans")
+    // the hot-gram semi-join is size-adaptive — Catalyst broadcasts when
+    // the aggregated hot set's stats prove it small (true here and
+    // usually in production: hot grams are few by definition) and falls
+    // back to a hash-partitioned join when they don't; the audit pins
+    // only that it is a HASH join, never a nested-loop product
+    val semiJoins = bp.linesIterator.filter(_.contains("LeftSemi")).mkString
+    assert(semiJoins.contains("HashJoin"),
+      s"boilerplate_spans' hot-gram probe should be a hash join:\n$bp")
+    // documents scan prunes to (doc_id, text)
+    assert(bp.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"boilerplate_spans reads more than (doc_id, text):\n$bp")
+    val ftc = plans.toMap.apply("funnel_time_to_convert")
+    // funnel frontiers are checkpointed: one pushed-filter events scan per
+    // step, never the k(k+1)/2 re-derivation
+    val evScans = ftc.linesIterator.count(_.contains("events.parquet"))
+    assert(evScans <= 3,
+      s"funnel_time_to_convert re-derives frontiers ($evScans event scans):\n$ftc")
+    // fertility needs (source, text) only — doc_id and the decoy columns
+    // must be pruned from every documents scan
+    val bf = plans.toMap.apply("bpe_fertility")
+    val bfScans = bf.linesIterator.filter(_.contains("documents.parquet")).mkString
+    Seq("doc_id", "lang", "n_chars").foreach(c =>
+      assert(!bfScans.contains(c),
+        s"bpe_fertility reads documents.$c needlessly:\n$bf"))
   }
 
   test("event operators do not read the props payload column") {
