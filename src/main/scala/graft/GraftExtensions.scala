@@ -33,6 +33,10 @@ import graft.functions.NativeExpressions.{DotProduct, MinHashSignature, NfcNorma
   *     near-dup pairs with exact-Jaccard verification
   *   - `graft_heavy_hitters('t', 'bucket_col', 'item_col', 'k')` —
   *     one-shot Misra-Gries heavy hitters per bucket
+  *   - `graft_boilerplate_spans('t', 'min_df')` — hot-gram boilerplate
+  *     removal spans
+  *   - `graft_exact_substr_spans('t', 'min_len')` — ExactSubstr
+  *     remove-the-span dedup
   *
   * Wire up via `GraftSession.builder` (already applied) or
   * `--conf spark.sql.extensions=graft.GraftExtensions` on a stock session.
@@ -151,6 +155,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SELECT * FROM graft_sessionize('events', '1800000000') — gap in µs
     tableOp("graft_sessionize", 2,
       "graft_sessionize('table', 'gap_us')")(s => ("sessionize", s.tail))
+    // SELECT * FROM graft_boilerplate_spans('docs', '16') — hot-gram gate
+    tableOp("graft_boilerplate_spans", 2,
+      "graft_boilerplate_spans('table', 'min_df')")(
+      s => ("boilerplate_spans", s.tail))
+    // SELECT * FROM graft_exact_substr_spans('docs', '8') — span dedup
+    tableOp("graft_exact_substr_spans", 2,
+      "graft_exact_substr_spans('table', 'min_len')")(
+      s => ("exact_substr_spans", s.tail))
 
     // ---- scalar + aggregate functions ----
     // the portable sampling bucket every deterministic sampling/split

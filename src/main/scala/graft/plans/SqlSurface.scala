@@ -55,6 +55,10 @@ class GraftTableOpResolution(session: SparkSession) extends Rule[LogicalPlan] {
           graft.ops.TextAnalysis.gopherRules(df)
         case "sessionize" =>
           graft.ops.Events.sessionize(df, params(0).toLong)
+        case "boilerplate_spans" =>
+          graft.ops.Dedup.boilerplateSpans(df, params(0).toInt)
+        case "exact_substr_spans" =>
+          graft.ops.Dedup.exactSubstrSpans(df, params(0).toInt)
         case other => throw new IllegalArgumentException(
           s"unknown graft table op '$other'")
       }

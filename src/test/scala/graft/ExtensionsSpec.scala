@@ -157,6 +157,24 @@ class ExtensionsSpec extends SparkSpec {
       sApi.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("graft_boilerplate_spans and graft_exact_substr_spans TVFs match the Scala operators") {
+    graft.sources.Tables.documents(spark, sf)
+      .createOrReplaceTempView("ext_docs_spans")
+    val bSql = spark.sql("SELECT * FROM graft_boilerplate_spans('ext_docs_spans', '2')")
+    val bApi = graft.ops.Dedup.boilerplateSpans(
+      graft.sources.Tables.documents(spark, sf), minDf = 2)
+    assert(bSql.columns.toSeq === bApi.columns.toSeq)
+    assert(bSql.collect().map(_.toString).sorted.toSeq ===
+      bApi.collect().map(_.toString).sorted.toSeq)
+    val eSql = spark.sql("SELECT * FROM graft_exact_substr_spans('ext_docs_spans', '8')")
+    val eApi = graft.ops.Dedup.exactSubstrSpans(
+      graft.sources.Tables.documents(spark, sf), minLen = 8)
+    assert(eSql.columns.toSeq === eApi.columns.toSeq)
+    assert(eSql.collect().map(_.toString).sorted.toSeq ===
+      eApi.collect().map(_.toString).sorted.toSeq)
+    assert(eSql.count() > 0, "testdata should produce cross-doc spans")
+  }
+
   test("graft_srp_band_values is SQL-callable and matches the Scala API") {
     val planes = Similarity.planeMatrix(8, 4, 42L)
     val planesSql = planes
