@@ -55,6 +55,80 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Top principal component of the embedding corpus by power iteration —
+    * the anisotropy diagnostic embedding pipelines run before trusting
+    * cosine geometry: a high explained-variance ratio means the space has
+    * collapsed toward one dominant direction (the "narrow cone" pathology)
+    * and cosine scores mostly measure that direction, not content; the
+    * mean vector and PC1 loadings are exactly what post-processing
+    * (mean-centering, all-but-the-top removal) subtracts.
+    *
+    * Scale shape: the ONLY corpus-sized work is one scan that explodes
+    * each vector into its d(d+1)/2 upper-triangle products plus d mean
+    * terms, partially aggregated map-side into DECIMAL(38,6) sums (exact,
+    * order-free — the floating sums that would make this
+    * engine/partition-dependent never happen). Everything after — the
+    * covariance assembly, `iters` power steps, the Rayleigh quotient —
+    * runs on the d×d matrix on the driver (dimension-bounded, the BPE
+    * argmax posture; d=64 here). Determinism end to end: fixed v₀ = 1⃗,
+    * fixed ascending-index summation order, IEEE-exact decimal→double
+    * reads — any engine reproduces the identical loadings, which the
+    * unrolled DuckDB oracle checks bit-for-bit.
+    *
+    * @return d rows: (dim, mean, pc1_loading, eigenvalue, cov_trace,
+    *         explained_ratio) — eigenvalue/trace/ratio repeated per row */
+  def pcaPower(embeddings: DataFrame, iters: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val v = embeddings.select(toDouble(col("embedding")).as("emb"))
+    val d = v.select(size(col("emb"))).head().getInt(0)
+    val n = v.count()
+    val pairs = v.select(explode(flatten(transform(sequence(lit(0), lit(d - 1)), i =>
+        concat(
+          transform(sequence(i, lit(d - 1)), j =>
+            struct(i.cast("int").as("i"), j.cast("int").as("j"),
+              (element_at(col("emb"), i + 1) * element_at(col("emb"), j + 1)).as("p"))),
+          array(struct(i.cast("int").as("i"), lit(-1).as("j"),
+            element_at(col("emb"), i + 1).as("p"))))))).as("t"))
+    val sums = pairs.groupBy($"t.i".as("i"), $"t.j".as("j"))
+      .agg(sum($"t.p".cast("decimal(38,6)")).as("s"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        r.getDecimal(2).doubleValue).toMap
+    val nd = n.toDouble
+    val mean = Array.tabulate(d)(i => sums((i, -1)) / nd)
+    // the mirrored (i > j) entry reuses the upper-triangle VALUE — not the
+    // formula with operands swapped: (n·mᵢ)·mⱼ and (n·mⱼ)·mᵢ round
+    // differently by an ulp, and the oracle mirrors values
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      (sums((a, b)) - nd * mean(a) * mean(b)) / nd
+    }
+    def matVec(x: Array[Double]): Array[Double] =
+      Array.tabulate(d) { i =>
+        var s = 0.0; var j = 0
+        while (j < d) { s += cov(i)(j) * x(j); j += 1 }
+        s
+      }
+    var vv = Array.fill(d)(1.0)
+    for (_ <- 1 to iters) {
+      val w = matVec(vv)
+      var n2 = 0.0; var i = 0
+      while (i < d) { n2 += w(i) * w(i); i += 1 }
+      val nrm = math.sqrt(n2)
+      vv = w.map(_ / nrm)
+    }
+    val cv = matVec(vv)
+    var lam = 0.0
+    var li = 0
+    while (li < d) { lam += cv(li) * vv(li); li += 1 }
+    var tr = 0.0
+    var ti = 0
+    while (ti < d) { tr += cov(ti)(ti); ti += 1 }
+    (0 until d).map(i => (i.toLong, mean(i), vv(i), lam, tr, lam / tr))
+      .toDF("dim", "mean", "pc1_loading", "eigenvalue", "cov_trace",
+        "explained_ratio")
+  }
+
   /** Corpus-wide k-NN graph — EVERY vector is a query: the substrate
     * graph-based curation builds on (SemDeDup-style cluster pruning,
     * graph clustering, connectivity diagnostics all start from "each

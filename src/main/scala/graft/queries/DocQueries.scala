@@ -717,6 +717,58 @@ object DocQueries {
     WHERE EXISTS (SELECT 1 FROM b WHERE b.d1 = e.d1 AND b.d2 = e.d2)
     ORDER BY d1, d2"""
 
+  /** Top principal component by power iteration
+    * ([[graft.ops.Similarity.pcaPower]]) — the embedding-space anisotropy
+    * diagnostic. The oracle replays the WHOLE computation: decimal-exact
+    * pair/mean sums, the covariance assembly, eight unrolled
+    * matrix-vector CTE iterations from v₀ = 1⃗, the Rayleigh quotient —
+    * every float op in the same ascending-index order, so loadings
+    * hash-compare bit-for-bit. */
+  private def embeddingPca(s: SparkSession, d: String): DataFrame =
+    Similarity.pcaPower(Tables.embeddings(s, d)).orderBy("dim")
+
+  private lazy val embeddingPcaSql: String = {
+    val its = (1 to 8).map { k =>
+      s"""it$k AS (SELECT mm, list_transform(w, x -> x / sqrt(list_sum(list_transform(w, y -> y * y)))) AS vv
+        FROM (SELECT mm, list_transform(mm, row -> list_sum(list_transform(range(1, 65), k2 -> row[k2] * vv[k2]))) AS w
+              FROM it${k - 1}))"""
+    }.mkString(",\n    ")
+    s"""
+    WITH v AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),
+    nn AS (SELECT COUNT(*)::DOUBLE AS n FROM v),
+    ms AS (SELECT i, CAST(SUM(CAST(p AS DECIMAL(38,6))) AS DOUBLE) AS s
+           FROM (SELECT u.i AS i, u.p AS p FROM
+                 (SELECT unnest(list_transform(range(0, 64), i -> {'i': i, 'p': emb[i+1]})) AS u FROM v))
+           GROUP BY i),
+    mean AS (SELECT i, s / (SELECT n FROM nn) AS m FROM ms),
+    ps AS (SELECT i, j, CAST(SUM(CAST(p AS DECIMAL(38,6))) AS DOUBLE) AS s
+           FROM (SELECT u.i AS i, u.j AS j, u.p AS p FROM
+                 (SELECT unnest(flatten(list_transform(range(0, 64), i ->
+                    list_transform(range(i, 64), j ->
+                      {'i': i, 'j': j, 'p': emb[i+1] * emb[j+1]})))) AS u FROM v))
+           GROUP BY i, j),
+    cv0 AS (SELECT ps.i AS i, ps.j AS j,
+              (s - (SELECT n FROM nn) * m1.m * m2.m) / (SELECT n FROM nn) AS c
+            FROM ps JOIN mean m1 ON ps.i = m1.i JOIN mean m2 ON ps.j = m2.i),
+    cfull AS (SELECT i, j, c FROM cv0
+              UNION ALL SELECT j AS i, i AS j, c FROM cv0 WHERE i <> j),
+    cm AS (SELECT i, list(c ORDER BY j) AS row FROM cfull GROUP BY i),
+    cmat AS (SELECT list(row ORDER BY i) AS mm FROM cm),
+    it0 AS (SELECT mm, list_transform(range(0, 64), x -> 1.0) AS vv FROM cmat),
+    $its,
+    fin AS (SELECT mm, vv,
+              list_transform(mm, row -> list_sum(list_transform(range(1, 65), k2 -> row[k2] * vv[k2]))) AS cvv
+            FROM it8),
+    agg AS (SELECT vv,
+              list_sum(list_transform(range(1, 65), k2 -> cvv[k2] * vv[k2])) AS lam,
+              list_sum(list_transform(range(1, 65), k2 -> mm[k2][k2])) AS tr
+            FROM fin)
+    SELECT CAST(t.k - 1 AS BIGINT) AS dim, m.m AS mean, vv[t.k] AS pc1_loading,
+           lam AS eigenvalue, tr AS cov_trace, lam / tr AS explained_ratio
+    FROM agg, range(1, 65) t(k) JOIN mean m ON m.i = t.k - 1
+    ORDER BY dim"""
+  }
+
   /** Connected components over the mutual k-NN graph
     * ([[graft.ops.Dedup.clusters]] on [[graft.ops.Similarity.mutualKnn]])
     * — the graph-clustering step after symmetrization: mutual edges have
@@ -2397,6 +2449,7 @@ $sel
     Q("knn_graph", knnGraphQ, Some(knnGraphSql)),
     Q("mutual_knn", mutualKnnQ, Some(mutualKnnSql)),
     Q("mutual_knn_clusters", mutualKnnClusters, Some(mutualKnnClustersSql)),
+    Q("embedding_pca", embeddingPca, Some(embeddingPcaSql)),
     Q("knn_lsh", knnLsh, Some(knnLshSql)),
     Q("ann_recall", annRecall, Some(annRecallSql)),
     Q("multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),

@@ -32,6 +32,27 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._1).toSeq === Seq(1, 2, 3, 4))
   }
 
+  test("pcaPower recovers the dominant axis of a rank-1 corpus") {
+    // every vector lies on the (1,1) diagonal: PC1 must be ±(1/√2, 1/√2)
+    // and explain ALL the variance
+    val vecs2 = Seq(
+      (0L, Array(1.0f, 1.0f)), (1L, Array(2.0f, 2.0f)),
+      (2L, Array(3.0f, 3.0f)), (3L, Array(-1.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.pcaPower(vecs2)
+      .as[(Long, Double, Double, Double, Double, Double)].collect().sortBy(_._1)
+    val s = 1.0 / math.sqrt(2.0)
+    out.foreach { r =>
+      assert(math.abs(math.abs(r._3) - s) < 1e-9,
+        s"loading should be ±1/√2, got ${r._3}")
+      assert(math.abs(r._6 - 1.0) < 1e-9,
+        s"a rank-1 corpus is 100% explained by PC1, got ${r._6}")
+      assert(math.abs(r._2 - 1.25) < 1e-12, "mean of (1,2,3,-1) is 1.25")
+    }
+    // both dims load identically (same sign) on the diagonal axis
+    assert(out(0)._3 === out(1)._3)
+  }
+
   test("mutualKnn keeps only reciprocated edges, undirected d1 < d2") {
     // at k=1: 0↔1 point at each other (mutual); 2's top-1 is 3 but 3's
     // top-1 is 1 — unreciprocated, dropped
