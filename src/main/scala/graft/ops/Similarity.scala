@@ -77,24 +77,51 @@ object Similarity {
     *
     * @return d rows: (dim, mean, pc1_loading, eigenvalue, cov_trace,
     *         explained_ratio) — eigenvalue/trace/ratio repeated per row */
-  def pcaPower(embeddings: DataFrame, iters: Int = 8): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
+  /** The distributed half of [[pcaPower]], factored out so a STREAM can
+    * maintain it: exact DECIMAL(38,6) sums of every upper-triangle
+    * product (i, j), every mean term (i, −1) and the row count (−1, −1).
+    * The sums are ADDITIVE across disjoint vector batches — per-batch
+    * partials sum to the corpus value exactly (decimal, no float
+    * reduction order), which is what lets
+    * [[graft.streaming.IndexMaintenance.runCovarianceMaintenance]] keep
+    * a standing partials table by blind batch-tagged appends. */
+  def covPartials(embeddings: DataFrame): DataFrame = {
     val v = embeddings.select(toDouble(col("embedding")).as("emb"))
     val d = v.select(size(col("emb"))).head().getInt(0)
-    val n = v.count()
-    val pairs = v.select(explode(flatten(transform(sequence(lit(0), lit(d - 1)), i =>
-        concat(
-          transform(sequence(i, lit(d - 1)), j =>
-            struct(i.cast("int").as("i"), j.cast("int").as("j"),
-              (element_at(col("emb"), i + 1) * element_at(col("emb"), j + 1)).as("p"))),
-          array(struct(i.cast("int").as("i"), lit(-1).as("j"),
-            element_at(col("emb"), i + 1).as("p"))))))).as("t"))
-    val sums = pairs.groupBy($"t.i".as("i"), $"t.j".as("j"))
-      .agg(sum($"t.p".cast("decimal(38,6)")).as("s"))
+    v.select(explode(concat(
+        flatten(transform(sequence(lit(0), lit(d - 1)), i =>
+          concat(
+            transform(sequence(i, lit(d - 1)), j =>
+              struct(i.cast("int").as("i"), j.cast("int").as("j"),
+                (element_at(col("emb"), i + 1) * element_at(col("emb"), j + 1)).as("p"))),
+            array(struct(i.cast("int").as("i"), lit(-1).as("j"),
+              element_at(col("emb"), i + 1).as("p")))))),
+        array(struct(lit(-1).as("i"), lit(-1).as("j"), lit(1.0).as("p"))))).as("t"))
+      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+      .agg(sum(col("t.p").cast("decimal(38,6)")).as("s"))
+  }
+
+  /** PCA read over a STANDING covariance-partials table (written by the
+    * streaming maintenance or a batch [[covPartials]] dump): partials
+    * sum per (i, j) — decimal, exact, so the result equals the batch
+    * [[pcaPower]] over everything absorbed, bit for bit. */
+  def pcaFromTable(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   iters: Int = 8): DataFrame =
+    pcaFromSums(spark, spark.read.parquet(dir)
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("s")).cast("decimal(38,6)").as("s")))
+
+  def pcaPower(embeddings: DataFrame, iters: Int = 8): DataFrame =
+    pcaFromSums(embeddings.sparkSession, covPartials(embeddings), iters)
+
+  private def pcaFromSums(spark: org.apache.spark.sql.SparkSession,
+                          partials: DataFrame, iters: Int = 8): DataFrame = {
+    import spark.implicits._
+    val sums = partials
       .collect().map(r => (r.getInt(0), r.getInt(1)) ->
         r.getDecimal(2).doubleValue).toMap
-    val nd = n.toDouble
+    val d = sums.keys.map(_._1).max + 1
+    val nd = sums((-1, -1))
     val mean = Array.tabulate(d)(i => sums((i, -1)) / nd)
     // the mirrored (i > j) entry reuses the upper-triangle VALUE — not the
     // formula with operands swapped: (n·mᵢ)·mⱼ and (n·mⱼ)·mᵢ round

@@ -138,6 +138,31 @@ object IndexMaintenance {
       }
       .start()
 
+  /** Streaming PCA maintenance — the covariance-partials table
+    * ([[graft.ops.Similarity.covPartials]]) kept current by blind
+    * batch-tagged appends: the decimal sums are EXACTLY additive across
+    * disjoint vector batches (no float reduction order to disturb), so
+    * [[graft.ops.Similarity.pcaFromTable]] reads a PCA that equals the
+    * batch operator over everything absorbed bit for bit — spec-pinned.
+    * Same replay posture as the gram-df maintenance: engine retries
+    * replace their own partition; source-level redelivery double-counts
+    * — dedupe upstream. */
+  def runCovarianceMaintenance(spark: SparkSession, srcDir: String,
+                               schemaFrom: DataFrame, covDir: String,
+                               checkpointDir: String,
+                               maxFilesPerTrigger: Int = 0,
+                               trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    EventsCdc.readEventStream(spark, srcDir, schemaFrom, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        StateSink.appendIdempotent(graft.ops.Similarity.covPartials(batch),
+          batchId, covDir)
+        ()
+      }
+      .start()
+
   def runDedupScreen(spark: SparkSession, srcDir: String, schemaFrom: DataFrame,
                      indexDir: String, corpusDir: String, pairsDir: String,
                      checkpointDir: String, n: Int = 3, threshold: Double = 0.8,

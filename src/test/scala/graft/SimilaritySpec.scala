@@ -53,6 +53,33 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0)._3 === out(1)._3)
   }
 
+  test("streaming covariance maintenance: table PCA equals batch PCA bit for bit") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val b1 = emb.filter($"vec_id" < 250)
+    val b2 = emb.filter($"vec_id" >= 250)
+    val covDir = java.nio.file.Files.createTempDirectory("graft_cov").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_cov_src")
+    Seq(b1, b2).zipWithIndex.foreach { case (b, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cov_tmp").toString
+      b.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, srcDir.resolve(s"$i.parquet"))
+      Thread.sleep(1000)
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cov_ck").toString
+    val q = graft.streaming.IndexMaintenance.runCovarianceMaintenance(
+      spark, srcDir.toString, emb, covDir, ckpt, maxFilesPerTrigger = 1)
+    q.awaitTermination()
+    assert(spark.read.parquet(covDir).select($"batch_id").distinct().count() === 2)
+    val fromTable = Similarity.pcaFromTable(spark, covDir)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = Similarity.pcaPower(emb)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fromTable === batch,
+      "summed streamed partials must reproduce the batch PCA exactly")
+  }
+
   test("mutualKnn keeps only reciprocated edges, undirected d1 < d2") {
     // at k=1: 0↔1 point at each other (mutual); 2's top-1 is 3 but 3's
     // top-1 is 1 — unreciprocated, dropped
