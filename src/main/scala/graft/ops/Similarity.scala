@@ -117,6 +117,17 @@ object Similarity {
   private def pcaFromSums(spark: org.apache.spark.sql.SparkSession,
                           partials: DataFrame, iters: Int = 8): DataFrame = {
     import spark.implicits._
+    val (mean, vv, lam, tr) = pcaSolve(partials, iters)
+    val d = mean.length
+    (0 until d).map(i => (i.toLong, mean(i), vv(i), lam, tr, lam / tr))
+      .toDF("dim", "mean", "pc1_loading", "eigenvalue", "cov_trace",
+        "explained_ratio")
+  }
+
+  /** Driver-side solve shared by [[pcaFromSums]] and
+    * [[removeTopComponent]]: (mean, pc1, eigenvalue, trace). */
+  private def pcaSolve(partials: DataFrame,
+                       iters: Int): (Array[Double], Array[Double], Double, Double) = {
     val sums = partials
       .collect().map(r => (r.getInt(0), r.getInt(1)) ->
         r.getDecimal(2).doubleValue).toMap
@@ -151,9 +162,34 @@ object Similarity {
     var tr = 0.0
     var ti = 0
     while (ti < d) { tr += cov(ti)(ti); ti += 1 }
-    (0 until d).map(i => (i.toLong, mean(i), vv(i), lam, tr, lam / tr))
-      .toDF("dim", "mean", "pc1_loading", "eigenvalue", "cov_trace",
-        "explained_ratio")
+    (mean, vv, lam, tr)
+  }
+
+  /** All-but-the-top correction — mean-center every vector and project
+    * out the [[pcaPower]] top component, reporting per vector the PC1
+    * coordinate and the centered/residual norms (the before/after an
+    * anisotropy fix is judged by; a vector whose norm is mostly PC1 was
+    * riding the dominant direction, not content). The d-sized mean and
+    * loading vectors come off the driver solve and embed as LITERALS in
+    * a codegen'd fold — the corpus pass is one scan, no join, no
+    * shuffle. Fold order is ascending-index (`aggregate` over `zip_with`)
+    * to stay bit-identical with the oracle's `list_sum`. */
+  def removeTopComponent(embeddings: DataFrame, iters: Int = 8): DataFrame = {
+    val (mean, vv, _, _) = pcaSolve(covPartials(embeddings), iters)
+    val mLit = array(mean.map(lit).toIndexedSeq: _*)
+    val vLit = array(vv.map(lit).toIndexedSeq: _*)
+    val c = zip_with(toDouble(col("embedding")), mLit, (x, m) => x - m)
+    def dotFold(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    embeddings
+      .select(col("vec_id"), c.as("c"))
+      .select(col("vec_id"), col("c"), dotFold(col("c"), vLit).as("pc1_coord"))
+      .select(col("vec_id"), col("pc1_coord"),
+        sqrt(dotFold(col("c"), col("c"))).as("norm_centered"),
+        sqrt(dotFold(
+          zip_with(col("c"), vLit, (ci, vi) => ci - col("pc1_coord") * vi),
+          zip_with(col("c"), vLit, (ci, vi) => ci - col("pc1_coord") * vi)))
+          .as("norm_residual"))
   }
 
   /** Corpus-wide k-NN graph — EVERY vector is a query: the substrate

@@ -727,14 +727,15 @@ object DocQueries {
   private def embeddingPca(s: SparkSession, d: String): DataFrame =
     Similarity.pcaPower(Tables.embeddings(s, d)).orderBy("dim")
 
-  private lazy val embeddingPcaSql: String = {
+  /** The PCA chain through `it8` (converged loadings) + `mean` —
+    * shared by the diagnostic entry and the all-but-the-top correction. */
+  private lazy val pcaCtes: String = {
     val its = (1 to 8).map { k =>
       s"""it$k AS (SELECT mm, list_transform(w, x -> x / sqrt(list_sum(list_transform(w, y -> y * y)))) AS vv
         FROM (SELECT mm, list_transform(mm, row -> list_sum(list_transform(range(1, 65), k2 -> row[k2] * vv[k2]))) AS w
               FROM it${k - 1}))"""
     }.mkString(",\n    ")
-    s"""
-    WITH v AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),
+    s"""v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),
     nn AS (SELECT COUNT(*)::DOUBLE AS n FROM v),
     ms AS (SELECT i, CAST(SUM(CAST(p AS DECIMAL(38,6))) AS DOUBLE) AS s
            FROM (SELECT u.i AS i, u.p AS p FROM
@@ -755,7 +756,11 @@ object DocQueries {
     cm AS (SELECT i, list(c ORDER BY j) AS row FROM cfull GROUP BY i),
     cmat AS (SELECT list(row ORDER BY i) AS mm FROM cm),
     it0 AS (SELECT mm, list_transform(range(0, 64), x -> 1.0) AS vv FROM cmat),
-    $its,
+    $its"""
+  }
+
+  private lazy val embeddingPcaSql: String = s"""
+    WITH $pcaCtes,
     fin AS (SELECT mm, vv,
               list_transform(mm, row -> list_sum(list_transform(range(1, 65), k2 -> row[k2] * vv[k2]))) AS cvv
             FROM it8),
@@ -767,7 +772,32 @@ object DocQueries {
            lam AS eigenvalue, tr AS cov_trace, lam / tr AS explained_ratio
     FROM agg, range(1, 65) t(k) JOIN mean m ON m.i = t.k - 1
     ORDER BY dim"""
-  }
+
+  /** All-but-the-top correction
+    * ([[graft.ops.Similarity.removeTopComponent]]): per vector, the PC1
+    * coordinate and the centered/residual norms after projecting the
+    * corpus top component out — the anisotropy FIX next to the
+    * diagnostic, every fold in the same ascending-index order. */
+  private def removeTopComponentQ(s: SparkSession, d: String): DataFrame =
+    Similarity.removeTopComponent(Tables.embeddings(s, d)).orderBy("vec_id")
+
+  private lazy val removeTopComponentSql: String = s"""
+    WITH $pcaCtes,
+    ml AS (SELECT list(m ORDER BY i) AS m FROM mean),
+    pv AS (SELECT vv FROM it8),
+    ctr AS (SELECT vec_id,
+              list_transform(range(1, 65), k -> emb[k] - m[k]) AS c
+            FROM v CROSS JOIN ml),
+    proj AS (SELECT vec_id, c,
+               list_sum(list_transform(range(1, 65), k -> c[k] * vv[k])) AS pc1_coord
+             FROM ctr CROSS JOIN pv)
+    SELECT vec_id, pc1_coord,
+           sqrt(list_sum(list_transform(c, x -> x * x))) AS norm_centered,
+           sqrt(list_sum(list_transform(range(1, 65),
+             k -> (c[k] - pc1_coord * vv[k]) * (c[k] - pc1_coord * vv[k]))))
+             AS norm_residual
+    FROM proj CROSS JOIN pv
+    ORDER BY vec_id"""
 
   /** Connected components over the mutual k-NN graph
     * ([[graft.ops.Dedup.clusters]] on [[graft.ops.Similarity.mutualKnn]])
@@ -2450,6 +2480,7 @@ $sel
     Q("mutual_knn", mutualKnnQ, Some(mutualKnnSql)),
     Q("mutual_knn_clusters", mutualKnnClusters, Some(mutualKnnClustersSql)),
     Q("embedding_pca", embeddingPca, Some(embeddingPcaSql)),
+    Q("remove_top_component", removeTopComponentQ, Some(removeTopComponentSql)),
     Q("knn_lsh", knnLsh, Some(knnLshSql)),
     Q("ann_recall", annRecall, Some(annRecallSql)),
     Q("multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),

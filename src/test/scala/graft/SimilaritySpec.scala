@@ -53,6 +53,20 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0)._3 === out(1)._3)
   }
 
+  test("removeTopComponent: a rank-1 corpus is fully explained — residuals vanish") {
+    val vecs2 = Seq(
+      (0L, Array(1.0f, 1.0f)), (1L, Array(2.0f, 2.0f)),
+      (2L, Array(3.0f, 3.0f)), (3L, Array(-1.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.removeTopComponent(vecs2)
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1)
+    out.foreach { r =>
+      assert(math.abs(r._3 - math.abs(r._2)) < 1e-9,
+        "centered norm equals |PC1 coordinate| when all variance is PC1")
+      assert(r._4 < 1e-9, s"residual must vanish on a rank-1 corpus, got ${r._4}")
+    }
+  }
+
   test("streaming covariance maintenance: table PCA equals batch PCA bit for bit") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val b1 = emb.filter($"vec_id" < 250)
