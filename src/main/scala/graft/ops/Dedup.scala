@@ -808,8 +808,10 @@ object Dedup {
     * and the merge are windows over match rows. No candidate index is
     * needed — the join key carries the doc_id, so the work is
     * per-document local by construction and scales with total repeated
-    * grams, not corpus size. */
-  def intraDocRepeats(docs: DataFrame, minLen: Int = 8, k: Int = 3,
+    * grams, not corpus size. Gram width follows the family's k = 5
+    * default (3-grams repeat incidentally inside ordinary prose,
+    * inflating the self-join fan-out for no extra spans at minLen 8). */
+  def intraDocRepeats(docs: DataFrame, minLen: Int = 8, k: Int = 5,
                       shingleHash: Column => Column = xxhash64(_)): DataFrame = {
     val grams = posGramRows(docs.select(col("doc_id"), col("text")),
       k, shingleHash)
