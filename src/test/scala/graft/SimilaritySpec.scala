@@ -94,6 +94,26 @@ class SimilaritySpec extends SparkSpec {
       "summed streamed partials must reproduce the batch PCA exactly")
   }
 
+  test("corpus-wide kNN graph through the IVF index equals the brute graph at full probe") {
+    // the documented index-scale path for knnGraph: the SAME shape run
+    // through the partitioned lists with queries = all vectors; at
+    // nprobe = nLists the probe is exhaustive, so the graph must equal
+    // the brute-force operator exactly (cos included — both score with
+    // the identical prenormed expression)
+    val data = graft.sources.Tables.embeddings(spark, sf)
+    val model = Ivf.fit(data, nLists = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_g").toString
+    Ivf.writeIndex(model, data, dir)
+    val viaIndex = Ivf.searchIndex(spark, dir, data, k = 5, nprobe = 8)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val brute = Similarity.knnGraph(data, k = 5)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(viaIndex === brute,
+      "full-probe IVF graph must equal the brute-force graph exactly")
+  }
+
   test("mutualKnn keeps only reciprocated edges, undirected d1 < d2") {
     // at k=1: 0↔1 point at each other (mutual); 2's top-1 is 3 but 3's
     // top-1 is 1 — unreciprocated, dropped
