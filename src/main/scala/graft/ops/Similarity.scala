@@ -75,6 +75,12 @@ object Similarity {
     * reads — any engine reproduces the identical loadings, which the
     * unrolled DuckDB oracle checks bit-for-bit.
     *
+    * Degenerate inputs: an EMPTY corpus refuses loudly (no silent NaN
+    * frame); a ZERO-VARIANCE corpus (constant vectors) yields NaN
+    * loadings/eigenvalue/ratio with cov_trace exactly 0 — the honest
+    * IEEE reading of "there is no principal direction" (0⃗ cannot
+    * normalize), spec-pinned; gate on cov_trace > 0 upstream.
+    *
     * @return d rows: (dim, mean, pc1_loading, eigenvalue, cov_trace,
     *         explained_ratio) — eigenvalue/trace/ratio repeated per row */
   /** The distributed half of [[pcaPower]], factored out so a STREAM can
@@ -87,7 +93,14 @@ object Similarity {
     * a standing partials table by blind batch-tagged appends. */
   def covPartials(embeddings: DataFrame): DataFrame = {
     val v = embeddings.select(toDouble(col("embedding")).as("emb"))
-    val d = v.select(size(col("emb"))).head().getInt(0)
+    val first = v.select(size(col("emb"))).head(1)
+    // an empty batch contributes an empty (correctly-typed) partials
+    // frame — a streaming micro-batch with zero rows must not kill the
+    // maintenance query, and the batch solve refuses loudly downstream
+    if (first.isEmpty)
+      return v.limit(0).select(lit(0).as("i"), lit(0).as("j"),
+        lit(null).cast("decimal(38,6)").as("s"))
+    val d = first.head.getInt(0)
     v.select(explode(concat(
         flatten(transform(sequence(lit(0), lit(d - 1)), i =>
           concat(
@@ -131,6 +144,8 @@ object Similarity {
     val sums = partials
       .collect().map(r => (r.getInt(0), r.getInt(1)) ->
         r.getDecimal(2).doubleValue).toMap
+    require(sums.nonEmpty,
+      "PCA over an empty embedding corpus — no covariance partials exist")
     val d = sums.keys.map(_._1).max + 1
     val nd = sums((-1, -1))
     val mean = Array.tabulate(d)(i => sums((i, -1)) / nd)

@@ -151,6 +151,35 @@ class AdversarialSpec extends SparkSpec {
     assert(sr(0).isNullAt(sr(0).fieldIndex("skew_ratio")))
   }
 
+  test("r11 families on degenerate input: empty frames stay empty-with-schema, PCA refuses/NaNs explicitly") {
+    val emptyDocs = docs()
+    val emptyEmb = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Dedup.boilerplateSpans(emptyDocs).columns.toSeq ===
+      Seq("doc_id", "start_tok", "len_tok"))
+    assert(Dedup.boilerplateSpans(emptyDocs).isEmpty)
+    assert(Dedup.intraDocRepeats(emptyDocs).isEmpty)
+    assert(graft.ops.Similarity.mutualKnn(emptyEmb).isEmpty)
+    assert(graft.ops.Similarity.hardNegatives(emptyEmb, emptyEmb).isEmpty)
+    assert(Events.funnelTimings(emptyEvents, Seq("view", "cart", "buy")).isEmpty)
+    assert(graft.ops.TextAnalysis.bpeFertility(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")).isEmpty)
+    // PCA on an empty corpus refuses loudly — no silent NaN frame
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Similarity.pcaPower(emptyEmb)
+    }
+    assert(e.getMessage.contains("empty embedding corpus"))
+    // zero-variance corpus: trace exactly 0, loadings/ratio NaN (the IEEE
+    // reading of "no principal direction exists") — pinned, not accidental
+    val const = Seq((0L, Array(2.0f, 2.0f)), (1L, Array(2.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val pca = graft.ops.Similarity.pcaPower(const)
+      .as[(Long, Double, Double, Double, Double, Double)].collect()
+    assert(pca.forall(_._5 === 0.0), "constant corpus has zero trace")
+    assert(pca.forall(r => r._3.isNaN && r._6.isNaN),
+      "no principal direction: loadings and ratio are NaN, not fabricated")
+  }
+
   test("single-row input: degenerate statistics are explicit, not accidental") {
     // one observed day: no variance is definable — z NULL, flag false
     val az = Events.anomalyDailyCounts(events((1L, "click", 0L, 1.0))).collect()
