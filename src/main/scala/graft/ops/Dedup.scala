@@ -791,6 +791,40 @@ object Dedup {
     removalSpans(pairs, grams, minLen, k)
   }
 
+  /** Per-source span-removal accounting — the rollup that makes the span
+    * family ACTIONABLE: for each source, how many tokens the cross-doc
+    * ExactSubstr spans ([[exactSubstrSpans]]) and the hot-gram
+    * boilerplate gate ([[boilerplateSpans]]) would remove TOGETHER, as a
+    * fraction of the source's token volume — the "how duplicated /
+    * templated is this slice" number a curation dashboard leads with.
+    * The two span sets UNION and re-merge per doc before counting
+    * (overlapping removals must not double-count — same interval sweep),
+    * then one |sources|-sized rollup; sums are exact integers, the
+    * fraction one final IEEE division. */
+  def removalStats(docs: DataFrame, minLen: Int = 8, maxDf: Int = 16,
+                   minDf: Int = 16, k: Int = 5,
+                   shingleHash: Column => Column = xxhash64(_)): DataFrame = {
+    val spans = exactSubstrSpans(docs, minLen, k, 4, maxDf, shingleHash)
+      .unionByName(boilerplateSpans(docs, minDf, k, shingleHash))
+    val merged = mergeSpanIntervals(spans.select(col("doc_id"),
+      col("start_tok").as("start"),
+      (col("start_tok") + col("len_tok")).as("e")))
+    val removed = merged.groupBy(col("doc_id"))
+      .agg(sum(col("len_tok")).as("removed_tok"))
+    docs.select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).as("n_tok"))
+      .join(removed, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        coalesce(sum(col("removed_tok")), lit(0L)).as("removed_tokens"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("removed_tokens"),
+        (col("removed_tokens").cast("double") / col("total_tokens"))
+          .as("removal_fraction"))
+      .orderBy(col("source"))
+  }
+
   /** WITHIN-doc repeated-run spans — the intra-document complement of
     * [[exactSubstrSpans]] (that one finds cross-doc copies; this one finds
     * a document repeating ITSELF — the generation-loop / boilerplate-

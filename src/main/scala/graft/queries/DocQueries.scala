@@ -1531,6 +1531,52 @@ $sel
     FROM isl WHERE doc_id >= 400
     GROUP BY doc_id, island ORDER BY doc_id, start_tok"""
 
+  /** Per-source span-removal accounting
+    * ([[graft.ops.Dedup.removalStats]]): tokens the ExactSubstr spans and
+    * the boilerplate gate would remove together, per source — union'd
+    * and re-merged per doc so overlapping removals count once. Oracle
+    * composes the shared ExactSubstr chain (its `h`/`pg` grams feed the
+    * boilerplate side too) with a second interval sweep. */
+  private def spanRemovalStats(s: SparkSession, d: String): DataFrame =
+    Dedup.removalStats(Tables.documents(s, d), minDf = 2,
+        shingleHash = c => md5(c.cast("binary")))
+      .orderBy("source")
+
+  private lazy val spanRemovalStatsSql: String = s"""
+    WITH $exactSubstrSpansCtes,
+    s1 AS (SELECT doc_id, CAST(MIN(strt) AS BIGINT) AS strt,
+             CAST(MAX(e) AS BIGINT) AS e
+           FROM isl GROUP BY doc_id, island),
+    bhot AS (SELECT gh FROM (SELECT gh, COUNT(DISTINCT doc_id) AS df
+                             FROM pg GROUP BY gh) WHERE df > 2),
+    s2 AS (SELECT doc_id, CAST(pos AS BIGINT) AS strt,
+             CAST(pos + 5 AS BIGINT) AS e
+           FROM pg WHERE gh IN (SELECT gh FROM bhot)),
+    u0 AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+    ufl AS (SELECT doc_id, strt, e,
+              CASE WHEN strt > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+                     ORDER BY strt, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                   THEN 1 ELSE 0 END AS ni
+            FROM u0),
+    uisl AS (SELECT doc_id, strt, e,
+               SUM(ni) OVER (PARTITION BY doc_id ORDER BY strt, e) AS island
+             FROM ufl),
+    rem AS (SELECT doc_id, SUM(len) AS removed_tok
+            FROM (SELECT doc_id, MAX(e) - MIN(strt) AS len
+                  FROM uisl GROUP BY doc_id, island)
+            GROUP BY doc_id),
+    tok AS (SELECT doc_id, source,
+              len(string_split(lower(trim(text)), ' ')) AS n_tok
+            FROM documents)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(COALESCE(SUM(removed_tok), 0) AS BIGINT) AS removed_tokens,
+           CAST(COALESCE(SUM(removed_tok), 0) AS DOUBLE) / SUM(n_tok)
+             AS removal_fraction
+    FROM tok LEFT JOIN rem USING (doc_id)
+    GROUP BY source ORDER BY source"""
+
   /** Hot-gram boilerplate spans ([[graft.ops.Dedup.boilerplateSpans]]) —
     * merged per-doc spans covered by 5-grams occurring in more than
     * `minDf` distinct docs. minDf = 2 exercises the gate on this corpus
@@ -2508,6 +2554,7 @@ $sel
     Q("exact_substr_spans", exactSubstrSpans, Some(exactSubstrSpansSql)),
     Q("span_screen", spanScreen, Some(spanScreenSql)),
     Q("boilerplate_spans", boilerplateSpans, Some(boilerplateSpansSql)),
+    Q("span_removal_stats", spanRemovalStats, Some(spanRemovalStatsSql)),
     Q("token_drift", tokenDrift, Some(tokenDriftSql)),
     Q("span_containment", spanContainment, Some(spanContainmentSql)),
     Q("span_clusters", spanClusters, Some(spanClustersSql)),

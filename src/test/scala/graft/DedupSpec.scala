@@ -263,6 +263,25 @@ class DedupSpec extends SparkSpec {
       s"each carrier doc should get exactly the merged h1..h6 span, got $out")
   }
 
+  test("removalStats: overlapping ExactSubstr and boilerplate removals count once") {
+    // the 8-token run "a..h" is shared by docs 1-3: ExactSubstr removes it
+    // from docs 2 and 3 (keep-first) AND its grams are hot (df=3 > 2) so
+    // the boilerplate gate covers it in ALL three docs — per doc the two
+    // families' spans coincide and must merge, never sum
+    val docs = Seq(
+      (1L, "a b c d e f g h t1 t2", "s"),
+      (2L, "x a b c d e f g h u1", "s"),
+      (3L, "y z a b c d e f g h", "s"),
+      (4L, "nothing shared here at all in this document okay", "s")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.removalStats(docs, minDf = 2)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    // removed: 8 tokens in each of docs 1, 2, 3 (merged, not 16); doc 4
+    // contributes none; totals 10+10+10+9 = 39 tokens
+    assert(out === Seq(("s", 4L, 39L, 24L, 24.0 / 39)),
+      s"got $out")
+  }
+
   test("intraDocRepeats: later occurrences of repeated runs become removal spans") {
     val docs = Seq(
       // "r1..r8" appears twice; the LATER copy (pos 12) is the removal span
