@@ -362,6 +362,53 @@ object TextAnalysis {
           floor(col("tok_start") / ctxLen)).as("spans_boundary"))
   }
 
+  /** Per-source quality gate rollup over [[qualityFilter]] — the
+    * filter-rate dashboard sliced the way curation decisions are made:
+    * for each source, docs seen/kept, the keep rate, and the count per
+    * drop reason (first-fail attribution, same as the per-doc gate). A
+    * source whose keep rate collapses or whose drop mix shifts is the
+    * re-crawl / re-extract signal. One |sources|-sized aggregate over
+    * the gate frame; integer counts, one IEEE division. */
+  def qualityBySource(docs: DataFrame, minWords: Int = 20,
+                      maxDupWordRatio: Double = 0.65): DataFrame =
+    qualityFilter(docs, minWords, maxDupWordRatio)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("reason") === "lang", 1L).otherwise(0L)).as("n_lang"),
+        sum(when(col("reason") === "too_short", 1L).otherwise(0L)).as("n_too_short"),
+        sum(when(col("reason") === "repetition", 1L).otherwise(0L)).as("n_repetition"))
+      .withColumn("keep_rate",
+        col("n_kept").cast("double") / col("n_docs"))
+      .orderBy(col("source"))
+
+  /** Packing-efficiency report over [[packSequences]]' concat-and-chunk
+    * layout — the number a training run actually watches: per shard, how
+    * many ctxLen sequences the token stream fills, how much tail padding
+    * the final partial sequence wastes, and how many documents straddle
+    * a sequence boundary (the attention-mask break cost for trainers
+    * that do not cross-attend chunks). Pure rollup of the packing frame
+    * — one |shards|-sized aggregate over the same single window pass;
+    * integer arithmetic throughout, one IEEE division for the
+    * efficiency. All quantities are non-negative, so truncating and
+    * flooring division agree across engines. */
+  def packingEfficiency(docs: DataFrame, ctxLen: Int,
+                        shardCol: String = "source"): DataFrame = {
+    val packed = packSequences(docs, ctxLen, shardCol)
+    packed.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("spans_boundary"), 1L).otherwise(0L)).as("n_boundary_docs"))
+      .withColumn("n_sequences",
+        expr(s"(total_tokens + ${ctxLen - 1}) div $ctxLen"))
+      .withColumn("padding_tokens",
+        col("n_sequences") * ctxLen - col("total_tokens"))
+      .withColumn("efficiency",
+        col("total_tokens").cast("double") / (col("n_sequences") * ctxLen))
+      .orderBy(col("shard"))
+  }
+
   /** PII patterns shared by the Spark plan and the DuckDB oracle. Kept to
     * the regex subset with identical semantics in java.util.regex and RE2
     * (no backreferences/lookaround; `\b` is ASCII word boundary in both).

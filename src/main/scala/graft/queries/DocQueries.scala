@@ -285,6 +285,29 @@ object DocQueries {
       JOIN ($qualityRepetitionSql) r USING (doc_id)
     ORDER BY doc_id"""
 
+  /** Per-source quality-gate rollup
+    * ([[TextAnalysis.qualityBySource]]): keep rate + drop-reason mix by
+    * source — the oracle wraps the composite gate's SQL (single source
+    * of truth) in a source-joined aggregate. */
+  private def qualityBySource(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityBySource(Tables.documents(s, d))
+
+  private lazy val qualityBySourceSql = s"""
+    WITH qf AS (SELECT * FROM ($qualityFilterSql)),
+    j AS (SELECT d.source, qf.keep, qf.reason
+          FROM qf JOIN documents d USING (doc_id))
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN reason = 'lang' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lang,
+           CAST(SUM(CASE WHEN reason = 'too_short' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_too_short,
+           CAST(SUM(CASE WHEN reason = 'repetition' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repetition,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS keep_rate
+    FROM j GROUP BY source ORDER BY source"""
+
   /** Per-label centroid rows; exact-decimal per-dimension means. */
   private def embeddingCentroids(s: SparkSession, d: String): DataFrame =
     Similarity.labelCentroids(Tables.embeddings(s, d)).orderBy("label", "dim")
@@ -1658,6 +1681,35 @@ $sel
       USING (cluster_id)
     ORDER BY doc_id"""
 
+  /** Packing-efficiency rollup ([[TextAnalysis.packingEfficiency]]) at
+    * ctxLen=512: sequences filled, tail padding, boundary-straddling
+    * docs and fill efficiency per shard — the training-run dashboard row
+    * over the seq_packing layout. */
+  private def packingEfficiencyQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.packingEfficiency(Tables.documents(s, d), ctxLen = 512)
+
+  private val packingEfficiencySql = raw"""
+    WITH t AS (SELECT doc_id, source AS shard,
+                 len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+               FROM documents),
+    c AS (SELECT *,
+            CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              AS tok_start
+          FROM t),
+    per AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+              CAST(SUM(CASE WHEN (tok_start + n_tokens - 1) // 512 > tok_start // 512
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs
+            FROM c GROUP BY shard)
+    SELECT shard, n_docs, total_tokens, n_boundary_docs,
+           CAST((total_tokens + 511) // 512 AS BIGINT) AS n_sequences,
+           CAST((total_tokens + 511) // 512 * 512 - total_tokens AS BIGINT)
+             AS padding_tokens,
+           CAST(total_tokens AS DOUBLE) / ((total_tokens + 511) // 512 * 512)
+             AS efficiency
+    FROM per ORDER BY shard"""
+
   /** Concat-and-chunk sequence packing at ctxLen=512, sharded by source —
     * per-shard token cumsum replayed verbatim by the oracle window. */
   private def seqPacking(s: SparkSession, d: String): DataFrame =
@@ -2508,6 +2560,7 @@ $sel
     Q("pii_redact", piiRedact, Some(piiRedactSql)),
     Q("bpe_pair_counts", bpePairCounts, Some(bpePairCountsSql)),
     Q("quality_filter", qualityFilter, Some(qualityFilterSql)),
+    Q("quality_by_source", qualityBySource, Some(qualityBySourceSql)),
     Q("text_normalize", textNormalize, Some(textNormalizeSql)),
     Q("embedding_centroids", embeddingCentroids, Some(embeddingCentroidsSql)),
     Q("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
@@ -2537,6 +2590,7 @@ $sel
     Q("knn_ivf_disk", knnIvfDisk, Some(knnBruteForceSql)),
     Q("decontaminate", decontaminate, Some(decontaminateSql)),
     Q("seq_packing", seqPacking, Some(seqPackingSql)),
+    Q("packing_efficiency", packingEfficiencyQ, Some(packingEfficiencySql)),
     Q("domain_balance", domainBalance, Some(domainBalanceSql)),
     Q("token_budget_sample", tokenBudgetSample, Some(tokenBudgetSampleSql)),
     Q("tfidf_topterms", tfidfTopTerms, Some(tfidfTopTermsSql)),
