@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Hybrid-retrieval composition: fusing a lexical (BM25) candidate list
@@ -38,5 +39,59 @@ object Retrieval {
         (term("rank_lex") + term("rank_dense")).as("rrf"))
       .orderBy(col("rrf").desc, col("doc_id"))
       .limit(topN)
+  }
+
+  private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+
+  /** lcm(1..k) — the common denominator that turns rank-reciprocal metrics
+    * (RR, AP) into exact integer arithmetic. 60 for the default k=5. */
+  def rankLcm(k: Int): Long =
+    (1 to k).foldLeft(1L)((l, i) => l / gcd(l, i) * i)
+
+  /** Per-query ranking-quality metrics over a relevance-labeled candidate
+    * list — the offline eval every retrieval stack runs before trusting a
+    * ranker: reciprocal rank, precision@k and average precision@k per
+    * query, from (query_id, rank, rel) rows (rank 1-based and dense per
+    * query, rel ∈ {0,1}).
+    *
+    * Exactness: RR and AP are sums of rank reciprocals, which in floating
+    * point would be summation-order-dependent. Both are computed here as
+    * INTEGER rationals over the common denominator lcm(1..k) — AP's
+    * numerator is Σ_{rel ranks r} (lcm div r)·relcnt(r), an exact integer
+    * window-plus-group aggregate — and only the final value is a single
+    * IEEE division, so any engine and any partitioning reproduces the
+    * identical doubles. A query with no relevant candidate yields NULL
+    * first_rel_rank / rr / ap (the honest reading, never a fake 0).
+    *
+    * Scale: the input is candidate-bounded (|queries|·k rows); the window
+    * and the group-by both run per query_id — one narrow shuffle of the
+    * candidate list, nothing corpus-sized.
+    *
+    * @param ranked candidate rows (query_id, rank, rel) + carried columns
+    * @param carry  query-constant columns to carry through the group-by
+    */
+  def rankEval(ranked: DataFrame, k: Int = 5,
+               carry: Seq[String] = Nil): DataFrame = {
+    val l = rankLcm(k)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    val keys = ("query_id" +: carry).map(col)
+    ranked
+      .filter(col("rank") <= k)
+      .select(keys :+ col("rank") :+ col("rel").cast("long").as("rel"): _*)
+      .withColumn("rel_cnt", sum(col("rel")).over(w))
+      .groupBy(keys: _*)
+      .agg(
+        sum(col("rel")).as("n_rel"),
+        min(when(col("rel") === 1L, col("rank"))).as("first_rel_rank"),
+        sum(when(col("rel") === 1L,
+          expr(s"$l div rank") * col("rel_cnt"))).as("ap_num"))
+      .select(keys ++ Seq(
+        col("n_rel"),
+        col("first_rel_rank"),
+        (lit(1.0) / col("first_rel_rank")).as("rr"),
+        (col("n_rel").cast("double") / k).as(s"prec_at_$k"),
+        when(col("n_rel") > 0,
+          col("ap_num").cast("double") / (col("n_rel") * l).cast("double"))
+          .as(s"ap_at_$k")): _*)
   }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.ops.{Dedup, Ivf, Multimodal, Similarity, Sketches, TextAnalysis}
+import graft.ops.{Dedup, Ivf, Multimodal, Retrieval, Similarity, Sketches, TextAnalysis}
 
 /** SparkEntry wrappers + DuckDB oracles for the LLM-data-pipeline block
   * (SURVEY.md §2C): text analysis, dedup, similarity search, multimodal
@@ -2322,6 +2322,97 @@ $sel
     FROM p JOIN embeddings e ON p.query_id = e.vec_id
     WHERE p.rk = 1 ORDER BY p.query_id"""
 
+  /** The probe set's top-5 candidates relevance-labeled by label match —
+    * the shared input of the two retrieval-eval entries below. */
+  private def retrievalRel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val labels = Tables.embeddings(s, d).select($"vec_id", $"label")
+    Similarity.knnBruteForce(Tables.embeddings(s, d), queries(s, d))
+      .join(labels.select($"vec_id".as("neighbor_id"), $"label".as("n_label")),
+        "neighbor_id")
+      .join(labels.select($"vec_id".as("query_id"), $"label".as("true_label")),
+        "query_id")
+      .select($"query_id", $"true_label", $"rank",
+        when($"n_label" === $"true_label", 1L).otherwise(0L).as("rel"))
+  }
+
+  /** Shared oracle prefix: candidates → relevance bits → per-query exact
+    * rational rank aggregates (mirrors [[graft.ops.Retrieval.rankEval]]). */
+  private lazy val retrievalRelSql = s"""
+    WITH nn AS ($knnBruteForceSql),
+    j AS (SELECT nn.query_id, qe.label AS true_label, nn.rank,
+            CASE WHEN ne.label = qe.label THEN 1 ELSE 0 END AS rel
+          FROM nn JOIN embeddings ne ON nn.neighbor_id = ne.vec_id
+                  JOIN embeddings qe ON nn.query_id = qe.vec_id),
+    c AS (SELECT *, SUM(rel) OVER (PARTITION BY query_id ORDER BY rank)
+                      AS rel_cnt FROM j),
+    g AS (SELECT query_id, true_label,
+            CAST(SUM(rel) AS BIGINT) AS n_rel,
+            CAST(MIN(CASE WHEN rel = 1 THEN rank END) AS INT)
+              AS first_rel_rank,
+            CAST(SUM(CASE WHEN rel = 1 THEN (60 // rank) * rel_cnt END)
+              AS BIGINT) AS ap_num
+          FROM c GROUP BY 1, 2)"""
+
+  /** Per-probe retrieval ranking quality ([[graft.ops.Retrieval.rankEval]])
+    * with label-match relevance over the brute-force top-5: reciprocal
+    * rank, precision@5 and AP@5 per query — the ranker eval a retrieval
+    * stack runs before trusting an index. RR/AP are exact integer
+    * rationals over lcm(1..5)=60 with ONE final IEEE division, so the
+    * doubles are engine- and partition-independent; a query with no
+    * relevant hit reports NULL (not a fake 0). Probe-bounded throughout:
+    * |queries|·5 candidate rows, one narrow per-query shuffle. */
+  private def retrievalRankEval(s: SparkSession, d: String): DataFrame =
+    Retrieval.rankEval(retrievalRel(s, d), k = 5, carry = Seq("true_label"))
+      .orderBy("query_id")
+
+  private lazy val retrievalRankEvalSql = s"""$retrievalRelSql
+    SELECT query_id, true_label, n_rel, first_rel_rank,
+           CAST(1 AS DOUBLE) / first_rel_rank AS rr,
+           CAST(n_rel AS DOUBLE) / 5 AS prec_at_5,
+           CASE WHEN n_rel > 0
+                THEN CAST(ap_num AS DOUBLE) / CAST(60 * n_rel AS DOUBLE)
+           END AS ap_at_5
+    FROM g ORDER BY query_id"""
+
+  /** Macro retrieval metrics per true label — the summary row a ranker
+    * dashboard keys on: query count, hit rate inputs (n_hit, hits@1), MRR
+    * and macro precision@5. MRR's numerator is the exact integer
+    * Σ (60 div first_rel_rank) (0 for no-hit queries, the standard MRR
+    * convention), divided ONCE — engine-identical doubles, same discipline
+    * as the per-query entry. Label-grouped over the probe-bounded
+    * per-query frame: nothing corpus-sized. */
+  private def retrievalEvalByLabel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Retrieval.rankEval(retrievalRel(s, d), k = 5, carry = Seq("true_label"))
+      .groupBy($"true_label")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        sum(when($"n_rel" > 0, 1L).otherwise(0L)).as("n_hit"),
+        sum(when($"first_rel_rank" === 1, 1L).otherwise(0L)).as("hits_at_1"),
+        sum(coalesce(expr("60 div first_rel_rank").cast("long"), lit(0L)))
+          .as("mrr_num"),
+        sum($"n_rel").as("rel_total"))
+      .select($"true_label", $"n_queries", $"n_hit", $"hits_at_1",
+        ($"mrr_num".cast("double") / ($"n_queries" * 60).cast("double"))
+          .as("mrr"),
+        ($"rel_total".cast("double") / ($"n_queries" * 5).cast("double"))
+          .as("macro_prec_at_5"))
+      .orderBy($"true_label")
+  }
+
+  private lazy val retrievalEvalByLabelSql = s"""$retrievalRelSql
+    SELECT true_label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN n_rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hit,
+           CAST(SUM(CASE WHEN first_rel_rank = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS hits_at_1,
+           CAST(SUM(COALESCE(60 // first_rel_rank, 0)) AS DOUBLE)
+             / CAST(60 * COUNT(*) AS DOUBLE) AS mrr,
+           CAST(SUM(n_rel) AS DOUBLE) / CAST(5 * COUNT(*) AS DOUBLE)
+             AS macro_prec_at_5
+    FROM g GROUP BY true_label ORDER BY true_label"""
+
   /** RAG-style token-window chunking: every document split into overlapping
     * 64-token windows at stride 32 — the chunk table an embedding/retrieval
     * stage consumes. Pure codegen: tokens once, chunk indices explode
@@ -2548,6 +2639,9 @@ $sel
     Q("cluster_quality", clusterQualityQ, Some(clusterQualitySql)),
     Q("unicode_script_profile", unicodeScriptProfile, Some(unicodeScriptProfileSql)),
     Q("knn_classify_eval", knnClassifyEval, Some(knnClassifyEvalSql)),
+    Q("retrieval_rank_eval", retrievalRankEval, Some(retrievalRankEvalSql)),
+    Q("retrieval_eval_by_label", retrievalEvalByLabel,
+      Some(retrievalEvalByLabelSql)),
     Q("lang_id", langId, Some(langIdSql)),
     Q("lang_confusion", langConfusion, Some(langConfusionSql)),
     Q("ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),

@@ -61,6 +61,48 @@ class ReportOpsSpec extends SparkSpec {
     assert(out === Seq(1L, 2L))
   }
 
+  test("rankEval computes exact RR/prec@5/AP@5, NULL for no-hit queries") {
+    // q1: relevant at ranks 2 and 4 → RR = 1/2, prec = 2/5,
+    //     AP = (prec@2 + prec@4)/2 = (1/2 + 2/4)/2 = 1/2
+    // q2: relevant at rank 1 only → RR = 1, prec = 1/5, AP = 1
+    // q3: nothing relevant → NULL first/rr/ap, prec = 0
+    val ranked = (1 to 5).flatMap { r =>
+      Seq((1L, r, if (r == 2 || r == 4) 1 else 0, "a"),
+          (2L, r, if (r == 1) 1 else 0, "a"),
+          (3L, r, 0, "b"))
+    }.toDF("query_id", "rank", "rel", "grp")
+    val out = Retrieval.rankEval(ranked, k = 5, carry = Seq("grp"))
+      .orderBy("query_id").collect()
+    assert(out.length === 3)
+    val q1 = out(0)
+    assert(q1.getAs[Long]("n_rel") === 2L)
+    assert(q1.getAs[Int]("first_rel_rank") === 2)
+    assert(q1.getAs[Double]("rr") === 0.5)
+    assert(q1.getAs[Double]("prec_at_5") === 0.4)
+    assert(q1.getAs[Double]("ap_at_5") === 0.5)
+    assert(q1.getAs[String]("grp") === "a")
+    val q2 = out(1)
+    assert(q2.getAs[Double]("rr") === 1.0)
+    assert(q2.getAs[Double]("ap_at_5") === 1.0)
+    val q3 = out(2)
+    assert(q3.getAs[Long]("n_rel") === 0L)
+    assert(q3.isNullAt(q3.fieldIndex("first_rel_rank")))
+    assert(q3.isNullAt(q3.fieldIndex("rr")))
+    assert(q3.getAs[Double]("prec_at_5") === 0.0)
+    assert(q3.isNullAt(q3.fieldIndex("ap_at_5")))
+  }
+
+  test("rankEval ignores candidates past k; lcm helper is exact") {
+    assert(Retrieval.rankLcm(5) === 60L)
+    assert(Retrieval.rankLcm(10) === 2520L)
+    // relevant only at rank 6 with k=5 → a no-hit query
+    val ranked = (1 to 6).map(r => (1L, r, if (r == 6) 1 else 0))
+      .toDF("query_id", "rank", "rel")
+    val out = Retrieval.rankEval(ranked, k = 5).collect()(0)
+    assert(out.getAs[Long]("n_rel") === 0L)
+    assert(out.isNullAt(out.fieldIndex("rr")))
+  }
+
   test("rfmSegments: balanced quartiles, best customers land in tile 1") {
     val out = graft.queries.Analytics.rfmSegments(spark, sf).collect()
     val n = out.length
