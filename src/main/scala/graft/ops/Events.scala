@@ -349,4 +349,47 @@ object Events {
       .drop("__evt")
       .drop(valueCols: _*)
   }
+
+  /** Per-conversion touch context for marketing attribution: for every
+    * `convType` event, the touch activity of the same user in the trailing
+    * `windowUs` microseconds — per-touch-type counts, total touches, and
+    * the first/last touch inside the window (type + identity).
+    *
+    * No self-join: everything is ONE value-range window per user over the
+    * event stream (RANGE BETWEEN windowUs PRECEDING AND CURRENT ROW on the
+    * epoch-us order key — at-or-before semantics, a touch sharing the
+    * conversion's exact timestamp counts). First/last are picked
+    * deterministically even under timestamp ties by min/max over a
+    * lexicographic key string `zero-padded(us) ++ zero-padded(event_id) ++
+    * type` — a total order both engines compare identically, with the
+    * touch type carried in the suffix so no join-back is needed. At 100 TB
+    * this is one user-keyed shuffle of the event stream and a linear
+    * window pass; the output is conversion-sized.
+    *
+    * @return (event_id, user_id, us, value, first_key, last_key,
+    *         n_<type>…, n_touches) — one row per conversion event
+    */
+  def attributionBase(events: DataFrame,
+                      touchTypes: Seq[String] = Seq("view", "click"),
+                      convType: String = "purchase",
+                      windowUs: Long = 7L * 86400000000L): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-windowUs, 0)
+    val keyed = events
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+      .withColumn("tkey",
+        when(col("event_type").isin(touchTypes: _*),
+          format_string("%020d%012d%s",
+            col("us"), col("event_id"), col("event_type"))))
+      .withColumn("first_key", min(col("tkey")).over(w))
+      .withColumn("last_key", max(col("tkey")).over(w))
+    val counted = touchTypes.foldLeft(keyed) { (df, t) =>
+      df.withColumn(s"n_$t",
+        sum(when(col("event_type") === t, 1L).otherwise(0L)).over(w))
+    }
+    counted.filter(col("event_type") === convType)
+      .withColumn("n_touches", touchTypes.map(t => col(s"n_$t")).reduce(_ + _))
+      .drop("tkey", "event_type")
+  }
 }

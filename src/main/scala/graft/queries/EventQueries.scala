@@ -663,7 +663,113 @@ object EventQueries {
                 AS BIGINT) AS n_churned
     FROM dense ORDER BY week"""
 
+  /** Shared oracle prefix for the attribution entries: the per-conversion
+    * touch context (mirrors [[graft.ops.Events.attributionBase]] — same
+    * RANGE window, same lexicographic first/last key). */
+  private val attributionBaseSql = """
+    WITH b AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us, value, event_type,
+        min(CASE WHEN event_type IN ('view', 'click')
+            THEN printf('%020d%012d%s', epoch_us(ts), event_id, event_type)
+            END) OVER w AS first_key,
+        max(CASE WHEN event_type IN ('view', 'click')
+            THEN printf('%020d%012d%s', epoch_us(ts), event_id, event_type)
+            END) OVER w AS last_key,
+        CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER w
+          AS BIGINT) AS n_view,
+        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER w
+          AS BIGINT) AS n_click
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)),
+    p AS (SELECT *, n_view + n_click AS n_touches
+          FROM b WHERE event_type = 'purchase')"""
+
+  /** Linear (equal-credit) multi-touch attribution: each purchase's value
+    * split evenly across its trailing-7d view/click touches, rolled up per
+    * touch type — the budget-allocation row marketing reads first. Credit
+    * per type is value·n_type/n_touches (two IEEE ops in fixed order —
+    * engine-identical), accumulated in exact decimal; purchases with no
+    * touch in the window report under 'none' with their full value, so the
+    * rows reconcile to total purchase revenue. One user-keyed window pass
+    * ([[graft.ops.Events.attributionBase]]), conversion-sized thereafter. */
+  private def attributionLinear(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = Events.attributionBase(Tables.events(s, d))
+    val perType = p
+      .select($"value", $"n_touches", explode(array(
+          struct(lit("view").as("touch_type"), $"n_view".as("n_t")),
+          struct(lit("click").as("touch_type"), $"n_click".as("n_t"))))
+        .as("x"))
+      .select($"x.touch_type".as("touch_type"), $"x.n_t".as("n_t"),
+        $"value", $"n_touches")
+      .filter($"n_t" > 0)
+      .groupBy($"touch_type")
+      .agg(count(lit(1)).as("n_conversions"),
+        sum($"n_t").as("touches"),
+        dsum($"value" * $"n_t" / $"n_touches").as("attributed_value"))
+    val none = p.filter($"n_touches" === 0)
+      .agg(count(lit(1)).as("n_conversions"),
+        dsum($"value").as("attributed_value"))
+      .select(lit("none").as("touch_type"), $"n_conversions",
+        lit(0L).as("touches"), $"attributed_value")
+    perType.unionByName(none).orderBy($"touch_type")
+  }
+
+  private val attributionLinearSql = s"""$attributionBaseSql,
+    t AS (
+      SELECT 'view' AS touch_type, n_view AS n_t, value, n_touches
+      FROM p WHERE n_view > 0
+      UNION ALL
+      SELECT 'click', n_click, value, n_touches FROM p WHERE n_click > 0)
+    SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(SUM(n_t) AS BIGINT) AS touches,
+           ${sqlSum("value * n_t / n_touches")} AS attributed_value
+    FROM t GROUP BY touch_type
+    UNION ALL
+    SELECT 'none', CAST(COUNT(*) AS BIGINT), 0, ${sqlSum("value")}
+    FROM p WHERE n_touches = 0
+    ORDER BY touch_type"""
+
+  /** First-touch vs last-touch attribution: each touched purchase's full
+    * value credited to the type of its first (resp. last) view/click in
+    * the trailing 7d, both models side by side — the comparison that
+    * shows whether a channel opens journeys or closes them. First/last
+    * are exact min/max over the lexicographic (us, event_id, type) key,
+    * deterministic under timestamp ties; values accumulate in exact
+    * decimal. Conversion-sized after the shared window pass. */
+  private def attributionPosition(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = Events.attributionBase(Tables.events(s, d))
+      .filter($"n_touches" > 0)
+    def byModel(model: String, keyCol: String): DataFrame =
+      p.select(expr(s"substring($keyCol, 33)").as("touch_type"), $"value")
+        .groupBy($"touch_type")
+        .agg(count(lit(1)).as("n_conversions"),
+          dsum($"value").as("attributed_value"))
+        .select(lit(model).as("model"), $"touch_type", $"n_conversions",
+          $"attributed_value")
+    byModel("first_touch", "first_key")
+      .unionByName(byModel("last_touch", "last_key"))
+      .orderBy($"model", $"touch_type")
+  }
+
+  private val attributionPositionSql = s"""$attributionBaseSql,
+    u AS (
+      SELECT 'first_touch' AS model, substr(first_key, 33) AS touch_type,
+             value
+      FROM p WHERE n_touches > 0
+      UNION ALL
+      SELECT 'last_touch', substr(last_key, 33), value
+      FROM p WHERE n_touches > 0)
+    SELECT model, touch_type, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           ${sqlSum("value")} AS attributed_value
+    FROM u GROUP BY model, touch_type ORDER BY model, touch_type"""
+
   val registry: Seq[Q] = Seq(
+    Q("attribution_linear", attributionLinear, Some(attributionLinearSql)),
+    Q("attribution_position", attributionPosition,
+      Some(attributionPositionSql)),
     Q("events_ohlc", eventsOhlc, Some(eventsOhlcSql)),
     Q("user_lifecycle", userLifecycle, Some(userLifecycleSql)),
     Q("events_heatmap", eventsHeatmap, Some(eventsHeatmapSql)),

@@ -192,4 +192,58 @@ class EventsSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("z")) < 5.0)
     }
   }
+
+  test("attributionBase: window bounds, tie inclusion, deterministic first/last") {
+    val week = 7L * 86400000000L
+    // user 1: view@1000, click@2000, purchase@3000 — both touches in window
+    // user 2: purchase@5000 with no touches at all
+    // user 3: view@0, purchase@(week+1) — the view fell JUST out of window
+    // user 4: click@7777 AND purchase@7777 (tie) — at-or-before includes it
+    val df = Seq(
+      (1L, 1000L, 10L, "view", 1.0), (2L, 2000L, 10L, "click", 1.0),
+      (3L, 3000L, 10L, "purchase", 10.0),
+      (4L, 5000L, 20L, "purchase", 7.0),
+      (5L, 0L, 30L, "view", 1.0), (6L, week + 1L, 30L, "purchase", 3.0),
+      (7L, 7777L, 40L, "click", 1.0), (8L, 7777L, 40L, "purchase", 2.0)
+    ).toDF("event_id", "us0", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros($"us0")).drop("us0")
+    val out = graft.ops.Events.attributionBase(df)
+      .orderBy("user_id").collect()
+    assert(out.length === 4)
+    val u1 = out(0)
+    assert(u1.getAs[Long]("n_view") === 1L)
+    assert(u1.getAs[Long]("n_click") === 1L)
+    assert(u1.getAs[Long]("n_touches") === 2L)
+    assert(u1.getAs[String]("first_key").endsWith("view"))
+    assert(u1.getAs[String]("last_key").endsWith("click"))
+    val u2 = out(1)
+    assert(u2.getAs[Long]("n_touches") === 0L)
+    assert(u2.isNullAt(u2.fieldIndex("first_key")))
+    val u3 = out(2)
+    assert(u3.getAs[Long]("n_touches") === 0L, "touch beyond 7d must not count")
+    val u4 = out(3)
+    assert(u4.getAs[Long]("n_touches") === 1L, "same-instant touch counts")
+    assert(u4.getAs[String]("last_key").endsWith("click"))
+  }
+
+  test("attribution entries reconcile to total purchase revenue") {
+    val linear = SparkEntry.queries("attribution_linear")(spark, sf).collect()
+    val total = graft.sources.Tables.events(spark, sf)
+      .filter($"event_type" === "purchase")
+      .agg(sum($"value".cast("decimal(38,6)"))).as[java.math.BigDecimal]
+      .head()
+    // linear credit + untouched 'none' bucket must add back to the total
+    // (each purchase's value splits exactly across its touch types)
+    val credited = linear.map(r =>
+      Option(r.getAs[Double]("attributed_value")).getOrElse(0.0)).sum
+    assert(math.abs(credited - total.doubleValue()) < 1e-3,
+      s"linear attribution lost value: $credited vs $total")
+    val pos = SparkEntry.queries("attribution_position")(spark, sf).collect()
+    val models = pos.map(_.getAs[String]("model")).distinct.sorted
+    assert(models.toSeq === Seq("first_touch", "last_touch"))
+    // each model credits every touched purchase exactly once
+    val byModel = pos.groupBy(_.getAs[String]("model"))
+      .view.mapValues(_.map(_.getAs[Long]("n_conversions")).sum).toMap
+    assert(byModel("first_touch") === byModel("last_touch"))
+  }
 }
