@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.queries.Exact
 
 /** Deterministic sampling for training-data pipelines.
   *
@@ -134,4 +135,40 @@ object Sampling {
     df.withColumn("keep_rate", round(scoreCol * 100).cast("int"))
       .withColumn("sample_bucket", bucket(idCol))
       .filter(col("sample_bucket") < col("keep_rate"))
+
+  /** Temperature-flattened training-mixture schedule (the τ=0.5 sampling
+    * of multilingual/multi-source LM training, Conneau & Lample '19 /
+    * Raffel '20 style): per source, sampling weight w_s ∝ √n_s — between
+    * proportional (τ=1, big sources dominate) and uniform (τ=0, tiny
+    * sources over-repeat) — plus the epoch math a data loader consumes:
+    * expected tokens under the budget and passes over the source
+    * (epochs > 1 ⇒ the source repeats and is flagged `upsampled`).
+    *
+    * Determinism: each √n is ONE correctly-rounded IEEE op on an exactly
+    * represented integer; the only order-sensitive reduction (Σ√n) runs in
+    * DECIMAL(38,6) (exact, associative); every derived double is a fixed
+    * left-to-right chain of scalar IEEE ops — any engine reproduces the
+    * identical schedule, which the DuckDB oracle hash-checks.
+    *
+    * Scale: input is the per-source token rollup (|sources| rows — the
+    * corpus scan happened upstream); the totals row is a broadcast 1-row
+    * cross join. Nothing here is corpus-sized.
+    *
+    * @param sourceTokens (source, n_tokens) rollup, n_tokens > 0
+    * @param budgetTokens training-token budget the weights allocate
+    */
+  def temperatureMixture(sourceTokens: DataFrame,
+                         budgetTokens: Double = 1e6): DataFrame = {
+    val tot = sourceTokens.agg(
+      sum(col("n_tokens")).as("total_tokens"),
+      Exact.dsum(sqrt(col("n_tokens").cast("double"))).as("sqrt_sum"))
+    sourceTokens.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("total_tokens").cast("double"))
+          .as("raw_share"),
+        (sqrt(col("n_tokens").cast("double")) / col("sqrt_sum")).as("weight"))
+      .withColumn("expected_tokens", col("weight") * lit(budgetTokens))
+      .withColumn("epochs", col("expected_tokens") / col("n_tokens"))
+      .withColumn("upsampled", col("epochs") > lit(1.0))
+  }
 }

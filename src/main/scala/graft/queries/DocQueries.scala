@@ -1754,6 +1754,44 @@ $sel
     * language downsamples toward the smallest one (data-derived integer
     * rates) via the portable md5 bucket — the oracle reproduces exact
     * sample membership. */
+  /** Temperature-flattened (τ=0.5) training-mixture schedule per source
+    * ([[graft.ops.Sampling.temperatureMixture]]): √n-proportional sampling
+    * weights between proportional and uniform, plus the loader-facing
+    * epoch math (expected tokens under a 1M budget, passes over the
+    * source, upsampled flag). The one order-sensitive reduction (Σ√n)
+    * runs in exact decimal; all other doubles are fixed-order scalar IEEE
+    * chains — the oracle hash-checks the schedule bit-for-bit. Corpus
+    * work is one tokenize-count scan; the schedule itself is
+    * |sources|-sized with a broadcast 1-row totals join. */
+  private def mixtureSchedule(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sourceTokens = Tables.documents(s, d)
+      .select($"source", size(TextAnalysis.tokens($"text")).cast("long").as("n"))
+      .groupBy($"source").agg(sum($"n").as("n_tokens"))
+    graft.ops.Sampling.temperatureMixture(sourceTokens, budgetTokens = 1e6)
+      .orderBy("source")
+  }
+
+  private val mixtureScheduleSql = s"""
+    WITH t AS (SELECT source,
+                 CAST(SUM(len(string_split(lower(trim(text)), ' ')))
+                   AS BIGINT) AS n_tokens
+               FROM documents GROUP BY source),
+    g AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                 ${Exact.sqlSum("sqrt(CAST(n_tokens AS DOUBLE))")} AS sqrt_sum
+          FROM t),
+    w AS (SELECT source, n_tokens,
+            CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+              AS raw_share,
+            sqrt(CAST(n_tokens AS DOUBLE)) / sqrt_sum AS weight
+          FROM t CROSS JOIN g),
+    e AS (SELECT *, weight * CAST(1000000 AS DOUBLE) AS expected_tokens
+          FROM w),
+    f AS (SELECT *, expected_tokens / n_tokens AS epochs FROM e)
+    SELECT source, n_tokens, raw_share, weight, expected_tokens, epochs,
+           epochs > CAST(1 AS DOUBLE) AS upsampled
+    FROM f ORDER BY source"""
+
   private def domainBalance(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.ops.Sampling.balanceDomains(
@@ -2686,6 +2724,7 @@ $sel
     Q("seq_packing", seqPacking, Some(seqPackingSql)),
     Q("packing_efficiency", packingEfficiencyQ, Some(packingEfficiencySql)),
     Q("domain_balance", domainBalance, Some(domainBalanceSql)),
+    Q("mixture_schedule", mixtureSchedule, Some(mixtureScheduleSql)),
     Q("token_budget_sample", tokenBudgetSample, Some(tokenBudgetSampleSql)),
     Q("tfidf_topterms", tfidfTopTerms, Some(tfidfTopTermsSql)),
     Q("incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),

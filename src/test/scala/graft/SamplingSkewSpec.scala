@@ -128,4 +128,31 @@ class SamplingSkewSpec extends SparkSpec {
     assert(keptA === again && keptA.size < 4)
   }
 
+  test("temperatureMixture: sqrt flattening, exact shares, epoch math") {
+    // n = 16 and 4: sqrt weights 4/6 and 2/6 — the big source's share
+    // FLATTENS (16/20 = 0.8 raw → 2/3) and the small one rises
+    val df = Seq(("big", 16L), ("small", 4L)).toDF("source", "n_tokens")
+    val out = graft.ops.Sampling.temperatureMixture(df, budgetTokens = 60.0)
+      .orderBy("source").collect()
+    val big = out(0); val small = out(1)
+    assert(big.getAs[Double]("raw_share") === 0.8)
+    assert(math.abs(big.getAs[Double]("weight") - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(small.getAs[Double]("weight") - 1.0 / 3.0) < 1e-12)
+    assert(big.getAs[Double]("weight") < big.getAs[Double]("raw_share"),
+      "temperature must flatten the dominant source")
+    assert(small.getAs[Double]("weight") > small.getAs[Double]("raw_share"))
+    // weights sum to 1 (up to the decimal-denominator rounding)
+    assert(math.abs(out.map(_.getAs[Double]("weight")).sum - 1.0) < 1e-6)
+    // budget 60: big expects 40 tokens over 16 → 2.5 epochs, upsampled;
+    // small expects 20 over 4 → 5 epochs
+    assert(math.abs(big.getAs[Double]("epochs") - 2.5) < 1e-12)
+    assert(big.getAs[Boolean]("upsampled"))
+    // a huge budgetless source (epochs < 1) is NOT flagged
+    val one = graft.ops.Sampling.temperatureMixture(
+      Seq(("only", 100L)).toDF("source", "n_tokens"), budgetTokens = 50.0)
+      .collect()(0)
+    assert(math.abs(one.getAs[Double]("weight") - 1.0) < 1e-6)
+    assert(one.getAs[Double]("epochs") < 1.0 && !one.getAs[Boolean]("upsampled"))
+  }
+
 }
