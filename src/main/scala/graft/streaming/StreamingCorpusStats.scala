@@ -49,6 +49,20 @@ object StreamingCorpusStats {
       }
       .start()
 
+  /** The mixture read: the temperature-flattened training-mixture schedule
+    * ([[graft.ops.Sampling.temperatureMixture]]) served from state alone —
+    * per-source token partials collapse by long addition (order-free), so
+    * served-from-state equals the batch `mixture_schedule` over the same
+    * corpus EXACTLY (spec-pinned bit-for-bit). A data loader can re-plan
+    * its sampling weights after every arrival batch without ever
+    * rescanning the corpus. */
+  def mixtureFromState(state: DataFrame,
+                       budgetTokens: Double = 1e6): DataFrame =
+    graft.ops.Sampling.temperatureMixture(
+      state.groupBy(col("source")).agg(sum(col("n_tok")).as("n_tokens")),
+      budgetTokens)
+      .orderBy(col("source"))
+
   /** The drift read: old = batches <= `boundary`, new = batches after it —
     * same report shape and arithmetic as the batch `token_drift` entry
     * (absent halves are NULL in mean and ratio; conditional sums carry no

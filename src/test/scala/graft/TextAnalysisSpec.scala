@@ -332,6 +332,16 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.toString).toSet
     assert(served === batch && served.nonEmpty,
       "served drift must equal the batch token_drift bit-for-bit")
+    // the mixture read over the SAME state (both halves = whole corpus)
+    // must equal the batch mixture_schedule bit-for-bit: long partials
+    // merge by addition, the schedule math is identical downstream
+    val servedMix = graft.streaming.StreamingCorpusStats
+      .mixtureFromState(state)
+      .collect().map(_.toString).toSeq
+    val batchMix = SparkEntry.queries("mixture_schedule")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(servedMix === batchMix && servedMix.nonEmpty,
+      "served mixture must equal the batch mixture_schedule bit-for-bit")
   }
 
   test("lmBigramScore: repeated bigrams score higher than novel ones") {
