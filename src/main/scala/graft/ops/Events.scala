@@ -217,6 +217,67 @@ object Events {
       .agg(countDistinct(col("user_id")).as("active_users"))
   }
 
+  /** DAU/WAU stickiness — the engagement ratio product dashboards lead
+    * with: per day, distinct users active THAT day (DAU) over distinct
+    * users active in the trailing `windowDays` (WAU), stickiness =
+    * dau/wau ∈ (0, 1]. Same reduction discipline as
+    * [[slidingActiveUsers]]: the fact collapses to distinct (user, day)
+    * FIRST (one user-keyed shuffle — the checkpointed frame feeds both
+    * aggregates), the trailing window is a bounded ≤`windowDays`-row
+    * explode of that user-day frame (never the fact), and DAU is a plain
+    * count over the same frame. Counts are exact longs; stickiness is ONE
+    * long/long IEEE division — engine-identical. Days inside another
+    * user's trailing window but with no activity of their own carry
+    * dau = 0 explicitly. */
+  def stickiness(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val userDays = events
+      .select(col("user_id"), dayIdx(col("ts")).as("day_idx"))
+      .distinct()
+      .localCheckpoint(true)
+    val bounds = userDays.agg(max(col("day_idx")).as("hi"))
+    val wau = userDays
+      .select(col("user_id"),
+        explode(sequence(col("day_idx"),
+          col("day_idx") + lit(windowDays - 1).cast("long"))).as("w_day"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("w_day") <= col("hi"))
+      .groupBy(col("w_day").as("day_idx"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    val dau = userDays.groupBy(col("day_idx")).agg(count(lit(1)).as("dau"))
+    wau.join(dau, Seq("day_idx"), "left")
+      .select(col("day_idx"), coalesce(col("dau"), lit(0L)).as("dau"),
+        col("wau"),
+        (coalesce(col("dau"), lit(0L)).cast("double") /
+          col("wau").cast("double")).as("stickiness"))
+  }
+
+  /** Activity concentration: what share of all events comes from the top
+    * decile (⌈n/10⌉, at least one) of users by event count — the skew
+    * read-out that decides whether per-user salting or a heavy-hitter
+    * path is worth wiring in. One user-keyed count, then ranking and
+    * shares over the |users|-sized rollup (ties broken by user_id — the
+    * cut is deterministic); all integers plus ONE final division. */
+  def userConcentration(events: DataFrame): DataFrame = {
+    val byUser = events.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("user_id"))
+    val wAll = Window.partitionBy()
+    byUser
+      .select(col("n"), row_number().over(w).as("rk"),
+        count(lit(1)).over(wAll).as("n_users"),
+        sum(col("n")).over(wAll).as("total_events"))
+      .filter(col("rk") <= expr("(n_users + 9) div 10"))
+      .groupBy()
+      .agg(max(col("n_users")).as("n_users"),
+        count(lit(1)).as("top_users"),
+        sum(col("n")).as("top_events"),
+        max(col("total_events")).as("total_events"))
+      .select(col("n_users"), col("top_users"), col("top_events"),
+        col("total_events"),
+        (col("top_events").cast("double") /
+          col("total_events").cast("double")).as("top_share"))
+  }
+
   /** Daily-count anomaly flags: per event type, z-score every day's
     * event count against that type's mean/stddev and flag |z| ≥ `z` —
     * the volume-anomaly monitor a pipeline runs over its telemetry. One

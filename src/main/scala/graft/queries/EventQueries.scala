@@ -357,6 +357,47 @@ object EventQueries {
     SELECT w_day AS day_idx, COUNT(DISTINCT user_id) AS active_users
     FROM w, b WHERE w_day <= hi GROUP BY 1 ORDER BY 1"""
 
+  private def dauWauStickiness(s: SparkSession, d: String): DataFrame =
+    Events.stickiness(Tables.events(s, d), windowDays = 7)
+      .orderBy("day_idx")
+
+  private val dauWauStickinessSql = """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_idx
+      FROM events),
+    b AS (SELECT max(day_idx) AS hi FROM ud),
+    w AS (SELECT user_id,
+                 unnest(generate_series(day_idx, day_idx + 6)) AS w_day
+          FROM ud),
+    wau AS (SELECT w_day AS day_idx, COUNT(DISTINCT user_id) AS wau
+            FROM w, b WHERE w_day <= hi GROUP BY 1),
+    dau AS (SELECT day_idx, CAST(COUNT(*) AS BIGINT) AS dau
+            FROM ud GROUP BY 1)
+    SELECT wau.day_idx, COALESCE(dau.dau, 0) AS dau, wau.wau,
+           CAST(COALESCE(dau.dau, 0) AS DOUBLE) / CAST(wau.wau AS DOUBLE)
+             AS stickiness
+    FROM wau LEFT JOIN dau ON wau.day_idx = dau.day_idx
+    ORDER BY wau.day_idx"""
+
+  private def userConcentration(s: SparkSession, d: String): DataFrame =
+    Events.userConcentration(Tables.events(s, d))
+
+  private val userConcentrationSql = """
+    WITH uc AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+    r AS (SELECT n,
+             row_number() OVER (ORDER BY n DESC, user_id) AS rk,
+             COUNT(*) OVER () AS n_users,
+             SUM(n) OVER () AS total_events
+          FROM uc)
+    SELECT CAST(MAX(n_users) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS top_users,
+           CAST(SUM(n) AS BIGINT) AS top_events,
+           CAST(MAX(total_events) AS BIGINT) AS total_events,
+           CAST(SUM(n) AS DOUBLE) / CAST(MAX(total_events) AS DOUBLE)
+             AS top_share
+    FROM r WHERE rk <= (n_users + 9) // 10"""
+
   private def anomalyDailyCounts(s: SparkSession, d: String): DataFrame =
     Events.anomalyDailyCounts(Tables.events(s, d), z = 2.0)
       .orderBy("event_type", "day_idx")
@@ -789,6 +830,8 @@ object EventQueries {
     Q("events_gap_fill", eventsGapFill, Some(eventsGapFillSql)),
     Q("event_transitions", eventTransitions, Some(eventTransitionsSql)),
     Q("sliding_active_users", slidingActiveUsers, Some(slidingActiveUsersSql)),
+    Q("dau_wau_stickiness", dauWauStickiness, Some(dauWauStickinessSql)),
+    Q("user_concentration", userConcentration, Some(userConcentrationSql)),
     Q("anomaly_daily_counts", anomalyDailyCounts, Some(anomalyDailyCountsSql)),
     Q("events_json_props", eventsJsonProps, Some(eventsJsonPropsSql)))
 }

@@ -193,6 +193,40 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("stickiness: dau/wau exact on a hand case, zero-dau days explicit") {
+    val day = 86400000000L
+    // u1 active day 0 only; u2 active days 0 and 1
+    val df = Seq((1L, 0L, 10L), (2L, 0L, 20L), (3L, day, 20L))
+      .toDF("event_id", "us0", "user_id")
+      .withColumn("ts", timestamp_micros($"us0"))
+      .withColumn("event_type", lit("view")).withColumn("value", lit(1.0))
+    val out = graft.ops.Events.stickiness(df, windowDays = 7)
+      .orderBy("day_idx").collect()
+    assert(out.length === 2, "window days past the last active day are cut")
+    assert(out(0).getAs[Long]("dau") === 2L)
+    assert(out(0).getAs[Long]("wau") === 2L)
+    assert(out(0).getAs[Double]("stickiness") === 1.0)
+    assert(out(1).getAs[Long]("dau") === 1L)
+    assert(out(1).getAs[Long]("wau") === 2L, "u1's day-0 activity stays in the trailing week")
+    assert(out(1).getAs[Double]("stickiness") === 0.5)
+  }
+
+  test("userConcentration: top decile share, deterministic tie cut") {
+    // 10 users: u1 fires 10 events, u2..u10 one each → top decile is
+    // exactly 1 user (ceil(10/10)), holding 10 of 19 events
+    val rows = (1L to 10L).map(i => (i, 0L, 1L)) ++
+      (11L to 19L).map(i => (i, 0L, i - 9L))
+    val df = rows.toDF("event_id", "us0", "user_id")
+      .withColumn("ts", timestamp_micros($"us0"))
+      .withColumn("event_type", lit("view")).withColumn("value", lit(1.0))
+    val out = graft.ops.Events.userConcentration(df).collect()(0)
+    assert(out.getAs[Long]("n_users") === 10L)
+    assert(out.getAs[Long]("top_users") === 1L)
+    assert(out.getAs[Long]("top_events") === 10L)
+    assert(out.getAs[Long]("total_events") === 19L)
+    assert(out.getAs[Double]("top_share") === 10.0 / 19.0)
+  }
+
   test("attributionBase: window bounds, tie inclusion, deterministic first/last") {
     val week = 7L * 86400000000L
     // user 1: view@1000, click@2000, purchase@3000 — both touches in window
