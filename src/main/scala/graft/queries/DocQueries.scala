@@ -432,6 +432,93 @@ object DocQueries {
   private def dedupMinhash(s: SparkSession, d: String): DataFrame =
     Dedup.minhashLsh(Tables.documents(s, d)).orderBy("d1", "d2")
 
+  /** Split-leakage audit: do any near-duplicate pairs straddle the
+    * train/val/test boundary? The evaluation-integrity check a dataset
+    * build runs AFTER splitting — decontaminate guards against an external
+    * benchmark, this guards the corpus against its own split (a near-dup
+    * of a training doc sitting in test silently inflates eval). Composes
+    * two verified operators: the MinHash-LSH pair set (banded candidates,
+    * id-only shuffles — never all pairs) and the portable md5-bucket split
+    * assignment; each pair classifies by its endpoints' splits
+    * (least/greatest-normalized so (train,test) and (test,train) collapse)
+    * and cross-split rows carry is_leak = true. Output is |split-pairs|
+    * sized; the joins attach two id-keyed split columns to a
+    * candidate-bounded pair list. */
+  private def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.minhashLsh(Tables.documents(s, d)).select($"d1", $"d2")
+    val splits = graft.ops.Sampling.split(
+        Tables.documents(s, d).select($"doc_id"), $"doc_id",
+        Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .select($"doc_id", $"split")
+    pairs
+      .join(splits.select($"doc_id".as("d1"), $"split".as("s1")), "d1")
+      .join(splits.select($"doc_id".as("d2"), $"split".as("s2")), "d2")
+      .select(least($"s1", $"s2").as("split_a"),
+        greatest($"s1", $"s2").as("split_b"))
+      .groupBy($"split_a", $"split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_leak", $"split_a" =!= $"split_b")
+      .orderBy("split_a", "split_b")
+  }
+
+  private lazy val splitLeakageSql = s"""
+    WITH $jaccardPairsCtes,
+    q AS (SELECT d1, d2 FROM p WHERE jaccard >= 0.8),
+    s AS (SELECT doc_id,
+            CASE WHEN b < 90 THEN 'train'
+                 WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+          FROM (SELECT doc_id,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    ::BIGINT % 100 AS INTEGER) AS b
+                FROM documents)),
+    j AS (SELECT least(s1.split, s2.split) AS split_a,
+                 greatest(s1.split, s2.split) AS split_b
+          FROM q JOIN s s1 ON q.d1 = s1.doc_id
+                 JOIN s s2 ON q.d2 = s2.doc_id)
+    SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           split_a <> split_b AS is_leak
+    FROM j GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Class-balance audit of the labeled embedding corpus — the first table
+    * a classifier-training run prints: per-label count, share, the
+    * inverse-frequency class weight N/(k·n) a weighted loss consumes, and
+    * the corpus-level Gini impurity 1 − Σnᵢ²/N² + majority share (the
+    * baseline any classifier must beat). All integer aggregates; each
+    * double is one division (plus one fixed subtraction for Gini) —
+    * engine-identical. One label-keyed count; the totals row broadcasts. */
+  private def labelBalance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byLabel = Tables.embeddings(s, d)
+      .groupBy($"label").agg(count(lit(1)).as("n"))
+    val tot = byLabel.agg(sum($"n").as("n_total"), count(lit(1)).as("k"),
+      sum($"n" * $"n").as("sum_sq"), max($"n").as("n_max"))
+    byLabel.crossJoin(broadcast(tot))
+      .select($"label", $"n",
+        ($"n".cast("double") / $"n_total".cast("double")).as("share"),
+        ($"n_total".cast("double") / ($"k" * $"n").cast("double"))
+          .as("class_weight"),
+        (lit(1.0) - $"sum_sq".cast("double") /
+          ($"n_total" * $"n_total").cast("double")).as("gini_impurity"),
+        ($"n_max".cast("double") / $"n_total".cast("double"))
+          .as("majority_share"))
+      .orderBy("label")
+  }
+
+  private val labelBalanceSql = """
+    WITH c AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+    g AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+                 CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(n * n) AS BIGINT) AS sum_sq,
+                 CAST(MAX(n) AS BIGINT) AS n_max FROM c)
+    SELECT label, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+           CAST(n_total AS DOUBLE) / CAST(k * n AS DOUBLE) AS class_weight,
+           CAST(1 AS DOUBLE) - CAST(sum_sq AS DOUBLE)
+             / CAST(n_total * n_total AS DOUBLE) AS gini_impurity,
+           CAST(n_max AS DOUBLE) / CAST(n_total AS DOUBLE) AS majority_share
+    FROM c CROSS JOIN g ORDER BY label"""
+
   /** SimHash with the portable md5-derived 60-bit token hash (15 hex chars →
     * bigint), so DuckDB can replay the exact fingerprint + pigeonhole
     * bucketing. Production default stays xxhash64/64-bit. */
@@ -2699,6 +2786,8 @@ $sel
     Q("dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("ngram_jaccard", ngramJaccard, Some(jaccardPairsSql)),
     Q("dedup_minhash", dedupMinhash, Some(jaccardPairsSql)),
+    Q("split_leakage", splitLeakage, Some(splitLeakageSql)),
+    Q("label_balance", labelBalance, Some(labelBalanceSql)),
     Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("source_dup_stats", sourceDupStats, Some(sourceDupStatsSql)),
     Q("length_outliers", lengthOutliers, Some(lengthOutliersSql)),

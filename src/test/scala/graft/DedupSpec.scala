@@ -518,4 +518,18 @@ class DedupSpec extends SparkSpec {
     assert(empty._4.isEmpty && empty._5 === Some(0.0))
   }
 
+  test("split_leakage classifies every near-dup pair, leak flag consistent") {
+    val rows = SparkEntry.queries("split_leakage")(spark, sf).collect()
+    val nPairs = graft.ops.Dedup
+      .minhashLsh(graft.sources.Tables.documents(spark, sf)).count()
+    // every LSH pair lands in exactly one (split_a, split_b) class
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum === nPairs && nPairs > 0)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_leak") ===
+        (r.getAs[String]("split_a") != r.getAs[String]("split_b")))
+      assert(r.getAs[String]("split_a") <= r.getAs[String]("split_b"),
+        "pair classes must be least/greatest normalized")
+    }
+  }
+
 }

@@ -32,6 +32,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._1).toSeq === Seq(1, 2, 3, 4))
   }
 
+  test("label_balance: exact shares, weights, Gini and majority baseline") {
+    val rows = SparkEntry.queries("label_balance")(spark, sf).collect()
+    val counts = rows.map(_.getAs[Long]("n"))
+    val n = counts.sum
+    val k = counts.length.toLong
+    val sumSq = counts.map(c => c * c).sum
+    rows.foreach { r =>
+      val c = r.getAs[Long]("n")
+      assert(r.getAs[Double]("share") === c.toDouble / n)
+      assert(r.getAs[Double]("class_weight") === n.toDouble / (k * c))
+      assert(r.getAs[Double]("gini_impurity") ===
+        1.0 - sumSq.toDouble / (n * n))
+      assert(r.getAs[Double]("majority_share") === counts.max.toDouble / n)
+    }
+    // shares partition the corpus
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-12)
+  }
+
   test("pcaPower recovers the dominant axis of a rank-1 corpus") {
     // every vector lies on the (1,1) diagonal: PC1 must be ±(1/√2, 1/√2)
     // and explain ALL the variance
