@@ -736,7 +736,10 @@ object EventQueries {
     * ([[graft.ops.Events.attributionBase]]), conversion-sized thereafter. */
   private def attributionLinear(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val p = Events.attributionBase(Tables.events(s, d))
+    // conversion-sized; eagerly materialized because BOTH branches of the
+    // union (per-type credits + the 'none' bucket) read it — without the
+    // checkpoint each branch re-runs the fact scan + window pass
+    val p = Events.attributionBase(Tables.events(s, d)).localCheckpoint(true)
     val perType = p
       .select($"value", $"n_touches", explode(array(
           struct(lit("view").as("touch_type"), $"n_view".as("n_t")),
@@ -781,8 +784,10 @@ object EventQueries {
     * decimal. Conversion-sized after the shared window pass. */
   private def attributionPosition(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // conversion-sized; both model branches read it (same re-derivation
+    // trade as attribution_linear)
     val p = Events.attributionBase(Tables.events(s, d))
-      .filter($"n_touches" > 0)
+      .filter($"n_touches" > 0).localCheckpoint(true)
     def byModel(model: String, keyCol: String): DataFrame =
       p.select(expr(s"substring($keyCol, 33)").as("touch_type"), $"value")
         .groupBy($"touch_type")

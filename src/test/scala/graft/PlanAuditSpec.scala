@@ -56,7 +56,16 @@ class PlanAuditSpec extends SparkSpec {
             // broadcast-NL scoring join (every vector scores the
             // broadcast query/corpus set by design)
             "hard_negatives", "knn_graph", "mutual_knn",
-            "mutual_knn_clusters")(p._1))
+            "mutual_knn_clusters",
+            // r11 continuation: the retrieval evals inherit
+            // knn_bruteforce's intended BNLJ; mixture_schedule /
+            // label_balance broadcast their single-row totals onto the
+            // |sources|/|labels|-sized rollup; dau_wau_stickiness
+            // broadcasts its single-row day bound before the grid
+            // explode (sliding_active_users' shape)
+            "retrieval_rank_eval", "retrieval_eval_by_label",
+            "mixture_schedule", "label_balance",
+            "dau_wau_stickiness")(p._1))
       .foreach { case (name, p) =>
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
       }
@@ -417,10 +426,44 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("event operators do not read the props payload column") {
-    Seq("events_windowed", "events_sessionize", "scd1_upsert", "cdc_apply")
+    Seq("events_windowed", "events_sessionize", "scd1_upsert", "cdc_apply",
+        "attribution_linear", "attribution_position", "dau_wau_stickiness",
+        "user_concentration")
       .foreach { name =>
         val p = plans.toMap.apply(name)
         assert(!p.contains("props"), s"$name reads events.props needlessly")
       }
+  }
+
+  test("r11 eval/attribution entries keep their intended shapes") {
+    // attribution: ONE fact scan + window pass feeding both union branches
+    // (the conversion-sized base is checkpointed), never a self-join of
+    // events to events
+    Seq("attribution_linear", "attribution_position").foreach { name =>
+      val p = plans.toMap.apply(name)
+      val evScans = p.linesIterator.count(_.contains("events.parquet"))
+      assert(evScans === 0, // checkpointed base: branches start from RDD
+        s"$name re-derives the window pass ($evScans fact scans):\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$name self-joins the fact:\n$p")
+    }
+    // the window pass itself shuffles user-keyed exactly once
+    val base = planOf(graft.ops.Events.attributionBase(
+      graft.sources.Tables.events(spark, sf)))
+    assert(base.linesIterator.count(_.contains("hashpartitioning(user_id")) === 1,
+      s"attributionBase should shuffle user-keyed exactly once:\n$base")
+    assert(base.linesIterator.count(_.contains("events.parquet")) === 1,
+      s"attributionBase should scan the fact exactly once:\n$base")
+    // stickiness: fact collapses to distinct (user, day) before the grid
+    // explode — the explode must run over the checkpointed user-day frame
+    val st = plans.toMap.apply("dau_wau_stickiness")
+    assert(st.linesIterator.count(_.contains("events.parquet")) === 0,
+      "stickiness must reuse ONE checkpointed user-day frame for both aggregates")
+    // retrieval evals stay probe-bounded: embeddings scans prune to the
+    // columns the search + label attach need
+    val re = plans.toMap.apply("retrieval_rank_eval")
+    assert(re.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>")
+        || re.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>,label:int>"),
+      s"retrieval_rank_eval scans unpruned embeddings:\n$re")
   }
 }
