@@ -267,7 +267,9 @@ object Events {
         count(lit(1)).over(wAll).as("n_users"),
         sum(col("n")).over(wAll).as("total_events"))
       .filter(col("rk") <= expr("(n_users + 9) div 10"))
-      .groupBy()
+      // keyed group (constant key, dropped) so an EMPTY stream yields an
+      // empty frame, not one all-NULL row — a global agg would fabricate it
+      .groupBy(lit(1).as("_g"))
       .agg(max(col("n_users")).as("n_users"),
         count(lit(1)).as("top_users"),
         sum(col("n")).as("top_events"),

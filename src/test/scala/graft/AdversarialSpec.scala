@@ -428,4 +428,42 @@ class AdversarialSpec extends SparkSpec {
     val base = run(1, 1)
     assert(base === run(32, 3) && base === run(3, 32))
   }
+
+  test("attributionBase: empty stream, touch-only stream, NULL user isolation") {
+    // empty input → empty output, schema intact
+    val e = Events.attributionBase(emptyEvents)
+    assert(e.count() === 0L)
+    assert(e.columns.contains("n_touches"))
+    // touches but no conversions → empty, not a crash
+    val touchesOnly = events((1L, "view", 1000L, 1.0), (1L, "click", 2000L, 1.0))
+    assert(Events.attributionBase(touchesOnly).count() === 0L)
+    // a NULL-user purchase sees ONLY null-user touches (nulls are their own
+    // window partition on both engines, never a wildcard)
+    val withNull = Seq(
+      (Some(1L), "view", ts(1000L), 1.0, 1L),
+      (None, "view", ts(1500L), 1.0, 2L),
+      (None, "purchase", ts(2000L), 5.0, 3L),
+      (Some(1L), "purchase", ts(3000L), 7.0, 4L)
+    ).toDF("user_id", "event_type", "ts", "value", "event_id")
+    val out = Events.attributionBase(withNull).collect()
+      .map(r => Option(r.get(r.fieldIndex("user_id"))) ->
+        r.getAs[Long]("n_touches")).toMap
+    assert(out(None) === 1L, "null user must see only the null-user touch")
+    assert(out(Some(1L)) === 1L)
+  }
+
+  test("stickiness and userConcentration: empty and single-user degenerates") {
+    assert(Events.stickiness(emptyEvents).count() === 0L)
+    assert(Events.userConcentration(emptyEvents).count() === 0L,
+      "no users → no concentration row, not a divide-by-zero")
+    // one user: top decile = ceil(1/10) = 1 user holding everything
+    val one = events((7L, "view", 0L, 1.0), (7L, "view", 100L, 1.0))
+    val r = Events.userConcentration(one).head()
+    assert(r.getAs[Long]("n_users") === 1L)
+    assert(r.getAs[Long]("top_users") === 1L)
+    assert(r.getAs[Double]("top_share") === 1.0)
+    // single active day: dau = wau, stickiness exactly 1 everywhere
+    val st = Events.stickiness(one).collect()
+    assert(st.length === 1 && st(0).getAs[Double]("stickiness") === 1.0)
+  }
 }
