@@ -688,8 +688,9 @@ object Dedup {
 
   /** Absorb an arrival batch into the standing fingerprint index (append —
     * same caller contract as [[appendSignatureIndex]]: arrival doc_ids are
-    * new; at-least-once under replay, and duplicate rows are semantically
-    * inert for span detection — candidates are distinct pairs). */
+    * new; at-least-once under replay — [[incrementalSpanScreen]] probes
+    * with collect_set, so a replayed (doc_id, fp_hash) row can neither
+    * synthesize a self-pair nor inflate the df cap). */
   def appendFingerprintIndex(docs: DataFrame, dir: String, k: Int = 5,
                              w: Int = 4,
                              shingleHash: Column => Column = xxhash64(_)): Unit =
@@ -750,9 +751,16 @@ object Dedup {
     // ONE groupBy applies the union-df cap AND yields per-hash doc lists
     // (the batch operator's [[rareFingerprintLists]] shape) — the
     // cap-then-rejoin formulation evaluated the probe subtree once per
-    // branch for the same candidates
+    // branch for the same candidates. collect_SET, not list: the standing
+    // index is written at-least-once ([[appendFingerprintIndex]] replay /
+    // a foreachBatch retry after the append landed), so a (doc_id,
+    // fp_hash) row may appear twice — a list would then carry a doc
+    // twice, synthesize the self-pair (a, a) (whose positional
+    // verification marks the WHOLE doc as a removal span against itself)
+    // and inflate the df cap past maxDf, dropping real candidates. The
+    // set collapses replays; sorted-strict ids make slice pairing x < y.
     val lists = probed.groupBy(col("fp_hash"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxDf))
     val newIds = newDocs.select(col("doc_id"))
     val ids = col("ids")

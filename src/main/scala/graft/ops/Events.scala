@@ -441,10 +441,20 @@ object Events {
     val keyed = events
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+      // the zero-padded key is a lexicographic total order ONLY for
+      // non-negative us/event_id (a '-' sign makes padding non-positional
+      // and inverts order among negatives) — the events contract is
+      // post-epoch ts and non-negative ids (Tables.events); fail loudly
+      // rather than silently mis-order if a caller feeds pre-epoch data
       .withColumn("tkey",
         when(col("event_type").isin(touchTypes: _*),
-          format_string("%020d%012d%s",
-            col("us"), col("event_id"), col("event_type"))))
+          when(col("us") < 0 || col("event_id") < 0,
+            raise_error(concat(
+              lit("attributionBase: us/event_id must be non-negative for " +
+                "the lexicographic touch key; got us="),
+              col("us"), lit(" event_id="), col("event_id"))))
+            .otherwise(format_string("%020d%012d%s",
+              col("us"), col("event_id"), col("event_type")))))
       .withColumn("first_key", min(col("tkey")).over(w))
       .withColumn("last_key", max(col("tkey")).over(w))
     val counted = touchTypes.foldLeft(keyed) { (df, t) =>

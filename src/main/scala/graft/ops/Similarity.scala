@@ -122,7 +122,7 @@ object Similarity {
                    iters: Int = 8): DataFrame =
     pcaFromSums(spark, spark.read.parquet(dir)
       .groupBy(col("i"), col("j"))
-      .agg(sum(col("s")).cast("decimal(38,6)").as("s")))
+      .agg(sum(col("s")).cast("decimal(38,6)").as("s")), iters)
 
   def pcaPower(embeddings: DataFrame, iters: Int = 8): DataFrame =
     pcaFromSums(embeddings.sparkSession, covPartials(embeddings), iters)

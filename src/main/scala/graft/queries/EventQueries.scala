@@ -396,7 +396,8 @@ object EventQueries {
            CAST(MAX(total_events) AS BIGINT) AS total_events,
            CAST(SUM(n) AS DOUBLE) / CAST(MAX(total_events) AS DOUBLE)
              AS top_share
-    FROM r WHERE rk <= (n_users + 9) // 10"""
+    FROM r WHERE rk <= (n_users + 9) // 10
+    HAVING COUNT(*) > 0"""
 
   private def anomalyDailyCounts(s: SparkSession, d: String): DataFrame =
     Events.anomalyDailyCounts(Tables.events(s, d), z = 2.0)

@@ -237,10 +237,14 @@ object EventsCdc {
     val latest = StarSchema
       .scd1Latest(batch, keys, Seq(col(tsCol).desc, col(tieCol).desc))
       .persist()
+    // NULL-safe split: a row where deleteWhen evaluates to NULL (e.g. a
+    // NULL event_type under the default === "error" predicate) is not a
+    // tombstone — it must land in the upsert branch, not vanish from both
+    val isDelete = coalesce(deleteWhen, lit(false))
     try {
-      graft.sources.Jdbc.upsert(latest.filter(!deleteWhen), conn, table, keys,
+      graft.sources.Jdbc.upsert(latest.filter(!isDelete), conn, table, keys,
         guardCols = Seq(tsCol, tieCol))
-      graft.sources.Jdbc.deleteKeys(latest.filter(deleteWhen), conn, table, keys)
+      graft.sources.Jdbc.deleteKeys(latest.filter(isDelete), conn, table, keys)
     } finally latest.unpersist(blocking = false)
   }
 

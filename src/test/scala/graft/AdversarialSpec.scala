@@ -452,6 +452,24 @@ class AdversarialSpec extends SparkSpec {
     assert(out(Some(1L)) === 1L)
   }
 
+  test("attributionBase: a pre-epoch touch fails loudly instead of mis-ordering keys") {
+    // the %020d touch key is a lexicographic total order only for
+    // non-negative us/event_id (a '-' makes zero-padding non-positional,
+    // inverting order among negatives) — the guard raises rather than
+    // silently picking the wrong first/last touch
+    val pre = events((1L, "view", -1000000L, 1.0),
+                     (1L, "purchase", 2000000L, 5.0))
+    val ex = intercept[Exception] { Events.attributionBase(pre).collect() }
+    def chain(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + chain(t.getCause)
+    assert(chain(ex).contains("non-negative"),
+      s"expected the key guard to fire, got: ${chain(ex)}")
+    // post-epoch rows pass the guard untouched
+    val ok = events((1L, "view", 1000000L, 1.0),
+                    (1L, "purchase", 2000000L, 5.0))
+    assert(Events.attributionBase(ok).count() === 1L)
+  }
+
   test("stickiness and userConcentration: empty and single-user degenerates") {
     assert(Events.stickiness(emptyEvents).count() === 0L)
     assert(Events.userConcentration(emptyEvents).count() === 0L,

@@ -245,6 +245,37 @@ class DedupSpec extends SparkSpec {
       s"the shared c..j run must be removed from the ARRIVAL, got $out")
   }
 
+  test("incremental span screen: replayed index rows cannot synthesize self-pair spans") {
+    // the absorb append is at-least-once: a foreachBatch retry after
+    // appendFingerprintIndex landed re-runs the screen with the ARRIVAL'S
+    // OWN rows already in the index. A doc-list with the arrival twice
+    // would pair (a, a), whose positional verification matches every gram
+    // against itself on diag 0 — a removal span covering the WHOLE doc —
+    // and duplicate rows would inflate the df cap past maxDf, dropping
+    // real candidates. The collect_set probe makes the replay inert.
+    val standing = Seq(
+      (10L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val arrival = Seq(
+      (20L, "x y c d e f g h i j z")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_fpidx3").toString
+    Dedup.writeFingerprintIndex(standing, idx)
+    val clean = Dedup.incrementalSpanScreen(spark, idx, standing, arrival)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(clean === Set((20L, 3L, 8L)), s"got $clean")
+    // retry after the absorb landed: the index carries the arrival once
+    Dedup.appendFingerprintIndex(arrival, idx)
+    val r1 = Dedup.incrementalSpanScreen(spark, idx, standing, arrival)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r1 === clean, s"one replayed append changed the spans: $r1")
+    // a retry of the append itself: the index carries the arrival TWICE
+    Dedup.appendFingerprintIndex(arrival, idx)
+    val r2 = Dedup.incrementalSpanScreen(spark, idx, standing, arrival)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r2 === clean, s"double-appended index rows changed the spans: $r2")
+    assert(!r2.exists(_._3 >= 11L),
+      "a self-pair would have removed the entire arrival document")
+  }
+
   test("boilerplateSpans: hot-gram covers merge; rare grams and cold docs emit nothing") {
     // "h1..h6" (two overlapping hot 5-grams) appears in docs 1, 2 and 3 →
     // df = 3 > minDf = 2 → every carrier gets the merged 6-token span;

@@ -988,6 +988,17 @@ class EventsCdcSpec extends SparkSpec {
         deleteWhen = $"event_type" === "error")(older, 100L)
       assert(readState() === before,
         "an out-of-order older row must lose to the ts/tie guard")
+      // NULL-safe tombstone split: a row where deleteWhen evaluates to
+      // NULL (NULL event_type under === "error") is NOT a tombstone — it
+      // must land in the upsert branch, not vanish from both
+      val nullType = Seq((900L,
+          java.sql.Timestamp.valueOf("2030-01-01 00:00:00"),
+          999999L, Option.empty[String], 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      EventsCdc.scd1JdbcBatch(conn, "user_state", Seq("user_id"),
+        deleteWhen = $"event_type" === "error")(nullType, 101L)
+      assert(readState().exists(_._1 == 999999L),
+        "a NULL-predicate row must upsert, not be dropped from both branches")
     } finally ddl.close()
   }
 

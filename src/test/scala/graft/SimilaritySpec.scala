@@ -110,6 +110,14 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(fromTable === batch,
       "summed streamed partials must reproduce the batch PCA exactly")
+    // iters passes through to the solve: a non-default iteration count
+    // must match the batch operator at the SAME count, bit for bit
+    val fromTable3 = Similarity.pcaFromTable(spark, covDir, iters = 3)
+      .collect().map(_.toString).sorted.toSeq
+    val batch3 = Similarity.pcaPower(emb, iters = 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fromTable3 === batch3,
+      "pcaFromTable(iters = 3) must equal pcaPower(iters = 3)")
   }
 
   test("corpus-wide kNN graph through the IVF index equals the brute graph at full probe") {
