@@ -445,7 +445,26 @@ object Events {
       // non-negative us/event_id (a '-' sign makes padding non-positional
       // and inverts order among negatives) — the events contract is
       // post-epoch ts and non-negative ids (Tables.events); fail loudly
-      // rather than silently mis-order if a caller feeds pre-epoch data
+      // rather than silently mis-order if a caller feeds pre-epoch data.
+      // NULLs are the same silent-mis-order class: a NULL us/event_id slips
+      // past `< 0` (three-valued logic), yielding either the text "null" in
+      // the key (sorts after every digit) or a NULL tkey dropped from
+      // first/last while the row still counts in n_touches — and a NULL us
+      // on a touch or conversion row also breaks the range window itself.
+      // Guard every attribution-relevant row (touch or conversion), not
+      // just the key branch.
+      .withColumn("us",
+        when(col("event_type").isin((touchTypes :+ convType): _*) &&
+            (col("us").isNull || col("event_id").isNull),
+          raise_error(concat(
+            lit("attributionBase: NULL ts/event_id on a "),
+            col("event_type"),
+            lit(" row — the range window and lexicographic touch key " +
+              "require non-NULL, non-negative us/event_id; got us="),
+            coalesce(col("us").cast("string"), lit("NULL")),
+            lit(" event_id="),
+            coalesce(col("event_id").cast("string"), lit("NULL")))))
+          .otherwise(col("us")))
       .withColumn("tkey",
         when(col("event_type").isin(touchTypes: _*),
           when(col("us") < 0 || col("event_id") < 0,

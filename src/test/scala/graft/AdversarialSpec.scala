@@ -470,6 +470,38 @@ class AdversarialSpec extends SparkSpec {
     assert(Events.attributionBase(ok).count() === 1L)
   }
 
+  test("attributionBase: NULL ts/event_id on a relevant row fails loudly") {
+    // NULL slips past `< 0` (three-valued logic): a NULL event_id makes a
+    // key containing the text "null" (sorts after every digit → silently
+    // wins last_key) and a NULL ts makes a NULL tkey that is dropped from
+    // first/last while the row still counts in n_touches. Both must raise
+    // like the negative case, on touch AND conversion rows.
+    def chain(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + chain(t.getCause)
+    def mk(rows: Seq[(Long, String, Option[Long], Option[Long], Double)]): DataFrame =
+      rows.map { case (u, e, us, id, v) => (u, e, us.map(ts), id, v) }
+        .toDF("user_id", "event_type", "ts", "event_id", "value")
+    val nullTsTouch = mk(Seq((1L, "view", None, Some(1L), 1.0),
+                             (1L, "purchase", Some(2000000L), Some(2L), 5.0)))
+    val e1 = intercept[Exception] { Events.attributionBase(nullTsTouch).collect() }
+    assert(chain(e1).contains("NULL ts/event_id"), s"got: ${chain(e1)}")
+    val nullIdTouch = mk(Seq((1L, "view", Some(1000000L), None, 1.0),
+                             (1L, "purchase", Some(2000000L), Some(2L), 5.0)))
+    val e2 = intercept[Exception] { Events.attributionBase(nullIdTouch).collect() }
+    assert(chain(e2).contains("NULL ts/event_id"), s"got: ${chain(e2)}")
+    val nullTsConv = mk(Seq((1L, "view", Some(1000000L), Some(1L), 1.0),
+                            (1L, "purchase", None, Some(2L), 5.0)))
+    val e3 = intercept[Exception] { Events.attributionBase(nullTsConv).collect() }
+    assert(chain(e3).contains("NULL ts/event_id"), s"got: ${chain(e3)}")
+    // an IRRELEVANT event type with NULL ts passes through unharmed — the
+    // guard covers exactly the rows the window and key read
+    val nullOther = mk(Seq((1L, "page_load", None, Some(1L), 0.0),
+                           (1L, "view", Some(1000000L), Some(2L), 1.0),
+                           (1L, "purchase", Some(2000000L), Some(3L), 5.0)))
+    val out = Events.attributionBase(nullOther).collect()
+    assert(out.length === 1 && out.head.getAs[Long]("n_touches") === 1L)
+  }
+
   test("stickiness and userConcentration: empty and single-user degenerates") {
     assert(Events.stickiness(emptyEvents).count() === 0L)
     assert(Events.userConcentration(emptyEvents).count() === 0L,
