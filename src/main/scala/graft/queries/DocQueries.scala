@@ -1687,6 +1687,65 @@ $sel
     FROM tok LEFT JOIN rem USING (doc_id)
     GROUP BY source ORDER BY source"""
 
+  /** Within-doc repeated-run spans ([[graft.ops.Dedup.intraDocRepeats]])
+    * over a PLANTED-repeat corpus: the synthetic documents carry no
+    * intra-doc token runs >= 5 (measured — a plain registry entry would be
+    * vacuous), so every `doc_id % 10 = 0` doc is self-concatenated at a
+    * deterministic single-space boundary in BOTH engines before the
+    * operator runs. The second copy repeats the first verbatim, so the
+    * operator must emit exactly one merged removal span per planted doc
+    * covering the LATER occurrence — and the oracle replays the whole
+    * positional pipeline (per-doc gram self-join p1 < p2, diagonal runs,
+    * keep-first interval merge), not just span counts, so the span
+    * geometry is hash-compared. Non-planted docs prove the negative: any
+    * incidental intra-doc repeat the operator finds, the oracle must find
+    * too. */
+  private def intraDocRepeatsQ(s: SparkSession, d: String): DataFrame = {
+    val planted = Tables.documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 10 === 0, concat_ws(" ", col("text"), col("text")))
+        .otherwise(col("text")).as("text"))
+    Dedup.intraDocRepeats(planted, minLen = 8, k = 5,
+        shingleHash = c => md5(c.cast("binary")))
+      .orderBy("doc_id", "start_tok")
+  }
+
+  private val intraDocRepeatsSql = """
+    WITH t AS (SELECT doc_id,
+            string_split(lower(trim(CASE WHEN doc_id % 10 = 0
+              THEN text || ' ' || text ELSE text END)), ' ') AS w
+          FROM documents),
+    h AS (SELECT doc_id,
+            [md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])
+             for i in range(1, len(w)-3)] AS hs
+          FROM t WHERE len(w) >= 5),
+    pg AS (SELECT doc_id, u.pos AS pos, u.gh AS gh
+           FROM (SELECT doc_id,
+                   unnest([{'pos': i, 'gh': hs[i]} for i in range(1, len(hs)+1)]) AS u
+                 FROM h)),
+    m AS (SELECT a.doc_id AS doc_id, a.pos AS p1, b.pos AS p2
+          FROM pg a JOIN pg b ON b.doc_id = a.doc_id AND b.gh = a.gh
+                              AND a.pos < b.pos),
+    r0 AS (SELECT doc_id, p2 - p1 AS diag, p2,
+             p1 - row_number() OVER (PARTITION BY doc_id, p2 - p1 ORDER BY p1)
+               AS island
+           FROM m),
+    runs AS (SELECT doc_id, MIN(p2) AS strt, COUNT(*) + 4 AS len
+             FROM r0 GROUP BY doc_id, diag, island
+             HAVING COUNT(*) + 4 >= 8),
+    b0 AS (SELECT doc_id, strt, strt + len AS e FROM runs),
+    fl AS (SELECT doc_id, strt, e,
+             CASE WHEN strt > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+                    ORDER BY strt, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS ni
+           FROM b0),
+    isl AS (SELECT doc_id, strt, e,
+              SUM(ni) OVER (PARTITION BY doc_id ORDER BY strt, e) AS island
+            FROM fl)
+    SELECT doc_id, CAST(MIN(strt) AS BIGINT) AS start_tok,
+           CAST(MAX(e) - MIN(strt) AS BIGINT) AS len_tok
+    FROM isl GROUP BY doc_id, island ORDER BY doc_id, start_tok"""
+
   /** Hot-gram boilerplate spans ([[graft.ops.Dedup.boilerplateSpans]]) —
     * merged per-doc spans covered by 5-grams occurring in more than
     * `minDf` distinct docs. minDf = 2 exercises the gate on this corpus
@@ -2831,6 +2890,7 @@ $sel
     Q("span_screen", spanScreen, Some(spanScreenSql)),
     Q("boilerplate_spans", boilerplateSpans, Some(boilerplateSpansSql)),
     Q("span_removal_stats", spanRemovalStats, Some(spanRemovalStatsSql)),
+    Q("intra_doc_repeats", intraDocRepeatsQ, Some(intraDocRepeatsSql)),
     Q("token_drift", tokenDrift, Some(tokenDriftSql)),
     Q("span_containment", spanContainment, Some(spanContainmentSql)),
     Q("span_clusters", spanClusters, Some(spanClustersSql)),
