@@ -142,6 +142,43 @@ class EventsCdcSpec extends SparkSpec {
     }
   }
 
+  test("streaming attribution equals batch minus each user's frontier conversions") {
+    val dir = streamDir()
+    val src = spark.readStream
+      .schema(Tables.events(spark, sf).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = graft.streaming.StreamingAttribution.attribution(src)
+      .writeStream.format("memory").queryName("cdc_attr")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("cdc_attr")
+      .select($"user_id", $"event_id", $"us", $"value", $"first_key",
+        $"last_key", $"n_by_type".getItem("view"), $"n_by_type".getItem("click"),
+        $"n_touches")
+      .as[(Long, Long, Long, Double, Option[String], Option[String],
+        Long, Long, Long)].collect().toSet
+    val batch = Events.attributionBase(Tables.events(spark, sf))
+      .select($"user_id", $"event_id", $"us", $"value", $"first_key",
+        $"last_key", $"n_view", $"n_click", $"n_touches")
+      .as[(Long, Long, Long, Double, Option[String], Option[String],
+        Long, Long, Long)].collect()
+    // a conversion is emitted once a strictly-later event for that user
+    // proves its trailing touch frame complete; conversions at the user's
+    // maximum seen timestamp are still pending when the data ends (the
+    // still-open-session analogue) — everything else must match the batch
+    // operator exactly, first/last keys and per-type counts included
+    val frontier = Tables.events(spark, sf)
+      .groupBy($"user_id").agg(max(unix_micros($"ts")).as("m"))
+      .as[(Long, Long)].collect().toMap
+    val expected = batch.filterNot(r => r._3 == frontier(r._1)).toSet
+    assert(streamed.nonEmpty, "no attributed conversions emitted")
+    assert(streamed === expected,
+      s"diff sample: ${streamed.diff(expected).take(2)} / ${expected.diff(streamed).take(2)}")
+  }
+
   test("native streaming session_window emits exactly the watermark-closed batch sessions") {
     val dir = streamDir()
     val src = spark.readStream
