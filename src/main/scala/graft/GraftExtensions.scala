@@ -37,6 +37,11 @@ import graft.functions.NativeExpressions.{DotProduct, MinHashSignature, NfcNorma
   *     removal spans
   *   - `graft_exact_substr_spans('t', 'min_len')` — ExactSubstr
   *     remove-the-span dedup
+  *   - `graft_knn_graph('t', 'k')` — corpus-wide cosine kNN graph
+  *   - `graft_mixture_schedule('t', 'budget_tokens')` — τ=0.5
+  *     temperature-flattened training-mixture schedule per source
+  *   - `graft_span_screen('standing', 'arrivals', 'min_len')` — arrival
+  *     removal spans against a standing corpus (monotone arrival ids)
   *
   * Wire up via `GraftSession.builder` (already applied) or
   * `--conf spark.sql.extensions=graft.GraftExtensions` on a stock session.
@@ -163,6 +168,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     tableOp("graft_exact_substr_spans", 2,
       "graft_exact_substr_spans('table', 'min_len')")(
       s => ("exact_substr_spans", s.tail))
+    // SELECT * FROM graft_knn_graph('embeddings', '5') — corpus-wide kNN
+    tableOp("graft_knn_graph", 2,
+      "graft_knn_graph('table', 'k')")(s => ("knn_graph", s.tail))
+    // SELECT * FROM graft_mixture_schedule('docs', '1000000') — τ=0.5
+    // training-mixture schedule under the given token budget
+    tableOp("graft_mixture_schedule", 2,
+      "graft_mixture_schedule('table', 'budget_tokens')")(
+      s => ("mixture_schedule", s.tail))
+    // SELECT * FROM graft_span_screen('corpus', 'arrivals', '8') — the
+    // standing exact-substring screen: arrival removal spans against the
+    // corpus (monotone arrival ids — the ingestion contract)
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_span_screen"),
+      new ExpressionInfo(classOf[graft.plans.GraftBinaryTableOpPlan].getName,
+        "graft_span_screen"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_span_screen('standing', 'arrivals', 'min_len')")
+        graft.plans.GraftBinaryTableOpPlan(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(
+            constStr(args(0), "standing table").split('.').toIndexedSeq),
+          org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(
+            constStr(args(1), "arrivals table").split('.').toIndexedSeq),
+          "span_screen", Seq(constStr(args(2), "min_len")))
+      }))
 
     // ---- scalar + aggregate functions ----
     // the portable sampling bucket every deterministic sampling/split

@@ -59,11 +59,56 @@ class GraftTableOpResolution(session: SparkSession) extends Rule[LogicalPlan] {
           graft.ops.Dedup.boilerplateSpans(df, params(0).toInt)
         case "exact_substr_spans" =>
           graft.ops.Dedup.exactSubstrSpans(df, params(0).toInt)
+        case "knn_graph" =>
+          graft.ops.Similarity.knnGraph(df, params(0).toInt)
+        case "mixture_schedule" =>
+          // the registry derivation verbatim: one tokenize-count scan to
+          // per-source token totals, then the |sources|-sized schedule
+          graft.ops.Sampling.temperatureMixture(
+            df.select(col("source"),
+                org.apache.spark.sql.functions.size(
+                  graft.ops.TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+              .groupBy(col("source"))
+              .agg(org.apache.spark.sql.functions.sum(col("n")).as("n_tokens")),
+            budgetTokens = params(0).toDouble)
         case other => throw new IllegalArgumentException(
           s"unknown graft table op '$other'")
       }
       out.queryExecution.analyzed
+
+    case GraftBinaryTableOpPlan(left, right, op, params)
+        if left.resolved && right.resolved =>
+      val ldf = org.apache.spark.sql.graft.GraftSqlShim.ofRows(session, left)
+      val rdf = org.apache.spark.sql.graft.GraftSqlShim.ofRows(session, right)
+      val out = op match {
+        case "span_screen" =>
+          // the standing screen's batch identity (Dedup.incrementalSpanScreen
+          // scaladoc, DedupSpec-pinned): under monotone ingestion (arrival
+          // ids larger than every standing id — the contract this TVF
+          // documents), keep-standing ≡ the corpus-wide keep-first pipeline
+          // over (standing ∪ arrivals) restricted to arrival doc_ids
+          val docs = ldf.select(col("doc_id"), col("text"))
+            .unionByName(rdf.select(col("doc_id"), col("text")))
+          graft.ops.Dedup.exactSubstrSpans(docs, params(0).toInt)
+            .join(rdf.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        case other => throw new IllegalArgumentException(
+          s"unknown graft binary table op '$other'")
+      }
+      out.queryExecution.analyzed
   }
+}
+
+/** Two-relation form of [[GraftTableOpPlan]] for table functions over a
+  * (standing, arrival) pair — same marker discipline: `resolved = false`
+  * until the resolution rule rewrites it. */
+final case class GraftBinaryTableOpPlan(left: LogicalPlan, right: LogicalPlan,
+                                        op: String, params: Seq[String])
+    extends BinaryNode {
+  override def output: Seq[Attribute] = Nil
+  override lazy val resolved: Boolean = false
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Unresolved form of [[AsOfJoinPlan]] for the `graft_asof_join` table

@@ -175,6 +175,45 @@ class ExtensionsSpec extends SparkSpec {
     assert(eSql.count() > 0, "testdata should produce cross-doc spans")
   }
 
+  test("graft_knn_graph and graft_mixture_schedule TVFs match the Scala operators") {
+    graft.sources.Tables.embeddings(spark, sf)
+      .createOrReplaceTempView("ext_embs")
+    val kSql = spark.sql("SELECT * FROM graft_knn_graph('ext_embs', '5')")
+    val kApi = Similarity.knnGraph(graft.sources.Tables.embeddings(spark, sf), 5)
+    assert(kSql.columns.toSeq === kApi.columns.toSeq)
+    assert(kSql.collect().map(_.toString).sorted.toSeq ===
+      kApi.collect().map(_.toString).sorted.toSeq)
+    assert(kSql.count() > 0)
+    graft.sources.Tables.documents(spark, sf)
+      .createOrReplaceTempView("ext_docs_mix")
+    val mSql = spark.sql("SELECT * FROM graft_mixture_schedule('ext_docs_mix', '1000000')")
+    import org.apache.spark.sql.functions.{size => fsize, sum => fsum}
+    val st = graft.sources.Tables.documents(spark, sf)
+      .select($"source", fsize(graft.ops.TextAnalysis.tokens($"text")).cast("long").as("n"))
+      .groupBy($"source").agg(fsum($"n").as("n_tokens"))
+    val mApi = graft.ops.Sampling.temperatureMixture(st, budgetTokens = 1e6)
+    assert(mSql.columns.toSeq === mApi.columns.toSeq)
+    assert(mSql.collect().map(_.toString).sorted.toSeq ===
+      mApi.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("graft_span_screen TVF matches the incremental span screen") {
+    val all = graft.sources.Tables.documents(spark, sf)
+    all.filter($"doc_id" < 400).createOrReplaceTempView("ext_span_standing")
+    all.filter($"doc_id" >= 400).createOrReplaceTempView("ext_span_arrivals")
+    val sSql = spark.sql(
+      "SELECT * FROM graft_span_screen('ext_span_standing', 'ext_span_arrivals', '8')")
+    // the TVF's documented identity: the corpus-wide keep-first pipeline
+    // restricted to arrival ids (= keep-standing under monotone ingestion,
+    // the same equivalence the incremental screen's DedupSpec pins)
+    val sApi = graft.ops.Dedup.exactSubstrSpans(all, minLen = 8)
+      .filter($"doc_id" >= 400)
+    assert(sSql.columns.toSeq === sApi.columns.toSeq)
+    assert(sSql.collect().map(_.toString).sorted.toSeq ===
+      sApi.collect().map(_.toString).sorted.toSeq)
+    assert(sSql.count() > 0, "testdata should produce arrival spans")
+  }
+
   test("graft_srp_band_values is SQL-callable and matches the Scala API") {
     val planes = Similarity.planeMatrix(8, 4, 42L)
     val planesSql = planes
