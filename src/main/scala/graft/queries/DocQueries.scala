@@ -387,19 +387,46 @@ object DocQueries {
       doc_id <> min(doc_id) OVER (PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS is_dup
     FROM documents ORDER BY doc_id"""
 
-  /** Shared oracle for the two near-dup text joins: exact all-pairs word-3gram
-    * Jaccard at sf scale (the engines must find the same pair set; the Spark
-    * side never materializes all pairs). */
+  /** Shared oracle for the near-dup text joins: EXACT word-3gram Jaccard
+    * at sf scale (the engines must find the same pair set; the Spark side
+    * never materializes all pairs).
+    *
+    * The oracle's candidate generation is LOSSLESS prefix filtering
+    * (Chaudhuri et al., "A Primitive Operator for Similarity Joins",
+    * ICDE'06; Bayardo et al. AllPairs, WWW'07), not a naive all-pairs
+    * cross join (which made every consumer of this CTE an sf0.1 skip —
+    * hours of O(n²) list intersections): under ANY global total order on
+    * shingles, J(A,B) ≥ 4/5 forces |A∩B| ≥ ceil(4·|A|/5) (an integer ≥ a
+    * real is ≥ its ceiling, and |A∪B| ≥ |A|), so the SMALLEST shared
+    * shingle cannot hide past position |A| − ceil(4·|A|/5) + 1 of A's
+    * ordering (pigeonhole) — and symmetrically for B. Joining on a shared
+    * member of those two prefixes therefore finds EVERY qualifying pair;
+    * the exact intersect/union verification then decides, exactly as
+    * before. The order key is md5 of the shingle (identical bytes in both
+    * engines, and hash order keeps hot corpus-boilerplate shingles out of
+    * most prefixes); the bound is computed in integer arithmetic
+    * ((4L+4)//5 = ceil(4L/5) — a float 0.8·L rounds the wrong way at
+    * L ≡ 0 mod 5, exactly the J = 0.8 boundary pairs). Candidates with
+    * J < 4/5 may or may not appear in `p`; every consumer filters
+    * `jaccard >= 0.8`, so the result set is unchanged. */
   private val jaccardPairsCtes = """sh AS (
       SELECT doc_id,
              list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)]) AS s
       FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents)
       WHERE len(w) >= 3),
+    shp AS (SELECT doc_id, list_sort(list_transform(s, x -> md5(x))) AS hs
+            FROM sh),
+    pre AS (SELECT doc_id,
+              unnest(hs[1 : len(hs) - ((4*len(hs) + 4) // 5) + 1]) AS pk
+            FROM shp),
+    cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+             FROM pre a JOIN pre b ON a.pk = b.pk AND a.doc_id < b.doc_id),
     p AS (
-      SELECT a.doc_id AS d1, b.doc_id AS d2,
+      SELECT d1, d2,
              len(list_intersect(a.s, b.s))::DOUBLE
                / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)"""
+      FROM cand JOIN sh a ON cand.d1 = a.doc_id
+                JOIN sh b ON cand.d2 = b.doc_id)"""
 
   private val jaccardPairsSql = s"""
     WITH $jaccardPairsCtes

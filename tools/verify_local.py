@@ -9,9 +9,10 @@ Usage:
   sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
   python3 tools/verify_local.py /root/testdata/sf0.01 /tmp/verify_out [--skip a,b,c]
 
---skip: comma-separated query names to exclude (the all-pairs Jaccard
-oracles are O(n^2) list intersections in DuckDB — fine at sf0.01, hours at
-sf0.1; the engine side scales, the oracle does not).
+--skip: comma-separated query names to exclude. Since r13 NO query needs
+it at either SF: the Jaccard-family oracles generate candidates via
+lossless SSJoin prefix filtering (see DocQueries.jaccardPairsCtes), so the
+full 190-entry registry verifies at sf0.1 in minutes.
 --only: comma-separated query names to check exclusively (pairs with
 graft.Verify --only for a fast targeted re-check of just-touched queries).
 """
