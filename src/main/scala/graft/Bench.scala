@@ -188,6 +188,80 @@ object Bench {
       graft.streaming.EventsCdc.scd2SplitState(s, dir)
     }))
 
+  /** Builder-synthesized ×F document corpus for the span-family scale
+    * curve (skew_join precedent: synthesized in-bench, measured every
+    * round). Each replica r suffixes EVERY token with `x<r>`, so replicas
+    * share no k-gram: the ×F corpus behaves like F independent corpora
+    * with the original's gram-df and planted-dup structure — exactly the
+    * ~linear-cost claim the banded/df-capped span family makes, which
+    * these entries measure instead of assert (a hidden corpus-sized
+    * window, collect or df-table rescan shows up as exponent > 1).
+    * doc_ids offset far past the real id range per replica. The `x`
+    * separator keeps the `$1<digit>` replacement unambiguous. */
+  private def stressDocs(s: SparkSession, d: String, factor: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.sources.Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), lit(factor - 1))).as("r"))
+      .select((col("doc_id") + col("r").cast("long") * 10000000L).as("doc_id"),
+        regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("$1x"), col("r").cast("string"))).as("text"))
+  }
+
+  /** ×F embedding corpus: each replica circular-shifts the dimensions by
+    * r — an isometry, so every replica's internal geometry (norms, kNN
+    * graph, covariance spectrum shape) is exactly the original's, while
+    * cross-replica cosines are decorrelated. vec_ids offset per replica. */
+  private def stressEmbeddings(s: SparkSession, d: String, factor: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.sources.Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"),
+        explode(sequence(lit(0), lit(factor - 1))).as("r"))
+      .select((col("vec_id") + col("r").cast("long") * 10000000L).as("vec_id"),
+        concat(
+          slice(col("embedding"), col("r") + 1,
+            size(col("embedding")) - col("r")),
+          slice(col("embedding"), lit(1), col("r"))).as("embedding"),
+        col("label"))
+  }
+
+  /** Scale-stress entries for the r11 families: the same operators the
+    * registry verifies, run at a synthesized corpus multiple so the
+    * measured scale EXPONENT (log time-ratio / log factor, vs the 1×
+    * registry row) is a per-round regression gate, not a one-off note.
+    * Factors are per-family: the span/PCA paths claim ~linear (×10/×4
+    * keeps the bench affordable while separating exponent 1 from 2
+    * unambiguously); the brute-force kNN graph is QUADRATIC by design —
+    * its ×2 entry exists to keep that exponent measured and honest (the
+    * documented scale path is the IVF index, benched separately). */
+  private def stressExtras: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "exact_substr_spans_10x" -> ((s, d) =>
+      graft.ops.Dedup.exactSubstrSpans(stressDocs(s, d, 10))),
+    // steady-state screen at 10×: standing index builds once (cold call),
+    // warm = the pure probe cost for a 4% arrival batch of the 10× corpus
+    "span_screen_probe_10x" -> {
+      val indexCache = scala.collection.mutable.Map.empty[String, String]
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions.col
+        val all = stressDocs(s, d, 10)
+        val standing = all.filter(col("doc_id") % 25 =!= 0)
+        val dir = indexCache.getOrElseUpdate(d, {
+          val dd = java.nio.file.Files
+            .createTempDirectory("graft_fp_bench10x").toString
+          graft.ops.Dedup.writeFingerprintIndex(standing, dd)
+          dd
+        })
+        graft.ops.Dedup.incrementalSpanScreen(s, dir,
+          standing, all.filter(col("doc_id") % 25 === 0))
+      }
+    },
+    "embedding_pca_4x" -> ((s, d) =>
+      graft.ops.Similarity.pcaPower(stressEmbeddings(s, d, 4))),
+    "mutual_knn_clusters_2x" -> ((s, d) =>
+      graft.ops.Dedup.clusters(
+        graft.ops.Similarity.mutualKnn(stressEmbeddings(s, d, 2))
+          .select("d1", "d2"))))
+
   /** The 6 in-order micro-batches both SCD2 sink bench entries replay. */
   private def scd2Batches(s: SparkSession, d: String): Seq[DataFrame] = {
     import org.apache.spark.sql.functions._
@@ -268,7 +342,8 @@ object Bench {
     spark.range(1000).selectExpr("sum(id) AS s")
       .write.format("noop").mode("overwrite").save()
 
-    val all = SparkEntry.registry.map(q => q.name -> q.run) ++ extras ++ skewExtras
+    val all = SparkEntry.registry.map(q => q.name -> q.run) ++ extras ++
+      stressExtras ++ skewExtras
     val entries = only match {
       case None => all
       case Some(names) =>
