@@ -2236,6 +2236,59 @@ $sel
     SELECT doc_id, stopword_ratio, keep_rate, sample_bucket
     FROM b WHERE sample_bucket < keep_rate ORDER BY doc_id"""
 
+  /** DSIR importance weights (see [[graft.ops.Dsir.weights]]): every doc
+    * scored by hashed-bigram probability ratio against the `src0` target
+    * domain. The oracle retrains both add-one hashed-feature models in SQL
+    * (the portable md5-prefix bucket) and replays the three-division ratio
+    * expression tree plus the decimal mean bit-for-bit. */
+  private def dsirWeights(s: SparkSession, d: String): DataFrame =
+    graft.ops.Dsir.weights(Tables.documents(s, d), col("source") === "src0")
+      .orderBy("doc_id")
+
+  private val dsirFeatureSql = """
+    WITH t AS (SELECT doc_id, source, string_split(lower(trim(text)), ' ') AS w
+               FROM documents),
+    f AS (SELECT doc_id, source,
+            CAST(('0x' || substr(md5(pr), 1, 15))::BIGINT % 4096 AS BIGINT) AS fh
+          FROM (SELECT doc_id, source,
+                  unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS pr
+                FROM t)),
+    tc AS (SELECT fh, CAST(COUNT(*) AS BIGINT) AS n_t FROM f
+           WHERE source = 'src0' GROUP BY 1),
+    rc AS (SELECT fh, CAST(COUNT(*) AS BIGINT) AS n_r FROM f GROUP BY 1),
+    tt AS (SELECT COALESCE(CAST(SUM(n_t) AS BIGINT), 0) AS nt_total FROM tc),
+    rt AS (SELECT COALESCE(CAST(SUM(n_r) AS BIGINT), 0) AS nr_total FROM rc),
+    sc AS (SELECT doc_id, source,
+             ((COALESCE(n_t, 0) + 1)::DOUBLE / (nt_total + 4096)::DOUBLE)
+               / ((n_r + 1)::DOUBLE / (nr_total + 4096)::DOUBLE) AS r
+           FROM f JOIN rc USING (fh) LEFT JOIN tc USING (fh)
+                  CROSS JOIN tt CROSS JOIN rt),
+    dw AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_feats,
+             CAST(SUM(CAST(r AS DECIMAL(38,6))) AS DOUBLE) / COUNT(r)
+               AS dsir_weight
+           FROM sc GROUP BY doc_id)"""
+
+  private lazy val dsirWeightsSql = s"""$dsirFeatureSql
+    SELECT doc_id, n_feats, dsir_weight FROM dw ORDER BY doc_id"""
+
+  /** DSIR deterministic importance resample (see [[graft.ops.Dsir
+    * .resample]]): thin the corpus proportionally to the weight via the
+    * portable bucket; the oracle replays the exact membership. */
+  private def dsirSample(s: SparkSession, d: String): DataFrame =
+    graft.ops.Dsir.resample(Tables.documents(s, d), col("source") === "src0")
+      .orderBy("doc_id")
+
+  private lazy val dsirSampleSql = s"""$dsirFeatureSql,
+    mx AS (SELECT MAX(dsir_weight) AS w_max FROM dw),
+    acc AS (SELECT doc_id, n_feats, dsir_weight,
+              CAST(floor(100.0 * dsir_weight / w_max) AS INTEGER) AS accept_rate,
+              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+                   AS INTEGER) AS sample_bucket
+            FROM dw CROSS JOIN mx)
+    SELECT doc_id, source, n_feats, dsir_weight, accept_rate, sample_bucket
+    FROM acc JOIN documents USING (doc_id)
+    WHERE sample_bucket < accept_rate ORDER BY doc_id"""
+
   /** Bigram PMI-ratio head (see TextAnalysis.bigramPmi). */
   private def bigramPmiQ(s: SparkSession, d: String): DataFrame =
     TextAnalysis.bigramPmi(Tables.documents(s, d))
@@ -2934,5 +2987,7 @@ $sel
     Q("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
     Q("coreset_kcenter", coresetKcenter, Some(coresetKcenterSql(8))),
     Q("bpe_encode", bpeEncodeQ, Some(bpeEncodeSql)),
-    Q("bpe_fertility", bpeFertilityQ, Some(bpeFertilitySql)))
+    Q("bpe_fertility", bpeFertilityQ, Some(bpeFertilitySql)),
+    Q("dsir_weights", dsirWeights, Some(dsirWeightsSql)),
+    Q("dsir_sample", dsirSample, Some(dsirSampleSql)))
 }

@@ -65,7 +65,11 @@ class PlanAuditSpec extends SparkSpec {
             // explode (sliding_active_users' shape)
             "retrieval_rank_eval", "retrieval_eval_by_label",
             "mixture_schedule", "label_balance",
-            "dau_wau_stickiness")(p._1))
+            "dau_wau_stickiness",
+            // r13: the DSIR pair broadcasts its two single-row model
+            // totals (and dsir_sample the single-row weight max) onto
+            // the scored feature stream — the broadcast-totals pattern
+            "dsir_weights", "dsir_sample")(p._1))
       .foreach { case (name, p) =>
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
       }
