@@ -53,6 +53,52 @@ object Dedup {
               (col("doc_id") =!= col("canonical_id")).as("is_dup"))
   }
 
+  /** CCNet-style block/paragraph-hash dedup (Wenzek et al., "CCNet",
+    * LREC'20 §3.2 dedups paragraphs by SHA1 across shards): segment each
+    * doc into consecutive `blockWords`-token blocks (partial tail kept),
+    * keep only the globally FIRST instance of each distinct block (first =
+    * smallest (doc_id, block_idx) — a total order any engine reproduces,
+    * unlike CCNet's shard-arrival order), and report per doc how much
+    * survives. Granularity sits between whole-doc [[exact]] and the
+    * positional winnowing spans ([[spanDedup]]): exact block hits only, but
+    * cheap — no candidate verification pass at all.
+    *
+    * Scale shape: one explode + per-doc windows (doc-bounded partitions),
+    * then the shuffle carries only (hash128, doc_id, block_idx, words) —
+    * never block text: blocks reduce map-side to a two-seed 128-bit
+    * xxhash64 pair ([[exact]]'s collision argument), the min-instance
+    * groupBy is map-side combined, and the join back is hash-to-hash. A
+    * corpus-boilerplate block (high df) is ONE grouped row after the
+    * partial aggregate, so hot blocks cannot skew the shuffle. */
+  def blockDedup(docs: DataFrame, blockWords: Int = 8): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val blocks = docs
+      .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))))
+      .toDF("doc_id", "pos", "t")
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ",
+          (0 until blockWords).map(j => lead(col("t"), j).over(byDoc)): _*).as("blk"),
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))).as("n_toks"))
+      .filter(pmod(col("pos"), lit(blockWords)) === 0)
+      .select(col("doc_id"),
+        (col("pos") / blockWords).cast("long").as("block_idx"),
+        xxhash64(col("blk")).as("__h1"), xxhash64(lit(1L), col("blk")).as("__h2"),
+        least(lit(blockWords.toLong), col("n_toks") - col("pos")).as("bw"))
+    val first = blocks.groupBy(col("__h1"), col("__h2"))
+      .agg(min(struct(col("doc_id"), col("block_idx"))).as("first_key"))
+    blocks.join(first, Seq("__h1", "__h2"))
+      .withColumn("removed",
+        struct(col("doc_id"), col("block_idx")) =!= col("first_key"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("removed").cast("long")).as("n_removed"),
+        sum(col("bw")).as("words_total"),
+        sum(when(col("removed"), col("bw")).otherwise(lit(0L))).as("words_removed"))
+      .withColumn("kept_ratio",
+        (col("words_total") - col("words_removed")).cast("double") /
+          col("words_total").cast("double"))
+  }
+
 
   /** Exact n-gram Jaccard similarity join via lossless prefix filtering
     * (Chaudhuri et al., SSJoin; Bayardo et al., WWW'07 "Scaling Up All

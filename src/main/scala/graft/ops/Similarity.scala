@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 
@@ -237,6 +238,51 @@ object Similarity {
     val back = g.select(col("neighbor_id").as("d1"), col("query_id").as("d2"))
       .filter(col("d1") < col("d2"))
     e.join(back, Seq("d1", "d2"), "left_semi")
+  }
+
+  /** Semi-supervised label propagation over the [[mutualKnn]] graph (Zhu &
+    * Ghahramani '02, the hard-clamp discrete variant): seed vectors
+    * (vec_id % seedMod == 0) keep their label; every other vector runs
+    * `rounds` SYNCHRONOUS updates — each round it adopts the majority label
+    * among its neighbors' previous-round labels (ties to the smallest
+    * label; keeps its previous label when no neighbor is labeled yet).
+    * Output: per vector, the seed flag, the propagated label (NULL if never
+    * reached), and agreement with the held-out true label — the eval a
+    * curation pipeline uses to decide whether cheap labels can replace a
+    * classifier on the unlabeled pool.
+    *
+    * Scale shape: the mutual-kNN edge list is corpus×k-bounded and
+    * hub-stripped by construction; each round is one id-only edge join plus
+    * a (node,label) count aggregate (map-side combined, ≤ #labels rows per
+    * node) and a per-node top-1 — no vectors, no text, no n² anywhere past
+    * the banded/bounded kNN build. Rounds are a fixed small constant
+    * (diffusion depth), not a convergence loop. */
+  def labelPropagate(embeddings: DataFrame, k: Int = 5, seedMod: Int = 5,
+                     rounds: Int = 2): DataFrame = {
+    val edges = mutualKnn(embeddings, k).select(col("d1"), col("d2"))
+    val dir = edges
+      .union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
+      .localCheckpoint(true) // reused every round; releases the kNN build
+    var lab = embeddings.select(col("vec_id"), col("label"),
+        (pmod(col("vec_id"), lit(seedMod.toLong)) === 0).as("is_seed"))
+      .withColumn("cur", when(col("is_seed"), col("label")))
+    val byNode = Window.partitionBy(col("d1"))
+      .orderBy(col("n").desc, col("nl"))
+    for (_ <- 1 to rounds) {
+      val votes = dir
+        .join(lab.select(col("vec_id").as("d2"), col("cur").as("nl"))
+                 .filter(col("nl").isNotNull), Seq("d2"))
+        .groupBy(col("d1"), col("nl")).agg(count(lit(1)).as("n"))
+      val won = votes.withColumn("rk", row_number().over(byNode))
+        .filter(col("rk") === 1)
+        .select(col("d1").as("vec_id"), col("nl").as("voted"))
+      lab = lab.join(won, Seq("vec_id"), "left")
+        .withColumn("cur", when(col("is_seed"), col("label"))
+          .otherwise(coalesce(col("voted"), col("cur"))))
+        .drop("voted")
+    }
+    lab.select(col("vec_id"), col("is_seed"), col("cur").as("pred_label"),
+      (col("cur").isNotNull && col("cur") === col("label")).as("agrees"))
   }
 
   /** Hard-negative mining for contrastive training — per query vector,

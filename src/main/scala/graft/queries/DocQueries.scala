@@ -387,6 +387,31 @@ object DocQueries {
       doc_id <> min(doc_id) OVER (PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS is_dup
     FROM documents ORDER BY doc_id"""
 
+  /** CCNet-style block-hash dedup ([[graft.ops.Dedup.blockDedup]]): 8-token
+    * blocks, globally-first instance kept, per-doc survival stats. The
+    * oracle replays the segmentation with list slicing and decides "first"
+    * with the same (doc_id, block_idx) total order. */
+  private def blockDedupQ(s: SparkSession, d: String): DataFrame =
+    Dedup.blockDedup(Tables.documents(s, d)).orderBy("doc_id")
+
+  private val blockDedupSql = raw"""
+    WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents),
+    b AS (SELECT doc_id, u.bi AS block_idx, u.blk AS blk, u.bw AS bw FROM
+          (SELECT doc_id, unnest([{'bi': i,
+                                   'blk': array_to_string(ws[i*8+1:i*8+8], ' '),
+                                   'bw': len(ws[i*8+1:i*8+8])} for i in range(0, (len(ws)+7)//8)]) AS u
+           FROM w)),
+    r AS (SELECT doc_id, block_idx, bw,
+            row_number() OVER (PARTITION BY blk ORDER BY doc_id, block_idx) > 1 AS removed
+          FROM b)
+    SELECT doc_id, COUNT(*)::BIGINT AS n_blocks,
+           SUM(CASE WHEN removed THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+           SUM(bw)::BIGINT AS words_total,
+           SUM(CASE WHEN removed THEN bw ELSE 0 END)::BIGINT AS words_removed,
+           (SUM(bw) - SUM(CASE WHEN removed THEN bw ELSE 0 END))::DOUBLE
+             / SUM(bw)::DOUBLE AS kept_ratio
+    FROM r GROUP BY doc_id ORDER BY doc_id"""
+
   /** Shared oracle for the near-dup text joins: EXACT word-3gram Jaccard
     * at sf scale (the engines must find the same pair set; the Spark side
     * never materializes all pairs).
@@ -853,6 +878,52 @@ object DocQueries {
     SELECT d1, d2, cos FROM e
     WHERE EXISTS (SELECT 1 FROM b WHERE b.d1 = e.d1 AND b.d2 = e.d2)
     ORDER BY d1, d2"""
+
+  /** Hard-clamp label propagation over the mutual-kNN graph
+    * ([[graft.ops.Similarity.labelPropagate]]): seeds = vec_id % 5 == 0,
+    * two synchronous majority rounds, ties to the smallest label. The
+    * oracle rebuilds the mutual edges with the honest all-pairs rank and
+    * unrolls both rounds as CTEs (same majority/tie order). */
+  private def labelPropagationQ(s: SparkSession, d: String): DataFrame =
+    Similarity.labelPropagate(Tables.embeddings(s, d)).orderBy("vec_id")
+
+  private val labelPropagationSql = """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+               FROM embeddings),
+    n AS (SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm FROM v),
+    p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+            list_sum(list_transform(range(1, len(n.emb)+1), i -> n.emb[i]*q.emb[i]))
+              / (n.nrm * q.nrm) AS cos
+          FROM n JOIN n q ON n.vec_id <> q.vec_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rank FROM p),
+    g AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 5),
+    e AS (SELECT query_id AS d1, neighbor_id AS d2 FROM g WHERE query_id < neighbor_id),
+    bk AS (SELECT neighbor_id AS d1, query_id AS d2 FROM g WHERE neighbor_id < query_id),
+    mk AS (SELECT d1, d2 FROM e
+           WHERE EXISTS (SELECT 1 FROM bk WHERE bk.d1 = e.d1 AND bk.d2 = e.d2)),
+    dir AS (SELECT d1, d2 FROM mk UNION ALL SELECT d2 AS d1, d1 AS d2 FROM mk),
+    lab0 AS (SELECT vec_id, label, vec_id % 5 = 0 AS is_seed,
+               CASE WHEN vec_id % 5 = 0 THEN label END AS cur FROM embeddings),
+    v1 AS (SELECT dir.d1 AS d1, l.cur AS nl, COUNT(*) AS nn FROM dir
+           JOIN lab0 l ON l.vec_id = dir.d2 WHERE l.cur IS NOT NULL
+           GROUP BY dir.d1, l.cur),
+    w1 AS (SELECT d1, nl FROM (SELECT d1, nl, row_number() OVER
+             (PARTITION BY d1 ORDER BY nn DESC, nl) AS rn FROM v1) WHERE rn = 1),
+    lab1 AS (SELECT lab0.vec_id AS vec_id, label, is_seed,
+               CASE WHEN is_seed THEN label ELSE coalesce(w1.nl, lab0.cur) END AS cur
+             FROM lab0 LEFT JOIN w1 ON w1.d1 = lab0.vec_id),
+    v2 AS (SELECT dir.d1 AS d1, l.cur AS nl, COUNT(*) AS nn FROM dir
+           JOIN lab1 l ON l.vec_id = dir.d2 WHERE l.cur IS NOT NULL
+           GROUP BY dir.d1, l.cur),
+    w2 AS (SELECT d1, nl FROM (SELECT d1, nl, row_number() OVER
+             (PARTITION BY d1 ORDER BY nn DESC, nl) AS rn FROM v2) WHERE rn = 1),
+    lab2 AS (SELECT lab1.vec_id AS vec_id, label, is_seed,
+               CASE WHEN is_seed THEN label ELSE coalesce(w2.nl, lab1.cur) END AS cur
+             FROM lab1 LEFT JOIN w2 ON w2.d1 = lab1.vec_id)
+    SELECT vec_id, is_seed, cur AS pred_label,
+           cur IS NOT NULL AND cur = label AS agrees
+    FROM lab2 ORDER BY vec_id"""
 
   /** Top principal component by power iteration
     * ([[graft.ops.Similarity.pcaPower]]) — the embedding-space anisotropy
@@ -2923,6 +2994,7 @@ $sel
     Q("embedding_centroids", embeddingCentroids, Some(embeddingCentroidsSql)),
     Q("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
     Q("dedup_exact", dedupExact, Some(dedupExactSql)),
+    Q("block_dedup", blockDedupQ, Some(blockDedupSql)),
     Q("ngram_jaccard", ngramJaccard, Some(jaccardPairsSql)),
     Q("dedup_minhash", dedupMinhash, Some(jaccardPairsSql)),
     Q("split_leakage", splitLeakage, Some(splitLeakageSql)),
@@ -2937,6 +3009,7 @@ $sel
     Q("hard_negatives", hardNegatives, Some(hardNegativesSql)),
     Q("knn_graph", knnGraphQ, Some(knnGraphSql)),
     Q("mutual_knn", mutualKnnQ, Some(mutualKnnSql)),
+    Q("label_propagation", labelPropagationQ, Some(labelPropagationSql)),
     Q("mutual_knn_clusters", mutualKnnClusters, Some(mutualKnnClustersSql)),
     Q("embedding_pca", embeddingPca, Some(embeddingPcaSql)),
     Q("remove_top_component", removeTopComponentQ, Some(removeTopComponentSql)),

@@ -22,6 +22,25 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(_.getBoolean(2)).map(_.getLong(0)).toSet === Set(2L, 5L))
   }
 
+  test("block dedup: hand-computed segmentation, first-instance rule, stats") {
+    val docs = Seq(
+      (0L, "a b c d e f g"),     // blocks: "a b c" / "d e f" / "g" (tail, 1 word)
+      (1L, "a b c x y z"),       // "a b c" dup of (0,0); "x y z" first here
+      (2L, "x y z a b c"),       // both blocks dups of earlier instances
+      (3L, "g g g"),             // "g g g" != the 1-word tail "g" of doc 0
+      (4L, "p q r p q r")        // intra-doc repeat: second instance removed
+    ).toDF("doc_id", "text")
+    val out = Dedup.blockDedup(docs, blockWords = 3).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(out(0L) === ((3L, 0L, 7L, 0L, 1.0)))
+    assert(out(1L) === ((2L, 1L, 6L, 3L, 0.5)))
+    assert(out(2L) === ((2L, 2L, 6L, 6L, 0.0)))
+    assert(out(3L) === ((1L, 0L, 3L, 0L, 1.0)))
+    assert(out(4L) === ((2L, 1L, 6L, 3L, 0.5)))
+  }
+
   test("ngram Jaccard finds near-dups above threshold, nothing else") {
     val pairs = Dedup.ngramJaccard(corpus, n = 3, threshold = 0.5)
       .select("d1", "d2").as[(Long, Long)].collect().toSet

@@ -32,6 +32,41 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._1).toSeq === Seq(1, 2, 3, 4))
   }
 
+  test("label propagation: synchronous rounds over the mutual-kNN path") {
+    // Angles chosen so k=2 mutual edges form exactly 3–0–1–2 and the
+    // triangle 5–6–7, with 9 isolated (its top-2 never reciprocate).
+    def v(deg: Double) = Array(
+      math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat, 0.0f, 0.0f)
+    val emb = Seq(
+      (0L, v(0.0), 7L),   // seed (0 % 5 == 0)
+      (1L, v(10.0), 7L),
+      (2L, v(23.0), 9L),  // reachable only through 1 -> labeled in round 2
+      (3L, v(-4.0), 7L),
+      (5L, v(86.0), 2L),  // seed
+      (6L, v(90.0), 2L),
+      (7L, v(95.0), 4L),
+      (9L, v(180.0), 7L)  // isolated: never labeled
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelPropagate(emb, k = 2, seedMod = 5, rounds = 2)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(3))))
+      .toMap
+    assert(out(0L) === ((true, Some(7L), true)))
+    assert(out(1L) === ((false, Some(7L), true)))
+    assert(out(2L) === ((false, Some(7L), false)), "true label 9, propagated 7")
+    assert(out(3L) === ((false, Some(7L), true)))
+    assert(out(5L) === ((true, Some(2L), true)))
+    assert(out(6L) === ((false, Some(2L), true)))
+    assert(out(7L) === ((false, Some(2L), false)), "true label 4, propagated 2")
+    assert(out(9L) === ((false, None, false)), "isolated vector stays unlabeled")
+    // Synchrony: with one round, 2 is still unlabeled (1 was unlabeled at t0).
+    val r1 = Similarity.labelPropagate(emb, k = 2, seedMod = 5, rounds = 1)
+      .filter($"vec_id" === 2L).collect()
+    assert(r1.head.isNullAt(2), "round-2-deep node must not label in one round")
+  }
+
   test("label_balance: exact shares, weights, Gini and majority baseline") {
     val rows = SparkEntry.queries("label_balance")(spark, sf).collect()
     val counts = rows.map(_.getAs[Long]("n"))
