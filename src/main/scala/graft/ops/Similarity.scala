@@ -285,6 +285,58 @@ object Similarity {
       (col("cur").isNotNull && col("cur") === col("label")).as("agrees"))
   }
 
+  /** Johnson-Lindenstrauss sign random projection (Achlioptas '01 dense
+    * ±1 variant): project `inDims`-dim embeddings to `outDims` dims with
+    * r_ij = ±1/√outDims, the sign drawn from the parity of
+    * md5("rp:i:j") — a PORTABLE derivation (same hex bytes in any engine,
+    * no RNG state), so retries, replans, and the oracle all see the same
+    * matrix. The matrix is dimension-bounded (inDims×outDims), computed
+    * once driver-side and folded into the plan as literals — each output
+    * coordinate is one codegen'd left-to-right dot product, so projecting
+    * 100 TB is a pure map pass (zero shuffles, zero state). Output long
+    * form: (vec_id, dim, y). Every float op runs in ascending-index order
+    * from 0.0 — the cross-engine exactness recipe — so values hash-match
+    * the oracle bit-for-bit. */
+  def randomProjection(embeddings: DataFrame, outDims: Int = 16,
+                       inDims: Int = 64): DataFrame = {
+    val proj = projectWide(embeddings, outDims, inDims)
+    proj.select(col("vec_id"), posexplode(col("embedding")))
+      .toDF("vec_id", "dim", "y")
+  }
+
+  /** The wide (vec_id, embedding: array<double>) form of
+    * [[randomProjection]] — the shape downstream kNN reuses. */
+  def projectWide(embeddings: DataFrame, outDims: Int, inDims: Int): DataFrame = {
+    val scale = 1.0 / math.sqrt(outDims.toDouble)
+    def sign(i: Int, j: Int): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp:$i:$j".getBytes("UTF-8"))
+      if ((d(15) & 1) == 1) -scale else scale
+    }
+    val emb = toDouble(col("embedding"))
+    val coords = (0 until outDims).map { j =>
+      dot(emb, array((0 until inDims).map(i => lit(sign(i, j))): _*))
+    }
+    embeddings.select(col("vec_id"), array(coords: _*).as("embedding"))
+  }
+
+  /** Retrieval-quality eval of the projected space ([[randomProjection]]):
+    * overall recall@k of projected-space exact top-k against full-space
+    * exact top-k — the number that decides whether the cheap 4×-smaller
+    * index is usable (ann_recall discipline: the measured answer, however
+    * unflattering). One row: n_queries, k, hits, recall. */
+  def rpKnnRecall(embeddings: DataFrame, outDims: Int = 16, k: Int = 5): DataFrame = {
+    val full = knnGraph(embeddings, k).select(col("query_id"), col("neighbor_id"))
+    val rp = knnGraph(projectWide(embeddings, outDims, 64), k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = full.join(rp, Seq("query_id", "neighbor_id"), "left_semi")
+    full.agg(countDistinct(col("query_id")).as("n_queries")).crossJoin(
+        broadcast(hits.agg(count(lit(1)).as("hits"))))
+      .select(col("n_queries"), lit(k).as("k"), col("hits"),
+        (col("hits").cast("double") /
+          (col("n_queries") * k).cast("double")).as("recall"))
+  }
+
   /** Hard-negative mining for contrastive training — per query vector,
     * the top-k HIGHEST-cosine vectors carrying a DIFFERENT label: the
     * semantically-near-but-wrong-class examples a retrieval/embedding

@@ -925,6 +925,62 @@ object DocQueries {
            cur IS NOT NULL AND cur = label AS agrees
     FROM lab2 ORDER BY vec_id"""
 
+  /** JL sign random projection ([[graft.ops.Similarity.randomProjection]]):
+    * 64 → 16 dims, matrix signs from portable md5 parity. The oracle
+    * rebuilds the same matrix from the same md5 strings and folds each
+    * coordinate in the same ascending-index order. */
+  private def randomProjectionQ(s: SparkSession, d: String): DataFrame =
+    Similarity.randomProjection(Tables.embeddings(s, d)).orderBy("vec_id", "dim")
+
+  /** Shared CTE chain: the md5-parity projection matrix and the projected
+    * long-form coordinates (exact-double parity with the engine: per-term
+    * double products summed ascending from 0.0). */
+  private val rpProjCtes = """rmat AS (
+      SELECT j, list(CASE WHEN substr(md5('rp:' || i::VARCHAR || ':' || j::VARCHAR), 32, 1)
+                            IN ('1','3','5','7','9','b','d','f')
+                          THEN -0.25::DOUBLE ELSE 0.25::DOUBLE END ORDER BY i) AS s
+      FROM range(0,64) t1(i), range(0,16) t2(j) GROUP BY j),
+    v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),
+    proj AS (SELECT vec_id, j AS dim,
+               list_sum(list_transform(range(1, 65), i -> emb[i] * s[i])) AS y
+             FROM v, rmat)"""
+
+  private val randomProjectionSql = s"""
+    WITH $rpProjCtes
+    SELECT vec_id, dim, y FROM proj ORDER BY vec_id, dim"""
+
+  /** Recall@5 of projected-space exact top-5 vs full-space exact top-5
+    * ([[graft.ops.Similarity.rpKnnRecall]]) — the honest measured answer
+    * on whether the 4×-smaller space retrieves the same neighbors. */
+  private def rpKnnRecallQ(s: SparkSession, d: String): DataFrame =
+    Similarity.rpKnnRecall(Tables.embeddings(s, d))
+
+  private val rpKnnRecallSql = s"""
+    WITH $rpProjCtes,
+    n AS (SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm FROM v),
+    p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+            list_sum(list_transform(range(1, len(n.emb)+1), i -> n.emb[i]*q.emb[i]))
+              / (n.nrm * q.nrm) AS cos
+          FROM n JOIN n q ON n.vec_id <> q.vec_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rank FROM p),
+    g AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 5),
+    pw AS (SELECT vec_id, list(y ORDER BY dim) AS emb FROM proj GROUP BY vec_id),
+    n2 AS (SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm FROM pw),
+    p2 AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 17), i -> n.emb[i]*q.emb[i]))
+               / (n.nrm * q.nrm) AS cos
+           FROM n2 n JOIN n2 q ON n.vec_id <> q.vec_id),
+    r2 AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS rank FROM p2),
+    g2 AS (SELECT query_id, neighbor_id FROM r2 WHERE rank <= 5),
+    agg AS (SELECT (SELECT COUNT(DISTINCT query_id) FROM g)::BIGINT AS n_queries,
+                   (SELECT COUNT(*) FROM g g1 JOIN g2
+                      ON g1.query_id = g2.query_id
+                     AND g1.neighbor_id = g2.neighbor_id)::BIGINT AS hits)
+    SELECT n_queries, 5 AS k, hits,
+           hits::DOUBLE / (n_queries * 5)::DOUBLE AS recall FROM agg"""
+
   /** Top principal component by power iteration
     * ([[graft.ops.Similarity.pcaPower]]) — the embedding-space anisotropy
     * diagnostic. The oracle replays the WHOLE computation: decimal-exact
@@ -3010,6 +3066,8 @@ $sel
     Q("knn_graph", knnGraphQ, Some(knnGraphSql)),
     Q("mutual_knn", mutualKnnQ, Some(mutualKnnSql)),
     Q("label_propagation", labelPropagationQ, Some(labelPropagationSql)),
+    Q("random_projection", randomProjectionQ, Some(randomProjectionSql)),
+    Q("rp_knn_recall", rpKnnRecallQ, Some(rpKnnRecallSql)),
     Q("mutual_knn_clusters", mutualKnnClusters, Some(mutualKnnClustersSql)),
     Q("embedding_pca", embeddingPca, Some(embeddingPcaSql)),
     Q("remove_top_component", removeTopComponentQ, Some(removeTopComponentSql)),

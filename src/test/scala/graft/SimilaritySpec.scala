@@ -67,6 +67,38 @@ class SimilaritySpec extends SparkSpec {
     assert(r1.head.isNullAt(2), "round-2-deep node must not label in one round")
   }
 
+  test("random projection: md5-parity matrix, exact scaling, twin recall") {
+    // Basis vector e_i projects to row i of the matrix: every coordinate
+    // is exactly ±1/sqrt(16), with the sign of md5("rp:i:j")'s last bit.
+    val e3 = Seq((0L, Array.tabulate(64)(i => if (i == 3) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val row = Similarity.randomProjection(e3).orderBy("dim")
+      .select("y").as[Double].collect()
+    assert(row.length === 16)
+    row.zipWithIndex.foreach { case (y, j) =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp:3:$j".getBytes("UTF-8"))
+      val want = if ((d(15) & 1) == 1) -0.25 else 0.25
+      assert(y === want, s"dim $j")
+    }
+    // Doubling the input doubles every coordinate EXACTLY (x2 is exact fp).
+    val v1 = Array.tabulate(64)(i => (0.01f * (i % 7) + 0.1f))
+    val both = Seq((0L, v1), (1L, v1.map(_ * 2.0f))).toDF("vec_id", "embedding")
+    val m = Similarity.randomProjection(both).collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) =>
+        id -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+    assert(m(1L) === m(0L).map(_ * 2.0))
+    // Identical twins stay each other's top-1 through any projection.
+    val dirs = Seq(0, 7, 21)
+    val twins = dirs.zipWithIndex.flatMap { case (d, p) =>
+      val v = Array.tabulate(64)(i => if (i == d) 1.0f else 0.02f * p)
+      Seq((2L * p, v), (2L * p + 1, v))
+    }.toDF("vec_id", "embedding")
+    val rec = Similarity.rpKnnRecall(twins, outDims = 16, k = 1).collect().head
+    assert(rec.getLong(0) === 6L && rec.getLong(2) === 6L)
+    assert(rec.getDouble(3) === 1.0)
+  }
+
   test("label_balance: exact shares, weights, Gini and majority baseline") {
     val rows = SparkEntry.queries("label_balance")(spark, sf).collect()
     val counts = rows.map(_.getAs[Long]("n"))
