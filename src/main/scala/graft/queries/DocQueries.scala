@@ -412,6 +412,39 @@ object DocQueries {
              / SUM(bw)::DOUBLE AS kept_ratio
     FROM r GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Content-defined chunking dedup ([[graft.ops.Dedup.cdcChunkDedup]]):
+    * md5-bucket cut rule (k=3 grams, divisor 8), first-instance survival,
+    * per-doc stats. The oracle replays the cut rule with the same
+    * '0x'-prefix md5 bucket and the same (doc_id, chunk_idx) total order. */
+  private def cdcChunkDedupQ(s: SparkSession, d: String): DataFrame =
+    Dedup.cdcChunkDedup(Tables.documents(s, d)).orderBy("doc_id")
+
+  private val cdcChunkDedupSql = raw"""
+    WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents),
+    t AS (SELECT doc_id, u.p AS p,
+            CASE WHEN u.p >= 2 AND ('0x' || substr(md5(array_to_string(ws[u.p-1:u.p+1], ' ')), 1, 15))::BIGINT % 8 = 0
+                 THEN 1 ELSE 0 END AS cut
+          FROM (SELECT doc_id, ws, unnest([{'p': i} for i in range(0, len(ws))]) AS u FROM w)),
+    m AS (SELECT doc_id, p,
+            coalesce(SUM(cut) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+          FROM t),
+    c AS (SELECT doc_id, chunk_idx, MIN(p) AS st, COUNT(*) AS ln
+          FROM m GROUP BY doc_id, chunk_idx),
+    cb AS (SELECT c.doc_id AS doc_id, chunk_idx, ln,
+             array_to_string(w.ws[st+1 : st+ln], ' ') AS blk
+           FROM c JOIN w ON c.doc_id = w.doc_id),
+    r AS (SELECT doc_id, chunk_idx, ln,
+            row_number() OVER (PARTITION BY blk ORDER BY doc_id, chunk_idx) > 1 AS removed
+          FROM cb)
+    SELECT doc_id, COUNT(*)::BIGINT AS n_chunks,
+           SUM(CASE WHEN removed THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+           SUM(ln)::BIGINT AS tokens_total,
+           SUM(CASE WHEN removed THEN ln ELSE 0 END)::BIGINT AS tokens_removed,
+           (SUM(ln) - SUM(CASE WHEN removed THEN ln ELSE 0 END))::DOUBLE
+             / SUM(ln)::DOUBLE AS kept_ratio
+    FROM r GROUP BY doc_id ORDER BY doc_id"""
+
   /** Shared oracle for the near-dup text joins: EXACT word-3gram Jaccard
     * at sf scale (the engines must find the same pair set; the Spark side
     * never materializes all pairs).
@@ -3051,6 +3084,7 @@ $sel
     Q("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
     Q("dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("block_dedup", blockDedupQ, Some(blockDedupSql)),
+    Q("cdc_chunk_dedup", cdcChunkDedupQ, Some(cdcChunkDedupSql)),
     Q("ngram_jaccard", ngramJaccard, Some(jaccardPairsSql)),
     Q("dedup_minhash", dedupMinhash, Some(jaccardPairsSql)),
     Q("split_leakage", splitLeakage, Some(splitLeakageSql)),

@@ -41,6 +41,31 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) === ((2L, 1L, 6L, 3L, 0.5)))
   }
 
+  test("cdc chunking: exact dup fully removed, boundaries resync after an insertion") {
+    val base = (1 to 50).map(i => s"w$i").mkString(" ") // distinct tokens: no intra-doc repeats
+    val docs = Seq(
+      (0L, base),
+      (1L, base),          // exact duplicate: every chunk removed
+      (2L, "zzz " + base)  // shifted by one token: CDC must resync
+    ).toDF("doc_id", "text")
+    val out = Dedup.cdcChunkDedup(docs).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(out(0L)._4 === 0L && out(0L)._5 === 1.0, "first instance keeps all")
+    assert(out(0L)._3 === 50L && out(2L)._3 === 51L, "token conservation")
+    assert(out(1L)._2 === out(1L)._1 && out(1L)._5 === 0.0,
+      "exact duplicate: every chunk is a repeat instance")
+    assert(out(2L)._4 > 0L,
+      "content-defined boundaries must resynchronize past the inserted token")
+    assert(out(2L)._4 < out(2L)._3, "the changed prefix must NOT dedup")
+    // The same insertion defeats fixed blocks entirely (the motivation).
+    val blocks = Dedup.blockDedup(docs.filter($"doc_id" =!= 1L))
+      .filter($"doc_id" === 2L).collect().head
+    assert(blocks.getLong(4) === 0L,
+      "fixed 8-token blocks all shift: zero removed words for the shifted doc")
+  }
+
   test("ngram Jaccard finds near-dups above threshold, nothing else") {
     val pairs = Dedup.ngramJaccard(corpus, n = 3, threshold = 0.5)
       .select("d1", "d2").as[(Long, Long)].collect().toSet
