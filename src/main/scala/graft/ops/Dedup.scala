@@ -237,6 +237,55 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** DIRECTIONAL containment join: ordered pairs with
+    * |A∩B| / |A| ≥ threshold — the asymmetric near-dup [[ngramJaccard]]
+    * cannot express (a short doc quoted inside a long one has tiny Jaccard
+    * but containment ≈ 1): quote extraction, subset contamination, "is
+    * this doc mostly inside the corpus already".
+    *
+    * Prefix filtering adapts losslessly (same pigeonhole as SSJoin, on the
+    * CONTAINED side only): if |A∩B| ≥ ceil(t·|A|), the intersection cannot
+    * hide entirely in A's last ceil(t·|A|) − 1 ordered shingles, so A's
+    * first |A| − ceil(t·|A|) + 1 (rarest-first) must hold a shared one —
+    * joining A-prefixes against the FULL shingle table finds every
+    * qualifying pair. The super side has no prefix (B may be arbitrarily
+    * large; only |B| ≥ ceil(t·|A|) prunes), so candidate buckets are
+    * bounded by the df of PREFIX shingles — the rarest-first order is what
+    * keeps a corpus-stopword shingle out of the hot side of this join.
+    * Verification reuses the exploded-rows intersection count (no per-doc
+    * arrays shipped); the ratio compare runs on identical double operands
+    * in both engines. */
+  def containmentJoin(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sr = shingleRows(docs, n)
+    val ex = sr.select(col("doc_id"), xxhash64(col("g")).as("h"))
+    val sz = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val prefixes = ex.join(dfreq, "h")
+      .withColumn("rk", row_number().over(byRarity))
+      .join(sz, "doc_id")
+      .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 1)
+      .select(col("doc_id").as("d_sub"), col("sz").as("n_sub"), col("h"))
+    val candidates = prefixes
+      .join(ex.toDF("d_super", "h"), "h")
+      .filter(col("d_sub") =!= col("d_super"))
+      .select(col("d_sub"), col("n_sub"), col("d_super")).distinct()
+      .join(sz.toDF("d_super", "sz_super"), "d_super")
+      .filter(col("sz_super") >= ceil(lit(threshold) * col("n_sub")))
+      .select(col("d_sub"), col("n_sub"), col("d_super"))
+    val inter = candidates
+      .join(ex.toDF("d_sub", "h"), "d_sub")
+      .join(ex.toDF("d_super", "h"), Seq("d_super", "h"))
+      .groupBy(col("d_sub"), col("d_super"), col("n_sub"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .withColumn("containment",
+        col("inter").cast("double") / col("n_sub").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("d_sub"), col("d_super"), col("n_sub"), col("inter"),
+        col("containment"))
+  }
+
   /** MinHash+LSH near-dup join: shingle → 128-perm minhash signature → 32
     * bands of 4 rows → band-bucket join → exact-Jaccard verification.
     *

@@ -490,6 +490,29 @@ object DocQueries {
     WITH $jaccardPairsCtes
     SELECT d1, d2, jaccard FROM p WHERE jaccard >= 0.8 ORDER BY d1, d2"""
 
+  /** Directional containment join ([[graft.ops.Dedup.containmentJoin]]):
+    * |A∩B|/|A| ≥ 0.8 ordered pairs. The oracle reuses the shared shingle
+    * CTEs; its contained-side prefix has the SAME length formula as the
+    * Jaccard prefix at t = 0.8 (|A| − ceil(0.8|A|) + 1), joined against
+    * the FULL shingle table (the super side takes no prefix — that is the
+    * asymmetry), then verifies the exact intersection. */
+  private def containmentJoinQ(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentJoin(Tables.documents(s, d)).orderBy("d_sub", "d_super")
+
+  private val containmentJoinSql = s"""
+    WITH $jaccardPairsCtes,
+    allsh AS (SELECT doc_id, unnest(hs) AS pk FROM shp),
+    candc AS (SELECT DISTINCT a.doc_id AS d_sub, b.doc_id AS d_super
+              FROM pre a JOIN allsh b ON a.pk = b.pk AND a.doc_id <> b.doc_id),
+    pc AS (SELECT d_sub, d_super, len(a.s)::BIGINT AS n_sub,
+             len(list_intersect(a.s, b.s))::BIGINT AS inter
+           FROM candc JOIN sh a ON candc.d_sub = a.doc_id
+                      JOIN sh b ON candc.d_super = b.doc_id)
+    SELECT d_sub, d_super, n_sub, inter,
+           inter::DOUBLE / n_sub::DOUBLE AS containment
+    FROM pc WHERE inter::DOUBLE / n_sub::DOUBLE >= 0.8
+    ORDER BY d_sub, d_super"""
+
   private def ngramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccard(Tables.documents(s, d)).orderBy("d1", "d2")
 
@@ -3085,6 +3108,7 @@ $sel
     Q("dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("block_dedup", blockDedupQ, Some(blockDedupSql)),
     Q("cdc_chunk_dedup", cdcChunkDedupQ, Some(cdcChunkDedupSql)),
+    Q("containment_join", containmentJoinQ, Some(containmentJoinSql)),
     Q("ngram_jaccard", ngramJaccard, Some(jaccardPairsSql)),
     Q("dedup_minhash", dedupMinhash, Some(jaccardPairsSql)),
     Q("split_leakage", splitLeakage, Some(splitLeakageSql)),

@@ -74,6 +74,34 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("containment join: directional subset found, threshold boundary exact") {
+    val long = (1 to 20).map(i => s"w$i").mkString(" ")        // 18 shingles
+    val quoted = (5 to 10).map(i => s"w$i").mkString(" ")      // 4 shingles, all in doc 1
+    val boundary = quoted + " f1"                              // 5 shingles, 4 shared: C = 0.8
+    val docs = Seq(
+      (1L, long), (2L, quoted), (3L, boundary),
+      (4L, "totally unrelated words about nothing shared at all here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentJoin(docs).orderBy("d_sub", "d_super").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.contains((2L, 1L)) && out((2L, 1L)) === ((4L, 4L, 1.0)),
+      "full quote: containment exactly 1.0 toward the long doc")
+    assert(out((3L, 1L)) === ((5L, 4L, 0.8)),
+      "4/5 boundary pair must be INCLUDED (>= is exact: 4.0/5.0 == 0.8)")
+    assert(out.contains((2L, 3L)) && out((2L, 3L))._3 === 1.0,
+      "the quote is also fully inside the boundary doc")
+    assert(!out.keys.exists { case (a, b) => a == 1L || a == 4L || b == 4L },
+      "no reverse direction from the long doc (4/18 < t), nothing from doc 4")
+    // Asymmetry vs Jaccard: the quote–longdoc pair is invisible to the
+    // symmetric join (J(1,2) = 4/18), though 2–3 qualifies both ways.
+    val j = Dedup.ngramJaccard(docs).select("d1", "d2")
+      .as[(Long, Long)].collect().toSet
+    assert(!j.contains((1L, 2L)) && !j.contains((1L, 3L)),
+      "the symmetric join must NOT find the quote inside the long doc")
+    assert(j.contains((2L, 3L)), "near-identical short docs qualify both ways")
+  }
+
   test("prefix filtering is lossless: minhash LSH and exact join agree on testdata") {
     val exact = Dedup.ngramJaccard(graft.sources.Tables.documents(spark, sf))
       .select("d1", "d2").as[(Long, Long)].collect().toSet
