@@ -42,6 +42,15 @@ import graft.functions.NativeExpressions.{DotProduct, MinHashSignature, NfcNorma
   *     temperature-flattened training-mixture schedule per source
   *   - `graft_span_screen('standing', 'arrivals', 'min_len')` — arrival
   *     removal spans against a standing corpus (monotone arrival ids)
+  *   - `graft_block_dedup('t', 'block_words')` — CCNet block-hash dedup
+  *   - `graft_cdc_chunk_dedup('t', 'gram_k', 'divisor')` — content-defined
+  *     chunking dedup (shift-robust)
+  *   - `graft_containment_join('t', 'n', 'threshold')` — directional
+  *     |A∩B|/|A| containment pairs
+  *   - `graft_label_propagation('t', 'k', 'seed_mod', 'rounds')` —
+  *     hard-clamp label propagation over the mutual-kNN graph
+  *   - `graft_random_projection('t', 'out_dims')` — portable JL sign
+  *     projection (long form)
   *
   * Wire up via `GraftSession.builder` (already applied) or
   * `--conf spark.sql.extensions=graft.GraftExtensions` on a stock session.
@@ -171,6 +180,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SELECT * FROM graft_knn_graph('embeddings', '5') — corpus-wide kNN
     tableOp("graft_knn_graph", 2,
       "graft_knn_graph('table', 'k')")(s => ("knn_graph", s.tail))
+    // SELECT * FROM graft_block_dedup('docs', '8') — CCNet block-hash dedup
+    tableOp("graft_block_dedup", 2,
+      "graft_block_dedup('table', 'block_words')")(s => ("block_dedup", s.tail))
+    // SELECT * FROM graft_cdc_chunk_dedup('docs', '3', '8') — CDC dedup
+    tableOp("graft_cdc_chunk_dedup", 3,
+      "graft_cdc_chunk_dedup('table', 'gram_k', 'divisor')")(
+      s => ("cdc_chunk_dedup", s.tail))
+    // SELECT * FROM graft_containment_join('docs', '3', '0.8')
+    tableOp("graft_containment_join", 3,
+      "graft_containment_join('table', 'ngram_n', 'threshold')")(
+      s => ("containment_join", s.tail))
+    // SELECT * FROM graft_label_propagation('embeddings', '5', '5', '2')
+    tableOp("graft_label_propagation", 4,
+      "graft_label_propagation('table', 'k', 'seed_mod', 'rounds')")(
+      s => ("label_propagation", s.tail))
+    // SELECT * FROM graft_random_projection('embeddings', '16') — JL map
+    tableOp("graft_random_projection", 2,
+      "graft_random_projection('table', 'out_dims')")(
+      s => ("random_projection", s.tail))
     // SELECT * FROM graft_mixture_schedule('docs', '1000000') — τ=0.5
     // training-mixture schedule under the given token budget
     tableOp("graft_mixture_schedule", 2,

@@ -61,6 +61,17 @@ class GraftTableOpResolution(session: SparkSession) extends Rule[LogicalPlan] {
           graft.ops.Dedup.exactSubstrSpans(df, params(0).toInt)
         case "knn_graph" =>
           graft.ops.Similarity.knnGraph(df, params(0).toInt)
+        case "block_dedup" =>
+          graft.ops.Dedup.blockDedup(df, params(0).toInt)
+        case "cdc_chunk_dedup" =>
+          graft.ops.Dedup.cdcChunkDedup(df, params(0).toInt, params(1).toInt)
+        case "containment_join" =>
+          graft.ops.Dedup.containmentJoin(df, params(0).toInt, params(1).toDouble)
+        case "label_propagation" =>
+          graft.ops.Similarity.labelPropagate(
+            df, params(0).toInt, params(1).toInt, params(2).toInt)
+        case "random_projection" =>
+          graft.ops.Similarity.randomProjection(df, params(0).toInt)
         case "mixture_schedule" =>
           // the registry derivation verbatim: one tokenize-count scan to
           // per-source token totals, then the |sources|-sized schedule

@@ -197,6 +197,31 @@ class ExtensionsSpec extends SparkSpec {
       mApi.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("r13-family TVFs match the Scala operators") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val embs = graft.sources.Tables.embeddings(spark, sf)
+    docs.createOrReplaceTempView("ext_docs_r13")
+    embs.createOrReplaceTempView("ext_embs_r13")
+    def pin(sql: org.apache.spark.sql.DataFrame,
+            api: org.apache.spark.sql.DataFrame, nonEmpty: Boolean): Unit = {
+      assert(sql.columns.toSeq === api.columns.toSeq)
+      assert(sql.collect().map(_.toString).sorted.toSeq ===
+        api.collect().map(_.toString).sorted.toSeq)
+      if (nonEmpty) assert(sql.count() > 0)
+    }
+    pin(spark.sql("SELECT * FROM graft_block_dedup('ext_docs_r13', '8')"),
+      graft.ops.Dedup.blockDedup(docs, 8), nonEmpty = true)
+    pin(spark.sql("SELECT * FROM graft_cdc_chunk_dedup('ext_docs_r13', '3', '8')"),
+      graft.ops.Dedup.cdcChunkDedup(docs, 3, 8), nonEmpty = true)
+    pin(spark.sql("SELECT * FROM graft_containment_join('ext_docs_r13', '3', '0.8')"),
+      graft.ops.Dedup.containmentJoin(docs, 3, 0.8), nonEmpty = true)
+    pin(spark.sql(
+        "SELECT * FROM graft_label_propagation('ext_embs_r13', '5', '5', '2')"),
+      Similarity.labelPropagate(embs, 5, 5, 2), nonEmpty = true)
+    pin(spark.sql("SELECT * FROM graft_random_projection('ext_embs_r13', '16')"),
+      Similarity.randomProjection(embs, 16), nonEmpty = true)
+  }
+
   test("graft_span_screen TVF matches the incremental span screen") {
     val all = graft.sources.Tables.documents(spark, sf)
     all.filter($"doc_id" < 400).createOrReplaceTempView("ext_span_standing")
