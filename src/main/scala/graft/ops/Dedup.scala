@@ -71,8 +71,20 @@ object Dedup {
     * corpus-boilerplate block (high df) is ONE grouped row after the
     * partial aggregate, so hot blocks cannot skew the shuffle. */
   def blockDedup(docs: DataFrame, blockWords: Int = 8): DataFrame = {
+    val blocks = blockRows(docs, blockWords)
+    val first = blocks.groupBy(col("__h1"), col("__h2"))
+      .agg(min(struct(col("doc_id"), col("block_idx"))).as("first_key"))
+    blockStats(blocks.join(first, Seq("__h1", "__h2"))
+      .withColumn("removed",
+        struct(col("doc_id"), col("block_idx")) =!= col("first_key")))
+  }
+
+  /** One row per `blockWords`-token block: (doc_id, block_idx, hash128
+    * pair, block word count). Shared by the one-shot [[blockDedup]] and
+    * the standing-index arrival path ([[incrementalBlockDedup]]). */
+  def blockRows(docs: DataFrame, blockWords: Int): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val blocks = docs
+    docs
       .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))))
       .toDF("doc_id", "pos", "t")
       .select(col("doc_id"), col("pos"),
@@ -84,12 +96,11 @@ object Dedup {
         (col("pos") / blockWords).cast("long").as("block_idx"),
         xxhash64(col("blk")).as("__h1"), xxhash64(lit(1L), col("blk")).as("__h2"),
         least(lit(blockWords.toLong), col("n_toks") - col("pos")).as("bw"))
-    val first = blocks.groupBy(col("__h1"), col("__h2"))
-      .agg(min(struct(col("doc_id"), col("block_idx"))).as("first_key"))
-    blocks.join(first, Seq("__h1", "__h2"))
-      .withColumn("removed",
-        struct(col("doc_id"), col("block_idx")) =!= col("first_key"))
-      .groupBy(col("doc_id"))
+  }
+
+  /** Per-doc survival aggregate over marked block rows (needs `removed`). */
+  private def blockStats(marked: DataFrame): DataFrame =
+    marked.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_blocks"),
         sum(col("removed").cast("long")).as("n_removed"),
         sum(col("bw")).as("words_total"),
@@ -97,6 +108,50 @@ object Dedup {
       .withColumn("kept_ratio",
         (col("words_total") - col("words_removed")).cast("double") /
           col("words_total").cast("double"))
+
+  /** Standing block-hash index: the distinct hash128 pairs of every block
+    * seen so far — the state an ingestion pipeline screens arrivals
+    * against. Hash-only rows (16 bytes + ids of nothing): corpus text
+    * never reaches the index. */
+  def writeBlockIndex(docs: DataFrame, dir: String, blockWords: Int = 8): Unit =
+    blockRows(docs, blockWords).select(col("__h1"), col("__h2")).distinct()
+      .write.mode("overwrite").parquet(dir)
+
+  /** Append an arrival batch's block hashes to the standing index.
+    * Blind append — NO read-modify-write, so concurrent appenders and
+    * at-least-once redelivery are safe by construction: duplicate hash
+    * rows are harmless because every reader ([[incrementalBlockDedup]])
+    * probes with a semi-join, which is idempotent in the probe table —
+    * the same discipline the span fingerprint index adopted after the
+    * r12 double-append corruption. */
+  def appendBlockIndex(docs: DataFrame, dir: String, blockWords: Int = 8): Unit =
+    blockRows(docs, blockWords).select(col("__h1"), col("__h2")).distinct()
+      .write.mode("append").parquet(dir)
+
+  /** Arrival screen against the standing block index: a block instance is
+    * removed if its hash is ALREADY INDEXED (some earlier doc owns it) or
+    * an earlier (doc_id, block_idx) instance exists within this batch.
+    * Under monotone ingestion (arrival ids above every indexed id — the
+    * ingestion contract) this is EXACTLY the corpus-wide [[blockDedup]]
+    * first-instance rule restricted to arrival docs: an indexed hash's
+    * global first instance has a smaller doc_id than any arrival, and an
+    * unindexed hash's first instance is the batch minimum. Cost ∝ batch
+    * blocks + one semi-join probe of the hash-only index — never the
+    * corpus. */
+  def incrementalBlockDedup(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, arrivals: DataFrame,
+                            blockWords: Int = 8): DataFrame = {
+    val idx = spark.read.parquet(dir).select(col("__h1"), col("__h2"))
+    val blocks = blockRows(arrivals, blockWords)
+    val batchFirst = blocks.groupBy(col("__h1"), col("__h2"))
+      .agg(min(struct(col("doc_id"), col("block_idx"))).as("first_key"))
+    val marked = blocks.join(batchFirst, Seq("__h1", "__h2"))
+      .join(idx.withColumn("__indexed", lit(true)).distinct(),
+        Seq("__h1", "__h2"), "left")
+      .withColumn("removed",
+        coalesce(col("__indexed"), lit(false)) ||
+          struct(col("doc_id"), col("block_idx")) =!= col("first_key"))
+    blockStats(marked)
   }
 
 

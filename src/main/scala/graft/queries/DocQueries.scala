@@ -394,8 +394,10 @@ object DocQueries {
   private def blockDedupQ(s: SparkSession, d: String): DataFrame =
     Dedup.blockDedup(Tables.documents(s, d)).orderBy("doc_id")
 
-  private val blockDedupSql = raw"""
-    WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents),
+  /** Shared block-dedup CTE chain (segmentation + global first-instance
+    * marking) — consumed whole by `block_dedup` and restricted to arrival
+    * docs by `incremental_block_dedup` (the monotone-id identity). */
+  private val blockCtes = raw"""w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents),
     b AS (SELECT doc_id, u.bi AS block_idx, u.blk AS blk, u.bw AS bw FROM
           (SELECT doc_id, unnest([{'bi': i,
                                    'blk': array_to_string(ws[i*8+1:i*8+8], ' '),
@@ -403,14 +405,37 @@ object DocQueries {
            FROM w)),
     r AS (SELECT doc_id, block_idx, bw,
             row_number() OVER (PARTITION BY blk ORDER BY doc_id, block_idx) > 1 AS removed
-          FROM b)
-    SELECT doc_id, COUNT(*)::BIGINT AS n_blocks,
+          FROM b)"""
+
+  private val blockStatsSelect = """SELECT doc_id, COUNT(*)::BIGINT AS n_blocks,
            SUM(CASE WHEN removed THEN 1 ELSE 0 END)::BIGINT AS n_removed,
            SUM(bw)::BIGINT AS words_total,
            SUM(CASE WHEN removed THEN bw ELSE 0 END)::BIGINT AS words_removed,
            (SUM(bw) - SUM(CASE WHEN removed THEN bw ELSE 0 END))::DOUBLE
              / SUM(bw)::DOUBLE AS kept_ratio
-    FROM r GROUP BY doc_id ORDER BY doc_id"""
+    FROM r"""
+
+  private val blockDedupSql = s"""
+    WITH $blockCtes
+    $blockStatsSelect GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Standing-index arrival screen ([[graft.ops.Dedup.incrementalBlockDedup]]):
+    * docs < 400 are the indexed standing corpus, docs >= 400 the arrival
+    * batch. Under monotone ids the screen ≡ the corpus-wide first-instance
+    * rule restricted to arrivals, so the oracle is the shared chain with a
+    * doc_id >= 400 restriction. */
+  private def incrementalBlockDedupQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val all = Tables.documents(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft_blk_idx").toString
+    Dedup.writeBlockIndex(all.filter($"doc_id" < 400), dir)
+    Dedup.incrementalBlockDedup(s, dir, all.filter($"doc_id" >= 400))
+      .orderBy("doc_id")
+  }
+
+  private val incrementalBlockDedupSql = s"""
+    WITH $blockCtes
+    $blockStatsSelect WHERE doc_id >= 400 GROUP BY doc_id ORDER BY doc_id"""
 
   /** Content-defined chunking dedup ([[graft.ops.Dedup.cdcChunkDedup]]):
     * md5-bucket cut rule (k=3 grams, divisor 8), first-instance survival,
@@ -3109,6 +3134,7 @@ $sel
     Q("block_dedup", blockDedupQ, Some(blockDedupSql)),
     Q("cdc_chunk_dedup", cdcChunkDedupQ, Some(cdcChunkDedupSql)),
     Q("containment_join", containmentJoinQ, Some(containmentJoinSql)),
+    Q("incremental_block_dedup", incrementalBlockDedupQ, Some(incrementalBlockDedupSql)),
     Q("ngram_jaccard", ngramJaccard, Some(jaccardPairsSql)),
     Q("dedup_minhash", dedupMinhash, Some(jaccardPairsSql)),
     Q("split_leakage", splitLeakage, Some(splitLeakageSql)),

@@ -74,6 +74,33 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("incremental block dedup: screen = global rule; replayed appends harmless") {
+    val dir = java.nio.file.Files.createTempDirectory("blkidx").toString
+    val standing = Seq((0L, "a b c d e f")).toDF("doc_id", "text")
+    val arrivals = Seq(
+      (10L, "a b c x y z"),  // first block indexed, second new
+      (11L, "x y z p q r"),  // first block dups (10, 1) WITHIN the batch
+      (12L, "n o p")         // all fresh
+    ).toDF("doc_id", "text")
+    Dedup.writeBlockIndex(standing, dir, blockWords = 3)
+    val screened = Dedup.incrementalBlockDedup(spark, dir, arrivals, blockWords = 3)
+      .orderBy("doc_id").collect().map(_.toString)
+    val global = Dedup.blockDedup(standing.unionByName(arrivals), blockWords = 3)
+      .filter($"doc_id" >= 10L).orderBy("doc_id").collect().map(_.toString)
+    assert(screened.toSeq === global.toSeq,
+      "monotone-id identity: screen must equal the corpus-wide rule on arrivals")
+    // At-least-once redelivery: the same batch appended TWICE must not
+    // change what a later batch sees (semi-join probe is idempotent).
+    Dedup.appendBlockIndex(arrivals, dir, blockWords = 3)
+    Dedup.appendBlockIndex(arrivals, dir, blockWords = 3)
+    val later = Seq((20L, "x y z w w w")).toDF("doc_id", "text")
+    val out = Dedup.incrementalBlockDedup(spark, dir, later, blockWords = 3)
+      .collect().head
+    assert(out.getLong(1) === 2L && out.getLong(2) === 1L,
+      "exactly the replayed-indexed block removed — once, not twice")
+    assert(out.getLong(4) === 3L && out.getDouble(5) === 0.5)
+  }
+
   test("containment join: directional subset found, threshold boundary exact") {
     val long = (1 to 20).map(i => s"w$i").mkString(" ")        // 18 shingles
     val quoted = (5 to 10).map(i => s"w$i").mkString(" ")      // 4 shingles, all in doc 1
