@@ -325,11 +325,27 @@ object Similarity {
     * exact top-k — the number that decides whether the cheap 4×-smaller
     * index is usable (ann_recall discipline: the measured answer, however
     * unflattering). One row: n_queries, k, hits, recall. */
-  def rpKnnRecall(embeddings: DataFrame, outDims: Int = 16, k: Int = 5): DataFrame = {
+  def rpKnnRecall(embeddings: DataFrame, outDims: Int = 16, k: Int = 5): DataFrame =
+    reducedRecall(embeddings, projectWide(embeddings, outDims, 64), k)
+
+  /** Matryoshka-style truncation eval: recall@k of exact top-k computed on
+    * the FIRST `dims` coordinates against full-space exact top-k — the
+    * other standard cheap-index path next to [[rpKnnRecall]]'s JL
+    * projection (truncation is free but only works when the embedding was
+    * trained nested; the projection works on any embedding but costs a
+    * map pass — this pair of entries is how a pipeline decides). */
+  def truncationRecall(embeddings: DataFrame, dims: Int = 16, k: Int = 5): DataFrame =
+    reducedRecall(embeddings,
+      embeddings.select(col("vec_id"),
+        slice(toDouble(col("embedding")), 1, dims).as("embedding")), k)
+
+  /** Shared harness: overall recall@k of the reduced space's exact top-k
+    * against the full space's. One row: n_queries, k, hits, recall. */
+  private def reducedRecall(embeddings: DataFrame, reduced: DataFrame,
+                            k: Int): DataFrame = {
     val full = knnGraph(embeddings, k).select(col("query_id"), col("neighbor_id"))
-    val rp = knnGraph(projectWide(embeddings, outDims, 64), k)
-      .select(col("query_id"), col("neighbor_id"))
-    val hits = full.join(rp, Seq("query_id", "neighbor_id"), "left_semi")
+    val red = knnGraph(reduced, k).select(col("query_id"), col("neighbor_id"))
+    val hits = full.join(red, Seq("query_id", "neighbor_id"), "left_semi")
     full.agg(countDistinct(col("query_id")).as("n_queries")).crossJoin(
         broadcast(hits.agg(count(lit(1)).as("hits"))))
       .select(col("n_queries"), lit(k).as("k"), col("hits"),

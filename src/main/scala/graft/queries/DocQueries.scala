@@ -1062,6 +1062,39 @@ object DocQueries {
     SELECT n_queries, 5 AS k, hits,
            hits::DOUBLE / (n_queries * 5)::DOUBLE AS recall FROM agg"""
 
+  /** Matryoshka truncation eval ([[graft.ops.Similarity.truncationRecall]]):
+    * recall@5 of first-16-coordinate exact top-5 vs full-space top-5 — the
+    * companion number to `rp_knn_recall` (truncation vs projection). */
+  private def truncationRecallQ(s: SparkSession, d: String): DataFrame =
+    Similarity.truncationRecall(Tables.embeddings(s, d))
+
+  private val truncationRecallSql = """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+               FROM embeddings),
+    n AS (SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm FROM v),
+    p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+            list_sum(list_transform(range(1, len(n.emb)+1), i -> n.emb[i]*q.emb[i]))
+              / (n.nrm * q.nrm) AS cos
+          FROM n JOIN n q ON n.vec_id <> q.vec_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rank FROM p),
+    g AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 5),
+    tv AS (SELECT vec_id, emb[1:16] AS emb FROM v),
+    n2 AS (SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm FROM tv),
+    p2 AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 17), i -> n.emb[i]*q.emb[i]))
+               / (n.nrm * q.nrm) AS cos
+           FROM n2 n JOIN n2 q ON n.vec_id <> q.vec_id),
+    r2 AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS rank FROM p2),
+    g2 AS (SELECT query_id, neighbor_id FROM r2 WHERE rank <= 5),
+    agg AS (SELECT (SELECT COUNT(DISTINCT query_id) FROM g)::BIGINT AS n_queries,
+                   (SELECT COUNT(*) FROM g g1 JOIN g2
+                      ON g1.query_id = g2.query_id
+                     AND g1.neighbor_id = g2.neighbor_id)::BIGINT AS hits)
+    SELECT n_queries, 5 AS k, hits,
+           hits::DOUBLE / (n_queries * 5)::DOUBLE AS recall FROM agg"""
+
   /** Top principal component by power iteration
     * ([[graft.ops.Similarity.pcaPower]]) — the embedding-space anisotropy
     * diagnostic. The oracle replays the WHOLE computation: decimal-exact
@@ -3152,6 +3185,7 @@ $sel
     Q("label_propagation", labelPropagationQ, Some(labelPropagationSql)),
     Q("random_projection", randomProjectionQ, Some(randomProjectionSql)),
     Q("rp_knn_recall", rpKnnRecallQ, Some(rpKnnRecallSql)),
+    Q("truncation_recall", truncationRecallQ, Some(truncationRecallSql)),
     Q("mutual_knn_clusters", mutualKnnClusters, Some(mutualKnnClustersSql)),
     Q("embedding_pca", embeddingPca, Some(embeddingPcaSql)),
     Q("remove_top_component", removeTopComponentQ, Some(removeTopComponentSql)),

@@ -97,6 +97,9 @@ class SimilaritySpec extends SparkSpec {
     val rec = Similarity.rpKnnRecall(twins, outDims = 16, k = 1).collect().head
     assert(rec.getLong(0) === 6L && rec.getLong(2) === 6L)
     assert(rec.getDouble(3) === 1.0)
+    // Same harness, truncation path: identical twins also truncate identically.
+    val tr = Similarity.truncationRecall(twins, dims = 16, k = 1).collect().head
+    assert(tr.getLong(2) === 6L && tr.getDouble(3) === 1.0)
   }
 
   test("label_balance: exact shares, weights, Gini and majority baseline") {
