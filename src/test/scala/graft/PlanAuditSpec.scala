@@ -69,7 +69,12 @@ class PlanAuditSpec extends SparkSpec {
             // r13: the DSIR pair broadcasts its two single-row model
             // totals (and dsir_sample the single-row weight max) onto
             // the scored feature stream — the broadcast-totals pattern
-            "dsir_weights", "dsir_sample")(p._1))
+            "dsir_weights", "dsir_sample",
+            // r13 continuation: the reduced-recall pair inherits
+            // knn_bruteforce's intended BNLJ via knnGraph on BOTH the
+            // full and reduced spaces, and cross-joins its two
+            // single-row count summaries — ann_recall's exact shape
+            "rp_knn_recall", "truncation_recall")(p._1))
       .foreach { case (name, p) =>
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
       }
