@@ -257,6 +257,19 @@ object Bench {
     },
     "embedding_pca_4x" -> ((s, d) =>
       graft.ops.Similarity.pcaPower(stressEmbeddings(s, d, 4))),
+    // r13 block/chunk dedup family scale curves: token-salted replicas
+    // share no block or chunk text, so ×F multiplies corpora without
+    // faking cross-replica dups — the hash-only first-instance shuffle is
+    // the claimed ~linear cost these entries measure rather than assert
+    "block_dedup_10x" -> ((s, d) =>
+      graft.ops.Dedup.blockDedup(stressDocs(s, d, 10))),
+    "cdc_chunk_dedup_10x" -> ((s, d) =>
+      graft.ops.Dedup.cdcChunkDedup(stressDocs(s, d, 10))),
+    // containment at 4×: the contained-prefix × full-shingle-table join is
+    // the quadratic-risk stage (candidates ∝ Σ df over prefixes); replicas
+    // are df-independent so the honest expectation is ~linear — measured
+    "containment_join_4x" -> ((s, d) =>
+      graft.ops.Dedup.containmentJoin(stressDocs(s, d, 4))),
     "mutual_knn_clusters_2x" -> ((s, d) =>
       graft.ops.Dedup.clusters(
         graft.ops.Similarity.mutualKnn(stressEmbeddings(s, d, 2))

@@ -69,7 +69,12 @@ object Dedup {
     * xxhash64 pair ([[exact]]'s collision argument), the min-instance
     * groupBy is map-side combined, and the join back is hash-to-hash. A
     * corpus-boilerplate block (high df) is ONE grouped row after the
-    * partial aggregate, so hot blocks cannot skew the shuffle. */
+    * partial aggregate, so hot blocks cannot skew the shuffle.
+    *
+    * NULL-text docs emit no blocks and are ABSENT from the output (the
+    * [[graft.ops.Similarity.hardNegatives]] "curate first" contract,
+    * AdversarialSpec-pinned); empty docs tokenize to one empty block and
+    * dedup against each other. */
   def blockDedup(docs: DataFrame, blockWords: Int = 8): DataFrame = {
     val blocks = blockRows(docs, blockWords)
     val first = blocks.groupBy(col("__h1"), col("__h2"))
@@ -176,7 +181,8 @@ object Dedup {
     * co-partitioned join back to the token arrays, and the global
     * first-instance shuffle carries only (hash128, doc_id, chunk_idx,
     * len) — [[exact]]'s collision argument, [[blockDedup]]'s no-skew
-    * argument. */
+    * argument. NULL-text docs are absent from the output
+    * ([[blockDedup]]'s contract, AdversarialSpec-pinned). */
   def cdcChunkDedup(docs: DataFrame, k: Int = 3, divisor: Int = 8): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val gram = concat_ws(" ",

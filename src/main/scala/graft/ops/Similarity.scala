@@ -256,7 +256,10 @@ object Similarity {
     * a (node,label) count aggregate (map-side combined, ≤ #labels rows per
     * node) and a per-node top-1 — no vectors, no text, no n² anywhere past
     * the banded/bounded kNN build. Rounds are a fixed small constant
-    * (diffusion depth), not a convergence loop. */
+    * (diffusion depth), not a convergence loop. A NULL-label seed votes
+    * nothing (its clamp value IS null, and null votes are filtered), so
+    * NULL labels degrade to "fewer seeds", never to propagating null as
+    * a label — AdversarialSpec-pinned. */
   def labelPropagate(embeddings: DataFrame, k: Int = 5, seedMod: Int = 5,
                      rounds: Int = 2): DataFrame = {
     val edges = mutualKnn(embeddings, k).select(col("d1"), col("d2"))

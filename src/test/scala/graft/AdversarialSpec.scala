@@ -227,6 +227,49 @@ class AdversarialSpec extends SparkSpec {
     assert(groups(8L) !== groups(10L))
   }
 
+  test("r13 dedup family on NULL / empty / short text: absences are pinned, not accidental") {
+    val d = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, null.asInstanceOf[String]),  // NULL text: no token rows at all
+      (3L, ""),                          // one empty token after split
+      (4L, "")                           // ... which dedups against doc 3's
+    ).toDF("doc_id", "text")
+    // NULL-text docs emit no blocks (posexplode of a NULL array) and are
+    // ABSENT from per-doc stats — the hardNegatives "curate first"
+    // contract, pinned so a silent change to NULL handling fails here.
+    val blk = Dedup.blockDedup(d, blockWords = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(!blk.contains(2L), "NULL text must be absent, not zero-row-counted")
+    assert(blk(1L) === 0L)
+    assert(blk(3L) === 0L && blk(4L) === 1L,
+      "empty docs tokenize to one empty block and dedup against each other")
+    val cdc = Dedup.cdcChunkDedup(d).collect().map(_.getLong(0)).toSet
+    assert(cdc === Set(1L, 3L, 4L), "same absence contract for CDC chunks")
+    // containment: docs shorter than n tokens carry no shingles — absent
+    // from BOTH sides (shingleRows contract), never a 0/0 division
+    val cj = Dedup.containmentJoin(Seq(
+      (1L, "a b c d e f"), (2L, "a b"), (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")).collect()
+    assert(cj.isEmpty)
+  }
+
+  test("labelPropagate: NULL-label seeds vote nothing and stay NULL") {
+    // Seed 0 has a NULL label: it must neither crash nor propagate NULL as
+    // if it were a label; unreached nodes stay NULL; agrees is never NULL.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), null.asInstanceOf[java.lang.Long]),
+      (1L, Array(0.99f, 0.1f, 0.0f, 0.0f), java.lang.Long.valueOf(3L)),
+      (2L, Array(0.98f, 0.15f, 0.0f, 0.0f), java.lang.Long.valueOf(3L))
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelPropagate(emb, k = 2, seedMod = 5, rounds = 2)
+      .orderBy("vec_id").collect()
+    assert(out.forall(!_.isNullAt(3)), "agrees must be a definite boolean")
+    assert(out.forall(_.isNullAt(2)),
+      "a NULL-label seed contributes no votes: every node stays unlabeled")
+    assert(out.map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+      .forall(!_._2), "nothing can agree when nothing is labeled")
+  }
+
   test("ngramNovelty: exact duplicates score 0, short docs 0/0, originals keep their grams") {
     val eight = "alpha beta gamma delta epsilon zeta eta theta"
     val d = docs(
