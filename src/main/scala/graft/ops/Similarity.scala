@@ -288,6 +288,41 @@ object Similarity {
       (col("cur").isNotNull && col("cur") === col("label")).as("agrees"))
   }
 
+  /** Triangle census of the [[mutualKnn]] graph: per vector its degree,
+    * triangle count, and local clustering coefficient 2T/(deg·(deg−1)) —
+    * the community-structure diagnostic (a clustered corpus closes its
+    * wedges; hub-free noise doesn't). Triangles enumerate by the standard
+    * ordered edge-join (a<b ⋈ b<c, semi-joined against a<c), each found
+    * exactly once. The mutual graph's degree is ≤ k BY CONSTRUCTION (an
+    * edge needs both endpoints' top-k), so every join bucket is k-bounded
+    * — the skewed-hub case that forces degree-ordering tricks in general
+    * triangle counting cannot occur here. Vectors with no mutual edge
+    * report degree 0, cc 0.0 (defined, not NULL/NaN). */
+  def graphTriangles(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val e = mutualKnn(embeddings, k).select(col("d1"), col("d2"))
+      .localCheckpoint(true) // feeds the 3-way triangle join + the degree
+    val dir = e.union(e.select(col("d2").as("d1"), col("d1").as("d2")))
+    val deg = dir.groupBy(col("d1").as("vec_id"))
+      .agg(count(lit(1)).as("degree"))
+    val tri = e.toDF("a", "b")
+      .join(e.toDF("b", "c"), "b")
+      .join(e.toDF("a", "c"), Seq("a", "c"), "left_semi")
+    val tcount = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("triangles"))
+    embeddings.select(col("vec_id"))
+      .join(deg, Seq("vec_id"), "left")
+      .join(tcount, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("local_cc",
+        when(col("degree") >= 2,
+          (col("triangles") * 2).cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   /** Johnson-Lindenstrauss sign random projection (Achlioptas '01 dense
     * ±1 variant): project `inDims`-dim embeddings to `outDims` dims with
     * r_ij = ±1/√outDims, the sign drawn from the parity of

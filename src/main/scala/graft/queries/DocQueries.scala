@@ -960,6 +960,48 @@ object DocQueries {
     WHERE EXISTS (SELECT 1 FROM b WHERE b.d1 = e.d1 AND b.d2 = e.d2)
     ORDER BY d1, d2"""
 
+  /** Mutual-kNN triangle census ([[graft.ops.Similarity.graphTriangles]]):
+    * per-vector degree, triangles, local clustering coefficient. Oracle
+    * enumerates the same ordered triangles over the all-pairs mutual
+    * edges. */
+  private def graphTrianglesQ(s: SparkSession, d: String): DataFrame =
+    Similarity.graphTriangles(Tables.embeddings(s, d)).orderBy("vec_id")
+
+  private val graphTrianglesSql = """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+               FROM embeddings),
+    n AS (SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm FROM v),
+    p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+            list_sum(list_transform(range(1, len(n.emb)+1), i -> n.emb[i]*q.emb[i]))
+              / (n.nrm * q.nrm) AS cos
+          FROM n JOIN n q ON n.vec_id <> q.vec_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rank FROM p),
+    g AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 5),
+    e AS (SELECT query_id AS d1, neighbor_id AS d2 FROM g WHERE query_id < neighbor_id),
+    bk AS (SELECT neighbor_id AS d1, query_id AS d2 FROM g WHERE neighbor_id < query_id),
+    mk AS (SELECT d1, d2 FROM e
+           WHERE EXISTS (SELECT 1 FROM bk WHERE bk.d1 = e.d1 AND bk.d2 = e.d2)),
+    dir AS (SELECT d1, d2 FROM mk UNION ALL SELECT d2 AS d1, d1 AS d2 FROM mk),
+    deg AS (SELECT d1 AS vec_id, COUNT(*)::BIGINT AS degree FROM dir GROUP BY d1),
+    tri AS (SELECT ab.d1 AS a, ab.d2 AS b, bc.d2 AS c
+            FROM mk ab JOIN mk bc ON ab.d2 = bc.d1
+            WHERE EXISTS (SELECT 1 FROM mk ac
+                          WHERE ac.d1 = ab.d1 AND ac.d2 = bc.d2)),
+    tc AS (SELECT u.m AS vec_id, COUNT(*)::BIGINT AS triangles
+           FROM (SELECT unnest([a, b, c]) AS m FROM tri) u GROUP BY u.m)
+    SELECT em.vec_id AS vec_id,
+           coalesce(deg.degree, 0)::BIGINT AS degree,
+           coalesce(tc.triangles, 0)::BIGINT AS triangles,
+           CASE WHEN coalesce(deg.degree, 0) >= 2
+                THEN (coalesce(tc.triangles, 0) * 2)::DOUBLE
+                     / (deg.degree * (deg.degree - 1))::DOUBLE
+                ELSE 0.0::DOUBLE END AS local_cc
+    FROM embeddings em
+    LEFT JOIN deg ON deg.vec_id = em.vec_id
+    LEFT JOIN tc ON tc.vec_id = em.vec_id
+    ORDER BY em.vec_id"""
+
   /** Hard-clamp label propagation over the mutual-kNN graph
     * ([[graft.ops.Similarity.labelPropagate]]): seeds = vec_id % 5 == 0,
     * two synchronous majority rounds, ties to the smallest label. The
@@ -3186,6 +3228,7 @@ $sel
     Q("random_projection", randomProjectionQ, Some(randomProjectionSql)),
     Q("rp_knn_recall", rpKnnRecallQ, Some(rpKnnRecallSql)),
     Q("truncation_recall", truncationRecallQ, Some(truncationRecallSql)),
+    Q("graph_triangles", graphTrianglesQ, Some(graphTrianglesSql)),
     Q("mutual_knn_clusters", mutualKnnClusters, Some(mutualKnnClustersSql)),
     Q("embedding_pca", embeddingPca, Some(embeddingPcaSql)),
     Q("remove_top_component", removeTopComponentQ, Some(removeTopComponentSql)),

@@ -67,6 +67,26 @@ class SimilaritySpec extends SparkSpec {
     assert(r1.head.isNullAt(2), "round-2-deep node must not label in one round")
   }
 
+  test("graph triangles: closed wedge counted once, pendants and isolates zeroed") {
+    def v(deg: Double) = Array(
+      math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat, 0.0f, 0.0f)
+    // 0-1-2 tight (k=2 mutual clique => one triangle, cc 1.0); 5-6 a
+    // mutual pair (degree 1, no wedge); 9 unreciprocated (degree 0).
+    val emb = Seq(
+      (0L, v(0.0)), (1L, v(5.0)), (2L, v(10.0)),
+      (5L, v(90.0)), (6L, v(95.0)), (9L, v(180.0))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.graphTriangles(emb, k = 2).orderBy("vec_id").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    Seq(0L, 1L, 2L).foreach { id =>
+      assert(out(id) === ((2L, 1L, 1.0)), s"clique node $id")
+    }
+    assert(out(5L) === ((1L, 0L, 0.0)) && out(6L) === ((1L, 0L, 0.0)))
+    assert(out(9L) === ((0L, 0L, 0.0)), "unreciprocated node: defined zeros")
+  }
+
   test("random projection: md5-parity matrix, exact scaling, twin recall") {
     // Basis vector e_i projects to row i of the matrix: every coordinate
     // is exactly ±1/sqrt(16), with the sign of md5("rp:i:j")'s last bit.

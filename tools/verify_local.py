@@ -12,7 +12,7 @@ Usage:
 --skip: comma-separated query names to exclude. Since r13 NO query needs
 it at either SF: the Jaccard-family oracles generate candidates via
 lossless SSJoin prefix filtering (see DocQueries.jaccardPairsCtes), so the
-full 200-entry registry verifies at sf0.1 in minutes.
+full 201-entry registry verifies at sf0.1 in minutes.
 --only: comma-separated query names to check exclusively (pairs with
 graft.Verify --only for a fast targeted re-check of just-touched queries).
 """
