@@ -41,7 +41,10 @@ import graft.functions.NativeExpressions.{DotProduct, MinHashSignature, NfcNorma
   *   - `graft_mixture_schedule('t', 'budget_tokens')` — τ=0.5
   *     temperature-flattened training-mixture schedule per source
   *   - `graft_span_screen('standing', 'arrivals', 'min_len')` — arrival
-  *     removal spans against a standing corpus (monotone arrival ids)
+  *     removal spans against a standing corpus (monotone arrival ids).
+  *     NOTE: recomputes over the full standing∪arrivals corpus per query
+  *     (O(corpus)); continuous ingest should use the Scala
+  *     incremental-index path instead (see the resolution-rule comment)
   *   - `graft_block_dedup('t', 'block_words')` — CCNet block-hash dedup
   *   - `graft_cdc_chunk_dedup('t', 'gram_k', 'divisor')` — content-defined
   *     chunking dedup (shift-robust)

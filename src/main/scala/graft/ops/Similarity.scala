@@ -226,12 +226,18 @@ object Similarity {
     * of top-k lists but reciprocates few — mutuality is the cheap hub
     * filter). Output one undirected row (d1 < d2) with the cosine. The
     * directed graph is corpus×k-sized and feeds both the edge and the
-    * reciprocity probes, so it materializes once (eager checkpoint) —
-    * left lazy the all-pairs scoring would run twice. */
+    * reciprocity probes, so it persists — both branches read the cached
+    * InMemoryRelation and the all-pairs scoring runs once, but merely
+    * ANALYZING a plan that embeds this operator (the SQL-surface
+    * resolution rule invokes it at analysis time — EXPLAIN included)
+    * launches no jobs (r13 ADVICE; ExtensionsSpec pins the
+    * no-jobs-at-explain contract). persist(), not localCheckpoint: under
+    * AQE even a LAZY checkpoint builds the RDD at construction time,
+    * which executes the kNN stages eagerly. */
   def mutualKnn(embeddings: DataFrame, k: Int = 5): DataFrame = {
     val g = knnGraph(embeddings, k)
       .select(col("query_id"), col("neighbor_id"), col("cos"))
-      .localCheckpoint(true)
+      .persist()
     val e = g.select(col("query_id").as("d1"), col("neighbor_id").as("d2"),
         col("cos"))
       .filter(col("d1") < col("d2"))
@@ -265,7 +271,9 @@ object Similarity {
     val edges = mutualKnn(embeddings, k).select(col("d1"), col("d2"))
     val dir = edges
       .union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
-      .localCheckpoint(true) // reused every round; releases the kNN build
+      // reused every round. persist (lazy), not checkpoint: analyzing /
+      // EXPLAINing a graft_label_propagation SQL call must run no jobs.
+      .persist()
     var lab = embeddings.select(col("vec_id"), col("label"),
         (pmod(col("vec_id"), lit(seedMod.toLong)) === 0).as("is_seed"))
       .withColumn("cur", when(col("is_seed"), col("label")))
@@ -300,7 +308,9 @@ object Similarity {
     * report degree 0, cc 0.0 (defined, not NULL/NaN). */
   def graphTriangles(embeddings: DataFrame, k: Int = 5): DataFrame = {
     val e = mutualKnn(embeddings, k).select(col("d1"), col("d2"))
-      .localCheckpoint(true) // feeds the 3-way triangle join + the degree
+      // feeds the 3-way triangle join + the degree; persist for the
+      // same no-jobs-at-analysis reason as [[mutualKnn]]
+      .persist()
     val dir = e.union(e.select(col("d2").as("d1"), col("d1").as("d2")))
     val deg = dir.groupBy(col("d1").as("vec_id"))
       .agg(count(lit(1)).as("degree"))
@@ -378,17 +388,25 @@ object Similarity {
         slice(toDouble(col("embedding")), 1, dims).as("embedding")), k)
 
   /** Shared harness: overall recall@k of the reduced space's exact top-k
-    * against the full space's. One row: n_queries, k, hits, recall. */
+    * against the full space's. One row: n_queries, k, hits, recall. The
+    * denominator is the ACTUAL full-space graph row count, not
+    * n_queries·k — on a corpus of k or fewer vectors each query has
+    * fewer than k true neighbors, and the n·k denominator would cap
+    * recall below 1.0 even when the reduced space retrieves the full
+    * graph exactly (r13 ADVICE; SimilaritySpec pins the tiny-corpus
+    * case). At corpus > k the two denominators coincide, so the
+    * registry oracles are unchanged in value. */
   private def reducedRecall(embeddings: DataFrame, reduced: DataFrame,
                             k: Int): DataFrame = {
     val full = knnGraph(embeddings, k).select(col("query_id"), col("neighbor_id"))
     val red = knnGraph(reduced, k).select(col("query_id"), col("neighbor_id"))
     val hits = full.join(red, Seq("query_id", "neighbor_id"), "left_semi")
-    full.agg(countDistinct(col("query_id")).as("n_queries")).crossJoin(
+    full.agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_full")).crossJoin(
         broadcast(hits.agg(count(lit(1)).as("hits"))))
       .select(col("n_queries"), lit(k).as("k"), col("hits"),
         (col("hits").cast("double") /
-          (col("n_queries") * k).cast("double")).as("recall"))
+          col("n_full").cast("double")).as("recall"))
   }
 
   /** Hard-negative mining for contrastive training — per query vector,

@@ -97,7 +97,15 @@ class GraftTableOpResolution(session: SparkSession) extends Rule[LogicalPlan] {
           // scaladoc, DedupSpec-pinned): under monotone ingestion (arrival
           // ids larger than every standing id — the contract this TVF
           // documents), keep-standing ≡ the corpus-wide keep-first pipeline
-          // over (standing ∪ arrivals) restricted to arrival doc_ids
+          // over (standing ∪ arrivals) restricted to arrival doc_ids.
+          // COST CAVEAT (r13 ADVICE): this SQL form RECOMPUTES the span
+          // pipeline over the ENTIRE standing∪arrivals corpus on every
+          // query — O(corpus), not O(batch). It is the ad-hoc/one-shot
+          // surface; a standing ingest pipeline should use the Scala path
+          // (Dedup.incrementalSpanScreen probing a persisted fingerprint
+          // index at cost ∝ batch + candidates, fed by
+          // IndexMaintenance.runSpanScreen) — a SQL TVF cannot carry the
+          // index directory handle, so the cheap path is Scala-only.
           val docs = ldf.select(col("doc_id"), col("text"))
             .unionByName(rdf.select(col("doc_id"), col("text")))
           graft.ops.Dedup.exactSubstrSpans(docs, params(0).toInt)

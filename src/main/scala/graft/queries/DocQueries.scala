@@ -1098,11 +1098,12 @@ object DocQueries {
                                         ORDER BY cos DESC, neighbor_id) AS rank FROM p2),
     g2 AS (SELECT query_id, neighbor_id FROM r2 WHERE rank <= 5),
     agg AS (SELECT (SELECT COUNT(DISTINCT query_id) FROM g)::BIGINT AS n_queries,
+                   (SELECT COUNT(*) FROM g)::BIGINT AS n_full,
                    (SELECT COUNT(*) FROM g g1 JOIN g2
                       ON g1.query_id = g2.query_id
                      AND g1.neighbor_id = g2.neighbor_id)::BIGINT AS hits)
     SELECT n_queries, 5 AS k, hits,
-           hits::DOUBLE / (n_queries * 5)::DOUBLE AS recall FROM agg"""
+           hits::DOUBLE / n_full::DOUBLE AS recall FROM agg"""
 
   /** Matryoshka truncation eval ([[graft.ops.Similarity.truncationRecall]]):
     * recall@5 of first-16-coordinate exact top-5 vs full-space top-5 — the
@@ -1131,11 +1132,12 @@ object DocQueries {
                                         ORDER BY cos DESC, neighbor_id) AS rank FROM p2),
     g2 AS (SELECT query_id, neighbor_id FROM r2 WHERE rank <= 5),
     agg AS (SELECT (SELECT COUNT(DISTINCT query_id) FROM g)::BIGINT AS n_queries,
+                   (SELECT COUNT(*) FROM g)::BIGINT AS n_full,
                    (SELECT COUNT(*) FROM g g1 JOIN g2
                       ON g1.query_id = g2.query_id
                      AND g1.neighbor_id = g2.neighbor_id)::BIGINT AS hits)
     SELECT n_queries, 5 AS k, hits,
-           hits::DOUBLE / (n_queries * 5)::DOUBLE AS recall FROM agg"""
+           hits::DOUBLE / n_full::DOUBLE AS recall FROM agg"""
 
   /** Top principal component by power iteration
     * ([[graft.ops.Similarity.pcaPower]]) — the embedding-space anisotropy

@@ -20,15 +20,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * every touch with `us` in `[t - windowUs, t]` — including a touch that
   * SHARES the conversion's timestamp but sorts after it, which an
   * in-order stream may deliver in a LATER micro-batch. A conversion is
-  * therefore held in state until the user has seen an event with
-  * `us > t` (in-order streams deliver globally ascending `(ts,
-  * event_id)`, so a strictly-later event proves every `us <= t` touch
-  * has arrived); each conversion is emitted exactly once, with exactly
-  * the batch frame. The tail consequence mirrors
-  * [[StreamingSessionize]]'s still-open session: conversions at a user's
-  * maximum seen timestamp stay pending when the data ends — everything
-  * else must equal the batch operator row-for-row, which is what the
-  * spec pins.
+  * therefore held in state until its frame is PROVABLY complete, by
+  * either of two proofs: (a) the user has seen an event with `us > t`
+  * (in-order streams deliver ascending `(ts, event_id)`, so a
+  * strictly-later same-user event proves every `us <= t` touch has
+  * arrived), or (b) the WATERMARK has passed `t` — any remaining
+  * `us <= t` touch would be later than `delay` behind the stream and is
+  * contractually late. Proof (b) rides an event-time timeout (wake on
+  * each watermark advance while conversions are withheld), so `delay`
+  * genuinely bounds emission latency: a user whose final event is a
+  * conversion flushes ~`delay` after the stream passes it, not never.
+  * Each conversion is emitted exactly once, with exactly the batch
+  * frame. The tail consequence mirrors [[StreamingSessionize]]'s
+  * still-open session, now shrunk to the watermark fringe: only
+  * conversions at a user's maximum seen timestamp AND within `delay` of
+  * the stream's final watermark stay pending when the data ends —
+  * everything else must equal the batch operator row-for-row, which is
+  * what the spec pins.
   */
 object StreamingAttribution {
 
@@ -75,9 +83,15 @@ object StreamingAttribution {
   private def step(touchTypes: Seq[String], convType: String, windowUs: Long)(
       userId: Long, events: Iterator[AEv], state: GroupState[AttrState])
       : Iterator[Attribution] = {
-    val sorted = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
     val relevant = (touchTypes :+ convType).toSet
-    sorted.foreach { e =>
+    val evs = events.toSeq
+    // NULL-ts discipline BEFORE any sort touches micros (r13 ADVICE): a
+    // relevant-type row with NULL ts/event_id raises the descriptive
+    // batch-guard message; an attribution-IRRELEVANT NULL-ts row passes
+    // through harmlessly (it is neither touch, conversion, nor frontier
+    // proof) — mirroring attributionBase's nullOther tolerance instead
+    // of dying in sortBy with a raw NullPointerException.
+    evs.foreach { e =>
       if (relevant(e.event_type))
         require(e.ts != null && micros(e.ts) >= 0 && e.event_id >= 0,
           s"StreamingAttribution: NULL/negative ts or event_id on a " +
@@ -85,6 +99,7 @@ object StreamingAttribution {
             s"event_id=${e.event_id}) — the touch key and window require " +
             "non-NULL, non-negative values (the batch guard, streamed)")
     }
+    val sorted = evs.filter(_.ts != null).sortBy(e => (micros(e.ts), e.event_id))
     val prev = state.getOption.getOrElse(
       AttrState(Seq.empty, Seq.empty, Long.MinValue))
     val touches = (prev.touches ++ sorted
@@ -93,12 +108,21 @@ object StreamingAttribution {
       .sortBy(t => (t.us, t.event_id))
     val convs = prev.pending ++ sorted.filter(_.event_type == convType)
       .map(e => PendingConv(micros(e.ts), e.event_id, e.value))
-    // the finalization frontier: every event (any type) seen for this user
-    // proves global arrival up to its us — conversions strictly below it
-    // have complete frames
+    // the finalization frontier, two proofs (either suffices):
+    //   - per-user: every event (any type) seen for this user proves
+    //     global arrival up to its us (in-order streams)
+    //   - watermark: events older than the watermark are contractually
+    //     late — a conversion strictly below it will never gain another
+    //     frame touch the stream admits, so its frame is complete. This
+    //     is what makes `delay` bound emission latency (r13 ADVICE): a
+    //     user whose FINAL event is a conversion flushes once the
+    //     watermark passes it, instead of being withheld forever waiting
+    //     for a strictly-later same-user event.
     val maxUs = sorted.map(e => micros(e.ts))
       .foldLeft(prev.max_us)(_ max _)
-    val (ready, pending) = convs.partition(_.us < maxUs)
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val frontier = maxUs max wmUs
+    val (ready, pending) = convs.partition(_.us < frontier)
     val out = ready.sortBy(c => (c.us, c.event_id)).map { c =>
       val frame = touches.filter(t => t.us >= c.us - windowUs && t.us <= c.us)
       val keys = frame.map(key)
@@ -109,13 +133,21 @@ object StreamingAttribution {
         frame.size.toLong)
     }
     // bounded eviction: no servable frame (pending now, or any future
-    // conversion, which in-order arrival puts at us >= maxUs) reaches
-    // below min(maxUs, pending us) - windowUs
+    // conversion, which per-user in-order arrival puts at us >= maxUs)
+    // reaches below min(maxUs, pending us) - windowUs. Deliberately keyed
+    // on maxUs, NOT the watermark frontier: a lagging user may still
+    // deliver a conversion at us in [maxUs, wm) whose frame reaches back
+    // to us - windowUs < wm - windowUs.
     val floor = (maxUs +: pending.map(_.us)).min - windowUs
     val kept = touches.filter(_.us >= floor)
-    if (kept.nonEmpty || pending.nonEmpty || maxUs > Long.MinValue)
+    if (kept.nonEmpty || pending.nonEmpty || maxUs > Long.MinValue) {
       state.update(AttrState(kept, pending, maxUs))
-    else if (state.exists) state.remove()
+      // wake on the next watermark advance while conversions are
+      // withheld, so frontier conversions flush via the watermark proof
+      // even if no further event for this user ever arrives
+      if (pending.nonEmpty)
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+    } else if (state.exists) state.remove()
     out.iterator
   }
 
@@ -136,7 +168,8 @@ object StreamingAttribution {
         col("value"))
       .as[AEv]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(
         step(touchTypes, convType, windowUs))
   }
 }

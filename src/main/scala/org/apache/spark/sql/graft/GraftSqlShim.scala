@@ -13,4 +13,11 @@ import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => 
 object GraftSqlShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
+
+  /** Drain the async listener bus — lets a spec assert deterministically
+    * that an action (e.g. EXPLAIN of an analysis-invoked table op) ran
+    * zero jobs, instead of racing the listener delivery. `listenerBus`
+    * is `private[spark]`, hence the shim. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

@@ -165,18 +165,72 @@ class EventsCdcSpec extends SparkSpec {
         $"last_key", $"n_view", $"n_click", $"n_touches")
       .as[(Long, Long, Long, Double, Option[String], Option[String],
         Long, Long, Long)].collect()
-    // a conversion is emitted once a strictly-later event for that user
-    // proves its trailing touch frame complete; conversions at the user's
-    // maximum seen timestamp are still pending when the data ends (the
-    // still-open-session analogue) — everything else must match the batch
-    // operator exactly, first/last keys and per-type counts included
+    // a conversion is emitted once its frame is provably complete: a
+    // strictly-later same-user event, OR the watermark passing it (the
+    // event-time-timeout flush — r13 ADVICE made `delay` bound emission
+    // latency). Only conversions at the user's max seen timestamp AND at
+    // or above the final watermark (ms-floored global max - 2h, the
+    // sessionizeNative precedent) stay pending when the data ends —
+    // everything else must match the batch operator exactly, first/last
+    // keys and per-type counts included
     val frontier = Tables.events(spark, sf)
       .groupBy($"user_id").agg(max(unix_micros($"ts")).as("m"))
       .as[(Long, Long)].collect().toMap
-    val expected = batch.filterNot(r => r._3 == frontier(r._1)).toSet
+    val maxTsUs = Tables.events(spark, sf)
+      .select(max(unix_micros($"ts"))).as[Long].head()
+    val wmUs = (maxTsUs / 1000) * 1000 - 2L * 3600 * 1000000
+    val expected = batch
+      .filterNot(r => r._3 == frontier(r._1) && r._3 >= wmUs).toSet
+    // the flush must actually fire: some frontier conversions sit below
+    // the final watermark and are emitted ONLY by the timeout path
+    assert(batch.exists(r => r._3 == frontier(r._1) && r._3 < wmUs),
+      "testdata should have watermark-flushable frontier conversions")
     assert(streamed.nonEmpty, "no attributed conversions emitted")
     assert(streamed === expected,
       s"diff sample: ${streamed.diff(expected).take(2)} / ${expected.diff(streamed).take(2)}")
+  }
+
+  test("streaming attribution NULL ts: irrelevant rows pass through, relevant rows fail loudly") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    def ts(s: Long): java.sql.Timestamp = new java.sql.Timestamp(s * 1000L)
+    def run(rows: Seq[org.apache.spark.sql.Row], name: String) = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_attr_$name")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), schema)
+        .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+      val src = spark.readStream.schema(schema).parquet(dir.toString)
+      val q = graft.streaming.StreamingAttribution.attribution(src)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // an attribution-irrelevant NULL-ts row must NOT kill the query (the
+    // batch nullOther tolerance, streamed — r13 ADVICE: the old sortBy
+    // hit micros(null) before the guard ran)
+    run(Seq(
+      org.apache.spark.sql.Row(1L, 10L, ts(1000), "view", 0.0),
+      org.apache.spark.sql.Row(1L, 11L, ts(2000), "purchase", 5.0),
+      org.apache.spark.sql.Row(1L, 12L, null, "page_load", 0.0),
+      org.apache.spark.sql.Row(1L, 13L, ts(3000), "view", 0.0)), "attr_null_ok")
+    val got = spark.table("attr_null_ok").select($"event_id").as[Long].collect()
+    assert(got.toSeq === Seq(11L),
+      "the conversion must emit; the NULL-ts page_load row passes through")
+    // a RELEVANT NULL-ts row raises the descriptive batch-guard message,
+    // not a raw NullPointerException
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(Seq(
+        org.apache.spark.sql.Row(2L, 20L, ts(1000), "view", 0.0),
+        org.apache.spark.sql.Row(2L, 21L, null, "purchase", 5.0)), "attr_null_bad")
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(12).map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("NULL/negative ts or event_id"), s"got: $msgs")
   }
 
   test("native streaming session_window emits exactly the watermark-closed batch sessions") {

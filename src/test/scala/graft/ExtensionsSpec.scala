@@ -239,6 +239,46 @@ class ExtensionsSpec extends SparkSpec {
     assert(sSql.count() > 0, "testdata should produce arrival spans")
   }
 
+  test("EXPLAIN of analysis-invoked graph ops launches no Spark jobs") {
+    // The resolution rule invokes labelPropagate/graphTriangles DURING
+    // analysis; with the r13 eager localCheckpoints merely EXPLAINing a
+    // graft_label_propagation call executed the full kNN build as real
+    // jobs (r13 ADVICE). Lazy checkpoints defer materialization to the
+    // first real action — pinned here with a job-start listener over an
+    // in-memory relation (no incidental file-listing jobs to exclude).
+    Seq((0L, Array(1.0f, 0.0f), "a"), (1L, Array(0.9f, 0.1f), "b"),
+        (2L, Array(0.0f, 1.0f), null.asInstanceOf[String]))
+      .toDF("vec_id", "embedding", "label")
+      .createOrReplaceTempView("ext_lazy_emb")
+    // warm-up outside the listener window: one-time lazy session init
+    spark.sql(
+      "EXPLAIN SELECT * FROM graft_label_propagation('ext_lazy_emb', '1', '5', '1')")
+      .collect()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      spark.sql(
+        "EXPLAIN SELECT * FROM graft_label_propagation('ext_lazy_emb', '1', '5', '2')")
+        .collect()
+      org.apache.spark.sql.graft.GraftSqlShim.drainListenerBus(spark)
+      assert(jobs.get() === 0,
+        s"EXPLAIN of graft_label_propagation ran ${jobs.get()} Spark jobs " +
+          "— an analysis-reachable operator materialized eagerly")
+    } finally spark.sparkContext.removeSparkListener(l)
+    // and the operator still computes correctly after the lazy change
+    val out = Similarity.labelPropagate(
+      Seq((0L, Array(1.0f, 0.0f), "a"), (1L, Array(0.9f, 0.1f), "b"))
+        .toDF("vec_id", "embedding", "label"), k = 1, seedMod = 5, rounds = 1)
+      .orderBy("vec_id").collect()
+    assert(out.length === 2)
+  }
+
   test("graft_srp_band_values is SQL-callable and matches the Scala API") {
     val planes = Similarity.planeMatrix(8, 4, 42L)
     val planesSql = planes

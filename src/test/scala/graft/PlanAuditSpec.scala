@@ -74,7 +74,13 @@ class PlanAuditSpec extends SparkSpec {
             // knn_bruteforce's intended BNLJ via knnGraph on BOTH the
             // full and reduced spaces, and cross-joins its two
             // single-row count summaries — ann_recall's exact shape
-            "rp_knn_recall", "truncation_recall")(p._1))
+            "rp_knn_recall", "truncation_recall",
+            // r14: the mutual-kNN consumers inherit knn_bruteforce's
+            // intended BNLJ too — it was always in their lineage, but
+            // the r13 eager localCheckpoint hid the kNN subtree behind
+            // an ExistingRDD scan; the lazy persist (no-jobs-at-analysis,
+            // r13 ADVICE) leaves the cached subtree visible to this audit
+            "label_propagation", "graph_triangles")(p._1))
       .foreach { case (name, p) =>
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
       }

@@ -120,6 +120,19 @@ class SimilaritySpec extends SparkSpec {
     // Same harness, truncation path: identical twins also truncate identically.
     val tr = Similarity.truncationRecall(twins, dims = 16, k = 1).collect().head
     assert(tr.getLong(2) === 6L && tr.getDouble(3) === 1.0)
+    // Tiny-corpus denominator (r13 ADVICE): 3 vectors at k = 5 have only
+    // 2 true neighbors per query (n_full = 6, not n·k = 15); a lossless
+    // "reduction" (full-width truncation) must read recall = 1.0, which
+    // the old n·k denominator capped at 0.4.
+    val tiny = Seq(
+      (0L, Array.tabulate(64)(i => 0.01f * i)),
+      (1L, Array.tabulate(64)(i => 1.0f - 0.003f * i)),
+      (2L, Array.tabulate(64)(i => if (i % 2 == 0) 0.5f else 0.25f))
+    ).toDF("vec_id", "embedding")
+    val tt = Similarity.truncationRecall(tiny, dims = 64, k = 5).collect().head
+    assert(tt.getLong(0) === 3L, "n_queries")
+    assert(tt.getLong(2) === 6L, "hits = full graph size on a 3-vector corpus")
+    assert(tt.getDouble(3) === 1.0, "identity reduction must reach recall 1.0")
   }
 
   test("label_balance: exact shares, weights, Gini and majority baseline") {
