@@ -347,6 +347,131 @@ object Dedup {
         col("containment"))
   }
 
+  /** Standing containment index under `dir` — three hash-only tables
+    * (corpus text never reaches the index):
+    *   - `shingles/` (doc_id, h): each doc's DISTINCT shingle hashes
+    *   - `sizes/`    (doc_id, sz): each doc's shingle-set size
+    *   - `df/`       (h, df): per-shingle document-frequency PARTIALS
+    * All three absorb arrivals by BLIND APPEND ([[appendContainmentIndex]]
+    * — no read-modify-write, so concurrent appenders are safe): a doc's
+    * shingle and size rows are written once (arrival ids are new — the
+    * ingestion contract), and df partials are ADDITIVE across disjoint
+    * document batches (each doc counts once), summed per hash by readers
+    * — the [[gramDf]] posture. Replay tolerance: a re-appended batch
+    * duplicates rows, but [[incrementalContainmentScreen]] reads sizes
+    * through max() and probe rows through distinct(), and a double-counted
+    * df only perturbs the (lossless-under-any-order) prefix ORDER — pairs
+    * are unchanged, the [[appendBlockIndex]] discipline. */
+  def writeContainmentIndex(docs: DataFrame, dir: String, n: Int = 3): Unit =
+    containmentIndexParts(docs, dir, n, "overwrite")
+
+  /** Absorb an arrival batch into the standing containment index (blind
+    * append; see [[writeContainmentIndex]] for the layout + replay
+    * posture). */
+  def appendContainmentIndex(docs: DataFrame, dir: String, n: Int = 3): Unit =
+    containmentIndexParts(docs, dir, n, "append")
+
+  private def containmentIndexParts(docs: DataFrame, dir: String, n: Int,
+                                    mode: String): Unit = {
+    // batch-bounded; feeds all three writes — left lazy each write
+    // re-shingles the batch
+    val ex = shingleRows(docs, n)
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+      .localCheckpoint(true)
+    ex.write.mode(mode).parquet(s"$dir/shingles")
+    ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      .write.mode(mode).parquet(s"$dir/sizes")
+    ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .write.mode(mode).parquet(s"$dir/df")
+    Checkpoints.unpersist(ex)
+  }
+
+  /** Incremental directional containment screen — the arrival path of
+    * [[containmentJoin]], the quote/excerpt ingest gate: each arrival doc
+    * A is checked against the standing corpus for |A ∩ B| / |A| ≥
+    * `threshold` with B any indexed doc ("is this arrival already mostly
+    * inside the corpus?"). Output shape = [[containmentJoin]] with
+    * `d_sub` always an arrival and `d_super` always standing; pair
+    * membership is EXACTLY the batch operator's restricted to such pairs
+    * (containment of a pair depends on nothing but the pair — DocQueries
+    * pins the identity against the corpus-wide oracle, DedupSpec replays
+    * it across absorb cycles).
+    *
+    * Cost ∝ batch + candidates, never corpus: the contained side is the
+    * ARRIVAL, so the lossless pigeonhole prefix (see [[containmentJoin]]
+    * — valid under ANY fixed per-doc order) stays on the probe side,
+    * ordered rarest-first by STANDING df so hot corpus shingles never
+    * enter the probe. The standing tables are touched only through
+    * broadcast hash probes and id semi-joins: `df/` and `shingles/` rows
+    * are fetched for the arrivals'/prefixes' hashes alone, and
+    * verification reads only candidate-super rows. A shingle the index
+    * has never seen has df 0 — it sorts into the prefix first and probes
+    * nothing. Arrival↔arrival peer pairs are deliberately OUT OF SCOPE —
+    * the gate asks "is this arrival inside the CORPUS", not "do these
+    * arrivals overlap each other" (run [[containmentJoin]] on the batch
+    * for that); once the batch is absorbed
+    * ([[appendContainmentIndex]]), any LATER arrival containing a batch
+    * peer is caught normally, so across a run the emitted pairs are
+    * exactly those whose sub side arrived strictly after its super side.
+    *
+    * The arrival shingles and candidate pairs are eagerly materialized
+    * (batch-/candidate-bounded, multi-branch consumers — the
+    * [[incrementalSpanScreen]] discipline). */
+  def incrementalContainmentScreen(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String, arrivals: DataFrame,
+                                   n: Int = 3,
+                                   threshold: Double = 0.8): DataFrame = {
+    val idxSh = spark.read.parquet(s"$dir/shingles")
+    // max() collapses replayed size rows (same value re-appended)
+    val idxSz = spark.read.parquet(s"$dir/sizes")
+      .groupBy(col("doc_id")).agg(max(col("sz")).as("sz_super"))
+    val exA = shingleRows(arrivals, n)
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+      .localCheckpoint(true) // batch-bounded; feeds prefix + verification
+    // standing df for exactly the hashes the arrivals carry (broadcast
+    // probe — batch-bounded result), summed over the append partials
+    val dfProbe = spark.read.parquet(s"$dir/df")
+      .join(broadcast(exA.select(col("h")).distinct()), "h")
+      .groupBy(col("h")).agg(sum(col("df")).as("df"))
+    val szA = exA.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val prefixes = exA.join(dfProbe, Seq("h"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("rk", row_number().over(byRarity))
+      .join(szA, "doc_id")
+      .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 1)
+      .select(col("doc_id").as("d_sub"), col("sz").as("n_sub"), col("h"))
+    // standing rows carrying a prefix shingle (broadcast hash probe);
+    // distinct() collapses replayed index rows
+    val candRows = idxSh
+      .join(broadcast(prefixes.select(col("h")).distinct()), "h")
+      .select(col("doc_id").as("d_super"), col("h")).distinct()
+    val candidates = prefixes
+      .join(candRows, "h")
+      .select(col("d_sub"), col("n_sub"), col("d_super")).distinct()
+      .join(idxSz.withColumnRenamed("doc_id", "d_super"), "d_super")
+      .filter(col("sz_super") >= ceil(lit(threshold) * col("n_sub")))
+      .select(col("d_sub"), col("n_sub"), col("d_super"))
+      .localCheckpoint(true) // candidate-bounded; feeds prune + verify
+    // verification: exact intersection over the candidate supers' index
+    // rows (id semi-join prune) and the arrivals' own shingles
+    val superRows = idxSh
+      .join(candidates.select(col("d_super").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("d_super"), col("h")).distinct()
+    val inter = candidates
+      .join(exA.toDF("d_sub", "h"), "d_sub")
+      .join(superRows, Seq("d_super", "h"))
+      .groupBy(col("d_sub"), col("d_super"), col("n_sub"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .withColumn("containment",
+        col("inter").cast("double") / col("n_sub").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("d_sub"), col("d_super"), col("n_sub"), col("inter"),
+        col("containment"))
+  }
+
   /** MinHash+LSH near-dup join: shingle → 128-perm minhash signature → 32
     * bands of 4 rows → band-bucket join → exact-Jaccard verification.
     *

@@ -538,6 +538,36 @@ object DocQueries {
     FROM pc WHERE inter::DOUBLE / n_sub::DOUBLE >= 0.8
     ORDER BY d_sub, d_super"""
 
+  /** Standing-index containment screen
+    * ([[graft.ops.Dedup.incrementalContainmentScreen]]): docs < 400 are
+    * the indexed standing corpus, docs >= 400 the arrival batch probed
+    * against it. Containment of a pair depends on nothing but the pair,
+    * so the oracle is the corpus-wide containment chain restricted to
+    * (arrival sub, standing super) pairs exactly. */
+  private def incrementalContainmentQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val all = Tables.documents(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cont_idx").toString
+    Dedup.writeContainmentIndex(all.filter($"doc_id" < 400), dir)
+    Dedup.incrementalContainmentScreen(s, dir, all.filter($"doc_id" >= 400))
+      .orderBy("d_sub", "d_super")
+  }
+
+  private lazy val incrementalContainmentSql = s"""
+    WITH $jaccardPairsCtes,
+    allsh AS (SELECT doc_id, unnest(hs) AS pk FROM shp),
+    candc AS (SELECT DISTINCT a.doc_id AS d_sub, b.doc_id AS d_super
+              FROM pre a JOIN allsh b ON a.pk = b.pk AND a.doc_id <> b.doc_id),
+    pc AS (SELECT d_sub, d_super, len(a.s)::BIGINT AS n_sub,
+             len(list_intersect(a.s, b.s))::BIGINT AS inter
+           FROM candc JOIN sh a ON candc.d_sub = a.doc_id
+                      JOIN sh b ON candc.d_super = b.doc_id)
+    SELECT d_sub, d_super, n_sub, inter,
+           inter::DOUBLE / n_sub::DOUBLE AS containment
+    FROM pc WHERE inter::DOUBLE / n_sub::DOUBLE >= 0.8
+      AND d_sub >= 400 AND d_super < 400
+    ORDER BY d_sub, d_super"""
+
   private def ngramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccard(Tables.documents(s, d)).orderBy("d1", "d2")
 
@@ -3211,6 +3241,8 @@ $sel
     Q("block_dedup", blockDedupQ, Some(blockDedupSql)),
     Q("cdc_chunk_dedup", cdcChunkDedupQ, Some(cdcChunkDedupSql)),
     Q("containment_join", containmentJoinQ, Some(containmentJoinSql)),
+    Q("incremental_containment", incrementalContainmentQ,
+      Some(incrementalContainmentSql)),
     Q("incremental_block_dedup", incrementalBlockDedupQ, Some(incrementalBlockDedupSql)),
     Q("ngram_jaccard", ngramJaccard, Some(jaccardPairsSql)),
     Q("dedup_minhash", dedupMinhash, Some(jaccardPairsSql)),

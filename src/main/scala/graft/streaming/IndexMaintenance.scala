@@ -163,6 +163,44 @@ object IndexMaintenance {
       }
       .start()
 
+  /** Continuous directional-containment screening of a document-arrival
+    * stream — [[graft.ops.Dedup.incrementalContainmentScreen]] (the
+    * quote/excerpt ingest gate) as a pipeline: per micro-batch, (1) PROBE
+    * the arrivals against the standing containment index and append the
+    * verified (arrival sub, standing super) pairs batch-tagged to
+    * `pairsDir` ([[StateSink]] — engine retries of a batchId replace
+    * their own partition), then (2) ABSORB the batch into the index
+    * ([[graft.ops.Dedup.appendContainmentIndex]] — blind appends to the
+    * three additive tables) so the next batch's probe sees it.
+    * Concatenated pairs over a run equal the batch
+    * [[graft.ops.Dedup.containmentJoin]] over everything arrived,
+    * restricted to pairs whose SUB side arrived in a strictly later
+    * batch than its SUPER side (within-batch peer overlap is the batch
+    * operator's job, not the gate's — see the screen's scaladoc);
+    * DedupSpec pins the identity across two absorb cycles. Index appends
+    * are replay-tolerant (distinct/max/df-order-only readers); SOURCE-
+    * level redelivery still re-emits pairs — dedupe upstream
+    * ([[EventsCdc.dedupStream]]) or use an exactly-once source. */
+  def runContainmentScreen(spark: SparkSession, srcDir: String,
+                           schemaFrom: DataFrame, indexDir: String,
+                           pairsDir: String, checkpointDir: String,
+                           n: Int = 3, threshold: Double = 0.8,
+                           maxFilesPerTrigger: Int = 0,
+                           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    EventsCdc.readEventStream(spark, srcDir, schemaFrom, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        StateSink.appendIdempotent(
+          graft.ops.Dedup.incrementalContainmentScreen(spark, indexDir,
+            batch, n, threshold),
+          batchId, pairsDir)
+        graft.ops.Dedup.appendContainmentIndex(batch, indexDir, n)
+        ()
+      }
+      .start()
+
   def runDedupScreen(spark: SparkSession, srcDir: String, schemaFrom: DataFrame,
                      indexDir: String, corpusDir: String, pairsDir: String,
                      checkpointDir: String, n: Int = 3, threshold: Double = 0.8,

@@ -525,6 +525,78 @@ class DedupSpec extends SparkSpec {
       === docs.count())
   }
 
+  test("incremental containment screen: planted quote caught, index hash-only, replay inert") {
+    val standing = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "totally unrelated words about completely different things entirely here now")
+    ).toDF("doc_id", "text")
+    val arrivals = Seq(
+      // doc 10 is a verbatim excerpt of doc 1 (8 of its 10 words) ->
+      // tiny Jaccard vs doc 1 but containment 1.0: the directional case
+      (10L, "beta gamma delta epsilon zeta eta theta iota"),
+      (11L, "fresh material sharing nothing with the standing corpus at all"),
+      (12L, "ab")  // shorter than n=3 words: no shingles, absent
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cont_toy").toString
+    Dedup.writeContainmentIndex(standing, dir)
+    val out = Dedup.incrementalContainmentScreen(spark, dir, arrivals)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    // doc 10: 6 distinct 3-gram shingles, all inside doc 1's set
+    assert(out === Set((10L, 1L, 6L, 6L, 1.0)))
+    // the index never stores text — hash/count columns only
+    for (sub <- Seq("shingles", "sizes", "df")) {
+      val cols = spark.read.parquet(s"$dir/$sub").schema.fields.map(_.dataType).toSet
+      assert(cols === Set(org.apache.spark.sql.types.LongType), s"$sub carries non-long columns")
+    }
+    // an engine-retry replay of an absorb (double append) must not change
+    // the screen: sizes read via max, probe rows distinct, df order-only
+    Dedup.appendContainmentIndex(standing, dir)
+    val replayed = Dedup.incrementalContainmentScreen(spark, dir, arrivals)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(replayed === out, "double-appended index changed the screen")
+  }
+
+  test("streaming containment screen: probe+absorb pairs equal the batch join on later-sub pairs") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val standing = docs.filter($"doc_id" < 300)
+    val b1 = docs.filter($"doc_id" >= 300 && $"doc_id" < 400)
+    val b2 = docs.filter($"doc_id" >= 400)
+    val idx = java.nio.file.Files.createTempDirectory("graft_cs_idx").toString
+    val pairsDir = java.nio.file.Files.createTempDirectory("graft_cs_pairs").toString
+    Dedup.writeContainmentIndex(standing, idx)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_cs_src")
+    Seq(b1, b2).zipWithIndex.foreach { case (b, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cs_tmp").toString
+      b.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, srcDir.resolve(s"$i.parquet"))
+      Thread.sleep(1000)
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cs_ck").toString
+    val q = graft.streaming.IndexMaintenance.runContainmentScreen(
+      spark, srcDir.toString, docs, idx, pairsDir, ckpt, maxFilesPerTrigger = 1)
+    q.awaitTermination()
+    val got = spark.read.parquet(pairsDir)
+    assert(got.select($"batch_id").distinct().count() === 2)
+    val gotPairs = got.select($"d_sub", $"d_super", $"n_sub", $"inter", $"containment")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    // the documented identity: batch containmentJoin over everything,
+    // restricted to pairs whose sub arrived strictly after its super
+    def arrBatch(id: Long) = if (id < 300) 0 else if (id < 400) 1 else 2
+    val expected = Dedup.containmentJoin(docs)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .filter(r => arrBatch(r._1) > arrBatch(r._2)).toSet
+    assert(gotPairs === expected)
+    assert(gotPairs.nonEmpty, "testdata should plant cross-batch containment")
+    // a pair is emitted in the batch its SUB side arrived in
+    assert(got.filter($"batch_id" === 0).select($"d_sub").as[Long]
+      .collect().forall(id => id >= 300 && id < 400))
+    // both batches absorbed: the index's size table covers every doc
+    assert(spark.read.parquet(s"$idx/sizes").select($"doc_id").distinct().count()
+      === Dedup.shingleRows(docs, 3).select($"doc_id").distinct().count())
+  }
+
   test("streaming gram-df maintenance: summed partials equal batch df; table probe equals batch gate") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val b1 = docs.filter($"doc_id" < 300)
