@@ -138,6 +138,42 @@ object IndexMaintenance {
       }
       .start()
 
+  /** Streaming DSIR model maintenance — the target/raw B=4096-bucket
+    * hashed-bigram count tables ([[graft.ops.Dsir.countPartials]]) kept
+    * current by blind batch-tagged appends: per-bucket occurrence counts
+    * are ADDITIVE across disjoint document batches (each doc arrives
+    * once), so each micro-batch appends its own ≤B-row partials and the
+    * served read ([[graft.ops.Dsir.weightsFromTable]]) sums per bucket —
+    * no read-modify-write, no streaming state, history never rescanned
+    * (the gram-df posture, [[runGramDfMaintenance]]). Because the counts
+    * collapse by exact long addition and the scoring replays the
+    * identical ratio tree and decimal mean, served weights over the
+    * absorbed corpus equal the one-shot batch [[graft.ops.Dsir.weights]]
+    * BIT FOR BIT (DsirSpec pins it over in-order micro-batches — the
+    * covariance/mixtureFromState precedent). A pipeline can re-score or
+    * re-[[graft.ops.Dsir.resample]] after every arrival batch at
+    * model-read cost. Engine retries of a batchId replace their own
+    * partition ([[StateSink]]); SOURCE-level redelivery double-counts —
+    * dedupe upstream or use an exactly-once source. */
+  def runDsirMaintenance(spark: SparkSession, srcDir: String,
+                         schemaFrom: DataFrame, countsDir: String,
+                         checkpointDir: String,
+                         targetSource: String = "src0",
+                         maxFilesPerTrigger: Int = 0,
+                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    EventsCdc.readEventStream(spark, srcDir, schemaFrom, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        StateSink.appendIdempotent(
+          graft.ops.Dsir.countPartials(batch,
+            org.apache.spark.sql.functions.col("source") === targetSource),
+          batchId, countsDir)
+        ()
+      }
+      .start()
+
   /** Streaming PCA maintenance — the covariance-partials table
     * ([[graft.ops.Similarity.covPartials]]) kept current by blind
     * batch-tagged appends: the decimal sums are EXACTLY additive across

@@ -84,4 +84,50 @@ class DsirSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept.map(_.getAs[Long]("doc_id")).toSet === expected)
   }
+
+  test("streaming DSIR maintenance: served weights equal the batch operator bit for bit") {
+    val corpus = graft.sources.Tables.documents(spark, sf)
+    val b1 = corpus.filter($"doc_id" < 200)
+    val b2 = corpus.filter($"doc_id" >= 200 && $"doc_id" < 350)
+    val b3 = corpus.filter($"doc_id" >= 350)
+    val countsDir = java.nio.file.Files.createTempDirectory("graft_dsir_cnt").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_dsir_src")
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dsir_tmp").toString
+      b.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, srcDir.resolve(s"$i.parquet"))
+      Thread.sleep(1000)
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dsir_ck").toString
+    val q = graft.streaming.IndexMaintenance.runDsirMaintenance(
+      spark, srcDir.toString, corpus, countsDir, ckpt,
+      targetSource = "src0", maxFilesPerTrigger = 1)
+    q.awaitTermination()
+    val state = spark.read.parquet(countsDir)
+    assert(state.select($"batch_id").distinct().count() === 3)
+    // summed partials equal the one-shot count model exactly
+    val summed = state.groupBy($"fh")
+      .agg(sum($"n_t").as("n_t"), sum($"n_r").as("n_r"))
+      .as[(Long, Long, Long)].collect().toMap2
+    val oneShot = Dsir.countPartials(corpus, col("source") === "src0")
+      .as[(Long, Long, Long)].collect().toMap2
+    assert(summed === oneShot, "per-batch partials must sum to the corpus model")
+    // the served read (state + corpus scan) equals the batch operator
+    // BIT FOR BIT — exact integer counts, identical ratio tree, decimal
+    // mean; compare raw Double bits, not a tolerance
+    val served = Dsir.weightsFromTable(spark, countsDir, corpus)
+      .as[(Long, Int, Double)].collect()
+      .map(r => (r._1, r._2, java.lang.Double.doubleToRawLongBits(r._3))).toSet
+    val batch = Dsir.weights(corpus, col("source") === "src0")
+      .as[(Long, Int, Double)].collect()
+      .map(r => (r._1, r._2, java.lang.Double.doubleToRawLongBits(r._3))).toSet
+    assert(served.nonEmpty)
+    assert(served === batch, "served-from-state weights drifted from the batch operator")
+  }
+
+  private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
 }
