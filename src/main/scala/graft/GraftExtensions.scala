@@ -54,6 +54,16 @@ import graft.functions.NativeExpressions.{DotProduct, MinHashSignature, NfcNorma
   *     hard-clamp label propagation over the mutual-kNN graph
   *   - `graft_random_projection('t', 'out_dims')` — portable JL sign
   *     projection (long form)
+  *   - `graft_graph_triangles('t', 'k')` — triangle census of the
+  *     mutual-kNN graph (degree, triangles, local cc)
+  *   - `graft_dsir_weights('t', 'target_source')` /
+  *     `graft_dsir_sample('t', 'target_source')` — DSIR importance
+  *     weights / deterministic resample against the named target source
+  *   - `graft_incremental_block_dedup('standing', 'arrivals',
+  *     'block_words')` and `graft_incremental_containment('standing',
+  *     'arrivals', 'n', 'threshold')` — the arrival screens' batch
+  *     identities (monotone arrival ids; O(corpus) ad-hoc recompute —
+  *     continuous ingest uses the Scala standing-index paths)
   *
   * Wire up via `GraftSession.builder` (already applied) or
   * `--conf spark.sql.extensions=graft.GraftExtensions` on a stock session.
@@ -207,6 +217,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     tableOp("graft_mixture_schedule", 2,
       "graft_mixture_schedule('table', 'budget_tokens')")(
       s => ("mixture_schedule", s.tail))
+    // SELECT * FROM graft_graph_triangles('embeddings', '5') — triangle
+    // census of the mutual-kNN graph
+    tableOp("graft_graph_triangles", 2,
+      "graft_graph_triangles('table', 'k')")(s => ("graph_triangles", s.tail))
+    // SELECT * FROM graft_dsir_weights('docs', 'src0') — DSIR importance
+    // weights against the named target source
+    tableOp("graft_dsir_weights", 2,
+      "graft_dsir_weights('table', 'target_source')")(
+      s => ("dsir_weights", s.tail))
+    // SELECT * FROM graft_dsir_sample('docs', 'src0') — the deterministic
+    // DSIR importance resample
+    tableOp("graft_dsir_sample", 2,
+      "graft_dsir_sample('table', 'target_source')")(
+      s => ("dsir_sample", s.tail))
     // SELECT * FROM graft_span_screen('corpus', 'arrivals', '8') — the
     // standing exact-substring screen: arrival removal spans against the
     // corpus (monotone arrival ids — the ingestion contract)
@@ -224,6 +248,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             constStr(args(1), "arrivals table").split('.').toIndexedSeq),
           "span_screen", Seq(constStr(args(2), "min_len")))
       }))
+    def binaryTableOp(name: String, nArgs: Int, usage: String, op: String): Unit =
+      ext.injectTableFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[graft.plans.GraftBinaryTableOpPlan].getName,
+          name),
+        (args: Seq[Expression]) => {
+          require(args.length == nArgs, usage)
+          graft.plans.GraftBinaryTableOpPlan(
+            org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(
+              constStr(args(0), "standing table").split('.').toIndexedSeq),
+            org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(
+              constStr(args(1), "arrivals table").split('.').toIndexedSeq),
+            op, args.drop(2).zipWithIndex.map { case (a, i) =>
+              constStr(a, s"arg ${i + 2}") })
+        }))
+    // SELECT * FROM graft_incremental_block_dedup('corpus', 'arrivals', '8')
+    // — the arrival block screen (monotone arrival ids; O(corpus) ad-hoc
+    // form — continuous ingest uses the Scala standing-index path)
+    binaryTableOp("graft_incremental_block_dedup", 3,
+      "graft_incremental_block_dedup('standing', 'arrivals', 'block_words')",
+      "incremental_block_dedup")
+    // SELECT * FROM graft_incremental_containment('corpus', 'arrivals', '3', '0.8')
+    // — the arrival containment gate (same ad-hoc O(corpus) caveat)
+    binaryTableOp("graft_incremental_containment", 4,
+      "graft_incremental_containment('standing', 'arrivals', 'ngram_n', 'threshold')",
+      "incremental_containment")
 
     // ---- scalar + aggregate functions ----
     // the portable sampling bucket every deterministic sampling/split

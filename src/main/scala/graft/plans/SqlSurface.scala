@@ -72,6 +72,12 @@ class GraftTableOpResolution(session: SparkSession) extends Rule[LogicalPlan] {
             df, params(0).toInt, params(1).toInt, params(2).toInt)
         case "random_projection" =>
           graft.ops.Similarity.randomProjection(df, params(0).toInt)
+        case "graph_triangles" =>
+          graft.ops.Similarity.graphTriangles(df, params(0).toInt)
+        case "dsir_weights" =>
+          graft.ops.Dsir.weights(df, col("source") === params(0))
+        case "dsir_sample" =>
+          graft.ops.Dsir.resample(df, col("source") === params(0))
         case "mixture_schedule" =>
           // the registry derivation verbatim: one tokenize-count scan to
           // per-source token totals, then the |sources|-sized schedule
@@ -110,6 +116,30 @@ class GraftTableOpResolution(session: SparkSession) extends Rule[LogicalPlan] {
             .unionByName(rdf.select(col("doc_id"), col("text")))
           graft.ops.Dedup.exactSubstrSpans(docs, params(0).toInt)
             .join(rdf.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        case "incremental_block_dedup" =>
+          // the screen's monotone-ingestion batch identity
+          // (Dedup.incrementalBlockDedup scaladoc, registry-oracle-pinned):
+          // corpus-wide first-instance stats over (standing ∪ arrivals)
+          // restricted to arrival doc_ids. Same O(corpus) recompute caveat
+          // as graft_span_screen — the standing-index probe path is
+          // Scala-only (a TVF cannot carry the index directory handle).
+          val docs = ldf.select(col("doc_id"), col("text"))
+            .unionByName(rdf.select(col("doc_id"), col("text")))
+          graft.ops.Dedup.blockDedup(docs, params(0).toInt)
+            .join(rdf.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        case "incremental_containment" =>
+          // containment of a pair depends on nothing but the pair, so the
+          // screen ≡ the corpus-wide containment join restricted to
+          // (arrival sub, standing super) — no id-monotonicity needed.
+          // Same O(corpus) recompute caveat as above.
+          val docs = ldf.select(col("doc_id"), col("text"))
+            .unionByName(rdf.select(col("doc_id"), col("text")))
+          graft.ops.Dedup
+            .containmentJoin(docs, params(0).toInt, params(1).toDouble)
+            .join(rdf.select(col("doc_id").as("d_sub")), Seq("d_sub"), "left_semi")
+            .join(ldf.select(col("doc_id").as("d_super")), Seq("d_super"), "left_semi")
+            .select(col("d_sub"), col("d_super"), col("n_sub"), col("inter"),
+              col("containment"))
         case other => throw new IllegalArgumentException(
           s"unknown graft binary table op '$other'")
       }

@@ -222,6 +222,58 @@ class ExtensionsSpec extends SparkSpec {
       Similarity.randomProjection(embs, 16), nonEmpty = true)
   }
 
+  test("r14-family TVFs match the Scala operators") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val embs = graft.sources.Tables.embeddings(spark, sf)
+    docs.createOrReplaceTempView("ext_docs_r14")
+    embs.createOrReplaceTempView("ext_embs_r14")
+    def pin(sql: org.apache.spark.sql.DataFrame,
+            api: org.apache.spark.sql.DataFrame, nonEmpty: Boolean): Unit = {
+      assert(sql.columns.toSeq === api.columns.toSeq)
+      assert(sql.collect().map(_.toString).sorted.toSeq ===
+        api.collect().map(_.toString).sorted.toSeq)
+      if (nonEmpty) assert(sql.count() > 0)
+    }
+    pin(spark.sql("SELECT * FROM graft_graph_triangles('ext_embs_r14', '5')"),
+      Similarity.graphTriangles(embs, 5), nonEmpty = true)
+    pin(spark.sql("SELECT * FROM graft_dsir_weights('ext_docs_r14', 'src0')"),
+      graft.ops.Dsir.weights(docs, $"source" === "src0"), nonEmpty = true)
+    pin(spark.sql("SELECT * FROM graft_dsir_sample('ext_docs_r14', 'src0')"),
+      graft.ops.Dsir.resample(docs, $"source" === "src0"), nonEmpty = true)
+  }
+
+  test("binary arrival-screen TVFs match their batch identities") {
+    val all = graft.sources.Tables.documents(spark, sf)
+    all.filter($"doc_id" < 400).createOrReplaceTempView("ext_arr_standing")
+    all.filter($"doc_id" >= 400).createOrReplaceTempView("ext_arr_arrivals")
+    def pin(sql: org.apache.spark.sql.DataFrame,
+            api: org.apache.spark.sql.DataFrame, nonEmpty: Boolean): Unit = {
+      assert(sql.columns.toSeq === api.columns.toSeq)
+      assert(sql.collect().map(_.toString).sorted.toSeq ===
+        api.collect().map(_.toString).sorted.toSeq)
+      if (nonEmpty) assert(sql.count() > 0)
+    }
+    // monotone identity: corpus-wide first-instance stats on arrival ids
+    pin(spark.sql("SELECT * FROM graft_incremental_block_dedup(" +
+        "'ext_arr_standing', 'ext_arr_arrivals', '8')"),
+      graft.ops.Dedup.blockDedup(all, 8).filter($"doc_id" >= 400),
+      nonEmpty = true)
+    // pairwise identity: corpus-wide containment on (arrival, standing)
+    pin(spark.sql("SELECT * FROM graft_incremental_containment(" +
+        "'ext_arr_standing', 'ext_arr_arrivals', '3', '0.8')"),
+      graft.ops.Dedup.containmentJoin(all, 3, 0.8)
+        .filter($"d_sub" >= 400 && $"d_super" < 400),
+      nonEmpty = true)
+    // and the TVF identity equals the REAL standing-index screen
+    val dir = java.nio.file.Files.createTempDirectory("graft_ext_cont").toString
+    graft.ops.Dedup.writeContainmentIndex(all.filter($"doc_id" < 400), dir)
+    pin(spark.sql("SELECT * FROM graft_incremental_containment(" +
+        "'ext_arr_standing', 'ext_arr_arrivals', '3', '0.8')"),
+      graft.ops.Dedup.incrementalContainmentScreen(
+        spark, dir, all.filter($"doc_id" >= 400), 3, 0.8),
+      nonEmpty = true)
+  }
+
   test("graft_span_screen TVF matches the incremental span screen") {
     val all = graft.sources.Tables.documents(spark, sf)
     all.filter($"doc_id" < 400).createOrReplaceTempView("ext_span_standing")
