@@ -253,6 +253,66 @@ class AdversarialSpec extends SparkSpec {
     assert(cj.isEmpty)
   }
 
+  test("r13/r14 families on degenerate corpora: empty, all-identical, single-vector") {
+    // ---- empty corpus: empty-with-schema, never a crash or 0/0
+    val emptyDocs = docs()
+    val emptySrc = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    val emptyEmb = Seq.empty[(Long, Array[Float], java.lang.Long)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Dedup.containmentJoin(emptyDocs).columns.toSeq ===
+      Seq("d_sub", "d_super", "n_sub", "inter", "containment"))
+    assert(Dedup.containmentJoin(emptyDocs).isEmpty)
+    assert(Dedup.cdcChunkDedup(emptyDocs).isEmpty)
+    assert(graft.ops.Dsir.weights(emptySrc, $"source" === "x").isEmpty)
+    assert(graft.ops.Dsir.resample(emptySrc, $"source" === "x").isEmpty)
+    assert(Similarity.graphTriangles(emptyEmb).isEmpty)
+    assert(Similarity.labelPropagate(emptyEmb).isEmpty)
+    // the r14 screen with an EMPTY standing corpus, then empty arrivals
+    val dir = java.nio.file.Files.createTempDirectory("graft_adv_cont").toString
+    Dedup.writeContainmentIndex(emptyDocs, dir)
+    val arr = docs((10L, "alpha beta gamma delta"))
+    assert(Dedup.incrementalContainmentScreen(spark, dir, arr).isEmpty,
+      "nothing can contain an arrival when the corpus is empty")
+    Dedup.appendContainmentIndex(arr, dir)
+    assert(Dedup.incrementalContainmentScreen(spark, dir, emptyDocs).isEmpty,
+      "an empty arrival batch screens to an empty frame")
+
+    // ---- all-identical docs: the flood reads as total mutual containment
+    val t = "alpha beta gamma delta epsilon zeta eta theta"
+    val flood = docs((1L, t), (2L, t), (3L, t))
+    val cj = Dedup.containmentJoin(flood)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(cj.length === 6, "every ordered pair of 3 identical docs")
+    assert(cj.forall(r => r._5 === 1.0 && r._3 === r._4))
+    val cdc = Dedup.cdcChunkDedup(flood)
+      .select($"doc_id", $"kept_ratio").as[(Long, Double)].collect().toMap
+    assert(cdc(1L) === 1.0 && cdc(2L) === 0.0 && cdc(3L) === 0.0,
+      "globally-first doc keeps every chunk; verbatim copies lose all")
+    // DSIR on identical docs: identical features -> identical weight;
+    // the resample keeps ALL of them (w/w_max = 1 -> accept rate 100)
+    val floodSrc = Seq((1L, t, "tgt"), (2L, t, "raw"), (3L, t, "raw"))
+      .toDF("doc_id", "text", "source")
+    val dw = graft.ops.Dsir.weights(floodSrc, $"source" === "tgt")
+      .select($"dsir_weight").as[Double].collect()
+    assert(dw.length === 3 && dw.distinct.length === 1,
+      "identical docs must score identically")
+    assert(graft.ops.Dsir.resample(floodSrc, $"source" === "tgt")
+      .count() === 3, "identical weights -> accept rate 100 -> all kept")
+
+    // ---- single-vector corpus: no pairs anywhere, defined zeros/identity
+    val one = Seq((0L, Array(1.0f, 0.0f), java.lang.Long.valueOf(7L)))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.mutualKnn(one).isEmpty)
+    val tri = Similarity.graphTriangles(one)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(tri.toSeq === Seq((0L, 0L, 0L, 0.0)),
+      "an isolated vector reports defined zeros, not NULL/NaN")
+    val lp = Similarity.labelPropagate(one).collect()
+    assert(lp.length === 1 && lp(0).getBoolean(1), "vec 0 is a seed")
+    assert(lp(0).getLong(2) === 7L && lp(0).getBoolean(3),
+      "a seed with no neighbors keeps its clamped label and agrees")
+  }
+
   test("labelPropagate: NULL-label seeds vote nothing and stay NULL") {
     // Seed 0 has a NULL label: it must neither crash nor propagate NULL as
     // if it were a label; unreached nodes stay NULL; agrees is never NULL.
