@@ -63,7 +63,12 @@ import graft.functions.NativeExpressions.{DotProduct, MinHashSignature, NfcNorma
   *     'block_words')` and `graft_incremental_containment('standing',
   *     'arrivals', 'n', 'threshold')` — the arrival screens' batch
   *     identities (monotone arrival ids; O(corpus) ad-hoc recompute —
-  *     continuous ingest uses the Scala standing-index paths)
+  *     continuous ingest uses the standing-index paths)
+  *   - `graft_containment_screen('arrivals', 'index_dir', 'n',
+  *     'threshold')` and `graft_span_screen_indexed('arrivals',
+  *     'index_dir', 'corpus_dir', 'min_len')` — the REAL standing-index
+  *     probes from SQL (cost ∝ batch + candidates; resolving them runs
+  *     the batch-bounded probe jobs — see the resolution-rule notes)
   *
   * Wire up via `GraftSession.builder` (already applied) or
   * `--conf spark.sql.extensions=graft.GraftExtensions` on a stock session.
@@ -217,6 +222,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     tableOp("graft_mixture_schedule", 2,
       "graft_mixture_schedule('table', 'budget_tokens')")(
       s => ("mixture_schedule", s.tail))
+    // SELECT * FROM graft_containment_screen('arrivals', '/idx', '3', '0.8')
+    // — the STANDING-INDEX containment probe (cost ∝ batch + candidates;
+    // the cheap path the ad-hoc graft_incremental_containment recomputes)
+    tableOp("graft_containment_screen", 4,
+      "graft_containment_screen('arrivals', 'index_dir', 'ngram_n', 'threshold')")(
+      s => ("containment_screen", s.tail))
+    // SELECT * FROM graft_span_screen_indexed('arrivals', '/idx', '/corpus', '8')
+    // — the standing fingerprint-index span screen (the incremental probe
+    // graft_span_screen's O(corpus) form documents against)
+    tableOp("graft_span_screen_indexed", 4,
+      "graft_span_screen_indexed('arrivals', 'index_dir', 'corpus_dir', 'min_len')")(
+      s => ("span_screen_indexed", s.tail))
     // SELECT * FROM graft_graph_triangles('embeddings', '5') — triangle
     // census of the mutual-kNN graph
     tableOp("graft_graph_triangles", 2,

@@ -72,6 +72,24 @@ class GraftTableOpResolution(session: SparkSession) extends Rule[LogicalPlan] {
             df, params(0).toInt, params(1).toInt, params(2).toInt)
         case "random_projection" =>
           graft.ops.Similarity.randomProjection(df, params(0).toInt)
+        case "containment_screen" =>
+          // the REAL standing-index probe (cost ∝ batch + candidates) —
+          // the cheap path the ad-hoc graft_incremental_containment TVF
+          // documents against. NOTE: the screen eagerly materializes its
+          // batch-bounded probe frames, so RESOLVING this call (EXPLAIN
+          // included) runs the probe's Spark jobs — bounded by the
+          // arrival batch, never the corpus, but not free; scripted
+          // pipelines should prefer the Scala path.
+          graft.ops.Dedup.incrementalContainmentScreen(session, params(0),
+            df, params(1).toInt, params(2).toDouble)
+        case "span_screen_indexed" =>
+          // the standing fingerprint-index span screen (cost ∝ batch +
+          // candidates; r13 ADVICE asked for an index-directory argument
+          // so SQL reaches the incremental probe instead of the
+          // O(corpus) graft_span_screen recompute). Same analysis-time
+          // probe-materialization note as containment_screen.
+          graft.ops.Dedup.incrementalSpanScreen(session, params(0),
+            session.read.parquet(params(1)), df, params(2).toInt)
         case "graph_triangles" =>
           graft.ops.Similarity.graphTriangles(df, params(0).toInt)
         case "dsir_weights" =>

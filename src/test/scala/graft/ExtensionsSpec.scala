@@ -272,6 +272,22 @@ class ExtensionsSpec extends SparkSpec {
       graft.ops.Dedup.incrementalContainmentScreen(
         spark, dir, all.filter($"doc_id" >= 400), 3, 0.8),
       nonEmpty = true)
+    // the INDEXED probe TVFs (cost ∝ batch): same rows as the Scala
+    // screens over the same standing index — the cheap paths from SQL
+    pin(spark.sql(
+        s"SELECT * FROM graft_containment_screen('ext_arr_arrivals', '$dir', '3', '0.8')"),
+      graft.ops.Dedup.incrementalContainmentScreen(
+        spark, dir, all.filter($"doc_id" >= 400), 3, 0.8),
+      nonEmpty = true)
+    val spanIdx = java.nio.file.Files.createTempDirectory("graft_ext_span").toString
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_ext_corp").toString
+    graft.ops.Dedup.writeFingerprintIndex(all.filter($"doc_id" < 400), spanIdx)
+    all.filter($"doc_id" < 400).write.mode("overwrite").parquet(corpusDir)
+    pin(spark.sql("SELECT * FROM graft_span_screen_indexed(" +
+        s"'ext_arr_arrivals', '$spanIdx', '$corpusDir', '8')"),
+      graft.ops.Dedup.incrementalSpanScreen(spark, spanIdx,
+        spark.read.parquet(corpusDir), all.filter($"doc_id" >= 400), 8),
+      nonEmpty = true)
   }
 
   test("graft_span_screen TVF matches the incremental span screen") {
