@@ -273,7 +273,38 @@ object Bench {
     "mutual_knn_clusters_2x" -> ((s, d) =>
       graft.ops.Dedup.clusters(
         graft.ops.Similarity.mutualKnn(stressEmbeddings(s, d, 2))
-          .select("d1", "d2"))))
+          .select("d1", "d2"))),
+    // r14 containment-screen corpus curve: the SAME absolute arrival
+    // batch (4% of the base corpus) probed against a 1× vs a 4× standing
+    // index — the pair measures how the probe scales with CORPUS when the
+    // batch is fixed. The compute is batch + candidate bounded; the
+    // remaining corpus term is the hash-only index co-scan behind the
+    // broadcast probes, so the honest expectation is well-sublinear in
+    // corpus size (exponent vs the 1× row, the span_screen posture).
+    "containment_screen_probe" -> containmentProbeEntry(1),
+    "containment_screen_probe_4x" -> containmentProbeEntry(4))
+
+  /** Shared harness for the containment-probe pair: standing = the ×F
+    * corpus minus the base-replica arrival slice; the index builds once
+    * per (sf, factor) on the cold call, warm = the pure probe. */
+  private def containmentProbeEntry(factor: Int): (SparkSession, String) => DataFrame = {
+    val indexCache = scala.collection.mutable.Map.empty[String, String]
+    (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions.col
+      val all = if (factor == 1) graft.sources.Tables.documents(s, d)
+                else stressDocs(s, d, factor)
+      // base-replica ids are < 10M: the arrival slice is IDENTICAL for
+      // every factor (same absolute batch), standing grows with ×F
+      val isArrival = col("doc_id") < 10000000L && col("doc_id") % 25 === 0
+      val dir = indexCache.getOrElseUpdate(s"$d/$factor", {
+        val dd = java.nio.file.Files
+          .createTempDirectory(s"graft_cont_bench${factor}x").toString
+        graft.ops.Dedup.writeContainmentIndex(all.filter(!isArrival), dd)
+        dd
+      })
+      graft.ops.Dedup.incrementalContainmentScreen(s, dir, all.filter(isArrival))
+    }
+  }
 
   /** The 6 in-order micro-batches both SCD2 sink bench entries replay. */
   private def scd2Batches(s: SparkSession, d: String): Seq[DataFrame] = {

@@ -378,10 +378,16 @@ object Dedup {
     val ex = shingleRows(docs, n)
       .select(col("doc_id"), xxhash64(col("g")).as("h"))
       .localCheckpoint(true)
-    ex.write.mode(mode).parquet(s"$dir/shingles")
+    // hash-clustered layout (the [[writeFingerprintIndex]] discipline):
+    // probe-side scans of a hash-sorted table skip row groups via parquet
+    // min/max; same for the id-keyed sizes table
+    ex.repartition(col("h")).sortWithinPartitions(col("h"))
+      .write.mode(mode).parquet(s"$dir/shingles")
     ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      .sortWithinPartitions(col("doc_id"))
       .write.mode(mode).parquet(s"$dir/sizes")
     ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .sortWithinPartitions(col("h"))
       .write.mode(mode).parquet(s"$dir/df")
     Checkpoints.unpersist(ex)
   }
