@@ -56,6 +56,10 @@ import graft.functions.NativeExpressions.{DotProduct, MinHashSignature, NfcNorma
   *     projection (long form)
   *   - `graft_graph_triangles('t', 'k')` — triangle census of the
   *     mutual-kNN graph (degree, triangles, local cc)
+  *   - `graft_source_overlap('t', 'ngram_n')` — pairwise cross-source
+  *     shingle containment/Jaccard matrix
+  *   - `graft_corpus_drift('t', 'n_batches', 'boundary')` — the
+  *     moving-boundary token-drift read over batch-tagged partials
   *   - `graft_dsir_weights('t', 'target_source')` /
   *     `graft_dsir_sample('t', 'target_source')` — DSIR importance
   *     weights / deterministic resample against the named target source
@@ -248,6 +252,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     tableOp("graft_dsir_sample", 2,
       "graft_dsir_sample('table', 'target_source')")(
       s => ("dsir_sample", s.tail))
+    // SELECT * FROM graft_source_overlap('docs', '3') — pairwise
+    // cross-source shingle containment/Jaccard matrix
+    tableOp("graft_source_overlap", 2,
+      "graft_source_overlap('table', 'ngram_n')")(
+      s => ("source_overlap", s.tail))
+    // SELECT * FROM graft_corpus_drift('docs', '8', '3') — the
+    // moving-boundary drift read served from batch-tagged partials
+    tableOp("graft_corpus_drift", 3,
+      "graft_corpus_drift('table', 'n_batches', 'boundary')")(
+      s => ("corpus_drift", s.tail))
     // SELECT * FROM graft_span_screen('corpus', 'arrivals', '8') — the
     // standing exact-substring screen: arrival removal spans against the
     // corpus (monotone arrival ids — the ingestion contract)

@@ -37,6 +37,71 @@ object Dedup {
       .distinct()
   }
 
+  /** Pairwise cross-source shingle-overlap matrix — WHERE duplication flows
+    * between sources (the per-source dup-share read-out reports how
+    * contaminated each source is; this reports which source PAIRS share
+    * material — the crawl-vs-crawl / snapshot-vs-snapshot comparison a
+    * curation pipeline uses to decide whether a new acquisition is
+    * redundant before paying to dedup it doc-by-doc). For every source
+    * pair: the shared distinct-shingle count, both directional containments
+    * (share of each side's shingles the other side also has), and the
+    * Jaccard. Pairs sharing zero shingles are absent (their row would be
+    * all-zero).
+    *
+    * 100 TB shape: shingle strings are reduced map-side to a two-seed
+    * 128-bit xxhash64 pair ([[exact]]'s collision contract, ~n²/2¹²⁹) so
+    * the shuffle carries (hash128, source) only — never shingle text; the
+    * per-hash source set is |sources|-bounded by construction, pair
+    * fan-out (|sources| choose 2)-bounded, and everything after the
+    * distinct is a |sources|²-sized aggregation. One shingle scan, one
+    * hash-only distinct, one bounded census — no corpus-scale joins. The
+    * per-hash frame is persisted (it feeds both the per-source sizes and
+    * the pair census); a standing deployment would write it as a
+    * (source, hash) index table instead, per the fingerprint-index
+    * discipline ([[writeFingerprintIndex]]).
+    *
+    * @param docs (doc_id, source, text)
+    * @param n    shingle width in words (docs shorter than n emit nothing)
+    */
+  def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val sh = docs
+      .select(col("doc_id"), col("source"),
+        posexplode(graft.ops.TextAnalysis.tokens(col("text"))))
+      .toDF("doc_id", "source", "pos", "t")
+      .select(col("source"),
+        concat_ws(" ", (0 until n).map(j => lead(col("t"), j).over(byDoc)): _*)
+          .as("g"),
+        lead(col("t"), n - 1).over(byDoc).isNotNull.as("full"))
+      .filter(col("full"))
+      .select(col("source"), xxhash64(col("g")).as("h1"),
+        xxhash64(lit(1L), col("g")).as("h2"))
+      .distinct()
+    val byHash = sh.groupBy(col("h1"), col("h2"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .persist()
+    val sizes = byHash.select(explode(col("ss")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    // ordered pairs from the sorted source set: element i with every later
+    // element — sort_array makes s1 < s2 by construction (binary string
+    // order, matching the oracle's a.source < b.source)
+    val pairs = byHash
+      .select(explode(flatten(transform(col("ss"), (x, i) =>
+        transform(slice(col("ss"), i + lit(2), size(col("ss"))),
+          y => struct(x.as("s1"), y.as("s2")))))).as("p"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sizes.select(col("source").as("s1"), col("n_sh").as("n_s1")), "s1")
+      .join(sizes.select(col("source").as("s2"), col("n_sh").as("n_s2")), "s2")
+      .select(col("s1"), col("s2"), col("n_s1"), col("n_s2"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_s1")).as("containment_s1"),
+        (col("n_shared").cast("double") / col("n_s2")).as("containment_s2"),
+        (col("n_shared").cast("double") /
+          (col("n_s1") + col("n_s2") - col("n_shared"))).as("jaccard"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
   /** Exact dedup: every doc mapped to the smallest doc_id sharing its
     * normalized text. The shuffle carries only (hash128, doc_id) — never the
     * document bodies: texts are reduced map-side to a two-seed 128-bit
@@ -242,8 +307,17 @@ object Dedup {
     * all-pairs oracle); only the candidate count changes.
     */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sr = shingleRows(docs, n)
-    val ex = sr.select(col("doc_id"), xxhash64(col("g")).as("h"))
+    // ONE tokenize+explode+window pass: the hashed shingle table feeds the
+    // sizes, the df table, the prefix filter, and both verification joins
+    // (six consumers). Left lazy, every consumer re-derives the subtree
+    // and cross-stage exchange reuse is up to AQE's scheduling — measured
+    // BIMODAL 2.5–5.4s run-to-run on identical input (r14). The eager
+    // checkpoint pins one evaluation of hash-only rows (the [[minhashLsh]]
+    // index-probe discipline); not TVF-reachable, so no analysis-time
+    // materialization concern.
+    val ex = shingleRows(docs, n)
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+      .localCheckpoint(true)
     val sz = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
@@ -268,7 +342,7 @@ object Dedup {
         a("sz1") >= ceil(lit(threshold) * b("sz2")) &&
         lit(1) + least(col("sz1") - col("rk1"), col("sz2") - col("rk2")) >= minOverlap)
       .select(col("d1"), col("d2")).distinct()
-    verifyJaccard(candidates, sr, threshold)
+    verifyJaccardHashed(candidates, ex, threshold)
   }
 
   /** Exact-Jaccard verification of candidate (d1, d2) pairs by
@@ -282,8 +356,15 @@ object Dedup {
     * join, which is semantically free: they cannot clear any positive
     * threshold. */
   private def verifyJaccard(candidates: DataFrame, sr: DataFrame,
-                            threshold: Double): DataFrame = {
-    val ex = sr.select(col("doc_id"), xxhash64(col("g")).as("h"))
+                            threshold: Double): DataFrame =
+    verifyJaccardHashed(candidates,
+      sr.select(col("doc_id"), xxhash64(col("g")).as("h")), threshold)
+
+  /** [[verifyJaccard]] over the already-hashed (doc_id, h) shingle table —
+    * callers that materialize that frame once (ngramJaccard's pinned
+    * checkpoint) pass it directly so verification reads the same blocks. */
+  private def verifyJaccardHashed(candidates: DataFrame, ex: DataFrame,
+                                  threshold: Double): DataFrame = {
     val sz = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = candidates
       .join(ex.toDF("d1", "h"), "d1")

@@ -106,6 +106,16 @@ class GraftTableOpResolution(session: SparkSession) extends Rule[LogicalPlan] {
               .groupBy(col("source"))
               .agg(org.apache.spark.sql.functions.sum(col("n")).as("n_tokens")),
             budgetTokens = params(0).toDouble)
+        case "source_overlap" =>
+          graft.ops.Dedup.sourceOverlap(df, params(0).toInt)
+        case "corpus_drift" =>
+          // the state-served moving-boundary drift read, the registry
+          // derivation verbatim: one scan to ≤ sources×n_batches partials,
+          // then the O(state) boundary read
+          graft.streaming.StreamingCorpusStats.driftFromState(
+            graft.streaming.StreamingCorpusStats.taggedPartials(
+              df, params(0).toInt),
+            params(1).toLong)
         case other => throw new IllegalArgumentException(
           s"unknown graft table op '$other'")
       }

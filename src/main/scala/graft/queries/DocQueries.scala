@@ -208,6 +208,44 @@ object DocQueries {
            (tok_new::DOUBLE / n_new) / (tok_old::DOUBLE / n_old) AS drift_ratio
     FROM g ORDER BY source"""
 
+  /** Moving-boundary corpus-drift read-out — the STATE-SERVED form of
+    * [[tokenDrift]]'s report (the r13 `token_drift` entry pins its split
+    * predicate at plan time; an ingest dashboard needs the before/after
+    * comparison at ANY boundary without rescanning the corpus). Documents
+    * reduce to the per-(source, batch) partials
+    * [[graft.streaming.StreamingCorpusStats.runTokenStats]] maintains
+    * (batch = pmod(doc_id, 8), the deterministic arrival stand-in) and the
+    * report is served by
+    * [[graft.streaming.StreamingCorpusStats.driftFromState]] at boundary 3
+    * — one corpus scan to a ≤ sources×8-row state table, then O(state).
+    * This gives the serve path (previously spec-only: served ≡ batch over
+    * in-order micro-batches) a full DuckDB oracle; identical longs/IEEE
+    * divisions on both sides, absent halves NULL. */
+  private def corpusDrift(s: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamingCorpusStats.driftFromState(
+      graft.streaming.StreamingCorpusStats.taggedPartials(
+        Tables.documents(s, d), nBatches = 8),
+      boundary = 3L)
+
+  private val corpusDriftSql = """
+    WITH d AS (
+      SELECT source, (doc_id % 8) <= 3 AS is_old,
+             len(string_split(lower(trim(text)), ' ')) AS n_tok
+      FROM documents),
+    g AS (
+      SELECT source,
+             SUM(CASE WHEN is_old THEN 1 END) AS n_old,
+             SUM(CASE WHEN NOT is_old THEN 1 END) AS n_new,
+             SUM(CASE WHEN is_old THEN n_tok END) AS tok_old,
+             SUM(CASE WHEN NOT is_old THEN n_tok END) AS tok_new
+      FROM d GROUP BY source)
+    SELECT source, CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+           CAST(tok_old AS BIGINT) AS tok_old, CAST(tok_new AS BIGINT) AS tok_new,
+           tok_old::DOUBLE / n_old AS mean_old,
+           tok_new::DOUBLE / n_new AS mean_new,
+           (tok_new::DOUBLE / n_new) / (tok_old::DOUBLE / n_old) AS drift_ratio
+    FROM g ORDER BY source"""
+
   /** Corpus-level token frequency head — the vocabulary/Zipf stats a
     * pipeline inspects before tokenizer training. */
   private def tokenTopK(s: SparkSession, d: String): DataFrame = {
@@ -772,6 +810,40 @@ object DocQueries {
       CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters
     FROM documents d LEFT JOIN lab ON d.doc_id = lab.id
     GROUP BY source ORDER BY source"""
+
+  /** Pairwise cross-source shingle-overlap matrix (see
+    * [[graft.ops.Dedup.sourceOverlap]] for the operator and its 100 TB
+    * shape): `source_dup_stats` above answers "how contaminated is this
+    * source"; this answers "which source pairs share material, and in
+    * which direction" — the redundancy read a pipeline consults before
+    * ingesting a new crawl. Oracle re-derives the same matrix over
+    * distinct shingle STRINGS (the engine's two-seed hash128 distinct is
+    * the documented collision-contract stand-in, `dedup_exact`
+    * precedent). */
+  private def sourceOverlapQ(s: SparkSession, d: String): DataFrame =
+    Dedup.sourceOverlap(
+      Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")))
+
+  private val sourceOverlapSql = """
+    WITH w AS (SELECT source, string_split(lower(trim(text)), ' ') AS w
+               FROM documents),
+    sh AS (SELECT DISTINCT source, g
+           FROM (SELECT source,
+                   unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                           for i in range(1, len(w) - 1)]) AS g
+                 FROM w WHERE len(w) >= 3)),
+    sz AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source),
+    p AS (SELECT a.source AS s1, b.source AS s2,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+          GROUP BY 1, 2)
+    SELECT s1, s2, CAST(z1.n_sh AS BIGINT) AS n_s1,
+           CAST(z2.n_sh AS BIGINT) AS n_s2, n_shared,
+           n_shared::DOUBLE / z1.n_sh AS containment_s1,
+           n_shared::DOUBLE / z2.n_sh AS containment_s2,
+           n_shared::DOUBLE / (z1.n_sh + z2.n_sh - n_shared) AS jaccard
+    FROM p JOIN sz z1 ON p.s1 = z1.source JOIN sz z2 ON p.s2 = z2.source
+    ORDER BY s1, s2"""
 
   /** Per-source length-distribution outliers (see
     * [[graft.ops.Audit.groupZScoreOutliers]]); the oracle replays the
@@ -3315,5 +3387,7 @@ $sel
     Q("bpe_encode", bpeEncodeQ, Some(bpeEncodeSql)),
     Q("bpe_fertility", bpeFertilityQ, Some(bpeFertilitySql)),
     Q("dsir_weights", dsirWeights, Some(dsirWeightsSql)),
-    Q("dsir_sample", dsirSample, Some(dsirSampleSql)))
+    Q("dsir_sample", dsirSample, Some(dsirSampleSql)),
+    Q("corpus_drift", corpusDrift, Some(corpusDriftSql)),
+    Q("source_overlap", sourceOverlapQ, Some(sourceOverlapSql)))
 }

@@ -25,6 +25,23 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamingCorpusStats {
 
+  /** Deterministic batch-tagged partials over a STATIC corpus — the
+    * arrival stand-in the `corpus_drift` registry entry and SQL surface
+    * share: batch_id = pmod(doc_id, nBatches) (pmod, not %, per the
+    * truncate-vs-floor discipline; equal for the non-negative ids the
+    * tables carry). Produces exactly the state shape [[runTokenStats]]
+    * maintains (≤ sources × nBatches rows from one corpus scan), so
+    * [[driftFromState]] over it IS the serve path — swap in the real
+    * maintained state table in production and nothing downstream
+    * changes. */
+  def taggedPartials(docs: DataFrame, nBatches: Int): DataFrame =
+    docs
+      .select(col("source"),
+        pmod(col("doc_id"), lit(nBatches.toLong)).as("batch_id"),
+        size(graft.ops.TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"))
+
   /** Reduce one batch of documents to per-source partials. */
   def batchPartials(batch: DataFrame): DataFrame =
     batch

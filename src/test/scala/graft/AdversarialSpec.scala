@@ -265,6 +265,17 @@ class AdversarialSpec extends SparkSpec {
     assert(Dedup.cdcChunkDedup(emptyDocs).isEmpty)
     assert(graft.ops.Dsir.weights(emptySrc, $"source" === "x").isEmpty)
     assert(graft.ops.Dsir.resample(emptySrc, $"source" === "x").isEmpty)
+    assert(Dedup.sourceOverlap(emptySrc).isEmpty &&
+      Dedup.sourceOverlap(emptySrc).columns.toSeq ===
+        Seq("s1", "s2", "n_s1", "n_s2", "n_shared",
+            "containment_s1", "containment_s2", "jaccard"))
+    // single source: a matrix needs two sides — empty, not a self-pair
+    assert(Dedup.sourceOverlap(Seq((1L, "a b c d", "solo"), (2L, "a b x y",
+      "solo")).toDF("doc_id", "text", "source")).isEmpty)
+    val emptyState = graft.streaming.StreamingCorpusStats
+      .taggedPartials(emptySrc, 8)
+    assert(emptyState.isEmpty && graft.streaming.StreamingCorpusStats
+      .driftFromState(emptyState, 3L).isEmpty)
     assert(Similarity.graphTriangles(emptyEmb).isEmpty)
     assert(Similarity.labelPropagate(emptyEmb).isEmpty)
     // the r14 screen with an EMPTY standing corpus, then empty arrivals

@@ -22,6 +22,23 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(_.getBoolean(2)).map(_.getLong(0)).toSet === Set(2L, 5L))
   }
 
+  test("source overlap: hand-computed pairwise containment and jaccard") {
+    val docs = Seq(
+      (0L, "A", "a b c d"),  // A shingles: {a b c, b c d}
+      (1L, "A", "a b c"),    // duplicate shingle within a source counts once
+      (2L, "B", "a b c x"),  // B shingles: {a b c, b c x}
+      (3L, "C", "p q r"),    // C shares nothing -> no C rows at all
+      (4L, "C", "z")         // shorter than n: contributes no shingles
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.sourceOverlap(docs, n = 3).collect()
+    assert(out.length === 1, "only the (A,B) pair shares a shingle")
+    val r = out.head
+    assert(r.getString(0) === "A" && r.getString(1) === "B")
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((2L, 2L, 1L)))
+    assert(r.getDouble(5) === 0.5 && r.getDouble(6) === 0.5)
+    assert(r.getDouble(7) === 1.0 / 3.0)
+  }
+
   test("block dedup: hand-computed segmentation, first-instance rule, stats") {
     val docs = Seq(
       (0L, "a b c d e f g"),     // blocks: "a b c" / "d e f" / "g" (tail, 1 word)

@@ -240,6 +240,12 @@ class ExtensionsSpec extends SparkSpec {
       graft.ops.Dsir.weights(docs, $"source" === "src0"), nonEmpty = true)
     pin(spark.sql("SELECT * FROM graft_dsir_sample('ext_docs_r14', 'src0')"),
       graft.ops.Dsir.resample(docs, $"source" === "src0"), nonEmpty = true)
+    pin(spark.sql("SELECT * FROM graft_source_overlap('ext_docs_r14', '3')"),
+      graft.ops.Dedup.sourceOverlap(docs, 3), nonEmpty = true)
+    pin(spark.sql("SELECT * FROM graft_corpus_drift('ext_docs_r14', '8', '3')"),
+      graft.streaming.StreamingCorpusStats.driftFromState(
+        graft.streaming.StreamingCorpusStats.taggedPartials(docs, 8), 3L),
+      nonEmpty = true)
   }
 
   test("binary arrival-screen TVFs match their batch identities") {

@@ -302,6 +302,29 @@ class TextAnalysisSpec extends SparkSpec {
       docs.columns.toSet + "batch_id")
   }
 
+  test("corpus drift: tagged partials + moving-boundary read, hand-computed") {
+    val docs = Seq(
+      (0L, "s", "w1 w2"),       // batch 0 (old side), 2 tokens
+      (3L, "s", "w1 w2 w3"),    // batch 3 (old side), 3 tokens
+      (4L, "s", "w1"),          // batch 4 (new side), 1 token
+      (9L, "t", "w1 w2 w3 w4")  // batch 1 (old side); t has NO new half
+    ).toDF("doc_id", "source", "text")
+    val state = graft.streaming.StreamingCorpusStats.taggedPartials(docs, 8)
+    assert(state.count() === 4, "one partial row per (source, batch)")
+    val out = graft.streaming.StreamingCorpusStats
+      .driftFromState(state, boundary = 3L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s = out("s")
+    assert((s.getLong(1), s.getLong(2), s.getLong(3), s.getLong(4)) ===
+      ((2L, 1L, 5L, 1L)))
+    assert(s.getDouble(5) === 2.5 && s.getDouble(6) === 1.0)
+    assert(s.getDouble(7) === 1.0 / 2.5)
+    val t = out("t")
+    assert((t.getLong(1), t.getLong(3)) === ((1L, 4L)))
+    assert(t.isNullAt(2) && t.isNullAt(4) && t.isNullAt(6) && t.isNullAt(7),
+      "an absent half reports NULL, never 0/0")
+  }
+
   test("streaming corpus stats: drift served from state equals the batch token_drift") {
     // file 1 = even doc_ids, file 2 = odd — the same split the batch
     // token_drift entry pins at plan time; with boundary = batch 0 the
