@@ -58,6 +58,8 @@ import graft.functions.NativeExpressions.{DotProduct, MinHashSignature, NfcNorma
   *     mutual-kNN graph (degree, triangles, local cc)
   *   - `graft_source_overlap('t', 'ngram_n')` — pairwise cross-source
   *     shingle containment/Jaccard matrix
+  *   - `graft_source_overlap_census('idx')` — the same matrix served from
+  *     a standing (source, hash128) shingle-index table (hash-only scan)
   *   - `graft_corpus_drift('t', 'n_batches', 'boundary')` — the
   *     moving-boundary token-drift read over batch-tagged partials
   *   - `graft_dsir_weights('t', 'target_source')` /
@@ -257,6 +259,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     tableOp("graft_source_overlap", 2,
       "graft_source_overlap('table', 'ngram_n')")(
       s => ("source_overlap", s.tail))
+    // SELECT * FROM graft_source_overlap_census('idx') — the matrix served
+    // from a standing (source, h1, h2) shingle-index table (e.g. a temp
+    // view over the index parquet): hash-only scan, no tokenization
+    tableOp("graft_source_overlap_census", 1,
+      "graft_source_overlap_census('index_table')")(
+      s => ("source_overlap_census", Nil))
     // SELECT * FROM graft_corpus_drift('docs', '8', '3') — the
     // moving-boundary drift read served from batch-tagged partials
     tableOp("graft_corpus_drift", 3,

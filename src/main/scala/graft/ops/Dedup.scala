@@ -56,16 +56,23 @@ object Dedup {
     * distinct is a |sources|²-sized aggregation. One shingle scan, one
     * hash-only distinct, one bounded census — no corpus-scale joins. The
     * per-hash frame is persisted (it feeds both the per-source sizes and
-    * the pair census); a standing deployment would write it as a
-    * (source, hash) index table instead, per the fingerprint-index
-    * discipline ([[writeFingerprintIndex]]).
+    * the pair census); a standing deployment writes it as a (source, hash)
+    * index table instead ([[writeSourceShingleIndex]] — the
+    * fingerprint-index discipline) and serves the matrix from the index
+    * ([[sourceOverlapFromIndex]]) while arrivals maintain it at O(batch).
     *
     * @param docs (doc_id, source, text)
     * @param n    shingle width in words (docs shorter than n emit nothing)
     */
-  def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
+  def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame =
+    sourceOverlapCensus(sourceShingleRows(docs, n))
+
+  /** Distinct (source, h1, h2) shingle-hash rows — the map-side reduction
+    * [[sourceOverlap]] computes inline and the standing source-shingle
+    * index persists. Hash-only: shingle text never leaves the scan. */
+  def sourceShingleRows(docs: DataFrame, n: Int): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val sh = docs
+    docs
       .select(col("doc_id"), col("source"),
         posexplode(graft.ops.TextAnalysis.tokens(col("text"))))
       .toDF("doc_id", "source", "pos", "t")
@@ -77,6 +84,16 @@ object Dedup {
       .select(col("source"), xxhash64(col("g")).as("h1"),
         xxhash64(lit(1L), col("g")).as("h2"))
       .distinct()
+  }
+
+  /** The overlap-matrix census over (source, h1, h2) rows (inline from
+    * [[sourceOverlap]], or a standing index scan from
+    * [[sourceOverlapFromIndex]] / the `graft_source_overlap_census` TVF).
+    * Duplicate (source, hash) rows are ABSORBED here — `collect_set`
+    * dedups sources per hash and the sizes are counted from those sets —
+    * so blind index appends need no read-modify-write to stay exact (the
+    * semi-join-probe idempotence discipline, in aggregate form). */
+  def sourceOverlapCensus(sh: DataFrame): DataFrame = {
     val byHash = sh.groupBy(col("h1"), col("h2"))
       .agg(sort_array(collect_set(col("source"))).as("ss"))
       .persist()
@@ -101,6 +118,40 @@ object Dedup {
           (col("n_s1") + col("n_s2") - col("n_shared"))).as("jaccard"))
       .orderBy(col("s1"), col("s2"))
   }
+
+  /** Standing source-shingle index: the distinct (source, hash128) shingle
+    * rows of the corpus so far, hash-clustered on write
+    * (repartition + sort by h1, the [[writeFingerprintIndex]] layout) so
+    * census scans stream sorted row groups. Hash-only rows — corpus text
+    * never reaches the index. */
+  def writeSourceShingleIndex(docs: DataFrame, dir: String, n: Int = 3): Unit =
+    sourceShingleRows(docs, n)
+      .repartition(col("h1")).sortWithinPartitions(col("h1"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** Append an arrival batch's distinct (source, hash128) shingle rows.
+    * Blind append — no read-modify-write, so concurrent appenders and
+    * at-least-once redelivery are safe by construction: rows the standing
+    * index already holds are absorbed by [[sourceOverlapCensus]]'s
+    * per-hash `collect_set` (the [[appendBlockIndex]] discipline; here the
+    * reader's aggregate, not a semi-join, supplies the idempotence).
+    * Cost ∝ the batch's shingles, never the corpus. */
+  def appendSourceShingleIndex(docs: DataFrame, dir: String, n: Int = 3): Unit =
+    sourceShingleRows(docs, n)
+      .repartition(col("h1")).sortWithinPartitions(col("h1"))
+      .write.mode("append").parquet(dir)
+
+  /** Serve the pairwise overlap matrix from the standing index: one
+    * hash-only index co-scan + the |sources|²-bounded census — no
+    * tokenization, no text, no corpus rescan. After any append sequence
+    * this is EXACTLY [[sourceOverlap]] of the union corpus (set union is
+    * order-free, so unlike the first-instance screens there is no
+    * monotone-id contract to honor — any arrival order, any batching,
+    * any redelivery gives the identical matrix). */
+  def sourceOverlapFromIndex(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): DataFrame =
+    sourceOverlapCensus(
+      spark.read.parquet(dir).select(col("source"), col("h1"), col("h2")))
 
   /** Exact dedup: every doc mapped to the smallest doc_id sharing its
     * normalized text. The shuffle carries only (hash128, doc_id) — never the

@@ -108,6 +108,12 @@ class GraftTableOpResolution(session: SparkSession) extends Rule[LogicalPlan] {
             budgetTokens = params(0).toDouble)
         case "source_overlap" =>
           graft.ops.Dedup.sourceOverlap(df, params(0).toInt)
+        case "source_overlap_census" =>
+          // the standing-index serve path: census over an already-built
+          // (source, h1, h2) shingle-index relation — duplicate rows from
+          // blind appends are absorbed by the census aggregate
+          graft.ops.Dedup.sourceOverlapCensus(
+            df.select(col("source"), col("h1"), col("h2")))
         case "corpus_drift" =>
           // the state-served moving-boundary drift read, the registry
           // derivation verbatim: one scan to ≤ sources×n_batches partials,

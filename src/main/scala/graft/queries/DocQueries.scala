@@ -845,6 +845,23 @@ object DocQueries {
     FROM p JOIN sz z1 ON p.s1 = z1.source JOIN sz z2 ON p.s2 = z2.source
     ORDER BY s1, s2"""
 
+  /** The standing-index lifecycle of the overlap matrix
+    * ([[graft.ops.Dedup.sourceOverlapFromIndex]]): docs < 400 build the
+    * (source, hash128) shingle index, docs >= 400 blind-append, the matrix
+    * is served from the index alone — one hash-only co-scan, no text.
+    * Unlike the first-instance screens there is NO monotone-id contract:
+    * set union is order-free, so after any append sequence the served
+    * matrix ≡ whole-corpus `source_overlap` EXACTLY — the oracle is that
+    * entry's SQL verbatim. */
+  private def incrementalSourceOverlapQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val all = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_src_sh_idx").toString
+    Dedup.writeSourceShingleIndex(all.filter($"doc_id" < 400), dir)
+    Dedup.appendSourceShingleIndex(all.filter($"doc_id" >= 400), dir)
+    Dedup.sourceOverlapFromIndex(s, dir)
+  }
+
   /** Per-source length-distribution outliers (see
     * [[graft.ops.Audit.groupZScoreOutliers]]); the oracle replays the
     * decimal-moment z-score pipeline. */
@@ -3389,5 +3406,7 @@ $sel
     Q("dsir_weights", dsirWeights, Some(dsirWeightsSql)),
     Q("dsir_sample", dsirSample, Some(dsirSampleSql)),
     Q("corpus_drift", corpusDrift, Some(corpusDriftSql)),
-    Q("source_overlap", sourceOverlapQ, Some(sourceOverlapSql)))
+    Q("source_overlap", sourceOverlapQ, Some(sourceOverlapSql)),
+    Q("incremental_source_overlap", incrementalSourceOverlapQ,
+      Some(sourceOverlapSql)))
 }

@@ -272,6 +272,14 @@ class AdversarialSpec extends SparkSpec {
     // single source: a matrix needs two sides — empty, not a self-pair
     assert(Dedup.sourceOverlap(Seq((1L, "a b c d", "solo"), (2L, "a b x y",
       "solo")).toDF("doc_id", "text", "source")).isEmpty)
+    // an EMPTY standing shingle index serves an empty matrix with schema
+    val srcIdxDir = java.nio.file.Files
+      .createTempDirectory("graft_adv_srcsh").toString
+    Dedup.writeSourceShingleIndex(emptySrc, srcIdxDir)
+    assert(Dedup.sourceOverlapFromIndex(spark, srcIdxDir).isEmpty &&
+      Dedup.sourceOverlapFromIndex(spark, srcIdxDir).columns.toSeq ===
+        Seq("s1", "s2", "n_s1", "n_s2", "n_shared",
+            "containment_s1", "containment_s2", "jaccard"))
     val emptyState = graft.streaming.StreamingCorpusStats
       .taggedPartials(emptySrc, 8)
     assert(emptyState.isEmpty && graft.streaming.StreamingCorpusStats

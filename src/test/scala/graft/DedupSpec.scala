@@ -39,6 +39,37 @@ class DedupSpec extends SparkSpec {
     assert(r.getDouble(7) === 1.0 / 3.0)
   }
 
+  test("source overlap index: append lifecycle serves the batch matrix, replay-safe") {
+    val standing = Seq(
+      (0L, "A", "a b c d"),
+      (1L, "B", "a b c x")
+    ).toDF("doc_id", "source", "text")
+    val arrivals = Seq(
+      (2L, "B", "b c d y"),   // adds {b c d, c d y} to B — b c d now shared with A
+      (3L, "C", "a b c")      // a new source appearing only via append
+    ).toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("src_sh_idx").toString
+    Dedup.writeSourceShingleIndex(standing, dir)
+    Dedup.appendSourceShingleIndex(arrivals, dir)
+    // the arrival batch REDELIVERED whole (at-least-once): census unchanged —
+    // duplicate (source, hash) rows are absorbed by the collect_set
+    Dedup.appendSourceShingleIndex(arrivals, dir)
+    val served = Dedup.sourceOverlapFromIndex(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val batch = Dedup.sourceOverlap(standing.union(arrivals))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(served.keySet === batch.keySet)
+    for ((k, s) <- served; b = batch(k))
+      assert(s.toSeq === b.toSeq, s"pair $k served != batch")
+    // and the matrix itself is what the hand count says: A={a b c, b c d},
+    // B={a b c, b c x, b c d, c d y}, C={a b c}
+    val ab = served(("A", "B"))
+    assert((ab.getLong(2), ab.getLong(3), ab.getLong(4)) === ((2L, 4L, 2L)))
+    assert(ab.getDouble(5) === 1.0 && ab.getDouble(6) === 0.5)
+    val ac = served(("A", "C"))
+    assert((ac.getLong(2), ac.getLong(3), ac.getLong(4)) === ((2L, 1L, 1L)))
+  }
+
   test("block dedup: hand-computed segmentation, first-instance rule, stats") {
     val docs = Seq(
       (0L, "a b c d e f g"),     // blocks: "a b c" / "d e f" / "g" (tail, 1 word)

@@ -246,6 +246,16 @@ class ExtensionsSpec extends SparkSpec {
       graft.streaming.StreamingCorpusStats.driftFromState(
         graft.streaming.StreamingCorpusStats.taggedPartials(docs, 8), 3L),
       nonEmpty = true)
+    // the standing-index serve path: census TVF over the index relation ≡
+    // the Scala index read ≡ the inline whole-corpus matrix
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ext_srcsh").toString
+    graft.ops.Dedup.writeSourceShingleIndex(docs.filter($"doc_id" < 400), idxDir)
+    graft.ops.Dedup.appendSourceShingleIndex(docs.filter($"doc_id" >= 400), idxDir)
+    spark.read.parquet(idxDir).createOrReplaceTempView("ext_srcsh_idx")
+    pin(spark.sql("SELECT * FROM graft_source_overlap_census('ext_srcsh_idx')"),
+      graft.ops.Dedup.sourceOverlapFromIndex(spark, idxDir), nonEmpty = true)
+    pin(spark.sql("SELECT * FROM graft_source_overlap_census('ext_srcsh_idx')"),
+      graft.ops.Dedup.sourceOverlap(docs, 3), nonEmpty = true)
   }
 
   test("binary arrival-screen TVFs match their batch identities") {
