@@ -362,13 +362,14 @@ object Dedup {
     // sizes, the df table, the prefix filter, and both verification joins
     // (six consumers). Left lazy, every consumer re-derives the subtree
     // and cross-stage exchange reuse is up to AQE's scheduling — measured
-    // BIMODAL 2.5–5.4s run-to-run on identical input (r14). The eager
-    // checkpoint pins one evaluation of hash-only rows (the [[minhashLsh]]
-    // index-probe discipline); not TVF-reachable, so no analysis-time
-    // materialization concern.
+    // BIMODAL 2.5–5.4s run-to-run on identical input (r14). persist()
+    // pins one evaluation of hash-only rows that every branch shares (the
+    // mutualKnn discipline — lazy, so no construction-time jobs, and the
+    // lineage stays visible to the registry-wide scan-pruning audit,
+    // unlike a checkpoint's opaque ExistingRDD root).
     val ex = shingleRows(docs, n)
       .select(col("doc_id"), xxhash64(col("g")).as("h"))
-      .localCheckpoint(true)
+      .persist()
     val sz = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
