@@ -87,11 +87,11 @@ object Bench {
     // production cost — member-pruned token counts + a membership-sized
     // window — while the registry entry honestly re-pays the full pipeline
     "dedup_keep_best_probe" -> {
-      val clusterCache = scala.collection.mutable.Map.empty[String, String]
+      val clusterCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
       (s: SparkSession, d: String) => {
         val docs = graft.sources.Tables.documents(s, d)
-        val dir = clusterCache.getOrElseUpdate(d, {
-          val dd = java.nio.file.Files.createTempDirectory("graft_clusters_bench").toString
+        val dir = clusterCache.computeIfAbsent(d, _ => {
+          val dd = graft.sources.Scratch.dir("graft_clusters_bench")
           graft.ops.Dedup.writeClusterTable(docs, dd)
           dd
         })
@@ -104,12 +104,12 @@ object Bench {
     // pays per snapshot, while the registry entry honestly re-pays the
     // minhash -> clusters derivation for its oracle
     "source_dup_stats_probe" -> {
-      val clusterCache = scala.collection.mutable.Map.empty[String, String]
+      val clusterCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.functions._
         val docs = graft.sources.Tables.documents(s, d)
-        val dir = clusterCache.getOrElseUpdate(d, {
-          val dd = java.nio.file.Files.createTempDirectory("graft_srcdup_bench").toString
+        val dir = clusterCache.computeIfAbsent(d, _ => {
+          val dd = graft.sources.Scratch.dir("graft_srcdup_bench")
           graft.ops.Dedup.writeClusterTable(docs, dd)
           dd
         })
@@ -126,13 +126,13 @@ object Bench {
       }
     },
     "incremental_dedup_probe" -> {
-      val indexCache = scala.collection.mutable.Map.empty[String, String]
+      val indexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.functions.col
         val all = graft.sources.Tables.documents(s, d)
         val standing = all.filter(col("doc_id") % 25 =!= 0)
-        val dir = indexCache.getOrElseUpdate(d, {
-          val dd = java.nio.file.Files.createTempDirectory("graft_sig_bench").toString
+        val dir = indexCache.computeIfAbsent(d, _ => {
+          val dd = graft.sources.Scratch.dir("graft_sig_bench")
           graft.ops.Dedup.writeSignatureIndex(standing, dd)
           dd
         })
@@ -147,13 +147,13 @@ object Bench {
     // while the registry's exact_substr_spans honestly re-pays the whole
     // corpus-wide pipeline every run
     "span_screen_probe" -> {
-      val indexCache = scala.collection.mutable.Map.empty[String, String]
+      val indexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.functions.col
         val all = graft.sources.Tables.documents(s, d)
         val standing = all.filter(col("doc_id") % 25 =!= 0)
-        val dir = indexCache.getOrElseUpdate(d, {
-          val dd = java.nio.file.Files.createTempDirectory("graft_fp_bench").toString
+        val dir = indexCache.computeIfAbsent(d, _ => {
+          val dd = graft.sources.Scratch.dir("graft_fp_bench")
           graft.ops.Dedup.writeFingerprintIndex(standing, dd)
           dd
         })
@@ -169,8 +169,7 @@ object Bench {
     // and the gap grows with history depth (here 6 batches; a year of
     // batches at 100 TB makes the rewrite sink unrunnable)
     "scd2_sink_full_rewrite" -> ((s, d) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_scd2_fr_bench").toString
+      val dir = graft.sources.Scratch.dir("graft_scd2_fr_bench")
       scd2Batches(s, d).zipWithIndex.foreach { case (b, i) =>
         graft.streaming.EventsCdc.scd2MergeBatch(s, dir,
           Seq("user_id"))(b, i.toLong)
@@ -179,8 +178,7 @@ object Bench {
       s.read.parquet(s"$dir/v=$last")
     }),
     "scd2_sink_split" -> ((s, d) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_scd2_sp_bench").toString
+      val dir = graft.sources.Scratch.dir("graft_scd2_sp_bench")
       scd2Batches(s, d).zipWithIndex.foreach { case (b, i) =>
         graft.streaming.EventsCdc.scd2MergeBatchSplit(s, dir,
           Seq("user_id"))(b, i.toLong)
@@ -240,14 +238,13 @@ object Bench {
     // steady-state screen at 10×: standing index builds once (cold call),
     // warm = the pure probe cost for a 4% arrival batch of the 10× corpus
     "span_screen_probe_10x" -> {
-      val indexCache = scala.collection.mutable.Map.empty[String, String]
+      val indexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.functions.col
         val all = stressDocs(s, d, 10)
         val standing = all.filter(col("doc_id") % 25 =!= 0)
-        val dir = indexCache.getOrElseUpdate(d, {
-          val dd = java.nio.file.Files
-            .createTempDirectory("graft_fp_bench10x").toString
+        val dir = indexCache.computeIfAbsent(d, _ => {
+          val dd = graft.sources.Scratch.dir("graft_fp_bench10x")
           graft.ops.Dedup.writeFingerprintIndex(standing, dd)
           dd
         })
@@ -288,7 +285,7 @@ object Bench {
     * corpus minus the base-replica arrival slice; the index builds once
     * per (sf, factor) on the cold call, warm = the pure probe. */
   private def containmentProbeEntry(factor: Int): (SparkSession, String) => DataFrame = {
-    val indexCache = scala.collection.mutable.Map.empty[String, String]
+    val indexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
     (s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions.col
       val all = if (factor == 1) graft.sources.Tables.documents(s, d)
@@ -296,9 +293,8 @@ object Bench {
       // base-replica ids are < 10M: the arrival slice is IDENTICAL for
       // every factor (same absolute batch), standing grows with ×F
       val isArrival = col("doc_id") < 10000000L && col("doc_id") % 25 === 0
-      val dir = indexCache.getOrElseUpdate(s"$d/$factor", {
-        val dd = java.nio.file.Files
-          .createTempDirectory(s"graft_cont_bench${factor}x").toString
+      val dir = indexCache.computeIfAbsent(s"$d/$factor", _ => {
+        val dd = graft.sources.Scratch.dir(s"graft_cont_bench${factor}x")
         graft.ops.Dedup.writeContainmentIndex(all.filter(!isArrival), dd)
         dd
       })

@@ -465,7 +465,7 @@ object DocQueries {
   private def incrementalBlockDedupQ(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val all = Tables.documents(s, d)
-    val dir = java.nio.file.Files.createTempDirectory("graft_blk_idx").toString
+    val dir = graft.sources.Scratch.dir("graft_blk_idx")
     Dedup.writeBlockIndex(all.filter($"doc_id" < 400), dir)
     Dedup.incrementalBlockDedup(s, dir, all.filter($"doc_id" >= 400))
       .orderBy("doc_id")
@@ -585,7 +585,7 @@ object DocQueries {
   private def incrementalContainmentQ(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val all = Tables.documents(s, d)
-    val dir = java.nio.file.Files.createTempDirectory("graft_cont_idx").toString
+    val dir = graft.sources.Scratch.dir("graft_cont_idx")
     Dedup.writeContainmentIndex(all.filter($"doc_id" < 400), dir)
     Dedup.incrementalContainmentScreen(s, dir, all.filter($"doc_id" >= 400))
       .orderBy("d_sub", "d_super")
@@ -618,7 +618,7 @@ object DocQueries {
   private def incrementalDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val all = Tables.documents(s, d)
-    val dir = java.nio.file.Files.createTempDirectory("graft_sig_idx").toString
+    val dir = graft.sources.Scratch.dir("graft_sig_idx")
     Dedup.writeSignatureIndex(all.filter($"doc_id" < 400), dir)
     Dedup.incrementalMinhash(s, dir,
         all.filter($"doc_id" < 400), all.filter($"doc_id" >= 400))
@@ -856,7 +856,7 @@ object DocQueries {
   private def incrementalSourceOverlapQ(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val all = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_src_sh_idx").toString
+    val dir = graft.sources.Scratch.dir("graft_src_sh_idx")
     Dedup.writeSourceShingleIndex(all.filter($"doc_id" < 400), dir)
     Dedup.appendSourceShingleIndex(all.filter($"doc_id" >= 400), dir)
     Dedup.sourceOverlapFromIndex(s, dir)
@@ -2054,7 +2054,7 @@ $sel
   private def spanScreen(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val all = Tables.documents(s, d)
-    val dir = java.nio.file.Files.createTempDirectory("graft_fp_idx").toString
+    val dir = graft.sources.Scratch.dir("graft_fp_idx")
     val md5h: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
       c => md5(c.cast("binary"))
     Dedup.writeFingerprintIndex(all.filter($"doc_id" < 400), dir,
@@ -2490,7 +2490,7 @@ $sel
   private def knnIvfDisk(s: SparkSession, d: String): DataFrame = {
     val data = Tables.embeddings(s, d)
     val model = Ivf.fit(data, nLists = 8, iters = 2)
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    val dir = graft.sources.Scratch.dir("graft_ivf_idx")
     Ivf.writeIndex(model, data, dir)
     Ivf.searchIndex(s, dir, queries(s, d), k = 5, nprobe = 8)
       .orderBy("query_id", "rank")

@@ -186,8 +186,7 @@ object StarQueries {
     val third = ntile(3).over(org.apache.spark.sql.expressions.Window
       .orderBy($"ts_us", $"event_id"))
     val parts = ev.withColumn("__b", third)
-    val stateDir = java.nio.file.Files
-      .createTempDirectory("graft_scd2split_q").toString
+    val stateDir = graft.sources.Scratch.dir("graft_scd2split_q")
     (1 to 3).foreach { i =>
       graft.streaming.EventsCdc.scd2MergeBatchSplit(s, stateDir,
         Seq("user_id"))(parts.filter($"__b" === i).drop("__b"), (i - 1).toLong)

@@ -273,8 +273,7 @@ class AdversarialSpec extends SparkSpec {
     assert(Dedup.sourceOverlap(Seq((1L, "a b c d", "solo"), (2L, "a b x y",
       "solo")).toDF("doc_id", "text", "source")).isEmpty)
     // an EMPTY standing shingle index serves an empty matrix with schema
-    val srcIdxDir = java.nio.file.Files
-      .createTempDirectory("graft_adv_srcsh").toString
+    val srcIdxDir = graft.sources.Scratch.dir("graft_adv_srcsh")
     Dedup.writeSourceShingleIndex(emptySrc, srcIdxDir)
     assert(Dedup.sourceOverlapFromIndex(spark, srcIdxDir).isEmpty &&
       Dedup.sourceOverlapFromIndex(spark, srcIdxDir).columns.toSeq ===
@@ -287,7 +286,7 @@ class AdversarialSpec extends SparkSpec {
     assert(Similarity.graphTriangles(emptyEmb).isEmpty)
     assert(Similarity.labelPropagate(emptyEmb).isEmpty)
     // the r14 screen with an EMPTY standing corpus, then empty arrivals
-    val dir = java.nio.file.Files.createTempDirectory("graft_adv_cont").toString
+    val dir = graft.sources.Scratch.dir("graft_adv_cont")
     Dedup.writeContainmentIndex(emptyDocs, dir)
     val arr = docs((10L, "alpha beta gamma delta"))
     assert(Dedup.incrementalContainmentScreen(spark, dir, arr).isEmpty,

@@ -111,18 +111,18 @@ class AsOfJoinSpec extends SparkSpec {
       Seq("k", "t_us"), Seq($"o_orderkey".desc))
     val half = ev.agg(percentile_approx($"event_id", lit(0.5), lit(100)))
       .head().getLong(0)
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_ae_src")
+    val srcDir = graft.sources.Scratch.path("graft_ae_src")
     Seq(ev.filter($"event_id" <= half), ev.filter($"event_id" > half))
       .zipWithIndex.foreach { case (b, i) =>
-        val tmp = java.nio.file.Files.createTempDirectory("graft_ae_tmp").toString
+        val tmp = graft.sources.Scratch.dir("graft_ae_tmp")
         b.coalesce(1).write.mode("overwrite").parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
           .filter(_.getName.endsWith(".parquet")).head
         java.nio.file.Files.copy(part.toPath, srcDir.resolve(s"$i.parquet"))
         Thread.sleep(1000)
       }
-    val out = java.nio.file.Files.createTempDirectory("graft_ae_out").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ae_ck").toString
+    val out = graft.sources.Scratch.dir("graft_ae_out")
+    val ckpt = graft.sources.Scratch.dir("graft_ae_ck")
     val q = graft.streaming.StreamingEnrich.runAsofEnrich(
       spark, srcDir.toString, ev, () => ord, "k", "t_us",
       Seq("o_orderkey", "o_totalprice"), out, ckpt, maxFilesPerTrigger = 1)

@@ -48,7 +48,7 @@ class DedupSpec extends SparkSpec {
       (2L, "B", "b c d y"),   // adds {b c d, c d y} to B — b c d now shared with A
       (3L, "C", "a b c")      // a new source appearing only via append
     ).toDF("doc_id", "source", "text")
-    val dir = java.nio.file.Files.createTempDirectory("src_sh_idx").toString
+    val dir = graft.sources.Scratch.dir("src_sh_idx")
     Dedup.writeSourceShingleIndex(standing, dir)
     Dedup.appendSourceShingleIndex(arrivals, dir)
     // the arrival batch REDELIVERED whole (at-least-once): census unchanged —
@@ -123,7 +123,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("incremental block dedup: screen = global rule; replayed appends harmless") {
-    val dir = java.nio.file.Files.createTempDirectory("blkidx").toString
+    val dir = graft.sources.Scratch.dir("blkidx")
     val standing = Seq((0L, "a b c d e f")).toDF("doc_id", "text")
     val arrivals = Seq(
       (10L, "a b c x y z"),  // first block indexed, second new
@@ -270,7 +270,7 @@ class DedupSpec extends SparkSpec {
     val docs = graft.sources.Tables.documents(spark, sf)
     val standing = docs.filter($"doc_id" < 400)
     val arrivals = docs.filter($"doc_id" >= 400)
-    val dir = java.nio.file.Files.createTempDirectory("graft_sig_spec").toString
+    val dir = graft.sources.Scratch.dir("graft_sig_spec")
     Dedup.writeSignatureIndex(standing, dir)
     val inc = Dedup.incrementalMinhash(spark, dir, standing, arrivals)
       .select("d1", "d2").as[(Long, Long)].collect().toSet
@@ -356,7 +356,7 @@ class DedupSpec extends SparkSpec {
     val standing = docs.filter($"doc_id" < 300)
     val b1 = docs.filter($"doc_id" >= 300 && $"doc_id" < 400)
     val b2 = docs.filter($"doc_id" >= 400)
-    val idx = java.nio.file.Files.createTempDirectory("graft_fpidx").toString
+    val idx = graft.sources.Scratch.dir("graft_fpidx")
     Dedup.writeFingerprintIndex(standing, idx)
     val s1 = Dedup.incrementalSpanScreen(spark, idx, standing, b1, maxDf = 64)
       .as[(Long, Long, Long)].collect().toSet
@@ -384,7 +384,7 @@ class DedupSpec extends SparkSpec {
       (10L, "a b c d e f g h i j")).toDF("doc_id", "text")
     val arrival = Seq(
       (1L, "x y c d e f g h i j z")).toDF("doc_id", "text")
-    val idx = java.nio.file.Files.createTempDirectory("graft_fpidx2").toString
+    val idx = graft.sources.Scratch.dir("graft_fpidx2")
     Dedup.writeFingerprintIndex(standing, idx)
     val out = Dedup.incrementalSpanScreen(spark, idx, standing, arrival)
       .as[(Long, Long, Long)].collect().toSeq
@@ -404,7 +404,7 @@ class DedupSpec extends SparkSpec {
       (10L, "a b c d e f g h i j")).toDF("doc_id", "text")
     val arrival = Seq(
       (20L, "x y c d e f g h i j z")).toDF("doc_id", "text")
-    val idx = java.nio.file.Files.createTempDirectory("graft_fpidx3").toString
+    val idx = graft.sources.Scratch.dir("graft_fpidx3")
     Dedup.writeFingerprintIndex(standing, idx)
     val clean = Dedup.incrementalSpanScreen(spark, idx, standing, arrival)
       .as[(Long, Long, Long)].collect().toSet
@@ -492,21 +492,21 @@ class DedupSpec extends SparkSpec {
     val standing = docs.filter($"doc_id" < 300)
     val b1 = docs.filter($"doc_id" >= 300 && $"doc_id" < 400)
     val b2 = docs.filter($"doc_id" >= 400)
-    val idx = java.nio.file.Files.createTempDirectory("graft_ds_idx").toString
-    val corpus = java.nio.file.Files.createTempDirectory("graft_ds_corp").toString
-    val pairs = java.nio.file.Files.createTempDirectory("graft_ds_pairs").toString
+    val idx = graft.sources.Scratch.dir("graft_ds_idx")
+    val corpus = graft.sources.Scratch.dir("graft_ds_corp")
+    val pairs = graft.sources.Scratch.dir("graft_ds_pairs")
     Dedup.writeSignatureIndex(standing, idx)
     standing.write.mode("overwrite").parquet(corpus)
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_ds_src")
+    val srcDir = graft.sources.Scratch.path("graft_ds_src")
     Seq(b1, b2).zipWithIndex.foreach { case (b, i) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ds_tmp").toString
+      val tmp = graft.sources.Scratch.dir("graft_ds_tmp")
       b.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
       java.nio.file.Files.copy(part.toPath, srcDir.resolve(s"$i.parquet"))
       Thread.sleep(1000)
     }
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ds_ck").toString
+    val ckpt = graft.sources.Scratch.dir("graft_ds_ck")
     val q = graft.streaming.IndexMaintenance.runDedupScreen(
       spark, srcDir.toString, docs, idx, corpus, pairs, ckpt,
       maxFilesPerTrigger = 1)
@@ -536,21 +536,21 @@ class DedupSpec extends SparkSpec {
     val standing = docs.filter($"doc_id" < 300)
     val b1 = docs.filter($"doc_id" >= 300 && $"doc_id" < 400)
     val b2 = docs.filter($"doc_id" >= 400)
-    val idx = java.nio.file.Files.createTempDirectory("graft_ss_idx").toString
-    val corpus = java.nio.file.Files.createTempDirectory("graft_ss_corp").toString
-    val spans = java.nio.file.Files.createTempDirectory("graft_ss_spans").toString
+    val idx = graft.sources.Scratch.dir("graft_ss_idx")
+    val corpus = graft.sources.Scratch.dir("graft_ss_corp")
+    val spans = graft.sources.Scratch.dir("graft_ss_spans")
     Dedup.writeFingerprintIndex(standing, idx)
     standing.write.mode("overwrite").parquet(corpus)
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_ss_src")
+    val srcDir = graft.sources.Scratch.path("graft_ss_src")
     Seq(b1, b2).zipWithIndex.foreach { case (b, i) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ss_tmp").toString
+      val tmp = graft.sources.Scratch.dir("graft_ss_tmp")
       b.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
       java.nio.file.Files.copy(part.toPath, srcDir.resolve(s"$i.parquet"))
       Thread.sleep(1000)
     }
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ss_ck").toString
+    val ckpt = graft.sources.Scratch.dir("graft_ss_ck")
     val q = graft.streaming.IndexMaintenance.runSpanScreen(
       spark, srcDir.toString, docs, idx, corpus, spans, ckpt,
       maxDf = 64, maxFilesPerTrigger = 1)
@@ -585,7 +585,7 @@ class DedupSpec extends SparkSpec {
       (11L, "fresh material sharing nothing with the standing corpus at all"),
       (12L, "ab")  // shorter than n=3 words: no shingles, absent
     ).toDF("doc_id", "text")
-    val dir = java.nio.file.Files.createTempDirectory("graft_cont_toy").toString
+    val dir = graft.sources.Scratch.dir("graft_cont_toy")
     Dedup.writeContainmentIndex(standing, dir)
     val out = Dedup.incrementalContainmentScreen(spark, dir, arrivals)
       .as[(Long, Long, Long, Long, Double)].collect().toSet
@@ -609,19 +609,19 @@ class DedupSpec extends SparkSpec {
     val standing = docs.filter($"doc_id" < 300)
     val b1 = docs.filter($"doc_id" >= 300 && $"doc_id" < 400)
     val b2 = docs.filter($"doc_id" >= 400)
-    val idx = java.nio.file.Files.createTempDirectory("graft_cs_idx").toString
-    val pairsDir = java.nio.file.Files.createTempDirectory("graft_cs_pairs").toString
+    val idx = graft.sources.Scratch.dir("graft_cs_idx")
+    val pairsDir = graft.sources.Scratch.dir("graft_cs_pairs")
     Dedup.writeContainmentIndex(standing, idx)
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_cs_src")
+    val srcDir = graft.sources.Scratch.path("graft_cs_src")
     Seq(b1, b2).zipWithIndex.foreach { case (b, i) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_cs_tmp").toString
+      val tmp = graft.sources.Scratch.dir("graft_cs_tmp")
       b.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
       java.nio.file.Files.copy(part.toPath, srcDir.resolve(s"$i.parquet"))
       Thread.sleep(1000)
     }
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_cs_ck").toString
+    val ckpt = graft.sources.Scratch.dir("graft_cs_ck")
     val q = graft.streaming.IndexMaintenance.runContainmentScreen(
       spark, srcDir.toString, docs, idx, pairsDir, ckpt, maxFilesPerTrigger = 1)
     q.awaitTermination()
@@ -649,17 +649,17 @@ class DedupSpec extends SparkSpec {
     val docs = graft.sources.Tables.documents(spark, sf)
     val b1 = docs.filter($"doc_id" < 300)
     val b2 = docs.filter($"doc_id" >= 300)
-    val dfDir = java.nio.file.Files.createTempDirectory("graft_gdf").toString
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_gdf_src")
+    val dfDir = graft.sources.Scratch.dir("graft_gdf")
+    val srcDir = graft.sources.Scratch.path("graft_gdf_src")
     Seq(b1, b2).zipWithIndex.foreach { case (b, i) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_gdf_tmp").toString
+      val tmp = graft.sources.Scratch.dir("graft_gdf_tmp")
       b.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
       java.nio.file.Files.copy(part.toPath, srcDir.resolve(s"$i.parquet"))
       Thread.sleep(1000)
     }
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_gdf_ck").toString
+    val ckpt = graft.sources.Scratch.dir("graft_gdf_ck")
     val q = graft.streaming.IndexMaintenance.runGramDfMaintenance(
       spark, srcDir.toString, docs, dfDir, ckpt, maxFilesPerTrigger = 1)
     q.awaitTermination()
@@ -738,7 +738,7 @@ class DedupSpec extends SparkSpec {
     val docs = graft.sources.Tables.documents(spark, sf)
     val composed = Dedup.keepBest(Dedup.clusters(Dedup.minhashLsh(docs)), docs)
       .collect().map(_.toString).sorted.toSeq
-    val dir = java.nio.file.Files.createTempDirectory("graft_clusters_spec").toString
+    val dir = graft.sources.Scratch.dir("graft_clusters_spec")
     Dedup.writeClusterTable(docs, dir)
     val probed = Dedup.keepBest(spark.read.parquet(dir), docs)
       .collect().map(_.toString).sorted.toSeq

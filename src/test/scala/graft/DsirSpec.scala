@@ -90,17 +90,17 @@ class DsirSpec extends SparkSpec {
     val b1 = corpus.filter($"doc_id" < 200)
     val b2 = corpus.filter($"doc_id" >= 200 && $"doc_id" < 350)
     val b3 = corpus.filter($"doc_id" >= 350)
-    val countsDir = java.nio.file.Files.createTempDirectory("graft_dsir_cnt").toString
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_dsir_src")
+    val countsDir = graft.sources.Scratch.dir("graft_dsir_cnt")
+    val srcDir = graft.sources.Scratch.path("graft_dsir_src")
     Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_dsir_tmp").toString
+      val tmp = graft.sources.Scratch.dir("graft_dsir_tmp")
       b.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
       java.nio.file.Files.copy(part.toPath, srcDir.resolve(s"$i.parquet"))
       Thread.sleep(1000)
     }
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_dsir_ck").toString
+    val ckpt = graft.sources.Scratch.dir("graft_dsir_ck")
     val q = graft.streaming.IndexMaintenance.runDsirMaintenance(
       spark, srcDir.toString, corpus, countsDir, ckpt,
       targetSource = "src0", maxFilesPerTrigger = 1)

@@ -20,12 +20,12 @@ class EventsCdcSpec extends SparkSpec {
     * previous watermark, so no row is ever late-dropped and the streaming
     * result must equal the batch one. */
   private def streamDir(): String = {
-    val dir = Files.createTempDirectory("graft_cdc_stream")
+    val dir = graft.sources.Scratch.path("graft_cdc_stream")
     val ev = Tables.events(spark, sf).withColumn("b",
       ntile(3).over(org.apache.spark.sql.expressions.Window
         .orderBy($"ts", $"event_id")))
     (1 to 3).foreach { i =>
-      val tmp = Files.createTempDirectory("graft_cdc_tmp").toString
+      val tmp = graft.sources.Scratch.dir("graft_cdc_tmp")
       ev.filter($"b" === i).drop("b").coalesce(1)
         .write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
@@ -59,8 +59,8 @@ class EventsCdcSpec extends SparkSpec {
 
   test("streaming SCD1 merge converges to the batch latest-state") {
     val dir = streamDir()
-    val stateDir = Files.createTempDirectory("graft_cdc_state").toString
-    val ckpt = Files.createTempDirectory("graft_cdc_ckpt").toString
+    val stateDir = graft.sources.Scratch.dir("graft_cdc_state")
+    val ckpt = graft.sources.Scratch.dir("graft_cdc_ckpt")
     val src = spark.readStream
       .schema(Tables.events(spark, sf).schema)
       .option("maxFilesPerTrigger", "1")
@@ -198,7 +198,7 @@ class EventsCdcSpec extends SparkSpec {
       StructField("value", DoubleType)))
     def ts(s: Long): java.sql.Timestamp = new java.sql.Timestamp(s * 1000L)
     def run(rows: Seq[org.apache.spark.sql.Row], name: String) = {
-      val dir = java.nio.file.Files.createTempDirectory(s"graft_attr_$name")
+      val dir = graft.sources.Scratch.path(s"graft_attr_$name")
       spark.createDataFrame(
           spark.sparkContext.parallelize(rows, 1), schema)
         .coalesce(1).write.mode("overwrite").parquet(dir.toString)
@@ -301,12 +301,12 @@ class EventsCdcSpec extends SparkSpec {
     // out-of-order tie split. Emitting last→e would INVERT the batch
     // lead-window pair (which orders id=3 before id=5), so the guard
     // must drop the late event; the only transition is 5→7
-    val dir = java.nio.file.Files.createTempDirectory("graft_tie_stream")
+    val dir = graft.sources.Scratch.path("graft_tie_stream")
     val schema = Tables.events(spark, sf).schema
     val t = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-05T00:00:00Z"))
     val t2 = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-05T01:00:00Z"))
     def writeBatch(i: Int, rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_tie_tmp").toString
+      val tmp = graft.sources.Scratch.dir("graft_tie_tmp")
       rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .select($"event_id", $"ts".cast("timestamp").as("ts"), $"user_id",
           $"event_type", $"value", $"props")
@@ -339,9 +339,9 @@ class EventsCdcSpec extends SparkSpec {
     val ev = Tables.events(spark, sf).withColumn("b",
       ntile(3).over(org.apache.spark.sql.expressions.Window
         .orderBy($"ts", $"event_id")))
-    val dir = Files.createTempDirectory("graft_dedup_stream")
+    val dir = graft.sources.Scratch.path("graft_dedup_stream")
     def writeFile(name: String, filter: org.apache.spark.sql.Column): Unit = {
-      val tmp = Files.createTempDirectory("graft_dedup_tmp").toString
+      val tmp = graft.sources.Scratch.dir("graft_dedup_tmp")
       ev.filter(filter).drop("b").coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
@@ -370,8 +370,8 @@ class EventsCdcSpec extends SparkSpec {
 
   test("health reports a liveness row from lastProgress after a run") {
     val dir = streamDir()
-    val stateDir = Files.createTempDirectory("graft_cdc_state_h").toString
-    val ckpt = Files.createTempDirectory("graft_cdc_ckpt_h").toString
+    val stateDir = graft.sources.Scratch.dir("graft_cdc_state_h")
+    val ckpt = graft.sources.Scratch.dir("graft_cdc_ckpt_h")
     val src = spark.readStream
       .schema(Tables.events(spark, sf).schema)
       .option("maxFilesPerTrigger", "1")
@@ -393,9 +393,9 @@ class EventsCdcSpec extends SparkSpec {
     val ev = Tables.events(spark, sf).withColumn("b",
       ntile(3).over(org.apache.spark.sql.expressions.Window
         .orderBy($"ts", $"event_id")))
-    val dir = Files.createTempDirectory("graft_worker_src")
+    val dir = graft.sources.Scratch.path("graft_worker_src")
     def writeFile(name: String, filter: org.apache.spark.sql.Column): Unit = {
-      val tmp = Files.createTempDirectory("graft_worker_tmp").toString
+      val tmp = graft.sources.Scratch.dir("graft_worker_tmp")
       ev.filter(filter).drop("b").coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
@@ -406,8 +406,8 @@ class EventsCdcSpec extends SparkSpec {
     writeFile("2.parquet", $"b" === 1 || $"b" === 2) // full replay + new rows
     // state dir as an explicit file:/ Hadoop URI — proves the version
     // listing goes through the Hadoop FS API (java.io.File can't open it)
-    val stateDir = "file:" + Files.createTempDirectory("graft_worker_state").toString
-    val ckpt = Files.createTempDirectory("graft_worker_ckpt").toString
+    val stateDir = "file:" + graft.sources.Scratch.dir("graft_worker_state")
+    val ckpt = graft.sources.Scratch.dir("graft_worker_ckpt")
     val q = EventsCdc.runWorker(spark, dir.toString, Tables.events(spark, sf),
       stateDir, ckpt, keys = Seq("user_id"),
       dedupDelay = "3650 days", maxFilesPerTrigger = 1)
@@ -444,7 +444,7 @@ class EventsCdcSpec extends SparkSpec {
         .orderBy($"ts", $"event_id")))
     val state0 = StarSchema.scd1Latest(ev.filter($"b" === 1).drop("b"),
       Seq("user_id"), Seq($"ts".desc, $"event_id".desc))
-    val path = Files.createTempDirectory("graft_bkt_state").toString
+    val path = graft.sources.Scratch.dir("graft_bkt_state")
     spark.sql("DROP TABLE IF EXISTS cdc_bkt_state_v0")
     graft.sources.FileFormats.writeBucketed(
       state0, "cdc_bkt_state_v0", path, "user_id", buckets = 4)
@@ -483,8 +483,8 @@ class EventsCdcSpec extends SparkSpec {
 
   test("bucketed worker loop converges to batch SCD1 with bounded retained versions") {
     val dir = streamDir()
-    val statePath = Files.createTempDirectory("graft_bkt_worker_state").toString
-    val ckpt = Files.createTempDirectory("graft_bkt_worker_ckpt").toString
+    val statePath = graft.sources.Scratch.dir("graft_bkt_worker_state")
+    val ckpt = graft.sources.Scratch.dir("graft_bkt_worker_ckpt")
     (0 to 5).foreach(v => spark.sql(s"DROP TABLE IF EXISTS cdc_wbkt_v$v"))
     val q = EventsCdc.runWorkerBucketed(spark, dir, Tables.events(spark, sf),
       "cdc_wbkt", statePath, ckpt, keys = Seq("user_id"), buckets = 4,
@@ -535,9 +535,9 @@ class EventsCdcSpec extends SparkSpec {
     val ev = Tables.events(spark, sf).withColumn("b",
       ntile(2).over(org.apache.spark.sql.expressions.Window
         .orderBy($"ts", $"event_id")))
-    val dir = Files.createTempDirectory("graft_bl_src")
+    val dir = graft.sources.Scratch.path("graft_bl_src")
     def writeFile(name: String, filter: org.apache.spark.sql.Column): Unit = {
-      val tmp = Files.createTempDirectory("graft_bl_tmp").toString
+      val tmp = graft.sources.Scratch.dir("graft_bl_tmp")
       ev.filter(filter).drop("b").coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
@@ -547,8 +547,8 @@ class EventsCdcSpec extends SparkSpec {
     writeFile("1.parquet", $"b" === 1)
     writeFile("2.parquet", $"b" === 2)
     writeFile("3.parquet", $"b" === 1) // an at-least-once source replaying batch 1
-    val sketchDir = Files.createTempDirectory("graft_bl_out").toString
-    val ckpt = Files.createTempDirectory("graft_bl_ckpt").toString
+    val sketchDir = graft.sources.Scratch.dir("graft_bl_out")
+    val ckpt = graft.sources.Scratch.dir("graft_bl_ckpt")
     val q = EventsCdc.runBloomSketches(
       EventsCdc.readEventStream(spark, dir.toString, Tables.events(spark, sf),
         maxFilesPerTrigger = 1),
@@ -581,9 +581,9 @@ class EventsCdcSpec extends SparkSpec {
     val ev = Tables.events(spark, sf).withColumn("b",
       ntile(2).over(org.apache.spark.sql.expressions.Window
         .orderBy($"ts", $"event_id")))
-    val dir = Files.createTempDirectory("graft_sk_src")
+    val dir = graft.sources.Scratch.path("graft_sk_src")
     def writeFile(name: String, filter: org.apache.spark.sql.Column): Unit = {
-      val tmp = Files.createTempDirectory("graft_sk_tmp").toString
+      val tmp = graft.sources.Scratch.dir("graft_sk_tmp")
       ev.filter(filter).drop("b").coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
@@ -592,8 +592,8 @@ class EventsCdcSpec extends SparkSpec {
     }
     writeFile("1.parquet", $"b" === 1)
     writeFile("2.parquet", $"b" === 2)
-    val sketchDir = Files.createTempDirectory("graft_sk_out").toString
-    val ckpt = Files.createTempDirectory("graft_sk_ckpt").toString
+    val sketchDir = graft.sources.Scratch.dir("graft_sk_out")
+    val ckpt = graft.sources.Scratch.dir("graft_sk_ckpt")
     val q = EventsCdc.runDistinctSketches(
       EventsCdc.readEventStream(spark, dir.toString, Tables.events(spark, sf),
         maxFilesPerTrigger = 1),
@@ -629,9 +629,9 @@ class EventsCdcSpec extends SparkSpec {
     val ev = Tables.events(spark, sf).withColumn("b",
       ntile(2).over(org.apache.spark.sql.expressions.Window
         .orderBy($"ts", $"event_id")))
-    val dir = Files.createTempDirectory("graft_hh_src")
+    val dir = graft.sources.Scratch.path("graft_hh_src")
     def writeFile(name: String, filter: org.apache.spark.sql.Column): Unit = {
-      val tmp = Files.createTempDirectory("graft_hh_tmp").toString
+      val tmp = graft.sources.Scratch.dir("graft_hh_tmp")
       ev.filter(filter).drop("b").coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
@@ -640,8 +640,8 @@ class EventsCdcSpec extends SparkSpec {
     }
     writeFile("1.parquet", $"b" === 1)
     writeFile("2.parquet", $"b" === 2)
-    val sketchDir = Files.createTempDirectory("graft_hh_out").toString
-    val ckpt = Files.createTempDirectory("graft_hh_ckpt").toString
+    val sketchDir = graft.sources.Scratch.dir("graft_hh_out")
+    val ckpt = graft.sources.Scratch.dir("graft_hh_ckpt")
     // items = user ids as strings (the heavy-hitter question: most active
     // users per event type, answered from KB-sized rows)
     val q = EventsCdc.runHeavyHitterSketches(
@@ -684,9 +684,9 @@ class EventsCdcSpec extends SparkSpec {
     val ev = Tables.events(spark, sf).withColumn("b",
       ntile(2).over(org.apache.spark.sql.expressions.Window
         .orderBy($"ts", $"event_id")))
-    val dir = Files.createTempDirectory("graft_cm_src")
+    val dir = graft.sources.Scratch.path("graft_cm_src")
     def writeFile(name: String, filter: org.apache.spark.sql.Column): Unit = {
-      val tmp = Files.createTempDirectory("graft_cm_tmp").toString
+      val tmp = graft.sources.Scratch.dir("graft_cm_tmp")
       ev.filter(filter).drop("b").coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
@@ -696,8 +696,8 @@ class EventsCdcSpec extends SparkSpec {
     writeFile("1.parquet", $"b" === 1)
     writeFile("2.parquet", $"b" === 2)
     writeFile("3.parquet", $"b" === 1) // an at-least-once source replaying batch 1
-    val sketchDir = Files.createTempDirectory("graft_cm_out").toString
-    val ckpt = Files.createTempDirectory("graft_cm_ckpt").toString
+    val sketchDir = graft.sources.Scratch.dir("graft_cm_out")
+    val ckpt = graft.sources.Scratch.dir("graft_cm_ckpt")
     val q = EventsCdc.runCountMinSketches(
       EventsCdc.readEventStream(spark, dir.toString, Tables.events(spark, sf),
           maxFilesPerTrigger = 1)
@@ -755,9 +755,9 @@ class EventsCdcSpec extends SparkSpec {
       .withColumn("v", ($"value".cast("decimal(38,2)") * 100).cast("long"))
     val r = ev.agg(min($"v"), max($"v")).head()
     val (lo, hi) = (r.getLong(0), r.getLong(1))
-    val dir = Files.createTempDirectory("graft_hg_src")
+    val dir = graft.sources.Scratch.path("graft_hg_src")
     def writeFile(name: String, filter: org.apache.spark.sql.Column): Unit = {
-      val tmp = Files.createTempDirectory("graft_hg_tmp").toString
+      val tmp = graft.sources.Scratch.dir("graft_hg_tmp")
       ev.filter(filter).drop("b", "v").coalesce(1)
         .write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
@@ -768,8 +768,8 @@ class EventsCdcSpec extends SparkSpec {
     writeFile("1.parquet", $"b" === 1)
     writeFile("2.parquet", $"b" === 2)
     writeFile("3.parquet", $"b" === 1) // at-least-once replay of batch 1
-    val sketchDir = Files.createTempDirectory("graft_hg_out").toString
-    val ckpt = Files.createTempDirectory("graft_hg_ckpt").toString
+    val sketchDir = graft.sources.Scratch.dir("graft_hg_out")
+    val ckpt = graft.sources.Scratch.dir("graft_hg_ckpt")
     val q = EventsCdc.runHistogramSketches(
       EventsCdc.readEventStream(spark, dir.toString, Tables.events(spark, sf),
           maxFilesPerTrigger = 1)
@@ -858,7 +858,7 @@ class EventsCdcSpec extends SparkSpec {
       df((1 to 3).map(k =>
         (k.toLong, b * 100L, (b * 10 + k).toLong, s"p$b-$k")): _*)
     }
-    val stateDir = Files.createTempDirectory("graft_scd2split").toString
+    val stateDir = graft.sources.Scratch.dir("graft_scd2split")
     val keys = Seq("k")
     batches.zipWithIndex.foreach { case (b, i) =>
       EventsCdc.scd2MergeBatchSplit(spark, stateDir, keys)(b, i.toLong)
@@ -900,9 +900,9 @@ class EventsCdcSpec extends SparkSpec {
     val third = ntile(3).over(org.apache.spark.sql.expressions.Window
       .orderBy($"ts_us", $"event_id"))
     val parts = ev.withColumn("b", third)
-    val dir = Files.createTempDirectory("graft_scd2_src")
+    val dir = graft.sources.Scratch.path("graft_scd2_src")
     (1 to 3).foreach { i =>
-      val tmp = Files.createTempDirectory("graft_scd2_tmp").toString
+      val tmp = graft.sources.Scratch.dir("graft_scd2_tmp")
       parts.filter($"b" === i).drop("b")
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
@@ -910,8 +910,8 @@ class EventsCdcSpec extends SparkSpec {
       Files.copy(part.toPath, dir.resolve(s"$i.parquet"))
       Thread.sleep(1000)
     }
-    val stateDir = Files.createTempDirectory("graft_scd2_state").toString
-    val ckpt = Files.createTempDirectory("graft_scd2_ckpt").toString
+    val stateDir = graft.sources.Scratch.dir("graft_scd2_state")
+    val ckpt = graft.sources.Scratch.dir("graft_scd2_ckpt")
     val q = EventsCdc.runScd2(spark,
       EventsCdc.readEventStream(spark, dir.toString, parts.drop("b"),
         maxFilesPerTrigger = 1),
@@ -947,9 +947,9 @@ class EventsCdcSpec extends SparkSpec {
     val third = ntile(3).over(org.apache.spark.sql.expressions.Window
       .orderBy($"ts_us", $"event_id"))
     val parts = ev.withColumn("b", third)
-    val dir = Files.createTempDirectory("graft_scd2sp_src")
+    val dir = graft.sources.Scratch.path("graft_scd2sp_src")
     (1 to 3).foreach { i =>
-      val tmp = Files.createTempDirectory("graft_scd2sp_tmp").toString
+      val tmp = graft.sources.Scratch.dir("graft_scd2sp_tmp")
       parts.filter($"b" === i).drop("b")
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
@@ -957,8 +957,8 @@ class EventsCdcSpec extends SparkSpec {
       Files.copy(part.toPath, dir.resolve(s"$i.parquet"))
       Thread.sleep(1000)
     }
-    val stateDir = Files.createTempDirectory("graft_scd2sp_state").toString
-    val ckpt = Files.createTempDirectory("graft_scd2sp_ckpt").toString
+    val stateDir = graft.sources.Scratch.dir("graft_scd2sp_state")
+    val ckpt = graft.sources.Scratch.dir("graft_scd2sp_ckpt")
     val q = EventsCdc.runScd2Split(spark,
       EventsCdc.readEventStream(spark, dir.toString, parts.drop("b"),
         maxFilesPerTrigger = 1),
@@ -1015,9 +1015,9 @@ class EventsCdcSpec extends SparkSpec {
     val ev = Tables.events(spark, sf).withColumn("b",
       ntile(3).over(org.apache.spark.sql.expressions.Window
         .orderBy($"ts", $"event_id")))
-    val dir = Files.createTempDirectory("graft_jworker_src")
+    val dir = graft.sources.Scratch.path("graft_jworker_src")
     def writeFile(name: String, filter: org.apache.spark.sql.Column): Unit = {
-      val tmp = Files.createTempDirectory("graft_jworker_tmp").toString
+      val tmp = graft.sources.Scratch.dir("graft_jworker_tmp")
       ev.filter(filter).drop("b").coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
@@ -1026,7 +1026,7 @@ class EventsCdcSpec extends SparkSpec {
     }
     writeFile("1.parquet", $"b" === 1)
     writeFile("2.parquet", $"b" === 1 || $"b" === 2) // full replay + new rows
-    val db = Files.createTempDirectory("graft-duckdb-worker")
+    val db = graft.sources.Scratch.path("graft-duckdb-worker")
       .resolve("olap.db").toString
     val conn = graft.sources.Jdbc.ConnInfo(
       s"jdbc:duckdb:$db", "", "", "org.duckdb.DuckDBDriver")
@@ -1037,7 +1037,7 @@ class EventsCdcSpec extends SparkSpec {
         "CREATE TABLE user_state (event_id BIGINT, ts TIMESTAMP, " +
           "user_id BIGINT PRIMARY KEY, event_type VARCHAR, value DOUBLE, " +
           "props VARCHAR)")
-      val ckpt = Files.createTempDirectory("graft_jworker_ckpt").toString
+      val ckpt = graft.sources.Scratch.dir("graft_jworker_ckpt")
       val q = EventsCdc.runWorkerJdbc(spark, dir.toString,
         Tables.events(spark, sf), conn, "user_state", ckpt,
         keys = Seq("user_id"), deleteWhen = $"event_type" === "error",
@@ -1140,7 +1140,7 @@ class EventsCdcSpec extends SparkSpec {
   test("SCD2 split sink: a widened batch evolves history in place; a narrowed batch refuses") {
     def df(rows: (Long, Long, Long, String)*) =
       rows.toDF("k", "ts_us", "event_id", "payload")
-    val stateDir = Files.createTempDirectory("graft_scd2evo").toString
+    val stateDir = graft.sources.Scratch.dir("graft_scd2evo")
     val keys = Seq("k")
     EventsCdc.scd2MergeBatchSplit(spark, stateDir, keys)(
       df((1L, 100L, 1L, "a1"), (2L, 100L, 2L, "b1")), 0L)

@@ -248,7 +248,7 @@ class ExtensionsSpec extends SparkSpec {
       nonEmpty = true)
     // the standing-index serve path: census TVF over the index relation ≡
     // the Scala index read ≡ the inline whole-corpus matrix
-    val idxDir = java.nio.file.Files.createTempDirectory("graft_ext_srcsh").toString
+    val idxDir = graft.sources.Scratch.dir("graft_ext_srcsh")
     graft.ops.Dedup.writeSourceShingleIndex(docs.filter($"doc_id" < 400), idxDir)
     graft.ops.Dedup.appendSourceShingleIndex(docs.filter($"doc_id" >= 400), idxDir)
     spark.read.parquet(idxDir).createOrReplaceTempView("ext_srcsh_idx")
@@ -281,7 +281,7 @@ class ExtensionsSpec extends SparkSpec {
         .filter($"d_sub" >= 400 && $"d_super" < 400),
       nonEmpty = true)
     // and the TVF identity equals the REAL standing-index screen
-    val dir = java.nio.file.Files.createTempDirectory("graft_ext_cont").toString
+    val dir = graft.sources.Scratch.dir("graft_ext_cont")
     graft.ops.Dedup.writeContainmentIndex(all.filter($"doc_id" < 400), dir)
     pin(spark.sql("SELECT * FROM graft_incremental_containment(" +
         "'ext_arr_standing', 'ext_arr_arrivals', '3', '0.8')"),
@@ -295,8 +295,8 @@ class ExtensionsSpec extends SparkSpec {
       graft.ops.Dedup.incrementalContainmentScreen(
         spark, dir, all.filter($"doc_id" >= 400), 3, 0.8),
       nonEmpty = true)
-    val spanIdx = java.nio.file.Files.createTempDirectory("graft_ext_span").toString
-    val corpusDir = java.nio.file.Files.createTempDirectory("graft_ext_corp").toString
+    val spanIdx = graft.sources.Scratch.dir("graft_ext_span")
+    val corpusDir = graft.sources.Scratch.dir("graft_ext_corp")
     graft.ops.Dedup.writeFingerprintIndex(all.filter($"doc_id" < 400), spanIdx)
     all.filter($"doc_id" < 400).write.mode("overwrite").parquet(corpusDir)
     pin(spark.sql("SELECT * FROM graft_span_screen_indexed(" +

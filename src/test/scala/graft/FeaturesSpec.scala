@@ -138,9 +138,9 @@ class FeaturesSpec extends SparkSpec {
       .select($"user_id".as("k"), unix_micros($"ts").as("t_us"), $"value")
       .withColumn("b", ntile(2).over(org.apache.spark.sql.expressions.Window
         .orderBy($"t_us", $"k")))
-    val dir = Files.createTempDirectory("graft_feat_src")
+    val dir = graft.sources.Scratch.path("graft_feat_src")
     def writeFile(name: String, filter: org.apache.spark.sql.Column): Unit = {
-      val tmp = Files.createTempDirectory("graft_feat_tmp").toString
+      val tmp = graft.sources.Scratch.dir("graft_feat_tmp")
       ev.filter(filter).drop("b").coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
@@ -150,8 +150,8 @@ class FeaturesSpec extends SparkSpec {
     writeFile("1.parquet", $"b" === 1)
     writeFile("2.parquet", $"b" === 2)
     writeFile("3.parquet", $"b" === 1) // at-least-once source replays batch 1
-    val stateDir = Files.createTempDirectory("graft_feat_state").toString
-    val ckpt = Files.createTempDirectory("graft_feat_ckpt").toString
+    val stateDir = graft.sources.Scratch.dir("graft_feat_state")
+    val ckpt = graft.sources.Scratch.dir("graft_feat_ckpt")
     val q = graft.streaming.StreamingFeatures.runFeatureMaintenance(
       graft.streaming.EventsCdc.readEventStream(
         spark, dir.toString, ev.drop("b"), maxFilesPerTrigger = 1),
@@ -254,9 +254,9 @@ class FeaturesSpec extends SparkSpec {
         ($"user_id" % 2).cast("int").as("arm"), $"value")
       .withColumn("b", ntile(2).over(org.apache.spark.sql.expressions.Window
         .orderBy($"value", $"key")))
-    val dir = Files.createTempDirectory("graft_ab_src")
+    val dir = graft.sources.Scratch.path("graft_ab_src")
     def writeFile(name: String, filter: org.apache.spark.sql.Column): Unit = {
-      val tmp = Files.createTempDirectory("graft_ab_tmp").toString
+      val tmp = graft.sources.Scratch.dir("graft_ab_tmp")
       ev.filter(filter).drop("b").coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
@@ -266,8 +266,8 @@ class FeaturesSpec extends SparkSpec {
     writeFile("1.parquet", $"b" === 1)
     writeFile("2.parquet", $"b" === 2)
     writeFile("3.parquet", $"b" === 1) // at-least-once replay
-    val stateDir = Files.createTempDirectory("graft_ab_state").toString
-    val ckpt = Files.createTempDirectory("graft_ab_ckpt").toString
+    val stateDir = graft.sources.Scratch.dir("graft_ab_state")
+    val ckpt = graft.sources.Scratch.dir("graft_ab_ckpt")
     val q = graft.streaming.StreamingFeatures.runAbMaintenance(
       graft.streaming.EventsCdc.readEventStream(
         spark, dir.toString, ev.drop("b"), maxFilesPerTrigger = 1),
@@ -295,7 +295,7 @@ class FeaturesSpec extends SparkSpec {
     // the Spark micro-batch engine re-runs a FAILED batch under the SAME
     // batchId — simulate that by invoking the sink twice for batch 0
     // (second call = the retry, possibly after a partial write landed)
-    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val dir = graft.sources.Scratch.dir("graft_sink")
     val b0 = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
     graft.streaming.StateSink.appendIdempotent(b0, 0L, dir)
     graft.streaming.StateSink.appendIdempotent(b0, 0L, dir) // engine retry

@@ -192,17 +192,17 @@ class SimilaritySpec extends SparkSpec {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val b1 = emb.filter($"vec_id" < 250)
     val b2 = emb.filter($"vec_id" >= 250)
-    val covDir = java.nio.file.Files.createTempDirectory("graft_cov").toString
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_cov_src")
+    val covDir = graft.sources.Scratch.dir("graft_cov")
+    val srcDir = graft.sources.Scratch.path("graft_cov_src")
     Seq(b1, b2).zipWithIndex.foreach { case (b, i) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_cov_tmp").toString
+      val tmp = graft.sources.Scratch.dir("graft_cov_tmp")
       b.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
       java.nio.file.Files.copy(part.toPath, srcDir.resolve(s"$i.parquet"))
       Thread.sleep(1000)
     }
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_cov_ck").toString
+    val ckpt = graft.sources.Scratch.dir("graft_cov_ck")
     val q = graft.streaming.IndexMaintenance.runCovarianceMaintenance(
       spark, srcDir.toString, emb, covDir, ckpt, maxFilesPerTrigger = 1)
     q.awaitTermination()
@@ -231,7 +231,7 @@ class SimilaritySpec extends SparkSpec {
     // the identical prenormed expression)
     val data = graft.sources.Tables.embeddings(spark, sf)
     val model = Ivf.fit(data, nLists = 8, iters = 2)
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_g").toString
+    val dir = graft.sources.Scratch.dir("graft_ivf_g")
     Ivf.writeIndex(model, data, dir)
     val viaIndex = Ivf.searchIndex(spark, dir, data, k = 5, nprobe = 8)
       .select("query_id", "rank", "neighbor_id", "cos")
@@ -391,7 +391,7 @@ class SimilaritySpec extends SparkSpec {
     val data = graft.sources.Tables.embeddings(spark, sf)
     val queries = data.filter($"vec_id" < 5)
     val model = Ivf.fit(data, nLists = 8, iters = 2)
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val dir = graft.sources.Scratch.dir("graft_ivf")
     Ivf.writeIndex(model, data, dir)
     // one directory per list on disk
     val listDirs = new java.io.File(s"$dir/lists").listFiles()
@@ -416,7 +416,7 @@ class SimilaritySpec extends SparkSpec {
     val arrivals = all.filter($"vec_id" % 5 === 0)
     val queries = all.filter($"vec_id" < 5)
     val model = Ivf.fit(standing, nLists = 8, iters = 2)
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    val dir = graft.sources.Scratch.dir("graft_ivf_app")
     Ivf.writeIndex(model, standing, dir)
     val newAssign = Ivf.appendToIndex(spark, dir, arrivals)
     // the in-memory equivalent of the appended index: same frozen
@@ -444,7 +444,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("IVF drift report: hand-built lists produce exact per-list health rows") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_drift").toString
+    val dir = graft.sources.Scratch.dir("graft_ivf_drift")
     // hand layout: centroid 1 = (1,0), centroid 2 = (0,1); list 1 holds a
     // perfect member and a drifted one (cos 0.6), list 2 a perfect member
     Seq((1L, Seq(1.0, 0.0), 1.0), (2L, Seq(0.0, 1.0), 1.0))
@@ -464,7 +464,7 @@ class SimilaritySpec extends SparkSpec {
     val all = graft.sources.Tables.embeddings(spark, sf)
     val standing = all.filter($"vec_id" % 5 =!= 0)
     val model = Ivf.fit(standing, nLists = 8, iters = 2)
-    val dir2 = java.nio.file.Files.createTempDirectory("graft_ivf_drift2").toString
+    val dir2 = graft.sources.Scratch.dir("graft_ivf_drift2")
     Ivf.writeIndex(model, standing, dir2)
     Ivf.appendToIndex(spark, dir2, all.filter($"vec_id" % 5 === 0))
     val rep = Ivf.driftReport(spark, dir2)
@@ -479,7 +479,7 @@ class SimilaritySpec extends SparkSpec {
     val arrivals = all.filter($"vec_id" % 5 === 0)
     val queries = all.filter($"vec_id" < 5)
     val model = Ivf.fit(standing, nLists = 8, iters = 2)
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_lc").toString
+    val dir = graft.sources.Scratch.dir("graft_ivf_lc")
     Ivf.writeIndex(model, standing, dir)
     def fileCounts(): Seq[Int] = new java.io.File(s"$dir/lists").listFiles()
       .filter(d => d.isDirectory && d.getName.startsWith("centroid_id="))
@@ -520,7 +520,7 @@ class SimilaritySpec extends SparkSpec {
     // file layouts, so the centroid avg()'s double reduction order (and
     // thus ulps) may differ.
     val fresh = Ivf.fit(all, nLists = 8, iters = 2)
-    val freshDir = java.nio.file.Files.createTempDirectory("graft_ivf_fr").toString
+    val freshDir = graft.sources.Scratch.dir("graft_ivf_fr")
     Ivf.writeIndex(fresh, all, freshDir)
     Seq(2, 8).foreach { nprobe =>
       val a = Ivf.searchIndex(spark, dir, queries, k = 5, nprobe = nprobe)
@@ -545,11 +545,11 @@ class SimilaritySpec extends SparkSpec {
     val arrivals = all.filter($"vec_id" % 5 === 0)
     val queries = all.filter($"vec_id" < 5)
     val model = Ivf.fit(standing, nLists = 8, iters = 2)
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_str").toString
+    val dir = graft.sources.Scratch.dir("graft_ivf_str")
     Ivf.writeIndex(model, standing, dir)
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_ivf_arr")
+    val srcDir = graft.sources.Scratch.path("graft_ivf_arr")
     Seq(0, 1).foreach { half =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_tmp").toString
+      val tmp = graft.sources.Scratch.dir("graft_ivf_tmp")
       arrivals.filter($"vec_id" % 10 === half * 5).coalesce(1)
         .write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
@@ -557,7 +557,7 @@ class SimilaritySpec extends SparkSpec {
       java.nio.file.Files.copy(part.toPath, srcDir.resolve(s"$half.parquet"))
       Thread.sleep(1000)
     }
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ivf_ck").toString
+    val ckpt = graft.sources.Scratch.dir("graft_ivf_ck")
     val q = graft.streaming.IndexMaintenance.runIvfAppend(
       spark, srcDir.toString, all, dir, ckpt, maxFilesPerTrigger = 1)
     q.awaitTermination()
@@ -583,7 +583,7 @@ class SimilaritySpec extends SparkSpec {
     val all = graft.sources.Tables.embeddings(spark, sf)
     val standing = all.filter($"vec_id" % 5 =!= 0)
     val model = Ivf.fit(standing, nLists = 8, iters = 2)
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_rec").toString
+    val dir = graft.sources.Scratch.dir("graft_ivf_rec")
     Ivf.writeIndex(model, standing, dir)
     Ivf.appendToIndex(spark, dir, all.filter($"vec_id" % 5 === 0))
       .unpersist(blocking = false)

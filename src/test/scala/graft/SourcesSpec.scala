@@ -29,7 +29,7 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("upsert runs for real against an embedded DuckDB: insert, conflict-update, idempotent rerun") {
-    val db = Files.createTempDirectory("graft-duckdb").resolve("olap.db").toString
+    val db = graft.sources.Scratch.path("graft-duckdb").resolve("olap.db").toString
     val conn = Jdbc.ConnInfo(s"jdbc:duckdb:$db", "", "", "org.duckdb.DuckDBDriver")
     // ON CONFLICT needs an arbiter index — same as the reference's Postgres DDL.
     // Keep this connection OPEN for the whole test: duckdb-java shares one
@@ -74,7 +74,7 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("star sinks: widened rewrite accepted, narrowed/retyped refused with data intact") {
-    val dir = Files.createTempDirectory("graft_evo_dim").toString + "/dim"
+    val dir = graft.sources.Scratch.dir("graft_evo_dim") + "/dim"
     FileFormats.writeDim(Seq((1L, "a"), (2L, "b")).toDF("k", "name"), dir)
     // widening (a column added upstream) rewrites fine
     FileFormats.writeDim(
@@ -96,7 +96,7 @@ class SourcesSpec extends SparkSpec {
       err2.getMessage.contains("double") && err2.getMessage.contains("string"))
 
     // the fact sink makes the same decision through its partitioned layout
-    val fdir = Files.createTempDirectory("graft_evo_fact").toString + "/fact"
+    val fdir = graft.sources.Scratch.dir("graft_evo_fact") + "/fact"
     def fact(cols: String*) = Tables.lineitem(spark, sf)
       .select($"l_shipdate".cast("date").as("date_key") +:
         cols.map(c => org.apache.spark.sql.functions.col(c)): _*)
@@ -116,7 +116,7 @@ class SourcesSpec extends SparkSpec {
     // mixed-file state a widened partition-grain sync leaves behind): the
     // default single-footer read may MISS the column; the evolved read
     // unions every footer and older rows surface it as NULL
-    val dir = Files.createTempDirectory("graft_evo_read").toString + "/t"
+    val dir = graft.sources.Scratch.dir("graft_evo_read") + "/t"
     Seq((1L, "a")).toDF("k", "name")
       .write.mode("append").parquet(dir)
     Seq((2L, "b", 9.0)).toDF("k", "name", "score")
@@ -128,7 +128,7 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("JDBC upsert evolution: widened frame gated on opt-in, narrower frame retains unset columns") {
-    val db = Files.createTempDirectory("graft-duckdb-evo").resolve("olap.db").toString
+    val db = graft.sources.Scratch.path("graft-duckdb-evo").resolve("olap.db").toString
     val conn = Jdbc.ConnInfo(s"jdbc:duckdb:$db", "", "", "org.duckdb.DuckDBDriver")
     Class.forName(conn.driver)
     val ddl = java.sql.DriverManager.getConnection(conn.url)
@@ -160,7 +160,7 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("partitioned JDBC read runs for real: range slices + pushed predicate against embedded DuckDB") {
-    val db = Files.createTempDirectory("graft-duckdb-src").resolve("oltp.db").toString
+    val db = graft.sources.Scratch.path("graft-duckdb-src").resolve("oltp.db").toString
     val conn = Jdbc.ConnInfo(s"jdbc:duckdb:$db", "", "", "org.duckdb.DuckDBDriver")
     Class.forName(conn.driver)
     // pinned open across the concurrent partition reads (see upsert test)
@@ -188,7 +188,7 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("changed-key JDBC read pushes the key list into the remote subquery") {
-    val db = Files.createTempDirectory("graft-duckdb-chg").resolve("oltp.db").toString
+    val db = graft.sources.Scratch.path("graft-duckdb-chg").resolve("oltp.db").toString
     val conn = Jdbc.ConnInfo(s"jdbc:duckdb:$db", "", "", "org.duckdb.DuckDBDriver")
     Class.forName(conn.driver)
     // pinned open across the read (see upsert test)
@@ -205,7 +205,7 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("size-tiered star: a forced-large dim writes bucketed multi-file and joins the fact SMJ with zero exchanges") {
-    val out = Files.createTempDirectory("graft_star_tiered").toString
+    val out = graft.sources.Scratch.dir("graft_star_tiered")
     spark.sql("DROP TABLE IF EXISTS star_dim_customer")
     spark.sql("DROP TABLE IF EXISTS bkt_fact_cust")
     // declare dim_customer large (it mirrors the OLTP clientes giant):
@@ -218,7 +218,7 @@ class SourcesSpec extends SparkSpec {
     assert(dimFiles.length > 1, "a large dim must not be a single file")
 
     // the fact copy clustered for customer-grain joins: same bucket count
-    val factPath = Files.createTempDirectory("graft_bkt_factc").toString
+    val factPath = graft.sources.Scratch.dir("graft_bkt_factc")
     FileFormats.writeBucketed(
       star.factSales.select($"o_custkey", $"total_sale"),
       "bkt_fact_cust", factPath, "o_custkey", buckets = 4)
@@ -232,7 +232,7 @@ class SourcesSpec extends SparkSpec {
       assert(!plan.contains("Exchange"),
         s"fact⋈large-dim must be co-located (zero exchanges):\n$plan")
       // and the multi-file non-bucketed path caps rows per file
-      val dimDir = Files.createTempDirectory("graft_dim_large").toString
+      val dimDir = graft.sources.Scratch.dir("graft_dim_large")
       FileFormats.writeDim(star.dimCustomer, dimDir, large = true,
         maxRecordsPerFile = 50)
       val files = new java.io.File(dimDir).listFiles()
@@ -242,8 +242,8 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("bucketed tables join with zero exchanges and match the shuffle join") {
-    val ordersPath = Files.createTempDirectory("graft_bkt_o").toString
-    val liPath = Files.createTempDirectory("graft_bkt_l").toString
+    val ordersPath = graft.sources.Scratch.dir("graft_bkt_o")
+    val liPath = graft.sources.Scratch.dir("graft_bkt_l")
     spark.sql("DROP TABLE IF EXISTS bkt_orders")
     spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
     FileFormats.writeBucketed(
@@ -271,7 +271,7 @@ class SourcesSpec extends SparkSpec {
 
   test("range-sorted sink writes disjoint, ordered file ranges that prune") {
     import org.apache.spark.sql.functions.{max, min}
-    val dir = Files.createTempDirectory("graft_rangesort").toString
+    val dir = graft.sources.Scratch.dir("graft_rangesort")
     FileFormats.writeRangeSorted(
       Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity"),
       dir, "l_orderkey", numFiles = 8)
@@ -304,7 +304,7 @@ class SourcesSpec extends SparkSpec {
 
   test("z-ordered sink keeps tight per-file spans on BOTH keys") {
     import org.apache.spark.sql.functions.{max, min}
-    val dir = Files.createTempDirectory("graft_zorder").toString
+    val dir = graft.sources.Scratch.dir("graft_zorder")
     // l_orderkey and l_partkey have comparable bit widths — the regime
     // where curve locality helps both dimensions (see zValue scaladoc)
     val src = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_partkey", $"l_quantity")
@@ -335,7 +335,7 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("csv and json readers roundtrip with explicit schemas") {
-    val dir = Files.createTempDirectory("graft_ff").toString
+    val dir = graft.sources.Scratch.dir("graft_ff")
     val df = Seq((1L, "a", 1.5), (2L, "b", -2.25)).toDF("id", "name", "x")
     df.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
     df.write.mode("overwrite").json(s"$dir/json")
@@ -346,7 +346,7 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("orc sink/source roundtrips with an explicit schema") {
-    val dir = Files.createTempDirectory("graft_orc").toString
+    val dir = graft.sources.Scratch.dir("graft_orc")
     val df = Seq((1L, "a", 1.5), (2L, "b", -2.25)).toDF("id", "name", "x")
     FileFormats.writeOrc(df, s"$dir/orc")
     assert(FileFormats.orc(spark, s"$dir/orc", df.schema)
@@ -354,7 +354,7 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("compact merges a many-small-file table into few size-targeted files, shuffle-free") {
-    val dir = Files.createTempDirectory("graft_compact").toString
+    val dir = graft.sources.Scratch.dir("graft_compact")
     // simulate streaming-sink accretion: 24 tiny files
     val df = spark.range(0, 24000).select($"id",
       org.apache.spark.sql.functions.md5($"id".cast("string")).as("payload"))
@@ -379,9 +379,9 @@ class SourcesSpec extends SparkSpec {
   test("bucketed compaction: one file per bucket, spec preserved, join stays exchange-free") {
     def parquetFiles(p: String): Array[java.io.File] =
       new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
-    val srcPath = Files.createTempDirectory("graft_bktc_src").toString
-    val outPath = Files.createTempDirectory("graft_bktc_out").toString
-    val liPath = Files.createTempDirectory("graft_bktc_li").toString
+    val srcPath = graft.sources.Scratch.dir("graft_bktc_src")
+    val outPath = graft.sources.Scratch.dir("graft_bktc_out")
+    val liPath = graft.sources.Scratch.dir("graft_bktc_li")
     Seq("bktc_src", "bktc_out", "bktc_li").foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS $t"))
     // 8 writer tasks × 4 buckets: the accreted-small-files state a
@@ -414,7 +414,7 @@ class SourcesSpec extends SparkSpec {
         s"post-compaction join must stay exchange-free:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     // a non-bucketed table refuses bucketed compaction loudly
-    val plainDir = Files.createTempDirectory("graft_bktc_plain").toString
+    val plainDir = graft.sources.Scratch.dir("graft_bktc_plain")
     spark.sql("DROP TABLE IF EXISTS bktc_plain")
     spark.range(10).write.option("path", plainDir).saveAsTable("bktc_plain")
     intercept[IllegalArgumentException] {
@@ -424,7 +424,7 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("compactAndSwap rewrites in place atomically and refuses a lossy swap") {
-    val dir = Files.createTempDirectory("graft_swap").toString + "/t"
+    val dir = graft.sources.Scratch.dir("graft_swap") + "/t"
     val df = spark.range(0, 8000).select($"id",
       org.apache.spark.sql.functions.md5($"id".cast("string")).as("payload"))
     df.repartition(8).write.parquet(dir)
@@ -450,7 +450,7 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("StarSchemaJob writes a readable star: typed partitions, pruned scans") {
-    val out = Files.createTempDirectory("graft_star_spec").toString
+    val out = graft.sources.Scratch.dir("graft_star_spec")
     val star = graft.olap.StarSchemaJob.run(spark, sf, out)
     val fact = spark.read.parquet(s"$out/fact_sales")
     // partition column comes back typed, and the inner star joins drop no rows
@@ -481,7 +481,7 @@ class SourcesSpec extends SparkSpec {
     def parquetFiles(d: java.io.File): Int =
       d.listFiles().count(_.getName.endsWith(".parquet"))
 
-    val dayDir = Files.createTempDirectory("graft_fact_day").toString
+    val dayDir = graft.sources.Scratch.dir("graft_fact_day")
     FileFormats.writeFact(fact, dayDir)
     val dayParts = partDirs(dayDir, "date_key=")
     val nDates = fact.select($"date_key").distinct().count()
@@ -491,7 +491,7 @@ class SourcesSpec extends SparkSpec {
     assert(dayParts.forall(parquetFiles(_) === 1),
       "day granularity must write exactly one file per date directory")
 
-    val monthDir = Files.createTempDirectory("graft_fact_month").toString
+    val monthDir = graft.sources.Scratch.dir("graft_fact_month")
     FileFormats.writeFact(fact, monthDir, granularity = "month")
     val monthParts = partDirs(monthDir, "month_key=")
     val nMonths = fact.select(trunc($"date_key", "month")).distinct().count()
@@ -510,7 +510,7 @@ class SourcesSpec extends SparkSpec {
 
   test("incremental sync rewrites only affected partitions and preserves the star") {
     import org.apache.spark.sql.functions._
-    val out = Files.createTempDirectory("graft_star_inc").toString
+    val out = graft.sources.Scratch.dir("graft_star_inc")
     graft.olap.StarSchemaJob.run(spark, sf, out)
     def checksum() = spark.read.parquet(s"$out/fact_sales")
       .agg(count(lit(1)), graft.queries.Exact.dsum($"total_sale"),
@@ -537,7 +537,7 @@ class SourcesSpec extends SparkSpec {
     import org.apache.spark.sql.types._
     val micros = 1700000000123456L // 2023-11-14T22:13:20.123456Z
     def roundtrip(writeTs: org.apache.spark.sql.Column): java.sql.Timestamp = {
-      val dir = Files.createTempDirectory("graft_ntz").toString
+      val dir = graft.sources.Scratch.dir("graft_ntz")
       spark.range(1).select(lit(1L).as("user_id"), writeTs.as("ts"))
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
       val got = Tables.events(spark, dir)

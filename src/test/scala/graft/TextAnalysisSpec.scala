@@ -270,18 +270,18 @@ class TextAnalysisSpec extends SparkSpec {
     val docs = graft.sources.Tables.documents(spark, sf)
     val b1 = docs.filter($"doc_id" < 250)
     val b2 = docs.filter($"doc_id" >= 250)
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_qs_src")
+    val srcDir = graft.sources.Scratch.path("graft_qs_src")
     Seq(b1, b2).zipWithIndex.foreach { case (b, i) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_qs_tmp").toString
+      val tmp = graft.sources.Scratch.dir("graft_qs_tmp")
       b.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
       java.nio.file.Files.copy(part.toPath, srcDir.resolve(s"$i.parquet"))
       Thread.sleep(1000)
     }
-    val kept = java.nio.file.Files.createTempDirectory("graft_qs_kept").toString
-    val report = java.nio.file.Files.createTempDirectory("graft_qs_rep").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_qs_ck").toString
+    val kept = graft.sources.Scratch.dir("graft_qs_kept")
+    val report = graft.sources.Scratch.dir("graft_qs_rep")
+    val ckpt = graft.sources.Scratch.dir("graft_qs_ck")
     val q = graft.streaming.StreamingQuality.runQualityScreen(
       spark, srcDir.toString, docs, kept, report, ckpt, maxFilesPerTrigger = 1)
     q.awaitTermination()
@@ -331,18 +331,18 @@ class TextAnalysisSpec extends SparkSpec {
     // served moving-boundary report must equal it EXACTLY (long sums +
     // one division per mean)
     val docs = graft.sources.Tables.documents(spark, sf)
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_cs_src")
+    val srcDir = graft.sources.Scratch.path("graft_cs_src")
     Seq($"doc_id" % 2 === 0, $"doc_id" % 2 =!= 0).zipWithIndex.foreach {
       case (f, i) =>
-        val tmp = java.nio.file.Files.createTempDirectory("graft_cs_tmp").toString
+        val tmp = graft.sources.Scratch.dir("graft_cs_tmp")
         docs.filter(f).coalesce(1).write.mode("overwrite").parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
           .filter(_.getName.endsWith(".parquet")).head
         java.nio.file.Files.copy(part.toPath, srcDir.resolve(s"$i.parquet"))
         Thread.sleep(1000)
     }
-    val stateDir = java.nio.file.Files.createTempDirectory("graft_cs_state").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_cs_ck").toString
+    val stateDir = graft.sources.Scratch.dir("graft_cs_state")
+    val ckpt = graft.sources.Scratch.dir("graft_cs_ck")
     val q = graft.streaming.StreamingCorpusStats.runTokenStats(
       spark, srcDir.toString, docs, stateDir, ckpt, maxFilesPerTrigger = 1)
     q.awaitTermination()

@@ -18,21 +18,86 @@ LAST cell (the blessed value). Rows whose blessed cell carries re-bless
 prose (e.g. "3.99 (re-blessed r13 ...)") take the leading float of that
 cell. A row appearing in several tables keeps the LAST parsed value.
 
+Self-checks (r15, after the star_roundtrip/table_stats drift incident):
+- if ANY cell of a row carries a "re-bless" marker, the blessed value
+  MUST come from the cell carrying the marker — a re-bless edited into
+  the wrong column aborts the gate instead of silently gating stale;
+- a blessed cell that fails to parse as a float is a loud warning (with
+  the cells[1] fallback named), never a silent substitution.
+
 Usage: python3 tools/bench_gate.py [bench_out.json | bench log]
+       python3 tools/bench_gate.py --selftest
 """
 import json, re, sys
 
+FLOAT = re.compile(r'([0-9]+\.[0-9]+)')
+
 base = {}
+errors = []
 for line in open('BASELINE.md'):
     cells = [c.strip() for c in line.strip().strip('|').split('|')]
     if len(cells) < 2 or not re.fullmatch(r'[a-z0-9_]+', cells[0]):
         continue
-    m = re.match(r'([0-9]+\.[0-9]+)', cells[-1]) or re.match(r'([0-9]+\.[0-9]+)', cells[1])
+    name = cells[0]
+    reblessed = [i for i, c in enumerate(cells[1:], 1) if 're-bless' in c.lower()]
+    m = FLOAT.match(cells[-1])
+    if reblessed and (len(cells) - 1) not in reblessed:
+        errors.append(f"{name}: re-bless marker in column {reblessed[0]} but the "
+                      f"blessed (last) cell is '{cells[-1][:40]}' — move the "
+                      f"re-blessed value into the blessed cell")
+        continue
+    if not m:
+        m = FLOAT.match(cells[1])
+        if m:
+            print(f"WARNING: {name}: blessed (last) cell '{cells[-1][:40]}' is not "
+                  f"a float; falling back to cells[1]={m.group(1)} — fix the row",
+                  file=sys.stderr)
     if m:
-        base[cells[0]] = float(m.group(1))
+        base[name] = float(m.group(1))
 
+if errors:
+    for e in errors:
+        print(f"BASELINE.md DRIFT: {e}", file=sys.stderr)
+    sys.exit(2)
+
+if len(sys.argv) > 1 and sys.argv[1] == '--selftest':
+    # Phantom-pass regression test for the r14 drift incident: under the
+    # stale blessed cells (star_roundtrip 24.638, table_stats 2.591) a
+    # 10.0s star_roundtrip would have passed silently. With the corrected
+    # cells both must trip at these values.
+    ok = True
+    for name, stale, true_b, probe in [('star_roundtrip', 24.638, 4.63, 10.0),
+                                       ('table_stats', 2.591, 3.99, 7.0)]:
+        b = base.get(name)
+        if b is None or abs(b - true_b) > 1e-9:
+            print(f"SELFTEST FAIL: {name} blessed={b}, expected {true_b}")
+            ok = False
+        elif not (probe / b > 1.5 and probe > 0.5):
+            print(f"SELFTEST FAIL: {name} probe {probe} does not trip at blessed {b}")
+            ok = False
+        elif probe / stale > 1.5:
+            print(f"SELFTEST NOTE: {name} probe {probe} would also trip stale {stale}")
+    print("selftest " + ("PASS" if ok else "FAIL"))
+    sys.exit(0 if ok else 1)
+
+# A bench log may contain several JSON records (appended re-runs): parse
+# per line and keep the LAST line that is a valid record — never a greedy
+# cross-line regex span.
 txt = open(sys.argv[1] if len(sys.argv) > 1 else 'bench_out.json').read()
-d = json.loads(re.search(r'\{"queries":.*"sf":"[^"]*"\}', txt).group(0))
+d = None
+for line in txt.splitlines():
+    line = line.strip()
+    start = line.find('{"queries":')
+    if start < 0:
+        continue
+    try:
+        cand = json.loads(line[start:])
+    except ValueError:
+        continue
+    if isinstance(cand, dict) and 'queries' in cand:
+        d = cand
+if d is None:
+    sys.exit("no parseable bench record line found in input")
 q = d['queries']
 print(f"entries={len(q)} warm_total={d['warm_total']:.1f} errors={d['n_errors']} commit={d.get('commit','?')[:9]}")
 
