@@ -94,9 +94,8 @@ object Dedup {
     * so blind index appends need no read-modify-write to stay exact (the
     * semi-join-probe idempotence discipline, in aggregate form). */
   def sourceOverlapCensus(sh: DataFrame): DataFrame = {
-    val byHash = sh.groupBy(col("h1"), col("h2"))
-      .agg(sort_array(collect_set(col("source"))).as("ss"))
-      .persist()
+    val byHash = InternalCaches.persistBounded(sh.groupBy(col("h1"), col("h2"))
+      .agg(sort_array(collect_set(col("source"))).as("ss")))
     val sizes = byHash.select(explode(col("ss")).as("source"))
       .groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
     // ordered pairs from the sorted source set: element i with every later
@@ -367,9 +366,8 @@ object Dedup {
     // mutualKnn discipline — lazy, so no construction-time jobs, and the
     // lineage stays visible to the registry-wide scan-pruning audit,
     // unlike a checkpoint's opaque ExistingRDD root).
-    val ex = shingleRows(docs, n)
-      .select(col("doc_id"), xxhash64(col("g")).as("h"))
-      .persist()
+    val ex = InternalCaches.persistBounded(shingleRows(docs, n)
+      .select(col("doc_id"), xxhash64(col("g")).as("h")))
     val sz = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))

@@ -1,0 +1,78 @@
+package graft.ops
+
+import java.util.{LinkedHashMap => JLinkedHashMap, Map => JMap}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.storage.StorageLevel
+
+/** Bounded lifecycle for the frames graft operators persist INTERNALLY
+  * (the mutualKnn/ngramJaccard discipline: a corpus×k-sized subtree that
+  * feeds several plan branches is `persist()`ed — lazy, so analyzing or
+  * EXPLAINing a plan that embeds the operator launches no jobs, and the
+  * lineage stays visible to plan audits).
+  *
+  * Spark's CacheManager holds cached plans STRONGLY until an explicit
+  * unpersist, so without a release path every DISTINCT input ever passed
+  * to such an operator in a long-lived session pins its InMemoryRelation
+  * forever (the r14 ADVICE leak class). Repeated invocations on the SAME
+  * input are already safe — CacheManager is canonical-plan-keyed and
+  * dedupes — and that plan-keyed reuse across e.g. a cold/warm bench pair
+  * is a measured win we must keep. So the contract here is an LRU bound,
+  * not eager release:
+  *
+  *  - `persistBounded(df)` persists `df` (MEMORY_AND_DISK, Spark's
+  *    default) and remembers it under its canonicalized logical plan;
+  *  - re-registering a semantically identical plan is a no-op hit (the
+  *    existing InMemoryRelation serves the new frame automatically);
+  *  - once more than `spark.graft.internalCache.maxEntries` (default 16)
+  *    distinct plans are held, the least-recently-used entry is
+  *    unpersisted — consumers still running against it simply recompute,
+  *    correctness is untouched;
+  *  - `clear()` releases everything (service shutdown / spec hygiene).
+  *
+  * Storage under the bound is ≤ maxEntries × the largest internal frame
+  * (corpus×k rows of ids+hashes for the operators routed here), which is
+  * the documented steady-state footprint of a standing analytics service.
+  */
+object InternalCaches {
+
+  private val ConfKey = "spark.graft.internalCache.maxEntries"
+  private val DefaultMax = 16
+
+  // access-ordered so iteration starts at the LRU entry; all access
+  // synchronized on the map itself
+  private val lru = new JLinkedHashMap[LogicalPlan, DataFrame](32, 0.75f, true)
+
+  /** Number of internally-persisted plans currently held (spec probe). */
+  def size: Int = lru.synchronized(lru.size)
+
+  /** Persist `df` under the LRU bound (see object doc). Returns `df`. */
+  def persistBounded(df: DataFrame): DataFrame = lru.synchronized {
+    val key = df.queryExecution.analyzed.canonicalized
+    val held = lru.get(key)
+    if (held == null) {
+      df.persist()
+      lru.put(key, df)
+      val max = df.sparkSession.conf.getOption(ConfKey)
+        .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(DefaultMax)
+      val it = lru.entrySet().iterator()
+      while (lru.size > math.max(1, max) && it.hasNext) {
+        val oldest: JMap.Entry[LogicalPlan, DataFrame] = it.next()
+        oldest.getValue.unpersist(blocking = false)
+        it.remove()
+      }
+    } else if (held.storageLevel == StorageLevel.NONE) {
+      // externally cleared (e.g. spark.catalog.clearCache()) — re-pin so
+      // the multi-branch single-evaluation contract still holds
+      held.persist()
+    }
+    df
+  }
+
+  /** Unpersist and forget every held frame. */
+  def clear(): Unit = lru.synchronized {
+    lru.values().forEach(df => df.unpersist(blocking = false))
+    lru.clear()
+  }
+}

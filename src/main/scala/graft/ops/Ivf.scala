@@ -153,7 +153,7 @@ object Ivf {
                     newEmbeddings: DataFrame): DataFrame = {
     val centroids = spark.read.parquet(s"$dir/centroids")
     val data = prepared(newEmbeddings)
-    val assigned = assign(data, centroids).persist()
+    val assigned = graft.ops.InternalCaches.persistBounded(assign(data, centroids))
     data.join(assigned, "vec_id")
       .repartition(col("centroid_id"))
       .sortWithinPartitions(col("centroid_id"), col("vec_id"))

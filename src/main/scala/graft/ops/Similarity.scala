@@ -235,9 +235,8 @@ object Similarity {
     * AQE even a LAZY checkpoint builds the RDD at construction time,
     * which executes the kNN stages eagerly. */
   def mutualKnn(embeddings: DataFrame, k: Int = 5): DataFrame = {
-    val g = knnGraph(embeddings, k)
-      .select(col("query_id"), col("neighbor_id"), col("cos"))
-      .persist()
+    val g = InternalCaches.persistBounded(knnGraph(embeddings, k)
+      .select(col("query_id"), col("neighbor_id"), col("cos")))
     val e = g.select(col("query_id").as("d1"), col("neighbor_id").as("d2"),
         col("cos"))
       .filter(col("d1") < col("d2"))
@@ -269,11 +268,11 @@ object Similarity {
   def labelPropagate(embeddings: DataFrame, k: Int = 5, seedMod: Int = 5,
                      rounds: Int = 2): DataFrame = {
     val edges = mutualKnn(embeddings, k).select(col("d1"), col("d2"))
-    val dir = edges
-      .union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
-      // reused every round. persist (lazy), not checkpoint: analyzing /
-      // EXPLAINing a graft_label_propagation SQL call must run no jobs.
-      .persist()
+    val dir = InternalCaches.persistBounded(edges
+      .union(edges.select(col("d2").as("d1"), col("d1").as("d2"))))
+      // reused every round. persist (lazy, LRU-bounded — InternalCaches),
+      // not checkpoint: analyzing / EXPLAINing a
+      // graft_label_propagation SQL call must run no jobs.
     var lab = embeddings.select(col("vec_id"), col("label"),
         (pmod(col("vec_id"), lit(seedMod.toLong)) === 0).as("is_seed"))
       .withColumn("cur", when(col("is_seed"), col("label")))
@@ -307,10 +306,10 @@ object Similarity {
     * triangle counting cannot occur here. Vectors with no mutual edge
     * report degree 0, cc 0.0 (defined, not NULL/NaN). */
   def graphTriangles(embeddings: DataFrame, k: Int = 5): DataFrame = {
-    val e = mutualKnn(embeddings, k).select(col("d1"), col("d2"))
+    val e = InternalCaches.persistBounded(
+      mutualKnn(embeddings, k).select(col("d1"), col("d2")))
       // feeds the 3-way triangle join + the degree; persist for the
       // same no-jobs-at-analysis reason as [[mutualKnn]]
-      .persist()
     val dir = e.union(e.select(col("d2").as("d1"), col("d1").as("d2")))
     val deg = dir.groupBy(col("d1").as("vec_id"))
       .agg(count(lit(1)).as("degree"))

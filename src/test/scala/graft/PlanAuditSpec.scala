@@ -321,6 +321,49 @@ class PlanAuditSpec extends SparkSpec {
       s"coreset_kcenter left ${leaked.size} checkpoint RDD(s) pinned: $leaked")
   }
 
+  test("internal operator caches dedupe repeat inputs and stay LRU-bounded") {
+    // InternalCaches' lifecycle contract (the r14 ADVICE leak class): an
+    // operator that persists a shared internal subtree (ngramJaccard,
+    // containmentJoin, mutualKnn, sourceOverlap...) must (a) NOT grow
+    // executor storage when re-invoked on the SAME input — CacheManager
+    // is canonical-plan-keyed and the LRU dedupes — and (b) hold at most
+    // spark.graft.internalCache.maxEntries distinct plans in a long-lived
+    // session, evicting least-recently-used beyond that. Without the
+    // bound, every distinct corpus ever passed through a standing
+    // analytics service pins a corpus×k InMemoryRelation forever.
+    import org.apache.spark.sql.functions.col
+    val docs = sources.Tables.documents(spark, sf).limit(60)
+    graft.ops.InternalCaches.clear()
+    val base = spark.sparkContext.getPersistentRDDs.keySet
+
+    graft.ops.Dedup.ngramJaccard(docs).count()
+    val after1 = spark.sparkContext.getPersistentRDDs.keySet -- base
+    graft.ops.Dedup.ngramJaccard(docs).count()
+    val after2 = spark.sparkContext.getPersistentRDDs.keySet -- base
+    assert(after2 === after1,
+      s"re-invoking ngramJaccard on the same input grew persistent RDDs: ${after2 -- after1}")
+
+    val old = spark.conf.getOption("spark.graft.internalCache.maxEntries")
+    spark.conf.set("spark.graft.internalCache.maxEntries", "3")
+    try {
+      for (i <- 0 to 5)
+        graft.ops.Dedup.ngramJaccard(docs.filter(col("doc_id") % 7 =!= i)).count()
+      assert(graft.ops.InternalCaches.size <= 3,
+        s"LRU held ${graft.ops.InternalCaches.size} entries over the cap of 3")
+      val pinned = spark.sparkContext.getPersistentRDDs.keySet -- base
+      assert(pinned.size <= 3 + after1.size,
+        s"distinct-input invocations pinned ${pinned.size} RDDs past the cap")
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set("spark.graft.internalCache.maxEntries", v)
+        case None    => spark.conf.unset("spark.graft.internalCache.maxEntries")
+      }
+      graft.ops.InternalCaches.clear()
+    }
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- base).isEmpty,
+      "InternalCaches.clear() left internally-persisted RDDs pinned")
+  }
+
   test("runtime bloom-filter pruning engages for non-broadcastable selective joins") {
     // The 100 TB posture when a selective join side is too big to
     // broadcast (the size-tiered incremental-sync case: millions of
