@@ -3298,7 +3298,165 @@ $sel
            CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
     FROM r WHERE rank <= 5 ORDER BY source, rank"""
 
+  /** End-to-end curation roundtrip — the star_roundtrip posture for the
+    * LLM-pipeline side: quality gate → minhash near-dup dedup (keep the
+    * smaller id of every verified ≥0.8 pair) → decontaminate against the
+    * held-out benchmark slice (doc_id % 10 == 0, excluded from the corpus
+    * at ingestion) → DSIR importance resample toward src0 → sequence
+    * packing at ctxLen 512 — with EVERY stage written through the real
+    * range-sorted parquet sink ([[graft.sources.FileFormats
+    * .writeRangeSorted]]) and read back from disk before the next stage
+    * consumes it, so the answer proves the sink layer end-to-end through
+    * five hops. Output: one row per source with the raw→gated→deduped→
+    * clean→sampled survivor ladder, the sampled token volume, and the
+    * packing report (sequences, padding, boundary docs, efficiency)
+    * aggregated FROM THE WRITTEN packing artifact. The oracle recomputes
+    * the whole ladder from the raw documents table, reusing the gate /
+    * Jaccard-pair / DSIR fragments verbatim (rebased onto stage views) so
+    * a drift in any stage's semantics fails both this and the stage's own
+    * registry row. numFiles=8 suits test SFs; a 100 TB run sizes it to
+    * the cluster (the sink's disjoint-range property is what matters). */
+  private def corpusRoundtrip(s: SparkSession, d: String): DataFrame =
+    corpusRoundtripTo(s, d, graft.sources.Scratch.dir("graft_corpus_rt"))
+
+  /** [[corpusRoundtrip]] with a caller-chosen staging root, so specs can
+    * inspect the written stage layouts (SourcesSpec pins them). */
+  private[graft] def corpusRoundtripTo(s: SparkSession, d: String,
+                                       out: String): DataFrame = {
+    import s.implicits._
+    val docsAll = Tables.documents(s, d)
+    val corpus = docsAll.filter($"doc_id" % 10 =!= 0)
+    val bench = docsAll.filter($"doc_id" % 10 === 0)
+
+    val keep = TextAnalysis.qualityFilter(corpus)
+      .filter($"keep").select($"doc_id")
+    graft.sources.FileFormats.writeRangeSorted(
+      corpus.join(keep, "doc_id"), s"$out/gate", "doc_id", 8)
+    val gated = s.read.parquet(s"$out/gate")
+
+    val dup = Dedup.minhashLsh(gated).select($"d2".as("doc_id")).distinct()
+    graft.sources.FileFormats.writeRangeSorted(
+      gated.join(dup, Seq("doc_id"), "left_anti"), s"$out/dedup", "doc_id", 8)
+    val deduped = s.read.parquet(s"$out/dedup")
+
+    val cleanIds = Dedup.decontaminate(deduped, bench, n = 8)
+      .filter(!$"contaminated").select($"doc_id")
+    graft.sources.FileFormats.writeRangeSorted(
+      deduped.join(cleanIds, "doc_id"), s"$out/clean", "doc_id", 8)
+    val cleaned = s.read.parquet(s"$out/clean")
+
+    val sampIds = graft.ops.Dsir.resample(cleaned, $"source" === "src0")
+      .select($"doc_id")
+    graft.sources.FileFormats.writeRangeSorted(
+      cleaned.join(sampIds, "doc_id"), s"$out/sample", "doc_id", 8)
+    val sampled = s.read.parquet(s"$out/sample")
+
+    graft.sources.FileFormats.writeRangeSorted(
+      TextAnalysis.packSequences(sampled, 512), s"$out/packed", "doc_id", 8)
+    val packed = s.read.parquet(s"$out/packed")
+
+    def cnt(df: DataFrame, as: String) =
+      df.groupBy($"source").agg(count(lit(1)).as(as))
+    val pk = packed.groupBy($"shard".as("source"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum($"n_tokens").as("toks"),
+        sum(when($"spans_boundary", 1L).otherwise(0L)).as("nb"))
+    corpus.select($"source").distinct()
+      .join(cnt(corpus, "n_raw"), Seq("source"))
+      .join(cnt(gated, "n_gated"), Seq("source"), "left")
+      .join(cnt(deduped, "n_deduped"), Seq("source"), "left")
+      .join(cnt(cleaned, "n_clean"), Seq("source"), "left")
+      .join(pk, Seq("source"), "left")
+      .select($"source", $"n_raw",
+        coalesce($"n_gated", lit(0L)).as("n_gated"),
+        coalesce($"n_deduped", lit(0L)).as("n_deduped"),
+        coalesce($"n_clean", lit(0L)).as("n_clean"),
+        coalesce($"n_sampled", lit(0L)).as("n_sampled"),
+        coalesce($"toks", lit(0L)).as("total_tokens"),
+        coalesce($"nb", lit(0L)).as("n_boundary_docs"))
+      // non-negative, so truncating div ≡ the oracle's flooring //
+      .withColumn("n_sequences", expr("(total_tokens + 511) div 512"))
+      .withColumn("padding_tokens",
+        $"n_sequences" * 512L - $"total_tokens")
+      .withColumn("efficiency",
+        when($"total_tokens" > 0,
+          $"total_tokens".cast("double") / ($"n_sequences" * 512L)))
+      .orderBy("source")
+  }
+
+  private lazy val corpusRoundtripSql: String = {
+    val gateOver = qualityFilterSql.replace("FROM documents", "FROM rt_corpus")
+    val jacOver = jaccardPairsCtes.replace("FROM documents", "FROM rt_d1")
+    val dsirOver = dsirFeatureSql
+      .replaceFirst("(?s)^\\s*WITH", ",")
+      .replace("FROM documents", "FROM rt_d3")
+    raw"""
+    WITH rt_corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+    rt_qf AS ($gateOver),
+    rt_d1 AS (SELECT c.* FROM rt_corpus c JOIN rt_qf USING (doc_id)
+              WHERE rt_qf.keep),
+    $jacOver,
+    rt_dup AS (SELECT DISTINCT d2 AS doc_id FROM p WHERE jaccard >= 0.8),
+    rt_d2 AS (SELECT * FROM rt_d1
+              WHERE doc_id NOT IN (SELECT doc_id FROM rt_dup)),
+    rt_bw AS (SELECT string_split(lower(trim(text)), ' ') AS w
+              FROM documents WHERE doc_id % 10 = 0),
+    rt_bg AS (SELECT DISTINCT unnest([list_aggregate(w[i:i+7], 'string_agg', ' ')
+                                      for i in range(1, len(w)-6)]) AS g8
+              FROM rt_bw WHERE len(w) >= 8),
+    rt_tw AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM rt_d2),
+    rt_tg AS (SELECT DISTINCT doc_id,
+                unnest([list_aggregate(w[i:i+7], 'string_agg', ' ')
+                        for i in range(1, len(w)-6)]) AS g8
+              FROM rt_tw WHERE len(w) >= 8),
+    rt_cont AS (SELECT DISTINCT doc_id FROM rt_tg
+                WHERE g8 IN (SELECT g8 FROM rt_bg)),
+    rt_d3 AS (SELECT * FROM rt_d2
+              WHERE doc_id NOT IN (SELECT doc_id FROM rt_cont))
+    $dsirOver,
+    rt_mx AS (SELECT MAX(dsir_weight) AS w_max FROM dw),
+    rt_g4 AS (SELECT doc_id FROM dw CROSS JOIN rt_mx
+              WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+                         AS INTEGER)
+                    < CAST(floor(100.0 * dsir_weight / w_max) AS INTEGER)),
+    rt_d4 AS (SELECT rt_d3.* FROM rt_d3 JOIN rt_g4 USING (doc_id)),
+    rt_pr AS (SELECT doc_id, source AS shard,
+                len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+              FROM rt_d4),
+    rt_pc AS (SELECT *,
+                CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                  AS tok_start
+              FROM rt_pr),
+    rt_pk AS (SELECT shard AS source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+                CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                CAST(SUM(CASE WHEN (tok_start + n_tokens - 1) // 512 > tok_start // 512
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs
+              FROM rt_pc GROUP BY 1),
+    rt_c0 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw FROM rt_corpus GROUP BY 1),
+    rt_c1 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_gated FROM rt_d1 GROUP BY 1),
+    rt_c2 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_deduped FROM rt_d2 GROUP BY 1),
+    rt_c3 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_clean FROM rt_d3 GROUP BY 1)
+    SELECT rt_c0.source, n_raw,
+           COALESCE(n_gated, 0) AS n_gated,
+           COALESCE(n_deduped, 0) AS n_deduped,
+           COALESCE(n_clean, 0) AS n_clean,
+           COALESCE(n_sampled, 0) AS n_sampled,
+           COALESCE(total_tokens, 0) AS total_tokens,
+           COALESCE(n_boundary_docs, 0) AS n_boundary_docs,
+           CAST((COALESCE(total_tokens, 0) + 511) // 512 AS BIGINT) AS n_sequences,
+           CAST((COALESCE(total_tokens, 0) + 511) // 512 * 512
+                - COALESCE(total_tokens, 0) AS BIGINT) AS padding_tokens,
+           CASE WHEN COALESCE(total_tokens, 0) = 0 THEN NULL
+                ELSE total_tokens::DOUBLE / ((total_tokens + 511) // 512 * 512)
+           END AS efficiency
+    FROM rt_c0 LEFT JOIN rt_c1 USING (source) LEFT JOIN rt_c2 USING (source)
+         LEFT JOIN rt_c3 USING (source) LEFT JOIN rt_pk USING (source)
+    ORDER BY source"""
+  }
+
   val registry: Seq[Q] = Seq(
+    Q("corpus_roundtrip", corpusRoundtrip, Some(corpusRoundtripSql)),
     Q("embedding_outliers", embeddingOutliers, Some(embeddingOutliersSql)),
     Q("source_keywords", sourceKeywords, Some(sourceKeywordsSql)),
     Q("char_gini", charGiniQ, Some(charGiniSql)),

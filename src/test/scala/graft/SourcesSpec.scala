@@ -558,4 +558,55 @@ class SourcesSpec extends SparkSpec {
       roundtrip(lit("2023-11-14 22:13:20"))
     }
   }
+
+  test("corpus_roundtrip stages land through the range-sorted sink, each readable and monotone") {
+    import org.apache.spark.sql.functions.{min, max, sum => fsum}
+    val out = graft.sources.Scratch.dir("graft_rt_spec")
+    val res = graft.queries.DocQueries.corpusRoundtripTo(spark, sf, out).collect()
+    assert(res.nonEmpty)
+
+    // every stage wrote a readable parquet table at the expected path
+    val stages = Seq("gate", "dedup", "clean", "sample", "packed")
+    val counts = stages.map { st =>
+      assert(new java.io.File(s"$out/$st").isDirectory, s"missing stage dir $st")
+      st -> spark.read.parquet(s"$out/$st").count()
+    }.toMap
+    // the survivor ladder only ever narrows
+    assert(counts("gate") >= counts("dedup"))
+    assert(counts("dedup") >= counts("clean"))
+    assert(counts("clean") >= counts("sample"))
+    // packing is row-per-surviving-doc over the written sample
+    assert(counts("packed") === counts("sample"))
+
+    // the result frame's ladder reconciles with the on-disk stage tables
+    assert(res.map(_.getAs[Long]("n_gated")).sum === counts("gate"))
+    assert(res.map(_.getAs[Long]("n_sampled")).sum === counts("sample"))
+
+    // the sink layout property the stages rely on: disjoint per-file
+    // doc_id ranges (min/max stats prune whole files on any id predicate)
+    val files = new java.io.File(s"$out/gate").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    val ranges = files.flatMap { f =>
+      val df = spark.read.parquet(f)
+      if (df.isEmpty) None
+      else Some(df.agg(min($"doc_id"), max($"doc_id")).as[(Long, Long)].head())
+    }
+    ranges.sortBy(_._1).sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"gate file ranges not disjoint: $hi1 >= $lo2")
+      case _ =>
+    }
+
+    // the packing report was answered FROM the written packed artifact:
+    // its token volume must equal a fresh recount over the sample stage
+    val packedToks = spark.read.parquet(s"$out/packed")
+      .agg(fsum($"n_tokens")).as[Long].head()
+    val sampleToks = spark.read.parquet(s"$out/sample")
+      .select(org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.trim($"text"), "\\s+"))
+        .cast("long").as("n"))
+      .agg(fsum($"n")).as[Long].head()
+    assert(packedToks === sampleToks)
+  }
 }
