@@ -926,6 +926,66 @@ object Dedup {
           .as("novelty"))
   }
 
+  /** Standing novelty index: the distinct n-gram hashes the corpus has
+    * seen so far — the state the first-occurrence novelty screen
+    * ([[incrementalNgramNovelty]]) probes. Hash-only rows, hash-clustered
+    * on write (repartition + sort by h, the fingerprint-index discipline)
+    * so probe co-scans stream tight row groups. */
+  def writeNoveltyIndex(docs: DataFrame, dir: String, n: Int = 8): Unit =
+    shingleRows(docs, n).select(xxhash64(col("g")).as("h")).distinct()
+      .repartition(col("h")).sortWithinPartitions(col("h"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** Append an arrival batch's distinct n-gram hashes to the standing
+    * novelty index. Blind append — rows the index already holds are
+    * harmless because the reader probes with a semi-join (idempotent in
+    * the probe table, the [[appendBlockIndex]] discipline), so
+    * at-least-once redelivery and concurrent appenders are safe. */
+  def appendNoveltyIndex(docs: DataFrame, dir: String, n: Int = 8): Unit =
+    shingleRows(docs, n).select(xxhash64(col("g")).as("h")).distinct()
+      .repartition(col("h")).sortWithinPartitions(col("h"))
+      .write.mode("append").parquet(dir)
+
+  /** Arrival novelty screen against the standing index: per arrival doc,
+    * how many of its distinct n-grams are FIRST OCCURRENCES — never seen
+    * by the indexed corpus, and not seen earlier within the batch (the
+    * batch's own first instance is the min arrival doc_id holding the
+    * gram). Under monotone ingestion (arrival ids above every indexed id)
+    * this is EXACTLY the corpus-wide [[ngramNovelty]] first-occurrence
+    * rule restricted to arrival docs: an indexed gram's global first
+    * holder has a smaller id than any arrival, and an unindexed gram's
+    * first holder is the batch minimum. The novelty fraction is the
+    * content-freshness signal an ingest dashboard watches per source/
+    * batch — a collapsing novelty rate means the crawl is re-reading
+    * itself. Cost ∝ batch grams + ONE hash-only index co-scan behind a
+    * broadcast semi-probe — never the corpus text. */
+  def incrementalNgramNovelty(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, arrivals: DataFrame,
+                              n: Int = 8): DataFrame = {
+    val ag = shingleRows(arrivals, n)
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+    val batchFirst = ag.groupBy(col("h")).agg(min(col("doc_id")).as("__first_doc"))
+    // batch-bounded probe broadcast against the standing index; distinct
+    // because blind appends may have duplicated index rows
+    val seen = spark.read.parquet(dir).select(col("h"))
+      .join(broadcast(batchFirst.select(col("h"))), Seq("h"), "left_semi")
+      .distinct()
+    val scored = ag.join(batchFirst, Seq("h"))
+      .join(seen.withColumn("__seen", lit(true)), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct_ngrams"),
+        sum(when(col("__seen").isNull && col("__first_doc") === col("doc_id"),
+          1L).otherwise(0L)).as("n_novel_ngrams"))
+    arrivals.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_distinct_ngrams"), lit(0L)).as("n_distinct_ngrams"),
+        coalesce(col("n_novel_ngrams"), lit(0L)).as("n_novel_ngrams"),
+        when(col("n_distinct_ngrams").isNull, lit(0.0))
+          .otherwise(col("n_novel_ngrams").cast("double") / col("n_distinct_ngrams"))
+          .as("novelty"))
+  }
+
   /** Shared-span detection — doc pairs sharing at least `minShared`
     * winnowing fingerprints (the MOSS-style proxy for exact-substring
     * duplication: a shared fingerprint witnesses a shared k-token span, so

@@ -56,8 +56,8 @@ object DocQueries {
   private def ngramNovelty(s: SparkSession, d: String): DataFrame =
     Dedup.ngramNovelty(Tables.documents(s, d), n = 8).orderBy("doc_id")
 
-  private val ngramNoveltySql = """
-    WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+  private val ngramNoveltyCtes = """
+    t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
     g AS (SELECT DISTINCT doc_id,
             unnest([list_aggregate(w[i:i+7], 'string_agg', ' ')
                     for i in range(1, len(w)-6)]) AS g8
@@ -66,13 +66,42 @@ object DocQueries {
     sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct,
              CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
                AS n_novel
-           FROM g JOIN f USING (g8) GROUP BY doc_id)
+           FROM g JOIN f USING (g8) GROUP BY doc_id)"""
+
+  private val ngramNoveltySql = s"""
+    WITH $ngramNoveltyCtes
     SELECT d.doc_id,
            COALESCE(n_distinct, 0) AS n_distinct_ngrams,
            COALESCE(n_novel, 0) AS n_novel_ngrams,
            CASE WHEN n_distinct IS NULL THEN 0.0
                 ELSE n_novel::DOUBLE / n_distinct END AS novelty
     FROM documents d LEFT JOIN sc USING (doc_id)
+    ORDER BY doc_id"""
+
+  /** Standing-index novelty screen
+    * ([[graft.ops.Dedup.incrementalNgramNovelty]]): docs < 400 are the
+    * indexed standing corpus, docs >= 400 the arrival batch. Under
+    * monotone ids the screen ≡ the corpus-wide first-occurrence rule
+    * restricted to arrivals, so the oracle is the shared novelty chain
+    * with a doc_id >= 400 restriction. */
+  private def incrementalNgramNoveltyQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val all = Tables.documents(s, d)
+    val dir = graft.sources.Scratch.dir("graft_nov_idx")
+    Dedup.writeNoveltyIndex(all.filter($"doc_id" < 400), dir)
+    Dedup.incrementalNgramNovelty(s, dir, all.filter($"doc_id" >= 400))
+      .orderBy("doc_id")
+  }
+
+  private val incrementalNgramNoveltySql = s"""
+    WITH $ngramNoveltyCtes
+    SELECT d.doc_id,
+           COALESCE(n_distinct, 0) AS n_distinct_ngrams,
+           COALESCE(n_novel, 0) AS n_novel_ngrams,
+           CASE WHEN n_distinct IS NULL THEN 0.0
+                ELSE n_novel::DOUBLE / n_distinct END AS novelty
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= 400) d
+      LEFT JOIN sc USING (doc_id)
     ORDER BY doc_id"""
 
   private def textQuality(s: SparkSession, d: String): DataFrame =
@@ -3471,6 +3500,8 @@ $sel
     Q("lang_id", langId, Some(langIdSql)),
     Q("lang_confusion", langConfusion, Some(langConfusionSql)),
     Q("ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
+    Q("incremental_ngram_novelty", incrementalNgramNoveltyQ,
+      Some(incrementalNgramNoveltySql)),
     Q("text_quality", textQuality, Some(textQualitySql)),
     Q("gopher_rules", gopherRules, Some(gopherRulesSql)),
     Q("lm_bigram_score", lmBigramScore, Some(lmBigramScoreSql)),

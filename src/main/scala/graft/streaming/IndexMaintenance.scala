@@ -237,6 +237,34 @@ object IndexMaintenance {
       }
       .start()
 
+  /** Streaming source-overlap maintenance — the standing (source, hash128)
+    * shingle index ([[graft.ops.Dedup.writeSourceShingleIndex]]) kept
+    * current by BLIND per-batch appends
+    * ([[graft.ops.Dedup.appendSourceShingleIndex]]): the census reader
+    * ([[graft.ops.Dedup.sourceOverlapFromIndex]]) dedups sources per hash
+    * with `collect_set`, so duplicate rows from engine retries AND
+    * source-level redelivery are both absorbed — set union is order-free,
+    * making this the only maintenance pipeline with NO redelivery caveat
+    * and no [[StateSink]] batch-tagging needed. Served mid-stream or
+    * after any prefix of batches, the matrix equals the batch
+    * [[graft.ops.Dedup.sourceOverlap]] of everything arrived
+    * (DedupSpec pins it through the real streaming wiring, replay
+    * included). Per-batch cost ∝ the batch's distinct shingles. */
+  def runSourceOverlapMaintenance(spark: SparkSession, srcDir: String,
+                                  schemaFrom: DataFrame, indexDir: String,
+                                  checkpointDir: String, n: Int = 3,
+                                  maxFilesPerTrigger: Int = 0,
+                                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    EventsCdc.readEventStream(spark, srcDir, schemaFrom, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Dedup.appendSourceShingleIndex(batch, indexDir, n)
+        ()
+      }
+      .start()
+
   def runDedupScreen(spark: SparkSession, srcDir: String, schemaFrom: DataFrame,
                      indexDir: String, corpusDir: String, pairsDir: String,
                      checkpointDir: String, n: Int = 3, threshold: Double = 0.8,

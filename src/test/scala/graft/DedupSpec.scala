@@ -782,4 +782,74 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental ngram novelty equals the batch rule on arrivals; double-append is inert") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val standing = docs.filter($"doc_id" < 300)
+    val b1 = docs.filter($"doc_id" >= 300 && $"doc_id" < 400)
+    val b2 = docs.filter($"doc_id" >= 400)
+    val dir = graft.sources.Scratch.dir("graft_nov_spec")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+
+    // monotone-id identity: the screen over batch 1 equals the corpus-wide
+    // first-occurrence rule restricted to batch 1 (novelty doubles are the
+    // same identical-operand division in both paths — exact equality)
+    Dedup.writeNoveltyIndex(standing, dir)
+    assert(rows(Dedup.incrementalNgramNovelty(spark, dir, b1)) ===
+      rows(Dedup.ngramNovelty(standing.union(b1))
+        .filter($"doc_id" >= 300 && $"doc_id" < 400)))
+
+    // absorb batch 1 TWICE (at-least-once redelivery, the worst case):
+    // the semi-join probe makes duplicate index rows inert, so batch 2's
+    // screen still equals the corpus-wide rule restricted to batch 2
+    Dedup.appendNoveltyIndex(b1, dir)
+    Dedup.appendNoveltyIndex(b1, dir)
+    assert(rows(Dedup.incrementalNgramNovelty(spark, dir, b2)) ===
+      rows(Dedup.ngramNovelty(docs).filter($"doc_id" >= 400)))
+  }
+
+  test("streaming source-overlap maintenance: served matrix equals batch at every prefix; replay is inert") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val b1 = docs.filter($"doc_id" < 200)
+    val b2 = docs.filter($"doc_id" >= 200 && $"doc_id" < 350)
+    val b3 = docs.filter($"doc_id" >= 350)
+    val idxDir = graft.sources.Scratch.dir("graft_srcsh_m")
+    val srcDir = graft.sources.Scratch.path("graft_srcsh_src")
+    val ckpt = graft.sources.Scratch.dir("graft_srcsh_ck")
+    def ship(b: org.apache.spark.sql.DataFrame, i: Int): Unit = {
+      val tmp = graft.sources.Scratch.dir("graft_srcsh_tmp")
+      b.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, srcDir.resolve(s"$i.parquet"))
+    }
+    def matrix(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+
+    // bootstrap index + two streamed batches, then serve MID-STREAM:
+    // the census must equal the batch operator over everything arrived
+    Dedup.writeSourceShingleIndex(b1, idxDir)
+    ship(b2, 0)
+    graft.streaming.IndexMaintenance.runSourceOverlapMaintenance(
+      spark, srcDir.toString, docs, idxDir, ckpt, maxFilesPerTrigger = 1)
+      .awaitTermination()
+    assert(matrix(Dedup.sourceOverlapFromIndex(spark, idxDir)) ===
+      matrix(Dedup.sourceOverlap(b1.union(b2))),
+      "served matrix after two batches must equal the batch operator")
+
+    // third batch arrives; the SAME checkpoint resumes where it left off
+    ship(b3, 1)
+    graft.streaming.IndexMaintenance.runSourceOverlapMaintenance(
+      spark, srcDir.toString, docs, idxDir, ckpt, maxFilesPerTrigger = 1)
+      .awaitTermination()
+    val full = matrix(Dedup.sourceOverlap(docs))
+    assert(matrix(Dedup.sourceOverlapFromIndex(spark, idxDir)) === full)
+
+    // set-union idempotence: a blind REPLAY of an already-absorbed batch
+    // (source-level redelivery, the worst case) changes nothing served
+    Dedup.appendSourceShingleIndex(b2, idxDir)
+    assert(matrix(Dedup.sourceOverlapFromIndex(spark, idxDir)) === full,
+      "replayed batch must be absorbed by the census's collect_set")
+  }
+
 }
