@@ -562,9 +562,14 @@ object Dedup {
     // max() collapses replayed size rows (same value re-appended)
     val idxSz = spark.read.parquet(s"$dir/sizes")
       .groupBy(col("doc_id")).agg(max(col("sz")).as("sz_super"))
-    val exA = shingleRows(arrivals, n)
-      .select(col("doc_id"), xxhash64(col("g")).as("h"))
-      .localCheckpoint(true) // batch-bounded; feeds prefix + verification
+    // batch-bounded; feeds prefix + verification. Lazy bounded persist,
+    // not eager localCheckpoint: the SQL-surface resolution rule invokes
+    // this operator at ANALYSIS time, so construction must run no jobs
+    // (EXPLAIN of graft_containment_screen stays free — ExtensionsSpec),
+    // while the persist still evaluates the arrival subtree once for all
+    // consumer branches at first action.
+    val exA = InternalCaches.persistBounded(shingleRows(arrivals, n)
+      .select(col("doc_id"), xxhash64(col("g")).as("h")))
     // standing df for exactly the hashes the arrivals carry (broadcast
     // probe — batch-bounded result), summed over the append partials
     val dfProbe = spark.read.parquet(s"$dir/df")
@@ -589,7 +594,7 @@ object Dedup {
       .join(idxSz.withColumnRenamed("doc_id", "d_super"), "d_super")
       .filter(col("sz_super") >= ceil(lit(threshold) * col("n_sub")))
       .select(col("d_sub"), col("n_sub"), col("d_super"))
-      .localCheckpoint(true) // candidate-bounded; feeds prune + verify
+      .transform(c => InternalCaches.persistBounded(c)) // candidate-bounded; feeds prune + verify
     // verification: exact intersection over the candidate supers' index
     // rows (id semi-join prune) and the arrivals' own shingles
     val superRows = idxSh

@@ -75,11 +75,10 @@ class GraftTableOpResolution(session: SparkSession) extends Rule[LogicalPlan] {
         case "containment_screen" =>
           // the REAL standing-index probe (cost ∝ batch + candidates) —
           // the cheap path the ad-hoc graft_incremental_containment TVF
-          // documents against. NOTE: the screen eagerly materializes its
-          // batch-bounded probe frames, so RESOLVING this call (EXPLAIN
-          // included) runs the probe's Spark jobs — bounded by the
-          // arrival batch, never the corpus, but not free; scripted
-          // pipelines should prefer the Scala path.
+          // documents against. The probe frames are LAZY bounded persists
+          // (r14 ADVICE), so resolving this call (EXPLAIN included) runs
+          // no probe jobs — only the parquet sources' fixed schema/
+          // listing work (ExtensionsSpec pins the job floor).
           graft.ops.Dedup.incrementalContainmentScreen(session, params(0),
             df, params(1).toInt, params(2).toDouble)
         case "span_screen_indexed" =>
