@@ -3327,6 +3327,147 @@ $sel
            CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
     FROM r WHERE rank <= 5 ORDER BY source, rank"""
 
+  /** nprobe → recall curve over the IVF index — the tuning read a
+    * deployment makes BEFORE fixing its probe width: for each nprobe in
+    * {1,2,4,8,16}, recall@5 of the partial-probe pipeline (the
+    * [[knnIvfPartial]] machinery with the probe cut at nprobe lists)
+    * against the exact brute-force top-5. The centroid ranking, list
+    * membership and scoring replay [[knnIvfPartial]]'s deterministic
+    * chain, so the oracle re-derives every point of the curve; nprobe=16
+    * probes every list and must read exactly 1.0 — the curve's built-in
+    * sanity anchor. One PQ fit + one centroid-distance ranking shared by
+    * all five cuts; per-cut cost is the probed lists' exact scoring. */
+  private def ivfNprobeCurve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions._
+    val emb = Tables.embeddings(s, d)
+    val model = graft.ops.Pq.fit(emb, m = 1, ncodes = 16, iters = 1)
+    val clusters = graft.ops.Pq.encode(model, emb)
+      .select($"vec_id", $"code".as("cluster_id"))
+    val vecs = emb.select($"vec_id", toDouble($"embedding").as("emb"))
+      .withColumn("nrm", norm($"emb"))
+    val q = vecs.filter($"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"emb".as("q_emb"), $"nrm".as("q_nrm"),
+        normSq($"emb").as("qn"))
+    val byQuery = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"d2", $"code")
+    val ranked = q
+      .crossJoin(broadcast(model.codebook.select($"code", $"cvec", $"cn")))
+      .select($"query_id", $"q_emb", $"q_nrm", $"code",
+        ($"qn" - lit(2.0) * dot($"q_emb", $"cvec") + $"cn").as("d2"))
+      .withColumn("rn", row_number().over(byQuery))
+    val rank = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    val truth = Similarity.knnBruteForce(emb, queries(s, d))
+      .select($"query_id", $"neighbor_id")
+    val tot = truth.agg(countDistinct($"query_id").as("n_queries"),
+      count(lit(1)).as("n_truth"))
+    Seq(1, 2, 4, 8, 16).map { np =>
+      val approx = ranked.filter($"rn" <= np)
+        .select($"query_id", $"q_emb", $"q_nrm", $"code".as("cluster_id"))
+        .join(clusters, "cluster_id")
+        .filter($"vec_id" =!= $"query_id")
+        .join(vecs, "vec_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"),
+          cosinePrenormed($"emb", $"q_emb", $"nrm", $"q_nrm").as("cos"))
+        .withColumn("rank", row_number().over(rank))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"neighbor_id")
+      val hit = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      tot.crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+        .select(lit(np).as("nprobe"), $"n_queries", $"n_truth", $"n_hit",
+          ($"n_hit" / $"n_truth").as("recall_at_5"))
+    }.reduce(_.unionByName(_)).orderBy("nprobe")
+  }
+
+  private lazy val ivfNprobeCurveSql: String = {
+    val nps = Seq(1, 2, 4, 8, 16)
+    val per = nps.map { np =>
+      s"""p$np AS (SELECT query_id, code AS cluster_id FROM rnk WHERE rn <= $np),
+    c$np AS (SELECT p2.query_id, cl.vec_id
+             FROM p$np p2 JOIN cl USING (cluster_id)
+             WHERE cl.vec_id <> p2.query_id),
+    s$np AS (SELECT c.query_id, c.vec_id AS neighbor_id,
+               list_sum(list_transform(range(1, 65),
+                 i -> a.svec[i] * b.svec[i])) / (a.nrm * b.nrm) AS cos
+             FROM c$np c
+             JOIN nn a ON c.query_id = a.vec_id
+             JOIN nn b ON c.vec_id = b.vec_id),
+    t$np AS (SELECT query_id, neighbor_id
+             FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                                ORDER BY cos DESC, neighbor_id) AS rank
+                   FROM s$np)
+             WHERE rank <= 5),
+    h$np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+             FROM bf JOIN t$np USING (query_id, neighbor_id))"""
+    }.mkString(",\n    ")
+    val rows = nps.map(np =>
+      s"SELECT $np AS nprobe, n_queries, n_truth, n_hit, n_hit::DOUBLE / n_truth AS recall_at_5 FROM tot CROSS JOIN h$np")
+      .mkString("\n    UNION ALL ")
+    s"""
+    WITH $semanticClusterCtes,
+    q AS (SELECT vec_id AS query_id, svec AS q_emb, sn AS qn, sqrt(sn) AS q_nrm
+          FROM svn WHERE vec_id < 20),
+    ld AS (SELECT q.query_id, cbn.code,
+             q.qn - 2.0 * list_sum(list_transform(range(1, 65),
+               i -> q.q_emb[i] * cbn.cvec[i])) + cbn.cn AS d2
+           FROM q CROSS JOIN cbn),
+    rnk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY d2, code) AS rn FROM ld),
+    bf AS (SELECT query_id, neighbor_id FROM ($knnBruteForceSql)),
+    tot AS (SELECT (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) FROM bf) AS n_queries,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM bf) AS n_truth),
+    $per
+    $rows ORDER BY nprobe"""
+  }
+
+  /** Per-source quality-gate drift — [[qualityBySource]] crossed with
+    * [[corpusDrift]]'s before/after proxy: for each source, the keep rate
+    * of the composite gate on the two doc_id-parity halves and their
+    * ratio. A source whose keep rate collapses between snapshots is the
+    * re-crawl signal BEFORE volume drifts; the parity split stands in for
+    * ingest batches exactly as in corpus_drift (swap the predicate for a
+    * batch column in production). One gate pass + one |sources|-sized
+    * aggregate; the oracle wraps the gate SQL (single source of truth). */
+  private def qualityDriftBySource(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val qf = TextAnalysis.qualityFilter(docs).select($"doc_id", $"keep")
+    docs.select($"doc_id", $"source", pmod($"doc_id", lit(2L)).as("half"))
+      .join(qf, "doc_id")
+      .groupBy($"source")
+      .agg(
+        sum(when($"half" === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"half" === 0 && $"keep", 1L).otherwise(0L)).as("kept_a"),
+        sum(when($"half" === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when($"half" === 1 && $"keep", 1L).otherwise(0L)).as("kept_b"))
+      .withColumn("keep_rate_a",
+        when($"n_a" > 0, $"kept_a".cast("double") / $"n_a"))
+      .withColumn("keep_rate_b",
+        when($"n_b" > 0, $"kept_b".cast("double") / $"n_b"))
+      .withColumn("drift_ratio",
+        when($"keep_rate_a" > 0, $"keep_rate_b" / $"keep_rate_a"))
+      .orderBy("source")
+  }
+
+  private lazy val qualityDriftBySourceSql = s"""
+    WITH qf AS ($qualityFilterSql),
+    j AS (SELECT d.source, d.doc_id % 2 AS half, qf.keep
+          FROM documents d JOIN qf USING (doc_id)),
+    a AS (SELECT source,
+            CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+            CAST(SUM(CASE WHEN half = 0 AND keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_a,
+            CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+            CAST(SUM(CASE WHEN half = 1 AND keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_b
+          FROM j GROUP BY 1),
+    r AS (SELECT source, n_a, kept_a, n_b, kept_b,
+            CASE WHEN n_a > 0 THEN kept_a::DOUBLE / n_a END AS keep_rate_a,
+            CASE WHEN n_b > 0 THEN kept_b::DOUBLE / n_b END AS keep_rate_b
+          FROM a)
+    SELECT source, n_a, kept_a, n_b, kept_b, keep_rate_a, keep_rate_b,
+           CASE WHEN keep_rate_a > 0 THEN keep_rate_b / keep_rate_a END AS drift_ratio
+    FROM r ORDER BY source"""
+
   /** End-to-end curation roundtrip — the star_roundtrip posture for the
     * LLM-pipeline side: quality gate → minhash near-dup dedup (keep the
     * smaller id of every verified ≥0.8 pair) → decontaminate against the
@@ -3486,6 +3627,9 @@ $sel
 
   val registry: Seq[Q] = Seq(
     Q("corpus_roundtrip", corpusRoundtrip, Some(corpusRoundtripSql)),
+    Q("ivf_nprobe_curve", ivfNprobeCurve, Some(ivfNprobeCurveSql)),
+    Q("quality_drift_by_source", qualityDriftBySource,
+      Some(qualityDriftBySourceSql)),
     Q("embedding_outliers", embeddingOutliers, Some(embeddingOutliersSql)),
     Q("source_keywords", sourceKeywords, Some(sourceKeywordsSql)),
     Q("char_gini", charGiniQ, Some(charGiniSql)),
