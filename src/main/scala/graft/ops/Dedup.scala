@@ -931,6 +931,29 @@ object Dedup {
           .as("novelty"))
   }
 
+  /** Per-source first-occurrence novelty rollup — the crawl-freshness
+    * dashboard row over [[ngramNovelty]]: for each source, its doc count,
+    * summed distinct-gram and novel-gram volumes, and the source-level
+    * novelty rate. A source whose rate collapses is re-reading itself
+    * (or the crawl frontier moved into already-ingested territory) — the
+    * per-source read that decides where the next crawl budget goes,
+    * where [[ngramNovelty]] flags individual docs. The rate is ONE
+    * identical-operand division of the summed longs (never a mean of
+    * per-doc ratios — that IEEE sum is reduction-order-sensitive across
+    * engines); |sources|-sized result, one extra narrow shuffle over the
+    * novelty frame. */
+  def noveltyBySource(docs: DataFrame, n: Int = 8): DataFrame =
+    ngramNovelty(docs, n)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_distinct_ngrams")).as("n_distinct_ngrams"),
+        sum(col("n_novel_ngrams")).as("n_novel_ngrams"))
+      .withColumn("novelty_rate",
+        when(col("n_distinct_ngrams") > 0,
+          col("n_novel_ngrams").cast("double") / col("n_distinct_ngrams")))
+      .orderBy(col("source"))
+
   /** Standing novelty index: the distinct n-gram hashes the corpus has
     * seen so far — the state the first-occurrence novelty screen
     * ([[incrementalNgramNovelty]]) probes. Hash-only rows, hash-clustered
@@ -1265,14 +1288,19 @@ object Dedup {
     * the candidate-involved standing docs through a semi-join prune.
     * After the run, absorb the batch with [[appendFingerprintIndex]].
     *
-    * The arrival fingerprints and the candidate pairs are EAGERLY
-    * materialized (`localCheckpoint(true)`): both feed several plan
-    * branches (the df cap, both probe sides, the involved-doc prune,
-    * the verification join), and left lazy each branch re-shingles the
-    * arrival batch — measured 6s → ~1s at sf0.1 for a 4% batch. Both
-    * frames are batch-bounded, never corpus-bounded; the fingerprint
-    * blocks are released before returning, the pair blocks stay pinned
-    * behind the returned (lazy) spans frame. */
+    * The arrival fingerprints, the candidate pairs, and the touched-doc
+    * grams each feed several plan branches (the df cap, both probe
+    * sides, the involved-doc prune, the verification join's two sides),
+    * and left lazy each branch re-shingles the arrival batch — measured
+    * 6s → ~1s at sf0.1 for a 4% batch. They are LAZY bounded persists
+    * ([[InternalCaches.persistBounded]], the
+    * [[incrementalContainmentScreen]] discipline): the SQL-surface
+    * resolution rule invokes this operator at ANALYSIS time, so
+    * construction must run no jobs (EXPLAIN of `graft_span_screen_indexed`
+    * stays free — ExtensionsSpec pins it), while each persist still
+    * evaluates its subtree once for all consumers at first action. All
+    * three frames are batch-/candidate-bounded, never corpus-bounded;
+    * their lifecycle is LRU-owned — callers must NOT unpersist them. */
   def incrementalSpanScreen(spark: org.apache.spark.sql.SparkSession,
                             indexDir: String, oldDocs: DataFrame,
                             newDocs: DataFrame, minLen: Int = 8,
@@ -1280,8 +1308,8 @@ object Dedup {
                             shingleHash: Column => Column = xxhash64(_)): DataFrame = {
     require(minLen >= k + w - 1,
       s"minLen must be >= k+w-1 = ${k + w - 1}, got $minLen")
-    val newFps = TextAnalysis.fingerprintHashes(newDocs, k, w, shingleHash)
-      .localCheckpoint(true)
+    val newFps = InternalCaches.persistBounded(
+      TextAnalysis.fingerprintHashes(newDocs, k, w, shingleHash))
     val stored = spark.read.parquet(indexDir)
       .select(col("doc_id"), col("fp_hash"))
     // index rows for fingerprints the arrivals carry (broadcast probe),
@@ -1328,8 +1356,7 @@ object Dedup {
           struct(col("y").as("d1"), col("x").as("d2"))))).as("q"))
       .filter(col("q").isNotNull)
       .select(col("q.d1").as("d1"), col("q.d2").as("d2"))
-      .localCheckpoint(true)
-    Checkpoints.unpersist(newFps) // pairs is materialized; fps now unreferenced
+      .transform(c => InternalCaches.persistBounded(c)) // candidate-bounded
     val involved = pairs.select(col("d1").as("doc_id"))
       .union(pairs.select(col("d2").as("doc_id"))).distinct()
     val touched = oldDocs.select(col("doc_id"), col("text"))
@@ -1338,7 +1365,8 @@ object Dedup {
     // also candidate-bounded, and verification joins it twice (both pair
     // sides) — left lazy each side re-scans the corpus for the touched
     // docs' text and re-grams it
-    val grams = posGramRows(touched, k, shingleHash).localCheckpoint(true)
+    val grams = InternalCaches.persistBounded(
+      posGramRows(touched, k, shingleHash))
     removalSpans(pairs, grams, minLen, k)
   }
 

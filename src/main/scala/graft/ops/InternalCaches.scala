@@ -47,11 +47,19 @@ object InternalCaches {
   /** Number of internally-persisted plans currently held (spec probe). */
   def size: Int = lru.synchronized(lru.size)
 
+  // a held frame pins its SparkSession; if that session was stopped,
+  // any touch of it (storageLevel, persist, unpersist) throws an
+  // IllegalStateException INSIDE an unrelated caller's persistBounded —
+  // dead entries are dropped, live-entry failures swallowed (r15 ADVICE)
+  private def isDead(df: DataFrame): Boolean =
+    scala.util.Try(df.sparkSession.sparkContext.isStopped).getOrElse(true)
+
   /** Persist `df` under the LRU bound (see object doc). Returns `df`. */
   def persistBounded(df: DataFrame): DataFrame = lru.synchronized {
     val key = df.queryExecution.analyzed.canonicalized
     val held = lru.get(key)
-    if (held == null) {
+    if (held == null || isDead(held)) {
+      if (held != null) lru.remove(key)
       df.persist()
       lru.put(key, df)
       val max = df.sparkSession.conf.getOption(ConfKey)
@@ -59,20 +67,37 @@ object InternalCaches {
       val it = lru.entrySet().iterator()
       while (lru.size > math.max(1, max) && it.hasNext) {
         val oldest: JMap.Entry[LogicalPlan, DataFrame] = it.next()
-        oldest.getValue.unpersist(blocking = false)
+        scala.util.Try(oldest.getValue.unpersist(blocking = false))
         it.remove()
       }
-    } else if (held.storageLevel == StorageLevel.NONE) {
+    } else if (scala.util.Try(held.storageLevel == StorageLevel.NONE)
+                 .getOrElse(false)) {
       // externally cleared (e.g. spark.catalog.clearCache()) — re-pin so
       // the multi-branch single-evaluation contract still holds
-      held.persist()
+      scala.util.Try(held.persist())
     }
     df
   }
 
+  /** Explicitly unpersist ONE held frame and forget its entry — the
+    * caller-side release path for frames an operator RETURNS persisted
+    * (e.g. [[Ivf.appendToIndex]]'s assignments). Calling `df.unpersist()`
+    * directly instead would silently drop blocks the LRU still thinks it
+    * holds (size overcounts, and the single-evaluation contract breaks
+    * for any other consumer of the same canonical plan until a later
+    * persistBounded re-pins it) — this keeps the lifecycle single-owner.
+    * No-op for frames the cache does not hold. */
+  def release(df: DataFrame): Unit = lru.synchronized {
+    val key = df.queryExecution.analyzed.canonicalized
+    val held = lru.remove(key)
+    if (held != null) scala.util.Try(held.unpersist(blocking = false))
+    ()
+  }
+
   /** Unpersist and forget every held frame. */
   def clear(): Unit = lru.synchronized {
-    lru.values().forEach(df => df.unpersist(blocking = false))
+    lru.values().forEach(df =>
+      scala.util.Try(df.unpersist(blocking = false)): Unit)
     lru.clear()
   }
 }

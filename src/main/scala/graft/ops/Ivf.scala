@@ -145,10 +145,13 @@ object Ivf {
     *
     * Caller contract: arrival vec_ids are new (dedupe upstream — the
     * index append, like every blind append here, is at-least-once under
-    * replay). The returned assignments frame is PERSISTED (the write
-    * below materializes it into the cache, so a caller's count/collect
-    * does not re-run the broadcast-join + window assignment plan) —
-    * unpersist it when done. */
+    * replay). The returned assignments frame is persisted through the
+    * [[InternalCaches]] LRU (the write below materializes it into the
+    * cache, so a caller's count/collect does not re-run the
+    * broadcast-join + window assignment plan); its lifecycle is
+    * LRU-owned — do NOT call `unpersist()` on it (that silently drops an
+    * entry the LRU still counts). A caller that wants the blocks freed
+    * before eviction calls [[InternalCaches.release]]. */
   def appendToIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                     newEmbeddings: DataFrame): DataFrame = {
     val centroids = spark.read.parquet(s"$dir/centroids")
@@ -293,7 +296,8 @@ object Ivf {
     val appended = arrivals match {
       case Some(a) if !a.isEmpty =>
         val assigned = appendToIndex(spark, dir, a)
-        try assigned.count() finally assigned.unpersist(blocking = false)
+        try assigned.count()
+        finally graft.ops.InternalCaches.release(assigned)
       case _ => 0L
     }
     val drifted = !driftReport(spark, dir)

@@ -383,6 +383,46 @@ object TextAnalysis {
         col("n_kept").cast("double") / col("n_docs"))
       .orderBy(col("source"))
 
+  /** Vocabulary-growth curve (Heaps'-law frontier): the corpus in doc_id
+    * order sliced into `bucketWidth`-doc buckets (the corpus_drift
+    * arrival stand-in — swap for an ingest-batch column in production),
+    * and per bucket the doc/token volume, the NEW types (distinct tokens
+    * whose global first occurrence lands in the bucket), and the
+    * cumulative vocabulary and token totals. The read: a vocab_size
+    * curve that keeps climbing against cum_tokens says the corpus is
+    * still adding language; a flattening curve says new data is
+    * lexically redundant — the "keep crawling vs start training" signal,
+    * corpus-level where [[graft.ops.Dedup.noveltyBySource]] is
+    * per-source. Types reduce map-side to xxhash64 of the token (the
+    * dedup_exact collision contract; the oracle groups the strings —
+    * hash≡string at these corpus sizes, the decontaminate precedent), so
+    * the shuffle carries (hash, bucket) with a partial min; everything
+    * past the per-hash min is |buckets|-sized, the cumulative window a
+    * single-partition pass over that tiny frame. Empty tokens (double
+    * spaces) are excluded in both engines. doc_id is non-negative so
+    * Spark's truncating `div` ≡ DuckDB's flooring `//`. */
+  def vocabGrowth(docs: DataFrame, bucketWidth: Long = 64): DataFrame = {
+    val bucket = expr(s"doc_id div $bucketWidth").as("bucket")
+    val toks = docs
+      .select(bucket, explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("bucket"), xxhash64(col("tok")).as("h"))
+    val vol = toks.groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
+    val newTypes = toks.groupBy(col("h")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
+    val cum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(bucket).groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+      .join(vol, Seq("bucket"), "left")
+      .join(newTypes, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("vocab_size", sum(col("new_types")).over(cum))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(cum))
+      .orderBy(col("bucket"))
+  }
+
   /** Packing-efficiency report over [[packSequences]]' concat-and-chunk
     * layout — the number a training run actually watches: per shard, how
     * many ctxLen sequences the token stream fills, how much tail padding

@@ -104,6 +104,56 @@ object DocQueries {
       LEFT JOIN sc USING (doc_id)
     ORDER BY doc_id"""
 
+  /** Per-source novelty rollup ([[graft.ops.Dedup.noveltyBySource]]):
+    * the crawl-freshness dashboard — summed gram volumes + one
+    * identical-operand rate division, wrapping the shared novelty
+    * chain's CTEs (single source of truth with ngram_novelty). */
+  private def noveltyBySource(s: SparkSession, d: String): DataFrame =
+    Dedup.noveltyBySource(Tables.documents(s, d), n = 8)
+
+  private val noveltyBySourceSql = s"""
+    WITH $ngramNoveltyCtes,
+    nv AS (SELECT d.doc_id, d.source,
+             COALESCE(n_distinct, 0) AS nd, COALESCE(n_novel, 0) AS nn
+           FROM documents d LEFT JOIN sc USING (doc_id))
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nd) AS BIGINT) AS n_distinct_ngrams,
+           CAST(SUM(nn) AS BIGINT) AS n_novel_ngrams,
+           CASE WHEN SUM(nd) > 0 THEN SUM(nn)::DOUBLE / SUM(nd) END
+             AS novelty_rate
+    FROM nv GROUP BY 1 ORDER BY source"""
+
+  /** Vocabulary-growth curve ([[TextAnalysis.vocabGrowth]]): Heaps'-law
+    * frontier over 64-doc doc_id buckets; oracle groups token STRINGS
+    * where the operator reduces to xxhash64 first (hash ≡ string at
+    * these corpus sizes — the decontaminate precedent). */
+  private def vocabGrowthQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.vocabGrowth(Tables.documents(s, d), bucketWidth = 64L)
+
+  private val vocabGrowthSql = """
+    WITH t AS (SELECT doc_id, doc_id // 64 AS bucket,
+                      string_split(lower(trim(text)), ' ') AS w
+               FROM documents),
+    tk AS (SELECT bucket, tok
+           FROM (SELECT bucket, unnest(w) AS tok FROM t)
+           WHERE tok <> ''),
+    vol AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens
+            FROM tk GROUP BY 1),
+    nt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_types
+           FROM (SELECT tok, MIN(bucket) AS bucket FROM tk GROUP BY 1)
+           GROUP BY 1),
+    d AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM t GROUP BY 1)
+    SELECT d.bucket, n_docs,
+           COALESCE(n_tokens, 0) AS n_tokens,
+           COALESCE(new_types, 0) AS new_types,
+           CAST(SUM(COALESCE(new_types, 0)) OVER (ORDER BY d.bucket
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size,
+           CAST(SUM(COALESCE(n_tokens, 0)) OVER (ORDER BY d.bucket
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+    FROM d LEFT JOIN vol USING (bucket) LEFT JOIN nt USING (bucket)
+    ORDER BY bucket"""
+
   private def textQuality(s: SparkSession, d: String): DataFrame =
     TextAnalysis.quality(Tables.documents(s, d)).orderBy("doc_id")
 
@@ -3363,10 +3413,16 @@ $sel
     val tot = truth.agg(countDistinct($"query_id").as("n_queries"),
       count(lit(1)).as("n_truth"))
     Seq(1, 2, 4, 8, 16).map { np =>
-      val approx = ranked.filter($"rn" <= np)
+      // the candidate set IS the probe's cost: every (query, member)
+      // pair of the query's top-np lists gets one distance evaluation,
+      // so its count is the deterministic per-nprobe cost the curve's
+      // deployment read pairs with recall (wall time is this count
+      // times a constant; the count is what an oracle can replay)
+      val cand = ranked.filter($"rn" <= np)
         .select($"query_id", $"q_emb", $"q_nrm", $"code".as("cluster_id"))
         .join(clusters, "cluster_id")
         .filter($"vec_id" =!= $"query_id")
+      val approx = cand
         .join(vecs, "vec_id")
         .select($"query_id", $"vec_id".as("neighbor_id"),
           cosinePrenormed($"emb", $"q_emb", $"nrm", $"q_nrm").as("cos"))
@@ -3375,8 +3431,11 @@ $sel
         .select($"query_id", $"neighbor_id")
       val hit = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
       tot.crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
         .select(lit(np).as("nprobe"), $"n_queries", $"n_truth", $"n_hit",
-          ($"n_hit" / $"n_truth").as("recall_at_5"))
+          ($"n_hit" / $"n_truth").as("recall_at_5"),
+          $"n_candidates",
+          ($"n_candidates" / $"n_queries").as("cand_per_query"))
     }.reduce(_.unionByName(_)).orderBy("nprobe")
   }
 
@@ -3399,10 +3458,11 @@ $sel
                    FROM s$np)
              WHERE rank <= 5),
     h$np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
-             FROM bf JOIN t$np USING (query_id, neighbor_id))"""
+             FROM bf JOIN t$np USING (query_id, neighbor_id)),
+    n$np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM c$np)"""
     }.mkString(",\n    ")
     val rows = nps.map(np =>
-      s"SELECT $np AS nprobe, n_queries, n_truth, n_hit, n_hit::DOUBLE / n_truth AS recall_at_5 FROM tot CROSS JOIN h$np")
+      s"SELECT $np AS nprobe, n_queries, n_truth, n_hit, n_hit::DOUBLE / n_truth AS recall_at_5, n_candidates, n_candidates::DOUBLE / n_queries AS cand_per_query FROM tot CROSS JOIN h$np CROSS JOIN n$np")
       .mkString("\n    UNION ALL ")
     s"""
     WITH $semanticClusterCtes,
@@ -3424,15 +3484,20 @@ $sel
   /** Per-source quality-gate drift — [[qualityBySource]] crossed with
     * [[corpusDrift]]'s before/after proxy: for each source, the keep rate
     * of the composite gate on the two doc_id-parity halves and their
-    * ratio. A source whose keep rate collapses between snapshots is the
-    * re-crawl signal BEFORE volume drifts; the parity split stands in for
-    * ingest batches exactly as in corpus_drift (swap the predicate for a
-    * batch column in production). One gate pass + one |sources|-sized
-    * aggregate; the oracle wraps the gate SQL (single source of truth). */
+    * ratio, PLUS the gate's first-fail drop-reason counts per half
+    * ([[qualityBySource]]'s attribution) — a source whose keep rate
+    * HOLDS while its failure mode shifts (short docs giving way to
+    * repetition, say) is an extraction change the rate alone hides
+    * (r15 verdict task). A source whose keep rate collapses between
+    * snapshots is the re-crawl signal BEFORE volume drifts; the parity
+    * split stands in for ingest batches exactly as in corpus_drift (swap
+    * the predicate for a batch column in production). One gate pass +
+    * one |sources|-sized aggregate; the oracle wraps the gate SQL
+    * (single source of truth). */
   private def qualityDriftBySource(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
-    val qf = TextAnalysis.qualityFilter(docs).select($"doc_id", $"keep")
+    val qf = TextAnalysis.qualityFilter(docs).select($"doc_id", $"keep", $"reason")
     docs.select($"doc_id", $"source", pmod($"doc_id", lit(2L)).as("half"))
       .join(qf, "doc_id")
       .groupBy($"source")
@@ -3440,7 +3505,13 @@ $sel
         sum(when($"half" === 0, 1L).otherwise(0L)).as("n_a"),
         sum(when($"half" === 0 && $"keep", 1L).otherwise(0L)).as("kept_a"),
         sum(when($"half" === 1, 1L).otherwise(0L)).as("n_b"),
-        sum(when($"half" === 1 && $"keep", 1L).otherwise(0L)).as("kept_b"))
+        sum(when($"half" === 1 && $"keep", 1L).otherwise(0L)).as("kept_b"),
+        sum(when($"half" === 0 && $"reason" === "lang", 1L).otherwise(0L)).as("n_lang_a"),
+        sum(when($"half" === 1 && $"reason" === "lang", 1L).otherwise(0L)).as("n_lang_b"),
+        sum(when($"half" === 0 && $"reason" === "too_short", 1L).otherwise(0L)).as("n_too_short_a"),
+        sum(when($"half" === 1 && $"reason" === "too_short", 1L).otherwise(0L)).as("n_too_short_b"),
+        sum(when($"half" === 0 && $"reason" === "repetition", 1L).otherwise(0L)).as("n_repetition_a"),
+        sum(when($"half" === 1 && $"reason" === "repetition", 1L).otherwise(0L)).as("n_repetition_b"))
       .withColumn("keep_rate_a",
         when($"n_a" > 0, $"kept_a".cast("double") / $"n_a"))
       .withColumn("keep_rate_b",
@@ -3452,19 +3523,29 @@ $sel
 
   private lazy val qualityDriftBySourceSql = s"""
     WITH qf AS ($qualityFilterSql),
-    j AS (SELECT d.source, d.doc_id % 2 AS half, qf.keep
+    j AS (SELECT d.source, d.doc_id % 2 AS half, qf.keep, qf.reason
           FROM documents d JOIN qf USING (doc_id)),
     a AS (SELECT source,
             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
             CAST(SUM(CASE WHEN half = 0 AND keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_a,
             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-            CAST(SUM(CASE WHEN half = 1 AND keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_b
+            CAST(SUM(CASE WHEN half = 1 AND keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_b,
+            CAST(SUM(CASE WHEN half = 0 AND reason = 'lang' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_a,
+            CAST(SUM(CASE WHEN half = 1 AND reason = 'lang' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_b,
+            CAST(SUM(CASE WHEN half = 0 AND reason = 'too_short' THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short_a,
+            CAST(SUM(CASE WHEN half = 1 AND reason = 'too_short' THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short_b,
+            CAST(SUM(CASE WHEN half = 0 AND reason = 'repetition' THEN 1 ELSE 0 END) AS BIGINT) AS n_repetition_a,
+            CAST(SUM(CASE WHEN half = 1 AND reason = 'repetition' THEN 1 ELSE 0 END) AS BIGINT) AS n_repetition_b
           FROM j GROUP BY 1),
     r AS (SELECT source, n_a, kept_a, n_b, kept_b,
+            n_lang_a, n_lang_b, n_too_short_a, n_too_short_b,
+            n_repetition_a, n_repetition_b,
             CASE WHEN n_a > 0 THEN kept_a::DOUBLE / n_a END AS keep_rate_a,
             CASE WHEN n_b > 0 THEN kept_b::DOUBLE / n_b END AS keep_rate_b
           FROM a)
-    SELECT source, n_a, kept_a, n_b, kept_b, keep_rate_a, keep_rate_b,
+    SELECT source, n_a, kept_a, n_b, kept_b,
+           n_lang_a, n_lang_b, n_too_short_a, n_too_short_b,
+           n_repetition_a, n_repetition_b, keep_rate_a, keep_rate_b,
            CASE WHEN keep_rate_a > 0 THEN keep_rate_b / keep_rate_a END AS drift_ratio
     FROM r ORDER BY source"""
 
@@ -3492,9 +3573,17 @@ $sel
   /** [[corpusRoundtrip]] with a caller-chosen staging root, so specs can
     * inspect the written stage layouts (SourcesSpec pins them). */
   private[graft] def corpusRoundtripTo(s: SparkSession, d: String,
-                                       out: String): DataFrame = {
+                                       out: String): DataFrame =
+    corpusRoundtripFrom(s, Tables.documents(s, d), out)
+
+  /** [[corpusRoundtrip]] over a caller-supplied documents frame — the
+    * schema-evolution seam: SourcesSpec feeds a WIDENED corpus through
+    * the five sink hops and asserts the extra column rides every stage
+    * while the ladder is unchanged (the operators are column-pruned; the
+    * stage sinks carry whole rows). */
+  private[graft] def corpusRoundtripFrom(s: SparkSession, docsAll: DataFrame,
+                                         out: String): DataFrame = {
     import s.implicits._
-    val docsAll = Tables.documents(s, d)
     val corpus = docsAll.filter($"doc_id" % 10 =!= 0)
     val bench = docsAll.filter($"doc_id" % 10 === 0)
 
@@ -3646,6 +3735,8 @@ $sel
     Q("ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
     Q("incremental_ngram_novelty", incrementalNgramNoveltyQ,
       Some(incrementalNgramNoveltySql)),
+    Q("novelty_by_source", noveltyBySource, Some(noveltyBySourceSql)),
+    Q("vocab_growth", vocabGrowthQ, Some(vocabGrowthSql)),
     Q("text_quality", textQuality, Some(textQualitySql)),
     Q("gopher_rules", gopherRules, Some(gopherRulesSql)),
     Q("lm_bigram_score", lmBigramScore, Some(lmBigramScoreSql)),

@@ -37,10 +37,11 @@ object IndexMaintenance {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // the returned assignments are persisted for callers that read
-        // them; this pipeline doesn't — release immediately
-        graft.ops.Ivf.appendToIndex(spark, indexDir, batch)
-          .unpersist(blocking = false)
+        // the returned assignments are LRU-persisted for callers that
+        // read them; this pipeline doesn't — release through the cache
+        // (a bare unpersist would desync the LRU's book-keeping)
+        graft.ops.InternalCaches.release(
+          graft.ops.Ivf.appendToIndex(spark, indexDir, batch))
         ()
       }
       .start()
@@ -233,6 +234,45 @@ object IndexMaintenance {
             batch, n, threshold),
           batchId, pairsDir)
         graft.ops.Dedup.appendContainmentIndex(batch, indexDir, n)
+        ()
+      }
+      .start()
+
+  /** Continuous first-occurrence novelty screening of a document-arrival
+    * stream — [[graft.ops.Dedup.incrementalNgramNovelty]] (the
+    * content-freshness gate) as a pipeline, the
+    * [[runContainmentScreen]] posture: per micro-batch, (1) PROBE the
+    * arrivals against the standing novelty index and append their
+    * batch-tagged novelty rows (doc_id, distinct/novel gram counts,
+    * novelty fraction) to `noveltyDir` ([[StateSink]] — engine retries
+    * of a batchId replace their own partition), then (2) ABSORB the
+    * batch's distinct gram hashes into the index
+    * ([[graft.ops.Dedup.appendNoveltyIndex]] — blind append, reader
+    * probes by semi-join so duplicates are inert) so the next batch's
+    * probe sees them. Over in-order monotone-id batches the concatenated
+    * rows equal the batch [[graft.ops.Dedup.ngramNovelty]] over
+    * everything arrived, restricted to arrival doc_ids (the screen's
+    * monotone-ingestion identity; DedupSpec pins it through this real
+    * streaming wiring, double-append inertness included). SOURCE-level
+    * redelivery (same docs, new batchId) re-emits rows and, having
+    * already absorbed the docs' grams, scores the replay as zero-novel —
+    * dedupe upstream ([[EventsCdc.dedupStream]]) or use an exactly-once
+    * source. */
+  def runNoveltyScreen(spark: SparkSession, srcDir: String,
+                       schemaFrom: DataFrame, indexDir: String,
+                       noveltyDir: String, checkpointDir: String,
+                       n: Int = 8,
+                       maxFilesPerTrigger: Int = 0,
+                       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    EventsCdc.readEventStream(spark, srcDir, schemaFrom, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        StateSink.appendIdempotent(
+          graft.ops.Dedup.incrementalNgramNovelty(spark, indexDir, batch, n),
+          batchId, noveltyDir)
+        graft.ops.Dedup.appendNoveltyIndex(batch, indexDir, n)
         ()
       }
       .start()

@@ -808,6 +808,66 @@ class DedupSpec extends SparkSpec {
       rows(Dedup.ngramNovelty(docs).filter($"doc_id" >= 400)))
   }
 
+  test("novelty by source: hand-computed rollup, identical-operand rate, gramless source NULL-guarded") {
+    val docs = Seq(
+      (0L, "A", "a b c"),   // 2-grams {a b, b c}: both first here -> 2/2
+      (1L, "A", "a b d"),   // {a b, b d}: "a b" seen in doc 0 -> 1/2
+      (2L, "B", "a b c"),   // both grams seen -> 0/2
+      (3L, "B", "x"),       // < n words: 0 grams, still counted as a doc
+      (4L, "C", "y")        // source with NO grams at all -> NULL rate
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.noveltyBySource(docs, n = 2).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("A", "B", "C"))
+    val bySrc = out.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(bySrc("A") === ((2L, 4L, 3L)))
+    assert(bySrc("B") === ((2L, 2L, 0L)))
+    assert(bySrc("C") === ((1L, 0L, 0L)))
+    val rates = out.map(r => r.getString(0) ->
+      (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(rates("A") === Some(0.75))
+    assert(rates("B") === Some(0.0))
+    assert(rates("C") === None, "a gramless source must report NULL, not a fake 0")
+  }
+
+  test("streaming novelty screen: concatenated rows equal the batch rule on arrivals") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val standing = docs.filter($"doc_id" < 300)
+    val b1 = docs.filter($"doc_id" >= 300 && $"doc_id" < 400)
+    val b2 = docs.filter($"doc_id" >= 400)
+    val idx = graft.sources.Scratch.dir("graft_novs_idx")
+    val novDir = graft.sources.Scratch.dir("graft_novs_out")
+    Dedup.writeNoveltyIndex(standing, idx)
+    val srcDir = graft.sources.Scratch.path("graft_novs_src")
+    Seq(b1, b2).zipWithIndex.foreach { case (b, i) =>
+      val tmp = graft.sources.Scratch.dir("graft_novs_tmp")
+      b.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, srcDir.resolve(s"$i.parquet"))
+      Thread.sleep(1000)
+    }
+    val ckpt = graft.sources.Scratch.dir("graft_novs_ck")
+    graft.streaming.IndexMaintenance.runNoveltyScreen(
+      spark, srcDir.toString, docs, idx, novDir, ckpt, maxFilesPerTrigger = 1)
+      .awaitTermination()
+    val got = spark.read.parquet(novDir)
+    assert(got.select($"batch_id").distinct().count() === 2)
+    // each row is emitted in the batch its doc arrived in
+    assert(got.filter($"batch_id" === 0).select($"doc_id").as[Long]
+      .collect().forall(id => id >= 300 && id < 400))
+    // the monotone-ingestion identity, through the real streaming wiring:
+    // concatenated screen rows == corpus-wide first-occurrence rule
+    // restricted to the arrivals (exact doubles — identical-operand
+    // divisions in both paths)
+    val gotRows = got.select($"doc_id", $"n_distinct_ngrams",
+      $"n_novel_ngrams", $"novelty").collect().map(_.toSeq).toSet
+    val expected = Dedup.ngramNovelty(docs).filter($"doc_id" >= 300)
+      .collect().map(_.toSeq).toSet
+    assert(gotRows === expected)
+    assert(gotRows.nonEmpty)
+  }
+
   test("streaming source-overlap maintenance: served matrix equals batch at every prefix; replay is inert") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val b1 = docs.filter($"doc_id" < 200)

@@ -399,6 +399,33 @@ class ExtensionsSpec extends SparkSpec {
       assert(screenJobs <= readFloor,
         s"EXPLAIN of graft_containment_screen ran $screenJobs Spark jobs vs " +
           s"a $readFloor-job source floor — probe frames materialized at analysis time")
+      // same pin for the standing fingerprint-index span screen (r15
+      // verdict: its probe frames were still eager localCheckpoints;
+      // now lazy bounded persists like the containment screen's)
+      val spanIdx = graft.sources.Scratch.dir("graft_ext_ss_lazy")
+      val spanCorpus = graft.sources.Scratch.dir("graft_ext_ss_corpus")
+      val standingDocs = Seq(
+        (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+        .toDF("doc_id", "text")
+      graft.ops.Dedup.writeFingerprintIndex(standingDocs, spanIdx)
+      standingDocs.write.mode("overwrite").parquet(spanCorpus)
+      Seq((10L, "alpha beta gamma delta epsilon zeta eta theta iota mu"))
+        .toDF("doc_id", "text").createOrReplaceTempView("ext_lazy_span_arr")
+      spark.sql(s"EXPLAIN SELECT * FROM graft_span_screen_indexed(" +
+          s"'ext_lazy_span_arr', '$spanIdx', '$spanCorpus', '8')").collect()
+      val spanFloor = jobsDuring {
+        Seq(spanIdx, spanCorpus).foreach { t =>
+          spark.read.parquet(t).queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+        }
+      }
+      val spanJobs = jobsDuring {
+        spark.sql(s"EXPLAIN SELECT * FROM graft_span_screen_indexed(" +
+            s"'ext_lazy_span_arr', '$spanIdx', '$spanCorpus', '9')").collect()
+      }
+      assert(spanJobs <= spanFloor,
+        s"EXPLAIN of graft_span_screen_indexed ran $spanJobs Spark jobs vs " +
+          s"a $spanFloor-job source floor — probe frames materialized at analysis time")
     } finally spark.sparkContext.removeSparkListener(l)
     // and the operator still computes correctly after the lazy change
     val out = Similarity.labelPropagate(

@@ -80,7 +80,11 @@ class PlanAuditSpec extends SparkSpec {
             // the r13 eager localCheckpoint hid the kNN subtree behind
             // an ExistingRDD scan; the lazy persist (no-jobs-at-analysis,
             // r13 ADVICE) leaves the cached subtree visible to this audit
-            "label_propagation", "graph_triangles")(p._1))
+            "label_propagation", "graph_triangles",
+            // r15: the nprobe sweep re-runs ann_recall's shape per
+            // nprobe value — knn_bruteforce's intended BNLJ scoring
+            // plus the two single-row count-summary crossJoins
+            "ivf_nprobe_curve")(p._1))
       .foreach { case (name, p) =>
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
       }
@@ -94,7 +98,9 @@ class PlanAuditSpec extends SparkSpec {
         "tfidf_topterms", "bigram_pmi", "quality_weighted_sample",
         "dedup_eval", "contamination_score", "span_dedup",
         "bm25_rank", "gopher_rules", "lm_bigram_score",
-        "doc_chunking", "ccnet_perplexity_buckets").foreach { name =>
+        "doc_chunking", "ccnet_perplexity_buckets",
+        // r16: the vocab frontier buckets by doc_id and tokenizes text
+        "vocab_growth").foreach { name =>
       // (dedup_clusters' final plan starts from localCheckpointed label
       // RDDs — its upstream scans are audited via dedup_minhash;
       // bpe_pair_counts builds pairs per-doc with lead windows keyed by
@@ -362,6 +368,21 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert((spark.sparkContext.getPersistentRDDs.keySet -- base).isEmpty,
       "InternalCaches.clear() left internally-persisted RDDs pinned")
+
+    // release(df): the single-owner caller-side free path (r15 ADVICE —
+    // a bare df.unpersist() desyncs the LRU's book-keeping). Releasing a
+    // held frame unpins its blocks AND forgets the entry; releasing an
+    // unheld frame is a no-op.
+    val held = graft.ops.InternalCaches.persistBounded(docs.select(col("doc_id")))
+    held.count()
+    assert(graft.ops.InternalCaches.size === 1)
+    graft.ops.InternalCaches.release(held)
+    assert(graft.ops.InternalCaches.size === 0,
+      "release() left the LRU entry behind")
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- base).isEmpty,
+      "release() left the frame's RDD pinned")
+    graft.ops.InternalCaches.release(docs.select(col("source"))) // no-op
+    assert(graft.ops.InternalCaches.size === 0)
   }
 
   test("runtime bloom-filter pruning engages for non-broadcastable selective joins") {

@@ -585,8 +585,8 @@ class SimilaritySpec extends SparkSpec {
     val model = Ivf.fit(standing, nLists = 8, iters = 2)
     val dir = graft.sources.Scratch.dir("graft_ivf_rec")
     Ivf.writeIndex(model, standing, dir)
-    Ivf.appendToIndex(spark, dir, all.filter($"vec_id" % 5 === 0))
-      .unpersist(blocking = false)
+    graft.ops.InternalCaches.release(
+      Ivf.appendToIndex(spark, dir, all.filter($"vec_id" % 5 === 0)))
     val lists = new java.io.File(s"$dir/lists")
     def listDirs() = lists.listFiles()
       .filter(d => d.isDirectory && d.getName.startsWith("centroid_id=")).sortBy(_.getName)

@@ -609,4 +609,56 @@ class SourcesSpec extends SparkSpec {
       .agg(fsum($"n")).as[Long].head()
     assert(packedToks === sampleToks)
   }
+
+  test("corpus_roundtrip stage schemas are evolution-stable: a widened corpus rides every hop, a retype refuses") {
+    import org.apache.spark.sql.functions.lit
+    val docs = graft.sources.Tables.documents(spark, sf)
+
+    // baseline ladder on the unwidened corpus
+    val plainOut = graft.sources.Scratch.dir("graft_rt_evo_plain")
+    val plain = graft.queries.DocQueries
+      .corpusRoundtripFrom(spark, docs, plainOut)
+      .orderBy("source").collect().map(_.toSeq).toSeq
+
+    // WIDEN: an extra column on the input corpus (the upstream-added-a-
+    // field case). The pipeline's operators are column-pruned and the
+    // stage sinks carry whole rows, so the column must ride all four
+    // document stages while the ladder/report is IDENTICAL.
+    val wideOut = graft.sources.Scratch.dir("graft_rt_evo_wide")
+    val wide = graft.queries.DocQueries
+      .corpusRoundtripFrom(spark, docs.withColumn("crawl_ts", lit(7L)), wideOut)
+      .orderBy("source").collect().map(_.toSeq).toSeq
+    assert(wide === plain,
+      "a widened input changed the roundtrip report — an operator is not column-pruned")
+    for (st <- Seq("gate", "dedup", "clean", "sample")) {
+      val sch = spark.read.parquet(s"$wideOut/$st").schema
+      assert(sch.fieldNames.contains("crawl_ts"),
+        s"stage $st dropped the widened column")
+      // and the widened stage is still what the contract calls evolvable
+      // FROM the plain stage's schema (pure widening, nothing retyped)
+      val added = graft.sources.SchemaEvolution.requireEvolvable(
+        spark.read.parquet(s"$plainOut/$st").schema, sch, s"stage $st")
+      assert(added.map(_.name) === Seq("crawl_ts"))
+    }
+
+    // RETYPE/NARROW: the contract half that must refuse loudly BY NAME —
+    // a stage whose doc_id came back retyped, or lost a column, is
+    // upstream breakage, never a silent merge
+    val gateSchema = spark.read.parquet(s"$plainOut/gate").schema
+    val retyped = org.apache.spark.sql.types.StructType(gateSchema.fields.map {
+      case f if f.name == "doc_id" => f.copy(dataType =
+        org.apache.spark.sql.types.StringType)
+      case f => f
+    })
+    val e1 = intercept[IllegalArgumentException] {
+      graft.sources.SchemaEvolution.requireEvolvable(gateSchema, retyped, "stage gate")
+    }
+    assert(e1.getMessage.contains("doc_id"))
+    val narrowed = org.apache.spark.sql.types.StructType(
+      gateSchema.fields.filterNot(_.name == "text"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sources.SchemaEvolution.requireEvolvable(gateSchema, narrowed, "stage gate")
+    }
+    assert(e2.getMessage.contains("text"))
+  }
 }

@@ -461,4 +461,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byBucket("head").min >= byBucket("middle").max)
     assert(byBucket("middle").min >= byBucket("tail").max)
   }
+
+  test("vocabGrowth: hand-computed buckets, cumulative vocab/token totals, empty tokens excluded") {
+    val docs = Seq(
+      (0L, "a b"),     // bucket 0
+      (1L, "b c"),     // bucket 0: tokens a,b,b,c; new types a,b,c
+      (2L, "c d"),     // bucket 1
+      (3L, ""),        // bucket 1: empty text -> 0 tokens, still a doc
+      (4L, "a e  f")   // bucket 2: double space -> empty token excluded
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(docs, bucketWidth = 2L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (0L, 2L, 4L, 3L, 3L, 4L),
+      (1L, 2L, 2L, 1L, 4L, 6L),
+      (2L, 1L, 3L, 2L, 6L, 9L)))
+  }
 }

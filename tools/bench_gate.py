@@ -65,6 +65,12 @@ if len(sys.argv) > 1 and sys.argv[1] == '--selftest':
     # stale blessed cells (star_roundtrip 24.638, table_stats 2.591) a
     # 10.0s star_roundtrip would have passed silently. With the corrected
     # cells both must trip at these values.
+    #
+    # MAINTENANCE CONTRACT: the true_b constants below are pinned to the
+    # CURRENT blessed cells of these two BASELINE.md rows. A legitimate
+    # re-bless of either row MUST update its constant in the same commit
+    # — a selftest failure after a re-bless is this contract firing, not
+    # noise; never ship with it red.
     ok = True
     for name, stale, true_b, probe in [('star_roundtrip', 24.638, 4.63, 10.0),
                                        ('table_stats', 2.591, 3.99, 7.0)]:
@@ -91,7 +97,10 @@ for line in txt.splitlines():
     if start < 0:
         continue
     try:
-        cand = json.loads(line[start:])
+        # raw_decode tolerates trailing text after the record's closing
+        # brace (a log line like 'INFO {...} done'), which json.loads on
+        # the whole tail would reject (r15 ADVICE)
+        cand, _ = json.JSONDecoder().raw_decode(line[start:])
     except ValueError:
         continue
     if isinstance(cand, dict) and 'queries' in cand:
