@@ -565,6 +565,56 @@ object Similarity {
            count(lit(1)).as("n_vecs"))
   }
 
+  /** Per-label embedding-distribution drift — the embedding-space twin of
+    * the text side's corpus_drift/quality_drift family: for each label,
+    * the centroid of the vec_id-parity halves (the deterministic
+    * before/after arrival stand-in — swap for a batch column in
+    * production) and the cosine between the two half-centroids, plus the
+    * half sizes and centroid norms. A label whose half-centroids diverge
+    * means the encoder or the upstream content moved between snapshots —
+    * the re-embed / re-calibrate signal an embedding pipeline watches
+    * where text pipelines watch token_drift.
+    *
+    * Cross-engine exactness (the embedding_pca recipe): per-(label, half,
+    * dim) sums accumulate in DECIMAL(38,6) (order-independent), means are
+    * one decimal→double cast + one IEEE division, and the dot/norm folds
+    * run in ascending-dim order (`aggregate` over `zip_with` on
+    * dim-sorted arrays ≡ DuckDB list_sum over `list(... ORDER BY dim)`).
+    * One posexplode scan to a |labels|×dims state table; everything past
+    * it is label-sized. Labels missing a half report NULL, never a fake
+    * number. */
+  def embeddingDrift(embeddings: DataFrame): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
+    val per = embeddings
+      .select(col("label"), pmod(col("vec_id"), lit(2L)).as("half"),
+        posexplode(col("embedding")))
+      .toDF("label", "half", "dim", "x")
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        sum(when(col("half") === 0, col("x").cast("double").cast(d38))).as("sa"),
+        count(when(col("half") === 0, lit(1))).as("na"),
+        sum(when(col("half") === 1, col("x").cast("double").cast(d38))).as("sb"),
+        count(when(col("half") === 1, lit(1))).as("nb"))
+    def meanVec(s: Column, n: Column): Column =
+      transform(array_sort(collect_list(struct(col("dim"),
+        (s.cast("double") / n).as("m")))), x => x.getField("m"))
+    def dotFold(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    per.groupBy(col("label"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        meanVec(col("sa"), col("na")).as("va"),
+        meanVec(col("sb"), col("nb")).as("vb"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        sqrt(dotFold(col("va"), col("va"))).as("norm_a"),
+        sqrt(dotFold(col("vb"), col("vb"))).as("norm_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          dotFold(col("va"), col("vb")) /
+            (sqrt(dotFold(col("va"), col("va"))) *
+             sqrt(dotFold(col("vb"), col("vb")))))
+          .as("centroid_cos"))
+      .orderBy(col("label"))
+  }
+
   /** Per-vector QA stats — the sanity pass a pipeline runs before trusting
     * an embedding column at scale: dimensionality (ragged widths are
     * upstream bugs), exact squared L2 norm, and the two flags that matter

@@ -440,6 +440,44 @@ object DocQueries {
           FROM embeddings)
     GROUP BY label, u.dim ORDER BY label, dim"""
 
+  /** Per-label embedding drift ([[Similarity.embeddingDrift]]):
+    * half-centroid cosine per label, exact-decimal per-dim sums,
+    * ascending-dim folds mirrored by DuckDB list(ORDER BY dim) +
+    * list_sum. */
+  private def embeddingDrift(s: SparkSession, d: String): DataFrame =
+    Similarity.embeddingDrift(Tables.embeddings(s, d))
+
+  private val embeddingDriftSql = """
+    WITH e AS (SELECT label, vec_id % 2 AS half,
+                 unnest([{'dim': i-1, 'x': embedding[i]}
+                         for i in range(1, len(embedding)+1)]) AS u
+               FROM embeddings),
+    pd AS (SELECT label, u.dim AS dim,
+             SUM(CASE WHEN half = 0
+                 THEN CAST(CAST(u.x AS DOUBLE) AS DECIMAL(38,6)) END) AS sa,
+             COUNT(CASE WHEN half = 0 THEN 1 END) AS na,
+             SUM(CASE WHEN half = 1
+                 THEN CAST(CAST(u.x AS DOUBLE) AS DECIMAL(38,6)) END) AS sb,
+             COUNT(CASE WHEN half = 1 THEN 1 END) AS nb
+           FROM e GROUP BY 1, 2),
+    v AS (SELECT label,
+            CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+            list(sa::DOUBLE / na ORDER BY dim) AS va,
+            list(sb::DOUBLE / nb ORDER BY dim) AS vb
+          FROM pd GROUP BY 1),
+    f AS (SELECT label, n_a, n_b,
+            sqrt(list_sum(list_transform(range(1, len(va)+1),
+              i -> va[i] * va[i]))) AS norm_a,
+            sqrt(list_sum(list_transform(range(1, len(vb)+1),
+              i -> vb[i] * vb[i]))) AS norm_b,
+            list_sum(list_transform(range(1, len(va)+1),
+              i -> va[i] * vb[i])) AS ab
+          FROM v)
+    SELECT label, n_a, n_b, norm_a, norm_b,
+           CASE WHEN n_a > 0 AND n_b > 0
+                THEN ab / (norm_a * norm_b) END AS centroid_cos
+    FROM f ORDER BY label"""
+
   /** PII scrub over the corpus — counts per class + md5 of the redacted
     * text (compact proof the two engines produced byte-identical redacted
     * output). Patterns are embedded from the same Scala list the Spark plan
@@ -3406,10 +3444,25 @@ $sel
       .select($"query_id", $"q_emb", $"q_nrm", $"code",
         ($"qn" - lit(2.0) * dot($"q_emb", $"cvec") + $"cn").as("d2"))
       .withColumn("rn", row_number().over(byQuery))
+    // ONE evaluation of the cluster join + exact scoring at the MAXIMAL
+    // probe depth (rn carries each candidate's probe rank), LRU-persisted:
+    // every nprobe point of the sweep is a filter over this frame, so the
+    // 5-point curve pays the scoring once, not once per point — and the
+    // brute-force truth (the intended BNLJ) likewise evaluates once for
+    // all 5 semi-joins + the totals instead of 6 times
+    val scored = graft.ops.InternalCaches.persistBounded(
+      ranked.select($"query_id", $"q_emb", $"q_nrm", $"rn",
+          $"code".as("cluster_id"))
+        .join(clusters, "cluster_id")
+        .filter($"vec_id" =!= $"query_id")
+        .join(vecs, "vec_id")
+        .select($"query_id", $"rn", $"vec_id".as("neighbor_id"),
+          cosinePrenormed($"emb", $"q_emb", $"nrm", $"q_nrm").as("cos")))
     val rank = org.apache.spark.sql.expressions.Window
       .partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
-    val truth = Similarity.knnBruteForce(emb, queries(s, d))
-      .select($"query_id", $"neighbor_id")
+    val truth = graft.ops.InternalCaches.persistBounded(
+      Similarity.knnBruteForce(emb, queries(s, d))
+        .select($"query_id", $"neighbor_id"))
     val tot = truth.agg(countDistinct($"query_id").as("n_queries"),
       count(lit(1)).as("n_truth"))
     Seq(1, 2, 4, 8, 16).map { np =>
@@ -3418,14 +3471,8 @@ $sel
       // so its count is the deterministic per-nprobe cost the curve's
       // deployment read pairs with recall (wall time is this count
       // times a constant; the count is what an oracle can replay)
-      val cand = ranked.filter($"rn" <= np)
-        .select($"query_id", $"q_emb", $"q_nrm", $"code".as("cluster_id"))
-        .join(clusters, "cluster_id")
-        .filter($"vec_id" =!= $"query_id")
+      val cand = scored.filter($"rn" <= np)
       val approx = cand
-        .join(vecs, "vec_id")
-        .select($"query_id", $"vec_id".as("neighbor_id"),
-          cosinePrenormed($"emb", $"q_emb", $"nrm", $"q_nrm").as("cos"))
         .withColumn("rank", row_number().over(rank))
         .filter($"rank" <= 5)
         .select($"query_id", $"neighbor_id")
@@ -3749,6 +3796,7 @@ $sel
     Q("quality_by_source", qualityBySource, Some(qualityBySourceSql)),
     Q("text_normalize", textNormalize, Some(textNormalizeSql)),
     Q("embedding_centroids", embeddingCentroids, Some(embeddingCentroidsSql)),
+    Q("embedding_drift", embeddingDrift, Some(embeddingDriftSql)),
     Q("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
     Q("dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("block_dedup", blockDedupQ, Some(blockDedupSql)),

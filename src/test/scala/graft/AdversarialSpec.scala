@@ -253,6 +253,23 @@ class AdversarialSpec extends SparkSpec {
     assert(cj.isEmpty)
   }
 
+  test("r16 family on degenerate input: empty frames keep schema, never a crash or 0/0") {
+    val emptySrc = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    val emptyEmb = Seq.empty[(Long, Array[Float], java.lang.Long)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Dedup.noveltyBySource(emptySrc).isEmpty &&
+      Dedup.noveltyBySource(emptySrc).columns.toSeq ===
+        Seq("source", "n_docs", "n_distinct_ngrams", "n_novel_ngrams",
+          "novelty_rate"))
+    assert(TextAnalysis.vocabGrowth(docs()).isEmpty &&
+      TextAnalysis.vocabGrowth(docs()).columns.toSeq ===
+        Seq("bucket", "n_docs", "n_tokens", "new_types", "vocab_size",
+          "cum_tokens"))
+    assert(graft.ops.Similarity.embeddingDrift(emptyEmb).isEmpty &&
+      graft.ops.Similarity.embeddingDrift(emptyEmb).columns.toSeq ===
+        Seq("label", "n_a", "n_b", "norm_a", "norm_b", "centroid_cos"))
+  }
+
   test("r13/r14 families on degenerate corpora: empty, all-identical, single-vector") {
     // ---- empty corpus: empty-with-schema, never a crash or 0/0
     val emptyDocs = docs()

@@ -138,6 +138,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(plans.toMap.apply("embedding_centroids")
       .contains("ReadSchema: struct<embedding:array<float>,label:int>"),
       "embedding_centroids reads more than (embedding, label)")
+    // the drift read needs the parity id too — exactly those three
+    assert(plans.toMap.apply("embedding_drift")
+      .contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>,label:int>"),
+      "embedding_drift reads more than (vec_id, embedding, label)")
   }
 
   test("round-5 operators keep their intended shuffle shapes") {

@@ -770,4 +770,29 @@ class SimilaritySpec extends SparkSpec {
     // axis prototypes than to their own → negative margin flags it
     assert(out(2)._5 < 0, s"mixed cluster should have negative margin: ${out(2)}")
   }
+
+  test("embeddingDrift: hand-computed half-centroids; a one-half label reports NULL cosine") {
+    val data = Seq(
+      // label "a": half 0 = vecs 0,2 -> centroid (0.5, 0.5);
+      //            half 1 = vec 1    -> centroid (1, 1) — same direction
+      (0L, "a", Array(1.0f, 0.0f)),
+      (2L, "a", Array(0.0f, 1.0f)),
+      (1L, "a", Array(1.0f, 1.0f)),
+      // label "b": only an even vec_id -> no half-1 centroid at all
+      (4L, "b", Array(3.0f, 4.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = graft.ops.Similarity.embeddingDrift(data).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("a", "b"))
+    val a = out(0)
+    assert((a.getLong(1), a.getLong(2)) === ((2L, 1L)))
+    assert(math.abs(a.getDouble(3) - math.sqrt(0.5)) < 1e-12)
+    assert(math.abs(a.getDouble(4) - math.sqrt(2.0)) < 1e-12)
+    // parallel half-centroids -> cosine 1 (up to fp rounding)
+    assert(math.abs(a.getDouble(5) - 1.0) < 1e-12)
+    val b = out(1)
+    assert((b.getLong(1), b.getLong(2)) === ((1L, 0L)))
+    assert(b.getDouble(3) === 5.0)
+    assert(b.isNullAt(4), "absent half must have NULL norm")
+    assert(b.isNullAt(5), "one-half label must report NULL cosine, not a fake 0")
+  }
 }
