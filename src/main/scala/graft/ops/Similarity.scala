@@ -583,9 +583,20 @@ object Similarity {
     * One posexplode scan to a |labels|×dims state table; everything past
     * it is label-sized. Labels missing a half report NULL, never a fake
     * number. */
-  def embeddingDrift(embeddings: DataFrame): DataFrame = {
+  def embeddingDrift(embeddings: DataFrame): DataFrame =
+    driftFromPartials(embeddingDriftPartials(embeddings))
+
+  /** The per-(label, dim) half-sum state [[embeddingDrift]] reduces to —
+    * DECIMAL(38,6) sums and long counts, EXACTLY additive across disjoint
+    * vector batches (the covariance-partials posture: no float reduction
+    * order to disturb), so a standing table of blind batch-tagged appends
+    * serves a drift report equal to the batch operator bit for bit
+    * ([[embeddingDriftFromTable]]). Engine retries should replace their
+    * partition (StateSink-style); source-level redelivery double-counts
+    * (the gram-df caveat). */
+  def embeddingDriftPartials(embeddings: DataFrame): DataFrame = {
     val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
-    val per = embeddings
+    embeddings
       .select(col("label"), pmod(col("vec_id"), lit(2L)).as("half"),
         posexplode(col("embedding")))
       .toDF("label", "half", "dim", "x")
@@ -595,6 +606,26 @@ object Similarity {
         count(when(col("half") === 0, lit(1))).as("na"),
         sum(when(col("half") === 1, col("x").cast("double").cast(d38))).as("sb"),
         count(when(col("half") === 1, lit(1))).as("nb"))
+  }
+
+  /** Serve the drift report from a standing partials table (written /
+    * blind-appended from [[embeddingDriftPartials]] batches): one scan of
+    * the |labels|×dims state — never the vectors — re-summed per
+    * (label, dim) by exact decimal/long addition, then the identical
+    * serve tail. Equals the batch [[embeddingDrift]] over everything
+    * absorbed, bit for bit. */
+  def embeddingDriftFromTable(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): DataFrame =
+    driftFromPartials(spark.read.parquet(dir)
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("sa")).as("sa"), sum(col("na")).as("na"),
+        sum(col("sb")).as("sb"), sum(col("nb")).as("nb")))
+
+  /** The drift serve tail, shared verbatim by the batch operator and the
+    * state-served read so the incremental identity holds by
+    * construction: dim-sorted mean vectors, ascending-index folds, one
+    * final IEEE division per statistic; labels missing a half NULL. */
+  private def driftFromPartials(per: DataFrame): DataFrame = {
     def meanVec(s: Column, n: Column): Column =
       transform(array_sort(collect_list(struct(col("dim"),
         (s.cast("double") / n).as("m")))), x => x.getField("m"))

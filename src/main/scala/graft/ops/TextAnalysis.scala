@@ -410,9 +410,21 @@ object TextAnalysis {
     val vol = toks.groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
     val newTypes = toks.groupBy(col("h")).agg(min(col("bucket")).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
+    val nd = docs.select(bucket).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    vocabCurve(nd, vol, newTypes)
+  }
+
+  /** The curve's serve tail, shared verbatim by [[vocabGrowth]] and the
+    * standing-index read ([[vocabGrowthFromIndex]]) so the incremental
+    * identity holds by construction: join the per-bucket doc/token
+    * volumes with the first-occurrence type counts and run the two
+    * cumulative windows over the |buckets|-sized frame. */
+  private def vocabCurve(nDocs: DataFrame, vol: DataFrame,
+                         newTypes: DataFrame): DataFrame = {
     val cum = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(bucket).groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+    nDocs
       .join(vol, Seq("bucket"), "left")
       .join(newTypes, Seq("bucket"), "left")
       .select(col("bucket"), col("n_docs"),
@@ -421,6 +433,75 @@ object TextAnalysis {
       .withColumn("vocab_size", sum(col("new_types")).over(cum))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(cum))
       .orderBy(col("bucket"))
+  }
+
+  /** Standing vocabulary index — [[vocabGrowth]]'s write/append/serve
+    * lifecycle, so the frontier curve is servable after every ingest
+    * batch WITHOUT rescanning history (the gram-df posture). Two
+    * hash-/key-clustered tables under `dir`:
+    *
+    *  - `types`: per batch, each distinct token hash with the MINIMUM
+    *    bucket the batch saw it in. The reader takes the per-hash min
+    *    across all rows — min is idempotent AND order-free, so blind
+    *    re-appends and out-of-order batches perturb NOTHING on this half
+    *    (the source_overlap census posture, via min instead of set
+    *    union).
+    *  - `vol`: per batch, per-bucket doc/token count partials — additive
+    *    across DISJOINT batches (each doc arrives once). Engine retries
+    *    should replace their partition (StateSink-style); source-level
+    *    redelivery double-counts volumes (the gram-df caveat) while
+    *    leaving the type half untouched.
+    *
+    * Served after any batches covering the corpus, the curve equals the
+    * batch [[vocabGrowth]] bit for bit (counts are longs; the windows
+    * replay identically) — the registry entry reuses the batch oracle
+    * verbatim, and batch splits need NOT align with bucket boundaries
+    * (everything the reader does is a sum or a min). */
+  def writeVocabIndex(docs: DataFrame, dir: String,
+                      bucketWidth: Long = 64): Unit = {
+    vocabPartials(docs, bucketWidth, s"$dir", overwrite = true)
+  }
+
+  /** Blind-append an arrival batch's partials to the standing vocabulary
+    * index (see [[writeVocabIndex]] for the replay contract). */
+  def appendVocabIndex(docs: DataFrame, dir: String,
+                       bucketWidth: Long = 64): Unit = {
+    vocabPartials(docs, bucketWidth, s"$dir", overwrite = false)
+  }
+
+  private def vocabPartials(docs: DataFrame, bucketWidth: Long, dir: String,
+                            overwrite: Boolean): Unit = {
+    val mode = if (overwrite) "overwrite" else "append"
+    val bucket = expr(s"doc_id div $bucketWidth").as("bucket")
+    val toks = docs
+      .select(bucket, explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("bucket"), xxhash64(col("tok")).as("h"))
+    toks.groupBy(col("h")).agg(min(col("bucket")).as("bucket"))
+      .repartition(col("h")).sortWithinPartitions(col("h"))
+      .write.mode(mode).parquet(s"$dir/types")
+    toks.groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
+      .join(docs.select(bucket).groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs")),
+        Seq("bucket"), "full")
+      .select(col("bucket"), coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      .repartition(col("bucket")).sortWithinPartitions(col("bucket"))
+      .write.mode(mode).parquet(s"$dir/vol")
+  }
+
+  /** Serve the vocabulary-growth curve from the standing index — one
+    * hash-only co-scan of the two partial tables, never the corpus text;
+    * equals the batch [[vocabGrowth]] over everything absorbed. */
+  def vocabGrowthFromIndex(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): DataFrame = {
+    val types = spark.read.parquet(s"$dir/types")
+      .groupBy(col("h")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
+    val volAll = spark.read.parquet(s"$dir/vol").groupBy(col("bucket"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    vocabCurve(volAll.select(col("bucket"), col("n_docs")),
+      volAll.select(col("bucket"), col("n_tokens")), types)
   }
 
   /** Packing-efficiency report over [[packSequences]]' concat-and-chunk

@@ -154,6 +154,37 @@ object DocQueries {
     FROM d LEFT JOIN vol USING (bucket) LEFT JOIN nt USING (bucket)
     ORDER BY bucket"""
 
+  /** Standing vocabulary index served mid-lifecycle
+    * ([[TextAnalysis.vocabGrowthFromIndex]]): docs < 400 bootstrap the
+    * index, docs >= 400 blind-append (a split NOT aligned to the 64-doc
+    * buckets — the reader's sums and mins are split-independent), and the
+    * served curve equals the batch operator over everything absorbed, so
+    * the oracle is [[vocabGrowthSql]] VERBATIM. */
+  private def incrementalVocabQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val all = Tables.documents(s, d)
+    val dir = graft.sources.Scratch.dir("graft_vocab_idx")
+    TextAnalysis.writeVocabIndex(all.filter($"doc_id" < 400), dir)
+    TextAnalysis.appendVocabIndex(all.filter($"doc_id" >= 400), dir)
+    TextAnalysis.vocabGrowthFromIndex(s, dir)
+  }
+
+  /** State-served embedding drift ([[Similarity.embeddingDriftFromTable]]):
+    * vec_id-split batches write/append exact decimal partials, the served
+    * report equals the batch operator bit for bit — oracle is
+    * [[embeddingDriftSql]] VERBATIM (the covariance/DSIR maintenance
+    * posture). */
+  private def incrementalEmbeddingDriftQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val all = Tables.embeddings(s, d)
+    val dir = graft.sources.Scratch.dir("graft_edrift_idx")
+    Similarity.embeddingDriftPartials(all.filter($"vec_id" < 300))
+      .write.mode("overwrite").parquet(dir)
+    Similarity.embeddingDriftPartials(all.filter($"vec_id" >= 300))
+      .write.mode("append").parquet(dir)
+    Similarity.embeddingDriftFromTable(s, dir)
+  }
+
   private def textQuality(s: SparkSession, d: String): DataFrame =
     TextAnalysis.quality(Tables.documents(s, d)).orderBy("doc_id")
 
@@ -3784,6 +3815,9 @@ $sel
       Some(incrementalNgramNoveltySql)),
     Q("novelty_by_source", noveltyBySource, Some(noveltyBySourceSql)),
     Q("vocab_growth", vocabGrowthQ, Some(vocabGrowthSql)),
+    Q("incremental_vocab", incrementalVocabQ, Some(vocabGrowthSql)),
+    Q("incremental_embedding_drift", incrementalEmbeddingDriftQ,
+      Some(embeddingDriftSql)),
     Q("text_quality", textQuality, Some(textQualitySql)),
     Q("gopher_rules", gopherRules, Some(gopherRulesSql)),
     Q("lm_bigram_score", lmBigramScore, Some(lmBigramScoreSql)),

@@ -795,4 +795,24 @@ class SimilaritySpec extends SparkSpec {
     assert(b.isNullAt(4), "absent half must have NULL norm")
     assert(b.isNullAt(5), "one-half label must report NULL cosine, not a fake 0")
   }
+
+  test("incremental embedding drift: state-served report equals batch bit for bit over blind-appended partials") {
+    val all = graft.sources.Tables.embeddings(spark, sf)
+    val dir = graft.sources.Scratch.dir("graft_edrift_spec")
+    graft.ops.Similarity.embeddingDriftPartials(all.filter($"vec_id" < 200))
+      .write.mode("overwrite").parquet(dir)
+    graft.ops.Similarity.embeddingDriftPartials(
+        all.filter($"vec_id" >= 200 && $"vec_id" < 350))
+      .write.mode("append").parquet(dir)
+    graft.ops.Similarity.embeddingDriftPartials(all.filter($"vec_id" >= 350))
+      .write.mode("append").parquet(dir)
+    // decimal sums and long counts are exactly additive, the serve tail is
+    // shared code — the doubles must match the batch operator EXACTLY
+    val served = graft.ops.Similarity.embeddingDriftFromTable(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.ops.Similarity.embeddingDrift(all)
+      .collect().map(_.toSeq).toSeq
+    assert(served === batch)
+    assert(served.nonEmpty)
+  }
 }

@@ -477,4 +477,38 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, 2L, 2L, 1L, 4L, 6L),
       (2L, 1L, 3L, 2L, 6L, 9L)))
   }
+
+  test("incremental vocab: served curve equals batch across a bucket-misaligned split; type half is replay-inert") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val b1 = docs.filter($"doc_id" < 300) // 300/64 is mid-bucket on purpose
+    val b2 = docs.filter($"doc_id" >= 300)
+    val dir = graft.sources.Scratch.dir("graft_vocab_spec")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq).toSeq
+
+    // prefix serve: index over batch 1 alone equals the batch operator on it
+    TextAnalysis.writeVocabIndex(b1, dir)
+    assert(rows(TextAnalysis.vocabGrowthFromIndex(spark, dir)) ===
+      rows(TextAnalysis.vocabGrowth(b1)))
+
+    // full serve after a blind append equals the whole-corpus batch curve
+    TextAnalysis.appendVocabIndex(b2, dir)
+    val full = rows(TextAnalysis.vocabGrowth(docs))
+    assert(rows(TextAnalysis.vocabGrowthFromIndex(spark, dir)) === full)
+
+    // the documented replay contract: a re-appended batch leaves the TYPE
+    // half untouched (per-hash min is idempotent — new_types/vocab_size
+    // unchanged) while the volume half double-counts (the gram-df caveat)
+    TextAnalysis.appendVocabIndex(b2, dir)
+    val replayed = TextAnalysis.vocabGrowthFromIndex(spark, dir)
+      .select($"bucket", $"new_types", $"vocab_size")
+    assert(rows(replayed) ===
+      full.map(r => Seq(r(0), r(3), r(4))),
+      "replayed batch must not perturb first-occurrence type attribution")
+    val tokensNow = TextAnalysis.vocabGrowthFromIndex(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum($"n_tokens")).as[Long].head()
+    val tokensBatch = TextAnalysis.vocabGrowth(docs)
+      .agg(org.apache.spark.sql.functions.sum($"n_tokens")).as[Long].head()
+    assert(tokensNow > tokensBatch, "volume half is documented to double-count on replay")
+  }
 }
