@@ -701,10 +701,52 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Merge-budget tuning curve — the vocabulary-size read a tokenizer
+    * design makes BEFORE committing a merge count: ONE training run to the
+    * maximal budget, measured at each intermediate budget (merge tables
+    * are prefix-closed — the first k merges of a longer run ARE the
+    * k-budget tokenizer, so the sweep shares every training round). Per budget:
+    * distinct words, corpus word/BPE-token counts, symbol-type count (the
+    * vocabulary a budget ships) and fertility (BPE tokens per word — the
+    * number that decides whether more merges still pay). Budget 0 is the
+    * character-split baseline every curve needs as an anchor. Each point
+    * costs two vocabulary-sized aggregates against the round's already
+    * checkpointed state (the training loop's own collect-per-round
+    * posture; nothing corpus-sized moves). */
+  def bpeBudgetCurve(docs: DataFrame,
+                     budgets: Seq[Int] = Seq(0, 2, 4, 8)): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val want = budgets.toSet
+    val stats =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Long)]
+    def measure(nm: Int, vocab: DataFrame): Unit = if (want(nm)) {
+      val r = vocab.agg(count(lit(1)).as("vw"), sum(col("freq")).as("nw"),
+        sum(col("freq") * size(col("syms"))).as("nt")).collect()(0)
+      val nsym = vocab.select(explode(col("syms")).as("s"))
+        .agg(countDistinct(col("s"))).collect()(0).getLong(0)
+      stats += ((nm, r.getAs[Long]("vw"), r.getAs[Long]("nw"),
+        r.getAs[Long]("nt"), nsym))
+    }
+    val (_, last) = bpeTrainState(docs, budgets.max, measure)
+    Checkpoints.unpersist(last)
+    stats.toSeq
+      .toDF("n_merges", "vocab_words", "n_words", "n_bpe_tokens",
+        "n_symbol_types")
+      .select(col("n_merges"), col("vocab_words"), col("n_words"),
+        col("n_bpe_tokens"), col("n_symbol_types"),
+        (col("n_bpe_tokens").cast("double") / col("n_words")).as("fertility"))
+      .orderBy("n_merges")
+  }
+
   /** Shared training loop: returns the merge table and the final
     * (w, freq, syms) vocabulary state (checkpointed — caller releases or
-    * consumes it). */
-  private def bpeTrainState(docs: DataFrame, nMerges: Int)
+    * consumes it). `observe` fires with the checkpointed vocabulary at
+    * rank 0 (the char-split state) and after every applied merge —
+    * [[bpeBudgetCurve]]'s measurement hook; the frame it sees is released
+    * on the NEXT round, so observers must aggregate eagerly. */
+  private def bpeTrainState(docs: DataFrame, nMerges: Int,
+                            observe: (Int, DataFrame) => Unit = (_, _) => ())
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -715,6 +757,7 @@ object TextAnalysis {
       .select(col("w"), col("freq"),
         concat(split(col("w"), ""), array(lit("</w>"))).as("syms"))
       .localCheckpoint(true)
+    observe(0, vocab)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
     while (rank <= nMerges) {
@@ -738,6 +781,7 @@ object TextAnalysis {
           .localCheckpoint(true)
         Checkpoints.unpersist(vocab)
         vocab = next
+        observe(rank, vocab)
         rank += 1
       }
     }

@@ -1104,6 +1104,298 @@ object DocQueries {
                 ELSE n_both::DOUBLE / n_truth END AS pair_recall
     FROM m"""
 
+  // -------------------------------------------------------------------------
+  // Deployment tuning curves: every knob a dedup/quality deployment fixes
+  // ahead of a full-corpus run, measured as a sweep over ONE evaluation of
+  // the expensive shared frame (the ivf_nprobe_curve discipline: score once,
+  // filter per point). All four are DuckDB-replayable end to end — the LSH
+  // signature uses the portable md5-derived hash family where the production
+  // path uses xxhash64.
+  // -------------------------------------------------------------------------
+
+  /** LSH banding-design curve — the (bands × rows) read a dedup deployment
+    * makes BEFORE committing a signature layout: at a fixed 24-permutation
+    * budget every factorization trades recall against candidate volume
+    * (P[candidate | J] = 1 − (1 − J^rows)^bands, the S-curve steepening as
+    * rows grows — Leskovec/Rajaraman/Ullman, MMDS ch.3). Per scheme: the
+    * candidate-pair count (the cost a banding actually pays — every
+    * candidate is one exact verification) and precision/recall against the
+    * EXACT Jaccard ≥ 0.8 pair set ([[Dedup.ngramJaccard]], itself
+    * oracle-checked). Signatures use the portable md5-derived hash family
+    * (the dedup_simhash discipline) so the oracle replays every minhash
+    * value bit-for-bit; the production xxhash64 family lives in
+    * [[Dedup.minhashLsh]]. The 24 per-doc minhash values are computed ONCE
+    * (one exploded (doc, shingle, perm) pass — codegen'd md5, map-side
+    * partial min, a narrow (doc_id, perm, v) shuffle) and LRU-persisted;
+    * each scheme re-bands the same values, and the truth frame serves all
+    * five [[Dedup.evalPairs]] full-outer count joins (no scalar
+    * crossJoins). The r=1 row is deliberately absent: single-value bands
+    * degenerate to "share any minimum", which is quadratic in corpora with
+    * heavy shingle reuse and a scheme no deployment picks. */
+  private def minhashBandCurve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val perms = 24
+    val sig = graft.ops.InternalCaches.persistBounded(
+      Dedup.shingleRows(docs, 3)
+        .select($"doc_id", $"g",
+          explode(sequence(lit(0), lit(perms - 1))).as("perm"))
+        .select($"doc_id", $"perm",
+          conv(substring(md5(concat($"g", lit(":"), $"perm".cast("string"))
+            .cast("binary")), 1, 15), 16, 10).cast("long").as("v"))
+        .groupBy($"doc_id", $"perm").agg(min($"v").as("v")))
+    val truth = graft.ops.InternalCaches.persistBounded(
+      Dedup.ngramJaccard(docs).select($"d1", $"d2"))
+    Seq((12, 2), (8, 3), (6, 4), (4, 6), (2, 12)).map { case (b, r) =>
+      val bandKeys = sig
+        .withColumn("band", ($"perm" / r).cast("int"))
+        .groupBy($"doc_id", $"band")
+        .agg(md5(concat_ws(",",
+          transform(array_sort(collect_list(struct($"perm", $"v"))),
+            x => x.getField("v").cast("string"))).cast("binary")).as("bk"))
+      val cand = bandKeys.toDF("d1", "band", "bk")
+        .join(bandKeys.toDF("d2", "band", "bk"), Seq("band", "bk"))
+        .filter($"d1" < $"d2")
+        .select($"d1", $"d2").distinct()
+      Dedup.evalPairs(truth, cand)
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          $"n_truth", $"n_candidate", $"n_both",
+          $"pair_precision", $"pair_recall")
+    }.reduce(_.unionByName(_)).orderBy("rows_per_band")
+  }
+
+  private lazy val minhashBandCurveSql: String = {
+    val schemes = Seq((12, 2), (8, 3), (6, 4), (4, 6), (2, 12))
+    val per = schemes.map { case (_, r) =>
+      s"""bd$r AS (SELECT doc_id, perm // $r AS band,
+             md5(string_agg(v::VARCHAR, ',' ORDER BY perm)) AS bk
+           FROM mh GROUP BY doc_id, perm // $r),
+    cd$r AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+             FROM bd$r a JOIN bd$r b
+               ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)"""
+    }.mkString(",\n    ")
+    val rows = schemes.map { case (b, r) =>
+      s"""SELECT $b AS bands, $r AS rows_per_band,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tr) AS n_truth,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cd$r) AS n_candidate,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM tr JOIN cd$r USING (d1, d2)) AS n_both"""
+    }.mkString("\n    UNION ALL ")
+    s"""
+    WITH $jaccardPairsCtes,
+    tr AS (SELECT d1, d2 FROM p WHERE jaccard >= 0.8),
+    gs AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    gd AS (SELECT DISTINCT g FROM gs),
+    hd AS (SELECT g, i AS perm,
+             ('0x' || substr(md5(g || ':' || i::VARCHAR), 1, 15))::BIGINT AS h
+           FROM gd, range(0, 24) rng(i)),
+    mh AS (SELECT doc_id, perm, MIN(h) AS v
+           FROM gs JOIN hd USING (g) GROUP BY doc_id, perm),
+    $per,
+    e AS ($rows)
+    SELECT bands, rows_per_band, n_truth, n_candidate, n_both,
+           CASE WHEN n_candidate = 0 THEN NULL
+                ELSE n_both::DOUBLE / n_candidate END AS pair_precision,
+           CASE WHEN n_truth = 0 THEN NULL
+                ELSE n_both::DOUBLE / n_truth END AS pair_recall
+    FROM e ORDER BY rows_per_band"""
+  }
+
+  /** Hamming-radius tuning curve for the 60-bit portable simhash — the
+    * radius [[dedupEval]] fixes at 3, swept: for each radius 0..3,
+    * precision/recall of "hamming ≤ radius" against the exact Jaccard
+    * ≥ 0.8 pair set, plus the accepted-pair count (the volume the radius
+    * admits downstream). Candidates come from the 4-chunk pigeonhole
+    * split, lossless for hamming ≤ 3 (Manku et al., WWW'07) — radius 4
+    * would need a finer split, which is why the sweep stops at the
+    * split's guarantee. The hamming-scored pair frame and the truth pair
+    * set evaluate ONCE (LRU-persisted); each radius point is a filter
+    * plus [[Dedup.evalPairs]]' full-outer count join. */
+  private def simhashRadiusCurve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val truth = graft.ops.InternalCaches.persistBounded(
+      Dedup.ngramJaccard(docs).select($"d1", $"d2"))
+    val sim = graft.ops.InternalCaches.persistBounded(
+      Dedup.simhashDup(docs,
+        tokenHash = t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10)
+          .cast("long"),
+        bits = SimhashBits))
+    (0 to 3).map { radius =>
+      Dedup.evalPairs(truth, sim.filter($"hamming" <= radius))
+        .select(lit(radius).as("radius"), $"n_truth", $"n_candidate",
+          $"n_both", $"pair_precision", $"pair_recall")
+    }.reduce(_.unionByName(_)).orderBy("radius")
+  }
+
+  private lazy val simhashRadiusCurveSql: String = {
+    val rows = (0 to 3).map { radius =>
+      s"""SELECT $radius AS radius,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tr8) AS n_truth,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM sp
+            WHERE bit_count(xor(s1, s2)) <= $radius) AS n_candidate,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tr8 JOIN sp USING (d1, d2)
+            WHERE bit_count(xor(s1, s2)) <= $radius) AS n_both"""
+    }.mkString("\n    UNION ALL ")
+    s"""
+    WITH $jaccardPairsCtes,
+    $simhashPairsCtes,
+    tr8 AS (SELECT d1, d2 FROM p WHERE jaccard >= 0.8),
+    e AS ($rows)
+    SELECT radius, n_truth, n_candidate, n_both,
+           CASE WHEN n_candidate = 0 THEN NULL
+                ELSE n_both::DOUBLE / n_candidate END AS pair_precision,
+           CASE WHEN n_truth = 0 THEN NULL
+                ELSE n_both::DOUBLE / n_truth END AS pair_recall
+    FROM e ORDER BY radius"""
+  }
+
+  /** Jaccard-threshold tuning curve — corpus keep-rate vs dedup
+    * aggressiveness, the gate-calibration read a pipeline makes before
+    * fixing its near-dup threshold: ONE exact PPJoin pair computation at
+    * the sweep floor ([[Dedup.ngramJaccard]] at t = 0.5 — the prefix
+    * filter is lossless at any threshold, and J ≥ t ≥ 0.5 pairs are a
+    * subset of the 0.5 set), LRU-persisted; every sweep point filters the
+    * pair frame. Dropping follows the engine's first-instance rule (keep
+    * the smallest doc_id: a pair (d1 < d2) drops d2), so per point the
+    * dropped set is the distinct d2s — counted by attaching per-d2 pair
+    * counts to the doc-id list with one equi-join (count(*) = n_docs,
+    * non-null rows = dropped docs, their sum = n_pairs; no scalar
+    * crossJoins). The oracle re-derives the pair set with its own
+    * lossless prefix filter at t = 0.5, rarity-ordered (df asc, md5) with
+    * the PPJoin positional bound — at a floor this low, hash-ordered
+    * prefixes admit quadratic candidates on boilerplate-heavy corpora
+    * while rarity order keeps prefix buckets df-bounded. */
+  private def dedupThresholdCurve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val pairs = graft.ops.InternalCaches.persistBounded(
+      Dedup.ngramJaccard(docs, 3, 0.5))
+    val ids = docs.select($"doc_id")
+    Seq(0.5, 0.6, 0.7, 0.8, 0.9).map { t =>
+      val byD2 = pairs.filter($"jaccard" >= t)
+        .groupBy($"d2").agg(count(lit(1)).as("p2"))
+      ids.join(byD2, $"doc_id" === $"d2", "left")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum($"p2"), lit(0L)).as("n_pairs"),
+          count($"p2").as("n_dropped"))
+        .select(lit(t).as("threshold"), $"n_docs", $"n_pairs", $"n_dropped",
+          ($"n_docs" - $"n_dropped").as("n_kept"),
+          (($"n_docs" - $"n_dropped").cast("double") / $"n_docs")
+            .as("keep_rate"))
+    }.reduce(_.unionByName(_)).orderBy("threshold")
+  }
+
+  private lazy val dedupThresholdCurveSql: String = {
+    val rows = Seq("0.5", "0.6", "0.7", "0.8", "0.9").map { t =>
+      s"""SELECT CAST($t AS DOUBLE) AS threshold,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p5
+            WHERE jaccard >= $t) AS n_pairs,
+           (SELECT CAST(COUNT(DISTINCT d2) AS BIGINT) FROM p5
+            WHERE jaccard >= $t) AS n_dropped"""
+    }.mkString("\n    UNION ALL ")
+    s"""
+    WITH w5 AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+                FROM documents),
+    sh5 AS (SELECT doc_id,
+              list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             for i in range(1, len(w)-1)]) AS s
+            FROM w5 WHERE len(w) >= 3),
+    ex5 AS (SELECT doc_id, md5(g) AS h
+            FROM (SELECT doc_id, unnest(s) AS g FROM sh5)),
+    df5 AS (SELECT h, COUNT(*) AS df FROM ex5 GROUP BY h),
+    sz5 AS (SELECT doc_id, COUNT(*) AS sz FROM ex5 GROUP BY doc_id),
+    rk5 AS (SELECT e.doc_id, e.h, z.sz,
+              row_number() OVER (PARTITION BY e.doc_id
+                                 ORDER BY f.df, e.h) AS rk
+            FROM ex5 e JOIN df5 f USING (h) JOIN sz5 z USING (doc_id)),
+    pre5 AS (SELECT doc_id, h, sz, rk FROM rk5
+             WHERE rk <= sz - (sz + 1) // 2 + 1),
+    cand5 AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+              FROM pre5 a JOIN pre5 b ON a.h = b.h AND a.doc_id < b.doc_id
+              WHERE b.sz >= (a.sz + 1) // 2 AND a.sz >= (b.sz + 1) // 2
+                AND 1 + least(a.sz - a.rk, b.sz - b.rk)
+                    >= ceil((a.sz + b.sz) / 3.0 - 1e-9)),
+    in5 AS (SELECT c.d1, c.d2, COUNT(*) AS inter
+            FROM cand5 c JOIN ex5 a ON a.doc_id = c.d1
+                         JOIN ex5 b ON b.doc_id = c.d2 AND b.h = a.h
+            GROUP BY c.d1, c.d2),
+    p5 AS (SELECT d1, d2,
+             inter::DOUBLE / (x.sz + y.sz - inter) AS jaccard
+           FROM in5 JOIN sz5 x ON x.doc_id = in5.d1
+                    JOIN sz5 y ON y.doc_id = in5.d2
+           WHERE inter::DOUBLE / (x.sz + y.sz - inter) >= 0.5),
+    e AS ($rows)
+    SELECT threshold, n_docs, n_pairs, n_dropped,
+           n_docs - n_dropped AS n_kept,
+           (n_docs - n_dropped)::DOUBLE / n_docs AS keep_rate
+    FROM e ORDER BY threshold"""
+  }
+
+  /** Quality-gate calibration curve — keep-rate vs each of the composite
+    * gate's two numeric knobs ([[TextAnalysis.qualityFilter]]'s min_words
+    * and max_dup_ratio), the other knob held at its production value: the
+    * read a pipeline makes before fixing gate thresholds ("how much
+    * corpus does each notch cost?"). The three signal frames compute ONCE
+    * (LRU-persisted, signals only — no doc_id or text rides the sweep);
+    * each half explodes its 5 candidate thresholds onto the signal frame
+    * and aggregates map-side (10 output rows, one narrow shuffle — no
+    * per-point re-scan). Anchors: the (min_words, 20) and
+    * (max_dup_ratio, 0.65) points equal the production gate's keep count
+    * by construction (TuningCurveSpec pins it). */
+  private def qualityThresholdCurve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sig = graft.ops.InternalCaches.persistBounded(
+      TextAnalysis.qualityFilter(Tables.documents(s, d))
+        .select($"predicted_lang", $"n_words", $"dup_word_ratio"))
+    def langOk = $"predicted_lang" =!= "unknown"
+    val mw = sig
+      .select($"predicted_lang", $"n_words", $"dup_word_ratio",
+        explode(array(Seq(5, 10, 20, 40, 80).map(x => lit(x.toDouble)): _*))
+          .as("threshold"))
+      .groupBy($"threshold")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(langOk && $"n_words" >= $"threshold" &&
+                 $"dup_word_ratio" <= 0.65, 1L).otherwise(0L)).as("n_kept"))
+      .select(lit("min_words").as("knob"), $"threshold", $"n_docs", $"n_kept")
+    val dr = sig
+      .select($"predicted_lang", $"n_words", $"dup_word_ratio",
+        explode(array(Seq(0.45, 0.55, 0.65, 0.75, 0.85).map(lit): _*))
+          .as("threshold"))
+      .groupBy($"threshold")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(langOk && $"n_words" >= 20 &&
+                 $"dup_word_ratio" <= $"threshold", 1L).otherwise(0L))
+          .as("n_kept"))
+      .select(lit("max_dup_ratio").as("knob"), $"threshold", $"n_docs",
+        $"n_kept")
+    mw.unionByName(dr)
+      .select($"knob", $"threshold", $"n_docs", $"n_kept",
+        ($"n_kept".cast("double") / $"n_docs").as("keep_rate"))
+      .orderBy("knob", "threshold")
+  }
+
+  private lazy val qualityThresholdCurveSql: String = s"""
+    WITH qf AS (SELECT * FROM ($qualityFilterSql)),
+    mw AS (SELECT 'min_words' AS knob, CAST(t AS DOUBLE) AS threshold,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN predicted_lang <> 'unknown' AND n_words >= t
+                            AND dup_word_ratio <= 0.65 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_kept
+           FROM qf, (VALUES (5), (10), (20), (40), (80)) v(t) GROUP BY t),
+    dr AS (SELECT 'max_dup_ratio' AS knob, CAST(t AS DOUBLE) AS threshold,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN predicted_lang <> 'unknown' AND n_words >= 20
+                            AND dup_word_ratio <= t THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_kept
+           FROM qf, (VALUES (0.45), (0.55), (0.65), (0.75), (0.85)) v(t)
+           GROUP BY t)
+    SELECT knob, threshold, n_docs, n_kept,
+           n_kept::DOUBLE / n_docs AS keep_rate
+    FROM (SELECT * FROM mw UNION ALL SELECT * FROM dr)
+    ORDER BY knob, threshold"""
+
   private def dedupEmbedding(s: SparkSession, d: String): DataFrame =
     Similarity.embeddingNearDup(Tables.embeddings(s, d)).orderBy("v1", "v2")
 
@@ -2097,6 +2389,56 @@ $sel
       LEFT JOIN sc USING (doc_id)
     ORDER BY doc_id"""
 
+  /** Contamination-threshold tuning curve — the removable-threshold read
+    * behind the graded score ("drop if more than X% of a doc's 8-grams
+    * appear in an eval set"): for each candidate cut, how many corpus
+    * docs get dropped and how much n-gram mass goes with them (the
+    * token-cost proxy of the decision — a cut that flags 1% of docs but
+    * 30% of n-grams is flagging the long tail a pipeline usually wants to
+    * KEEP). The per-doc score frame ([[Dedup.contaminationScore]] over
+    * the same benchmark split as `contamination_score`) computes ONCE,
+    * LRU-persisted as bare signals; the sweep explodes 5 thresholds onto
+    * it and aggregates map-side. The t = 0.0 point is anchored to
+    * `decontaminate`'s boolean flag (score > 0 ⇔ contaminated;
+    * TuningCurveSpec pins it). */
+  private def contaminationThresholdCurve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val all = Tables.documents(s, d)
+    val sig = graft.ops.InternalCaches.persistBounded(
+      Dedup.contaminationScore(
+          all.filter($"doc_id" % 10 =!= 0), all.filter($"doc_id" % 10 === 0),
+          n = 8)
+        .select($"contamination_score", $"n_distinct_ngrams"))
+    sig
+      .select($"contamination_score", $"n_distinct_ngrams",
+        explode(array(Seq(0.0, 0.05, 0.1, 0.2, 0.4).map(lit): _*))
+          .as("threshold"))
+      .groupBy($"threshold")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"contamination_score" > $"threshold", 1L).otherwise(0L))
+          .as("n_flagged"),
+        sum(when($"contamination_score" > $"threshold", $"n_distinct_ngrams")
+          .otherwise(0L)).as("flagged_ngrams"))
+      .select($"threshold", $"n_docs", $"n_flagged",
+        ($"n_flagged".cast("double") / $"n_docs").as("flag_rate"),
+        $"flagged_ngrams")
+      .orderBy("threshold")
+  }
+
+  private lazy val contaminationThresholdCurveSql: String = s"""
+    WITH cs AS (SELECT * FROM ($contaminationScoreSql))
+    SELECT CAST(t AS DOUBLE) AS threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN contamination_score > t THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           SUM(CASE WHEN contamination_score > t THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*) AS flag_rate,
+           CAST(SUM(CASE WHEN contamination_score > t
+                         THEN n_distinct_ngrams ELSE 0 END)
+                AS BIGINT) AS flagged_ngrams
+    FROM cs, (VALUES (0.0), (0.05), (0.1), (0.2), (0.4)) v(t)
+    GROUP BY t ORDER BY threshold"""
+
   /** Shared-span pairs over md5 winnowing fingerprints so the oracle can
     * replay every window minimum; the stop-fingerprint df cap and the
     * shared-count threshold are both replayed in SQL. */
@@ -3043,6 +3385,30 @@ $sel
     FROM j GROUP BY source ORDER BY source"""
   }
 
+  /** Merge-budget tuning curve ([[TextAnalysis.bpeBudgetCurve]]): corpus
+    * fertility and vocabulary size at merge budgets {0, 2, 4, 8} from ONE
+    * training run (merge tables are prefix-closed, so every point shares
+    * the same rounds; the oracle reads the train chain's intermediate
+    * symbol states s0/s2/s4/s8 — the single-source-of-truth CTEs the
+    * bpe_train oracle already verifies merge by merge). */
+  private def bpeBudgetCurveQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bpeBudgetCurve(Tables.documents(s, d))
+
+  private lazy val bpeBudgetCurveSql: String = {
+    val prefix = bpeTrainSql.substring(0, bpeTrainSql.lastIndexOf("\n    SELECT * FROM ("))
+    val rows = Seq(0, 2, 4, 8).map { r =>
+      s"""SELECT $r AS n_merges,
+           (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) FROM s$r) AS vocab_words,
+           (SELECT CAST(SUM(freq) AS BIGINT) FROM w0) AS n_words,
+           (SELECT CAST(SUM(freq) AS BIGINT) FROM s$r) AS n_bpe_tokens,
+           (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) FROM s$r) AS n_symbol_types"""
+    }.mkString("\n    UNION ALL ")
+    s"""$prefix
+    SELECT n_merges, vocab_words, n_words, n_bpe_tokens, n_symbol_types,
+           n_bpe_tokens::DOUBLE / n_words AS fertility
+    FROM ($rows) ORDER BY n_merges"""
+  }
+
   /** Per-source character-class composition — the multilingual-corpus audit
     * that catches mojibake, markup floods, and numeric-table scrapes before
     * they reach training: what fraction of each source's characters are
@@ -3885,7 +4251,15 @@ $sel
     Q("bigram_pmi", bigramPmiQ, Some(bigramPmiSql)),
     Q("embedding_norm_stats", embeddingNormStats, Some(embeddingNormStatsSql)),
     Q("dedup_eval", dedupEval, Some(dedupEvalSql)),
+    Q("minhash_band_curve", minhashBandCurve, Some(minhashBandCurveSql)),
+    Q("simhash_radius_curve", simhashRadiusCurve, Some(simhashRadiusCurveSql)),
+    Q("dedup_threshold_curve", dedupThresholdCurve,
+      Some(dedupThresholdCurveSql)),
+    Q("quality_threshold_curve", qualityThresholdCurve,
+      Some(qualityThresholdCurveSql)),
     Q("contamination_score", contaminationScore, Some(contaminationScoreSql)),
+    Q("contamination_threshold_curve", contaminationThresholdCurve,
+      Some(contaminationThresholdCurveSql)),
     Q("span_dedup", spanDedup, Some(spanDedupSql)),
     Q("exact_substr_spans", exactSubstrSpans, Some(exactSubstrSpansSql)),
     Q("span_screen", spanScreen, Some(spanScreenSql)),
@@ -3909,6 +4283,7 @@ $sel
     Q("coreset_kcenter", coresetKcenter, Some(coresetKcenterSql(8))),
     Q("bpe_encode", bpeEncodeQ, Some(bpeEncodeSql)),
     Q("bpe_fertility", bpeFertilityQ, Some(bpeFertilitySql)),
+    Q("bpe_budget_curve", bpeBudgetCurveQ, Some(bpeBudgetCurveSql)),
     Q("dsir_weights", dsirWeights, Some(dsirWeightsSql)),
     Q("dsir_sample", dsirSample, Some(dsirSampleSql)),
     Q("corpus_drift", corpusDrift, Some(corpusDriftSql)),

@@ -100,7 +100,13 @@ class PlanAuditSpec extends SparkSpec {
         "bm25_rank", "gopher_rules", "lm_bigram_score",
         "doc_chunking", "ccnet_perplexity_buckets",
         // r16: the vocab frontier buckets by doc_id and tokenizes text
-        "vocab_growth").foreach { name =>
+        "vocab_growth",
+        // r16 tuning curves: all four sweep signal/pair frames derived
+        // from (doc_id, text) alone (dedup_threshold_curve's doc-id list
+        // is a second, narrower scan — also pruned)
+        "minhash_band_curve", "simhash_radius_curve",
+        "dedup_threshold_curve", "quality_threshold_curve",
+        "contamination_threshold_curve").foreach { name =>
       // (dedup_clusters' final plan starts from localCheckpointed label
       // RDDs — its upstream scans are audited via dedup_minhash;
       // bpe_pair_counts builds pairs per-doc with lead windows keyed by
