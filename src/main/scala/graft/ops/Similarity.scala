@@ -494,6 +494,60 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** SRP banding-design sweep — the (bands × rows) read for the sign-LSH
+    * index, the embedding-space twin of the MinHash banding curve: at a
+    * fixed plane budget (every scheme shares the SAME bands·rows
+    * Rademacher matrix; only the split varies), each scheme's recall@k of
+    * the banded-candidate top-k against the exact brute-force top-k, plus
+    * the candidate volume the scheme pays (the LSH cost — every candidate
+    * is one exact cosine). Longer bands collide less, so recall and cost
+    * fall together; where the curve crosses the deployment's recall floor
+    * is the layout decision `ann_recall` reads at one point. The truth
+    * ranks ONCE (LRU-persisted — it is knn_bruteforce's intended BNLJ,
+    * the count summaries its two 1-row crossJoins); per scheme candidates
+    * generate id-only from the equality band join and only survivors are
+    * scored. */
+  def lshBandsCurve(embeddings: DataFrame, queries: DataFrame,
+                    schemes: Seq[(Int, Int)] =
+                      Seq((12, 4), (8, 6), (6, 8), (4, 12)),
+                    k: Int = 5, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    require(schemes.map { case (b, r) => b * r }.distinct.size == 1,
+      "schemes must share one plane budget")
+    val planes = planeMatrix(schemes.head._1 * schemes.head._2, dim, seed)
+    val truth = InternalCaches.persistBounded(
+      knnBruteForce(embeddings, queries, k)
+        .select(col("query_id"), col("neighbor_id")))
+    val tot = truth.agg(countDistinct(col("query_id")).as("n_queries"),
+      count(lit(1)).as("n_truth"))
+    val data = prepared(embeddings)
+    val q = prepared(queries).select(col("vec_id").as("query_id"),
+      col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    schemes.map { case (b, r) =>
+      val dataBands = bandValues(data, "vec_id", b, r, planes)
+      val qBands = bandValues(
+        q.select(col("query_id"), col("q_emb").as("emb")), "query_id", b, r, planes)
+      val cand = InternalCaches.persistBounded(
+        dataBands.join(broadcast(qBands), Seq("band", "band_val"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"))
+          .dropDuplicates("query_id", "vec_id"))
+      val approx = topKPerQuery(
+        cand.join(data, "vec_id").join(broadcast(q), "query_id")
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            cosinePrenormed(col("emb"), col("q_emb"), col("nrm"), col("q_nrm"))
+              .as("cos")), k)
+        .select(col("query_id"), col("neighbor_id"))
+      val hit = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      tot.crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("n_queries"), col("n_truth"), col("n_hit"),
+          (col("n_hit") / col("n_truth")).as("recall_at_5"),
+          col("n_candidates"),
+          (col("n_candidates") / col("n_queries")).as("cand_per_query"))
+    }.reduce(_.unionByName(_)).orderBy(col("rows_per_band"))
+  }
+
   /** Embedding near-dup pairs: all banded-candidate (v1 < v2) pairs with
     * cosine >= threshold. Candidates are generated id-only, deduped BEFORE
     * scoring (each pair's cosine computed exactly once), then both vectors

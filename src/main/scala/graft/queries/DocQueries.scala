@@ -1452,6 +1452,59 @@ object DocQueries {
     Tables.embeddings(s, d).filter($"vec_id" < 20)
   }
 
+  /** SRP banding-design sweep ([[Similarity.lshBandsCurve]]): recall@5 and
+    * candidate cost per (bands × rows) split of one 48-plane budget — the
+    * sign-LSH twin of `minhash_band_curve`, and the curve behind
+    * `ann_recall`'s single operating point. The oracle embeds the same
+    * 48-plane Rademacher literal and replays banding, candidate join,
+    * exact scoring and both count summaries per scheme. */
+  private def lshBandsCurveQ(s: SparkSession, d: String): DataFrame =
+    Similarity.lshBandsCurve(Tables.embeddings(s, d), queries(s, d))
+
+  private lazy val planes48SqlLiteral: String =
+    Similarity.planeMatrix(48, 64)
+      .map(_.map(d => if (d > 0) "1" else "-1").mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+
+  private lazy val lshBandsCurveSql: String = {
+    val schemes = Seq((12, 4), (8, 6), (6, 8), (4, 12))
+    val per = schemes.map { case (b, r) =>
+      s"""bd$r AS (SELECT vec_id, band,
+             list_reduce(sig[(band*$r+1):(band*$r+$r)], (acc,x) -> acc*2+x) AS band_val
+           FROM sg, range(0, $b) t(band)),
+    qb$r AS (SELECT vec_id AS query_id, band, band_val FROM bd$r WHERE vec_id < 20),
+    c$r AS (SELECT DISTINCT bd$r.vec_id, qb$r.query_id
+            FROM bd$r JOIN qb$r ON bd$r.band = qb$r.band AND bd$r.band_val = qb$r.band_val
+            WHERE bd$r.vec_id <> qb$r.query_id),
+    sc$r AS (SELECT query_id, c$r.vec_id AS neighbor_id,
+               list_sum(list_transform(range(1,65), i -> a.emb[i]*q.emb[i]))/(a.nrm*q.nrm) AS cos
+             FROM c$r JOIN n a ON c$r.vec_id = a.vec_id JOIN n q ON c$r.query_id = q.vec_id),
+    ap$r AS (SELECT query_id, neighbor_id
+             FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                                ORDER BY cos DESC, neighbor_id) AS rank
+                   FROM sc$r)
+             WHERE rank <= 5),
+    h$r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+            FROM tr JOIN ap$r USING (query_id, neighbor_id)),
+    cn$r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM c$r)"""
+    }.mkString(",\n    ")
+    val rows = schemes.map { case (b, r) =>
+      s"SELECT $b AS bands, $r AS rows_per_band, n_queries, n_truth, n_hit, n_hit::DOUBLE / n_truth AS recall_at_5, n_candidates, n_candidates::DOUBLE / n_queries AS cand_per_query FROM tot CROSS JOIN h$r CROSS JOIN cn$r"
+    }.mkString("\n    UNION ALL ")
+    s"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),
+    n AS (SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm FROM v),
+    sg AS (SELECT vec_id,
+             list_transform($planes48SqlLiteral,
+               p -> CASE WHEN list_sum(list_transform(range(1,65), i -> emb[i]*p[i])) >= 0 THEN 1 ELSE 0 END) AS sig
+           FROM n),
+    tr AS (SELECT query_id, neighbor_id FROM ($knnBruteForceSql)),
+    tot AS (SELECT (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) FROM tr) AS n_queries,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM tr) AS n_truth),
+    $per
+    $rows ORDER BY rows_per_band"""
+  }
+
   private def knnBruteForce(s: SparkSession, d: String): DataFrame =
     Similarity.knnBruteForce(Tables.embeddings(s, d), queries(s, d))
       .orderBy("query_id", "rank")
@@ -4229,6 +4282,7 @@ $sel
     Q("remove_top_component", removeTopComponentQ, Some(removeTopComponentSql)),
     Q("knn_lsh", knnLsh, Some(knnLshSql)),
     Q("ann_recall", annRecall, Some(annRecallSql)),
+    Q("lsh_bands_curve", lshBandsCurveQ, Some(lshBandsCurveSql)),
     Q("multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
     Q("multimodal_frames", multimodalFrames, Some(multimodalFramesSql)),
     Q("multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),

@@ -84,7 +84,12 @@ class PlanAuditSpec extends SparkSpec {
             // r15: the nprobe sweep re-runs ann_recall's shape per
             // nprobe value — knn_bruteforce's intended BNLJ scoring
             // plus the two single-row count-summary crossJoins
-            "ivf_nprobe_curve")(p._1))
+            "ivf_nprobe_curve",
+            // r16: the SRP banding sweep is ann_recall's exact shape per
+            // (bands, rows) scheme — the brute-force truth is
+            // knn_bruteforce's intended BNLJ, and each scheme's hit /
+            // candidate summaries are the two 1-row crossJoins
+            "lsh_bands_curve")(p._1))
       .foreach { case (name, p) =>
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
       }

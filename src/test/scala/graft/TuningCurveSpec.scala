@@ -101,6 +101,31 @@ class TuningCurveSpec extends SparkSpec {
     }
   }
 
+  test("lsh_bands_curve: truth anchored to knn_bruteforce, nested along aligned splits") {
+    val rows = run("lsh_bands_curve").collect()
+    assert(rows.length === 4)
+    val truthCount = run("knn_bruteforce").count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_truth") === truthCount,
+        "every scheme measures against the same exact top-5 set")
+      val rec = r.getAs[Double]("recall_at_5")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_truth"))
+    }
+    // an r'-bit band is a union of aligned r-bit bands when r | r' (all
+    // bands start at bit 0), so coarse-band candidate sets are nested in
+    // the fine ones along 4 | 8, 4 | 12 and 6 | 12
+    val byR = rows.map(r => r.getAs[Int]("rows_per_band") -> r).toMap
+    def cand(r: Int) = byR(r).getAs[Long]("n_candidates")
+    def hits(r: Int) = byR(r).getAs[Long]("n_hit")
+    Seq((4, 8), (4, 12), (6, 12)).foreach { case (fine, coarse) =>
+      assert(cand(fine) >= cand(coarse),
+        s"candidates must be nested along r=$fine | r=$coarse")
+      assert(hits(fine) >= hits(coarse),
+        s"hits must be nested along r=$fine | r=$coarse")
+    }
+  }
+
   test("bpe_budget_curve: endpoints anchored to the char split and bpe_encode") {
     import org.apache.spark.sql.functions._
     val rows = run("bpe_budget_curve").collect().sortBy(_.getAs[Int]("n_merges"))
