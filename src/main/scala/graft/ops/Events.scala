@@ -358,6 +358,42 @@ object Events {
            graft.queries.Exact.dsum(col("value")).as("sum_value"))
   }
 
+  /** Session-gap tuning curve — the threshold read behind [[sessionize]]'s
+    * fixed 30 minutes: for each candidate gap, the session count the
+    * corpus would break into, events per session, and total/average
+    * in-session time. Everything derives from ONE per-user delta frame
+    * (the same lag [[sessionize]] flags session starts with — a user's
+    * first event carries a NULL delta and always opens a session;
+    * n_sessions = opens + breaks, and summed in-session deltas ARE the
+    * summed session durations, since each session's end − start telescopes
+    * over its internal deltas). The candidate gaps explode onto the
+    * delta rows map-side after the one user_id window shuffle; the
+    * aggregate is |gaps|-rowed with map-side partials — sweeping five
+    * thresholds costs the same shuffle as sweeping one. Same boundary
+    * convention as [[sessionize]]: delta == gap stays in-session. */
+  def sessionGapCurve(events: DataFrame,
+                      gapMinutes: Seq[Long] = Seq(5L, 15L, 30L, 60L, 120L))
+      : DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val deltas = events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("delta", col("ts_us") - lag(col("ts_us"), 1).over(byUser))
+    deltas
+      .select(col("delta"),
+        explode(array(gapMinutes.map(m => lit(m * 60L * 1000000L)): _*)).as("gap_us"))
+      .groupBy(col("gap_us"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("delta").isNull || col("delta") > col("gap_us"), 1L)
+          .otherwise(0L)).as("n_sessions"),
+        sum(when(col("delta").isNotNull && col("delta") <= col("gap_us"), col("delta"))
+          .otherwise(0L)).as("in_session_us"))
+      .select(col("gap_us"), col("n_events"), col("n_sessions"),
+        (col("n_events").cast("double") / col("n_sessions")).as("events_per_session"),
+        col("in_session_us"),
+        (col("in_session_us").cast("double") / col("n_sessions")).as("avg_session_us"))
+      .orderBy(col("gap_us"))
+  }
+
   /** Gap-based sessionization through Spark's NATIVE session_window
     * aggregation (one shuffle, streaming-compatible state shape) — same
     * session semantics as [[sessionize]] (a gap strictly greater than

@@ -85,6 +85,36 @@ object EventQueries {
            ${sqlSum("value")} AS sum_value
     FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id"""
 
+  /** Session-gap tuning curve ([[Events.sessionGapCurve]]): session count,
+    * events per session and in-session time at five candidate gap
+    * thresholds, all from the one per-user delta frame — the threshold
+    * read behind `events_sessionize`'s fixed 30 minutes. The 30-minute
+    * point's n_sessions equals the sessionize output's row count
+    * (TuningCurveSpec pins it). */
+  private def sessionGapCurveQ(s: SparkSession, d: String): DataFrame =
+    Events.sessionGapCurve(Tables.events(s, d))
+
+  private val sessionGapCurveSql = """
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+    dl AS (SELECT ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                           ORDER BY ts_us, event_id) AS delta
+           FROM e),
+    g AS (SELECT CAST(m AS BIGINT) * 60000000 AS gap_us
+          FROM (VALUES (5), (15), (30), (60), (120)) v(m))
+    SELECT gap_us, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN delta IS NULL OR delta > gap_us
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           COUNT(*)::DOUBLE
+             / SUM(CASE WHEN delta IS NULL OR delta > gap_us THEN 1 ELSE 0 END)
+             AS events_per_session,
+           CAST(SUM(CASE WHEN delta IS NOT NULL AND delta <= gap_us
+                         THEN delta ELSE 0 END) AS BIGINT) AS in_session_us,
+           SUM(CASE WHEN delta IS NOT NULL AND delta <= gap_us
+                    THEN delta ELSE 0 END)::DOUBLE
+             / SUM(CASE WHEN delta IS NULL OR delta > gap_us THEN 1 ELSE 0 END)
+             AS avg_session_us
+    FROM dl CROSS JOIN g GROUP BY gap_us ORDER BY gap_us"""
+
   private def eventsSessionizeNative(s: SparkSession, d: String): DataFrame =
     Events.sessionizeNative(Tables.events(s, d))
       .orderBy("user_id", "session_start_us")
@@ -827,6 +857,7 @@ object EventQueries {
     Q("events_sliding_windows", eventsSliding, Some(eventsSlidingSql)),
     Q("events_sessionize", eventsSessionize, Some(eventsSessionizeSql)),
     Q("events_sessionize_native", eventsSessionizeNative, Some(eventsSessionizeNativeSql)),
+    Q("session_gap_curve", sessionGapCurveQ, Some(sessionGapCurveSql)),
     Q("asof_join", asofJoinQ, Some(asofJoinSql)),
     Q("asof_join_native", asofJoinNative, Some(asofJoinSql)),
     Q("range_join", rangeJoin, Some(rangeJoinSql)),

@@ -151,6 +151,22 @@ class TuningCurveSpec extends SparkSpec {
     }
   }
 
+  test("session_gap_curve: 30-minute point equals events_sessionize, monotone in gap") {
+    val rows = run("session_gap_curve").collect().sortBy(_.getAs[Long]("gap_us"))
+    assert(rows.length === 5)
+    val sessions30 = run("events_sessionize").count()
+    val at30 = rows.find(_.getAs[Long]("gap_us") == 30L * 60 * 1000000).get
+    assert(at30.getAs[Long]("n_sessions") === sessions30,
+      "the production-gap point counts exactly the sessionize output's sessions")
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Long]("n_sessions") >= hi.getAs[Long]("n_sessions"),
+        "a wider gap can only merge sessions")
+      assert(lo.getAs[Long]("in_session_us") <= hi.getAs[Long]("in_session_us"),
+        "a wider gap can only keep more deltas in-session")
+      assert(lo.getAs[Long]("n_events") === hi.getAs[Long]("n_events"))
+    }
+  }
+
   test("quality_threshold_curve: production anchors equal quality_filter, knobs monotone") {
     val rows = run("quality_threshold_curve").collect()
     assert(rows.length === 10)
