@@ -542,9 +542,12 @@ object Similarity {
         .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
         .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
           col("n_queries"), col("n_truth"), col("n_hit"),
-          (col("n_hit") / col("n_truth")).as("recall_at_5"),
+          when(col("n_truth") === 0, lit(null))
+            .otherwise(col("n_hit") / col("n_truth")).as("recall_at_5"),
           col("n_candidates"),
-          (col("n_candidates") / col("n_queries")).as("cand_per_query"))
+          when(col("n_queries") === 0, lit(null))
+            .otherwise(col("n_candidates") / col("n_queries"))
+            .as("cand_per_query"))
     }.reduce(_.unionByName(_)).orderBy(col("rows_per_band"))
   }
 

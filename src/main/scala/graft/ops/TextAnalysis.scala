@@ -721,8 +721,12 @@ object TextAnalysis {
     val stats =
       scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Long)]
     def measure(nm: Int, vocab: DataFrame): Unit = if (want(nm)) {
-      val r = vocab.agg(count(lit(1)).as("vw"), sum(col("freq")).as("nw"),
-        sum(col("freq") * size(col("syms"))).as("nt")).collect()(0)
+      // coalesce: an empty vocabulary (corpus with no trainable words) sums
+      // to NULL — the curve reports explicit zeros, not an unboxing crash
+      val r = vocab.agg(count(lit(1)).as("vw"),
+        coalesce(sum(col("freq")), lit(0L)).as("nw"),
+        coalesce(sum(col("freq") * size(col("syms"))), lit(0L)).as("nt"))
+        .collect()(0)
       val nsym = vocab.select(explode(col("syms")).as("s"))
         .agg(countDistinct(col("s"))).collect()(0).getLong(0)
       stats += ((nm, r.getAs[Long]("vw"), r.getAs[Long]("nw"),
@@ -735,7 +739,9 @@ object TextAnalysis {
         "n_symbol_types")
       .select(col("n_merges"), col("vocab_words"), col("n_words"),
         col("n_bpe_tokens"), col("n_symbol_types"),
-        (col("n_bpe_tokens").cast("double") / col("n_words")).as("fertility"))
+        when(col("n_words") === 0, lit(null))
+          .otherwise(col("n_bpe_tokens").cast("double") / col("n_words"))
+          .as("fertility"))
       .orderBy("n_merges")
   }
 

@@ -1281,7 +1281,8 @@ object DocQueries {
           count($"p2").as("n_dropped"))
         .select(lit(t).as("threshold"), $"n_docs", $"n_pairs", $"n_dropped",
           ($"n_docs" - $"n_dropped").as("n_kept"),
-          (($"n_docs" - $"n_dropped").cast("double") / $"n_docs")
+          when($"n_docs" === 0, lit(null))
+            .otherwise(($"n_docs" - $"n_dropped").cast("double") / $"n_docs")
             .as("keep_rate"))
     }.reduce(_.unionByName(_)).orderBy("threshold")
   }

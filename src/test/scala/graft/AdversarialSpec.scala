@@ -654,4 +654,47 @@ class AdversarialSpec extends SparkSpec {
     val st = Events.stickiness(one).collect()
     assert(st.length === 1 && st(0).getAs[Double]("stickiness") === 1.0)
   }
+
+  test("r16 tuning curves on empty corpora: full or empty grid, NULL rates, never NaN or a crash") {
+    // eval-shaped curves keep their full sweep grid with NULL rates (the
+    // evalPairs 0/0 guard); explode-shaped curves collapse to empty-with-
+    // schema (no group, no division); the BPE curve emits only the budget
+    // rows the training could reach
+    val emptyEmb = Seq.empty[(Long, Array[Float], java.lang.Long)]
+      .toDF("vec_id", "embedding", "label")
+    val lsh = Similarity.lshBandsCurve(emptyEmb, emptyEmb).collect()
+    assert(lsh.length === 4)
+    lsh.foreach { r =>
+      assert(r.getAs[Long]("n_truth") === 0L &&
+        r.getAs[Long]("n_candidates") === 0L)
+      assert(r.isNullAt(r.fieldIndex("recall_at_5")),
+        "0/0 recall must read NULL, not NaN")
+    }
+    val sg = Events.sessionGapCurve(emptyEvents.select($"user_id", $"event_id", $"ts"))
+    assert(sg.isEmpty && sg.columns.toSeq === Seq("gap_us", "n_events",
+      "n_sessions", "events_per_session", "in_session_us", "avg_session_us"))
+    val bpe = TextAnalysis.bpeBudgetCurve(docs()).collect()
+    assert(bpe.map(_.getAs[Int]("n_merges")).toSeq === Seq(0),
+      "no trainable words: only the char-split anchor row exists")
+    assert(bpe.head.getAs[Long]("n_bpe_tokens") === 0L)
+    assert(bpe.head.isNullAt(bpe.head.fieldIndex("fertility")))
+    // the five doc-table curves, driven through the registry against an
+    // EMPTY documents table (the composition, not just the ops)
+    val dir = graft.sources.Scratch.dir("graft_adv_curves")
+    Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    def curve(n: String) = SparkEntry.queries(n)(spark, dir)
+    val mb = curve("minhash_band_curve").collect()
+    assert(mb.length === 5 && mb.forall(r => r.getAs[Long]("n_candidate") == 0L
+      && r.isNullAt(r.fieldIndex("pair_recall"))))
+    val sr = curve("simhash_radius_curve").collect()
+    assert(sr.length === 4 && sr.forall(r => r.getAs[Long]("n_candidate") == 0L
+      && r.isNullAt(r.fieldIndex("pair_recall"))))
+    val dt = curve("dedup_threshold_curve").collect()
+    assert(dt.length === 5 && dt.forall(r => r.getAs[Long]("n_docs") == 0L
+      && r.isNullAt(r.fieldIndex("keep_rate"))),
+      "an empty corpus keeps its threshold grid; keep_rate is NULL, not 0/0")
+    assert(curve("quality_threshold_curve").isEmpty)
+    assert(curve("contamination_threshold_curve").isEmpty)
+  }
 }

@@ -192,7 +192,8 @@ class TuningCurveSpec extends SparkSpec {
       assert(lo.getAs[Long]("n_kept") <= hi.getAs[Long]("n_kept"),
         "a looser dup-ratio cap can only keep more docs")
     }
-    rows.foreach(r => assert(r.getAs[Long]("n_docs") === 500L,
+    val corpus = graft.sources.Tables.documents(spark, sf).count()
+    rows.foreach(r => assert(r.getAs[Long]("n_docs") === corpus,
       "every sweep point sees the whole corpus"))
   }
 }
