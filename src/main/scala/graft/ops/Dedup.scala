@@ -637,14 +637,25 @@ object Dedup {
     * text. */
   def minhashLsh(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                  bands: Int = 32, rows: Int = 4, seed: Long = 42L): DataFrame = {
-    val sr = shingleRows(docs, n)
-    val banded = bandRows(docs, n, bands, rows, seed)
+    // the hashed shingle table feeds banding AND both verification joins
+    // (plus the size census) — five consumers of one corpus-sized
+    // tokenize+explode+window subtree. Left lazy, each consumer re-derives
+    // it and cross-stage exchange reuse is up to AQE's scheduling (the
+    // ngramJaccard bimodality, r14); the bounded lazy persist pins one
+    // evaluation (same canonical plan as ngramJaccard's prefix table, so
+    // the two operators share blocks when run over the same corpus).
+    val ex = InternalCaches.persistBounded(shingleRows(docs, n)
+      .select(col("doc_id"), xxhash64(col("g")).as("h")))
+    // band rows are consumed twice (both sides of the bucket self-join);
+    // persisting them also spares the signature loop a second pass
+    val banded = InternalCaches.persistBounded(
+      bandRowsFromHashed(ex, bands, rows, seed))
     val l = banded.toDF("d1", "band", "band_hash")
     val r = banded.toDF("d2", "band", "band_hash")
     val candidates = l.join(r, Seq("band", "band_hash"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
-    verifyJaccard(candidates, sr, threshold)
+    verifyJaccardHashed(candidates, ex, threshold)
   }
 
   /** The LSH banding stage as exploded (doc_id, band, band_hash) rows — the
@@ -652,8 +663,18 @@ object Dedup {
     * index ([[writeSignatureIndex]]/[[incrementalMinhash]]) operate on. */
   def bandRows(docs: DataFrame, n: Int = 3,
                bands: Int = 32, rows: Int = 4, seed: Long = 42L): DataFrame =
-    shingleRows(docs, n)
-      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+    bandRowsFromHashed(
+      shingleRows(docs, n).select(col("doc_id"), xxhash64(col("g")).as("h")),
+      bands, rows, seed)
+
+  /** [[bandRows]] over an already-hashed (doc_id, h) shingle table —
+    * [[minhashLsh]] materializes that frame once and bands from the same
+    * blocks verification reads. collect_list order is partition-dependent
+    * but the signature is a per-permutation MIN, so the result is
+    * order-invariant. */
+  private def bandRowsFromHashed(ex: DataFrame, bands: Int, rows: Int,
+                                 seed: Long): DataFrame =
+    ex
       .groupBy(col("doc_id")).agg(collect_list(col("h")).as("hs"))
       .select(col("doc_id"),
         graft.functions.NativeExpressions.minhashSignature(
@@ -1525,9 +1546,18 @@ object Dedup {
     * @return (doc_id, cluster_id, cluster_size) for every doc in some pair
     */
   def clusters(pairs: DataFrame, maxRounds: Int = 16): DataFrame = {
-    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-      .persist()
+    // the verified pair set is read by both union arms and then by every
+    // label-propagation round's neighbor join; the bounded lazy persist
+    // pins ONE evaluation of the (expensive) upstream matcher. And because
+    // the cache is canonical-plan-keyed, every same-session consumer of
+    // the SAME matcher output — cluster assignment, keep-best selection,
+    // per-source dup stats, split leakage — shares that one pair table
+    // instead of re-running minhash → verify per invocation (previously
+    // this reuse happened only when AQE's exchange-reuse scheduling got
+    // lucky: the measured run-to-run bimodality of the closure family).
+    val p = InternalCaches.persistBounded(pairs.select(col("d1"), col("d2")))
+    val edges = p.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(p.select(col("d2").as("src"), col("d1").as("dst")))
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
@@ -1568,7 +1598,6 @@ object Dedup {
       labels = jumped
       round += 1
     }
-    edges.unpersist(blocking = true)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),

@@ -246,8 +246,10 @@ class DedupSpec extends SparkSpec {
     val chain = (50L until 80L).map(i => (i, i + 1)).toDF("d1", "d2")
     Dedup.clusters(chain).count()
     val after = spark.sparkContext.getPersistentRDDs.size
-    // at most the final round's labels (+ nothing else) may remain pinned
-    assert(after - before <= 1,
+    // at most the final round's labels plus the LRU-bounded pair table
+    // (InternalCaches) may remain pinned — the ~4 pointer-jumping rounds
+    // this chain needs would each add one if rounds leaked
+    assert(after - before <= 2,
       s"clusters leaked checkpointed rounds: $before persistent RDDs before, $after after")
   }
 
