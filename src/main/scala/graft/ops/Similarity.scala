@@ -92,28 +92,18 @@ object Similarity {
     * reduction order), which is what lets
     * [[graft.streaming.IndexMaintenance.runCovarianceMaintenance]] keep
     * a standing partials table by blind batch-tagged appends. */
-  def covPartials(embeddings: DataFrame): DataFrame = {
-    val v = embeddings.select(toDouble(col("embedding")).as("emb"))
-    val first = v.select(size(col("emb"))).head(1)
-    // an empty batch contributes an empty (correctly-typed) partials
-    // frame — a streaming micro-batch with zero rows must not kill the
-    // maintenance query, and the batch solve refuses loudly downstream
-    if (first.isEmpty)
-      return v.limit(0).select(lit(0).as("i"), lit(0).as("j"),
-        lit(null).cast("decimal(38,6)").as("s"))
-    val d = first.head.getInt(0)
-    v.select(explode(concat(
-        flatten(transform(sequence(lit(0), lit(d - 1)), i =>
-          concat(
-            transform(sequence(i, lit(d - 1)), j =>
-              struct(i.cast("int").as("i"), j.cast("int").as("j"),
-                (element_at(col("emb"), i + 1) * element_at(col("emb"), j + 1)).as("p"))),
-            array(struct(i.cast("int").as("i"), lit(-1).as("j"),
-              element_at(col("emb"), i + 1).as("p")))))),
-        array(struct(lit(-1).as("i"), lit(-1).as("j"), lit(1.0).as("p"))))).as("t"))
-      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
-      .agg(sum(col("t.p").cast("decimal(38,6)")).as("s"))
-  }
+  def covPartials(embeddings: DataFrame): DataFrame =
+    // one d²-bounded buffer per partition ([[graft.functions.CovPartialsAgg]])
+    // instead of exploding every vector into its d(d+1)/2 + d + 1 struct
+    // rows before the hash aggregate — same exact decimal(38,6) cells
+    // (SimilaritySpec pins table equality with the explode form), zero row
+    // amplification, and an empty batch yields an empty (correctly-typed)
+    // frame with no driver-side probe action (the streaming maintenance
+    // runs this per micro-batch)
+    embeddings.select(toDouble(col("embedding")).as("emb"))
+      .agg(graft.functions.CovPartials.covPartialsAgg(col("emb")).as("cells"))
+      .select(explode(col("cells")).as("t"))
+      .select(col("t.i").as("i"), col("t.j").as("j"), col("t.s").as("s"))
 
   /** PCA read over a STANDING covariance-partials table (written by the
     * streaming maintenance or a batch [[covPartials]] dump): partials

@@ -223,6 +223,47 @@ class SimilaritySpec extends SparkSpec {
       "pcaFromTable(iters = 3) must equal pcaPower(iters = 3)")
   }
 
+  test("cov_partials_agg equals the explode formulation cell for cell") {
+    // the r17 d²-bounded TypedImperativeAggregate replaced the explode
+    // form (d(d+1)/2 + d + 1 struct rows per vector); the exact-decimal
+    // contract is that the partials TABLE is unchanged cell for cell —
+    // same (i, j) keys, same decimal(38,6) sums, so pcaFromTable, the
+    // oracle SQL and the streaming maintenance are all untouched
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val agg = Similarity.covPartials(emb).collect().map(_.toString).sorted.toSeq
+    val v = emb.select(VectorFunctions.toDouble($"embedding").as("emb"))
+    val d = v.select(size($"emb")).head().getInt(0)
+    val exploded = v.select(explode(concat(
+        flatten(transform(sequence(lit(0), lit(d - 1)), i =>
+          concat(
+            transform(sequence(i, lit(d - 1)), j =>
+              struct(i.cast("int").as("i"), j.cast("int").as("j"),
+                (element_at($"emb", i + 1) * element_at($"emb", j + 1)).as("p"))),
+            array(struct(i.cast("int").as("i"), lit(-1).as("j"),
+              element_at($"emb", i + 1).as("p")))))),
+        array(struct(lit(-1).as("i"), lit(-1).as("j"), lit(1.0).as("p"))))).as("t"))
+      .groupBy($"t.i".as("i"), $"t.j".as("j"))
+      .agg(sum($"t.p".cast("decimal(38,6)")).as("s"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(agg === exploded,
+      "aggregate partials must equal the explode formulation cell for cell")
+    // empty corpus: an empty, correctly-typed frame (streaming micro-batch
+    // with zero rows must not kill the maintenance query)
+    val empty = Similarity.covPartials(emb.limit(0))
+    assert(empty.columns.toSeq === Seq("i", "j", "s"))
+    assert(empty.count() === 0L)
+    // NULL vectors contribute nothing — not even to the count cell (the
+    // explode form's concat-with-null behavior, preserved)
+    val withNull = emb.select($"vec_id",
+      when($"vec_id" % 2 === 0, $"embedding").as("embedding"))
+    val evenOnly = emb.filter($"vec_id" % 2 === 0)
+    assert(Similarity.covPartials(withNull)
+        .collect().map(_.toString).sorted.toSeq ===
+      Similarity.covPartials(evenOnly)
+        .collect().map(_.toString).sorted.toSeq,
+      "null vectors must contribute nothing to any cell")
+  }
+
   test("corpus-wide kNN graph through the IVF index equals the brute graph at full probe") {
     // the documented index-scale path for knnGraph: the SAME shape run
     // through the partitioned lists with queries = all vectors; at
