@@ -720,7 +720,7 @@ object TextAnalysis {
     val want = budgets.toSet
     val stats =
       scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Long)]
-    def measure(nm: Int, vocab: DataFrame): Unit = if (want(nm)) {
+    def record(nm: Int, vocab: DataFrame): Unit = {
       // coalesce: an empty vocabulary (corpus with no trainable words) sums
       // to NULL — the curve reports explicit zeros, not an unboxing crash
       val r = vocab.agg(count(lit(1)).as("vw"),
@@ -732,7 +732,18 @@ object TextAnalysis {
       stats += ((nm, r.getAs[Long]("vw"), r.getAs[Long]("nw"),
         r.getAs[Long]("nt"), nsym))
     }
+    def measure(nm: Int, vocab: DataFrame): Unit = if (want(nm)) record(nm, vocab)
     val (_, last) = bpeTrainState(docs, budgets.max, measure)
+    // budgets past convergence: a k-budget tokenizer with k ≥ the total
+    // applied merge count IS the converged tokenizer (prefix-closure's
+    // other end), so every requested budget still gets its row — measured
+    // from the fixed-point state the training stopped at. This matches the
+    // SQL oracle, whose per-round CTEs degrade to the same fixed point once
+    // merge pairs are exhausted (r16 ADVICE: the observe hook alone fires
+    // only per APPLIED merge, so a corpus converging before the maximal
+    // budget silently dropped the unreached rows).
+    budgets.sorted.filterNot(b => stats.exists(_._1 == b))
+      .foreach(b => record(b, last))
     Checkpoints.unpersist(last)
     stats.toSeq
       .toDF("n_merges", "vocab_words", "n_words", "n_bpe_tokens",

@@ -674,10 +674,14 @@ class AdversarialSpec extends SparkSpec {
     assert(sg.isEmpty && sg.columns.toSeq === Seq("gap_us", "n_events",
       "n_sessions", "events_per_session", "in_session_us", "avg_session_us"))
     val bpe = TextAnalysis.bpeBudgetCurve(docs()).collect()
-    assert(bpe.map(_.getAs[Int]("n_merges")).toSeq === Seq(0),
-      "no trainable words: only the char-split anchor row exists")
-    assert(bpe.head.getAs[Long]("n_bpe_tokens") === 0L)
-    assert(bpe.head.isNullAt(bpe.head.fieldIndex("fertility")))
+    assert(bpe.map(_.getAs[Int]("n_merges")).toSeq === Seq(0, 2, 4, 8),
+      "no trainable words: every budget row still exists (training " +
+        "converges at the char split, and budgets past convergence read " +
+        "the fixed point — the oracle's s$r CTEs do the same)")
+    bpe.foreach { r =>
+      assert(r.getAs[Long]("n_bpe_tokens") === 0L)
+      assert(r.isNullAt(r.fieldIndex("fertility")))
+    }
     // the five doc-table curves, driven through the registry against an
     // EMPTY documents table (the composition, not just the ops)
     val dir = graft.sources.Scratch.dir("graft_adv_curves")
