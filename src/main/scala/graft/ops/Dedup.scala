@@ -168,6 +168,62 @@ object Dedup {
               (col("doc_id") =!= col("canonical_id")).as("is_dup"))
   }
 
+  /** Normalized host from a URL column — the crawl pipeline's unit of
+    * action (block lists, politeness budgets, per-domain dup/quality
+    * read-outs all key on the host, not the full URL). Pure codegen'd
+    * regexp chain, no UDF: lowercase (scheme and host are
+    * case-insensitive), strip the scheme, cut everything from the first
+    * path/query/fragment delimiter, strip userinfo, strip an explicit
+    * port, strip one leading `www.` label. Scheme-less inputs
+    * (`example.com/path`) pass through the same chain unchanged by the
+    * scheme step. NULL url → NULL host. */
+  def hostOf(url: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(url), "^[a-z][a-z0-9+.-]*://", ""),
+            "[/?#].*$", ""),
+          "^[^@]*@", ""),
+        ":[0-9]+$", ""),
+      "^www\\.", "")
+
+  /** Per-host duplication + quality rollup over a crawl slice — the
+    * per-DOMAIN health dashboard (`sourceDupStats` is the per-source
+    * twin; a crawl acts on hosts: a domain that is mostly exact copies or
+    * mostly gate-dropped text gets its crawl budget cut). Per normalized
+    * host ([[hostOf]]): doc count, corpus-wide exact-duplicate count and
+    * share ([[exact]] — a doc is a dup if a smaller doc_id shares its
+    * normalized text ANYWHERE in the corpus, so a host serving another
+    * host's content still reads as duplicated), and the composite quality
+    * gate's keep count/rate
+    * ([[graft.ops.TextAnalysis.qualityFilter]]; docs the gate never saw —
+    * empty/null text — count as kept=false, the curate-first posture).
+    *
+    * 100 TB shape: the dup flags shuffle (hash128, doc_id) only, the gate
+    * is one tokenize pass keyed by doc_id, the final rollup is
+    * |hosts|-bounded with map-side partials — no text ever shuffles and
+    * nothing is corpus² at any stage.
+    *
+    * @param docs (doc_id, url, text) */
+  def hostDupStats(docs: DataFrame): DataFrame = {
+    val hosts = docs.select(col("doc_id"), hostOf(col("url")).as("host"))
+    val dup = exact(docs).select(col("doc_id"), col("is_dup"))
+    val gate = graft.ops.TextAnalysis.qualityFilter(docs)
+      .select(col("doc_id"), col("keep"))
+    hosts.join(dup, "doc_id").join(gate, Seq("doc_id"), "left")
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"),
+           sum(when(coalesce(col("keep"), lit(false)), 1L).otherwise(0L))
+             .as("n_kept"))
+      .select(col("host"), col("n_docs"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_docs")).as("dup_share"),
+        col("n_kept"),
+        (col("n_kept").cast("double") / col("n_docs")).as("keep_rate"))
+      .orderBy(col("host"))
+  }
+
   /** CCNet-style block/paragraph-hash dedup (Wenzek et al., "CCNet",
     * LREC'20 §3.2 dedups paragraphs by SHA1 across shards): segment each
     * doc into consecutive `blockWords`-token blocks (partial tail kept),

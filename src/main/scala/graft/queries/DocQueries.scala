@@ -959,6 +959,61 @@ object DocQueries {
     FROM documents d LEFT JOIN lab ON d.doc_id = lab.id
     GROUP BY source ORDER BY source"""
 
+  /** Per-host duplication + quality rollup ([[graft.ops.Dedup.hostDupStats]]):
+    * the per-DOMAIN crawl-health dashboard — `source_dup_stats`' twin at
+    * the unit a crawler actually acts on. The corpus carries no url
+    * column, so the registry derives a deterministic stand-in URL per doc
+    * that exercises every normalization rule the host extractor claims
+    * (scheme case, leading www, userinfo, explicit ports, paths, query
+    * strings, fragments — four rotating shapes by doc_id % 4, all of
+    * which must collapse to the same `<source>.example.com` host); the
+    * oracle replays the derivation and the regexp chain verbatim, so a
+    * normalizer bug splits the host groups and fails the hash compare. */
+  private def hostDupStatsQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = $"doc_id" % 4
+    val url = concat(
+      when(m === 0, "https://www.").when(m === 1, "http://")
+        .when(m === 2, "HTTPS://WWW.").otherwise("ftp://crawler:pw@"),
+      $"source", lit(".example.com"),
+      when(m === 1, ":8080").when(m === 3, ":21").otherwise(""),
+      lit("/"), $"lang", lit("/doc/"), $"doc_id".cast("string"),
+      when(m === 1, "?utm=x").when(m === 2, "#frag").otherwise(""))
+    Dedup.hostDupStats(Tables.documents(s, d).withColumn("url", url))
+  }
+
+  private lazy val hostDupStatsSql = raw"""
+    WITH u AS (SELECT doc_id,
+        CASE doc_id % 4 WHEN 0 THEN 'https://www.' WHEN 1 THEN 'http://'
+          WHEN 2 THEN 'HTTPS://WWW.' ELSE 'ftp://crawler:pw@' END
+        || source || '.example.com'
+        || CASE doc_id % 4 WHEN 1 THEN ':8080' WHEN 3 THEN ':21' ELSE '' END
+        || '/' || lang || '/doc/' || doc_id
+        || CASE doc_id % 4 WHEN 1 THEN '?utm=x' WHEN 2 THEN '#frag' ELSE '' END
+          AS url
+      FROM documents),
+    h AS (SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(lower(url), '^[a-z][a-z0-9+.-]*://', ''),
+          '[/?#].*$$', ''), '^[^@]*@', ''), ':[0-9]+$$', ''), '^www\.', '')
+          AS host
+      FROM u),
+    e AS (SELECT doc_id,
+        doc_id <> min(doc_id) OVER (PARTITION BY
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS is_dup
+      FROM documents),
+    qf AS (SELECT doc_id, keep FROM ($qualityFilterSql)),
+    j AS (SELECT h.host, e.is_dup, coalesce(qf.keep, false) AS keep
+          FROM h JOIN e USING (doc_id) LEFT JOIN qf USING (doc_id))
+    SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+        AS dup_share,
+      CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+        AS keep_rate
+    FROM j GROUP BY host ORDER BY host"""
+
   /** Pairwise cross-source shingle-overlap matrix (see
     * [[graft.ops.Dedup.sourceOverlap]] for the operator and its 100 TB
     * shape): `source_dup_stats` above answers "how contaminated is this
@@ -4265,6 +4320,7 @@ $sel
     Q("label_balance", labelBalance, Some(labelBalanceSql)),
     Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("source_dup_stats", sourceDupStats, Some(sourceDupStatsSql)),
+    Q("host_dup_stats", hostDupStatsQ, Some(hostDupStatsSql)),
     Q("length_outliers", lengthOutliers, Some(lengthOutliersSql)),
     Q("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     Q("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),

@@ -22,6 +22,45 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(_.getBoolean(2)).map(_.getLong(0)).toSet === Set(2L, 5L))
   }
 
+  test("hostOf normalizes scheme, case, www, userinfo, port, and path") {
+    val cases = Seq(
+      ("https://www.Example.COM/path?q=1#f", "example.com"),
+      ("http://example.com:8080/", "example.com"),
+      ("ftp://user:pw@sub.example.com:21/x", "sub.example.com"),
+      ("example.com/bare/path", "example.com"), // scheme-less passes through
+      ("HTTPS://WWW.EXAMPLE.COM", "example.com"),
+      ("https://wwwx.example.com", "wwwx.example.com"), // only the www. LABEL strips
+      ("https://example.com?q=a@b", "example.com")) // @ in query is not userinfo
+    val out = cases.map(_._1).toDF("url")
+      .select(Dedup.hostOf($"url").as("h")).as[String].collect().toSeq
+    assert(out === cases.map(_._2),
+      "host normalization must hit every rule exactly")
+    val nullHost = Seq(Tuple1[String](null)).toDF("url")
+      .select(Dedup.hostOf($"url")).collect().head
+    assert(nullHost.isNullAt(0), "NULL url must yield NULL host")
+  }
+
+  test("hostDupStats attributes corpus-wide exact dups per host") {
+    val docs = Seq(
+      (1L, "https://www.a.com/1", "shared text body one two three"),
+      (2L, "http://a.com:80/2", "unique text on host a four five"),
+      (3L, "https://b.com/3", "SHARED  text body one two THREE"), // dup of 1, other host
+      (4L, "https://b.com/4", "")) // empty text: absent from the gate, kept=false
+      .toDF("doc_id", "url", "text")
+    val rows = Dedup.hostDupStats(docs).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("a.com", "b.com"))
+    val byHost = rows.map(r => r.getString(0) -> r).toMap
+    assert(byHost("a.com").getAs[Long]("n_docs") === 2L)
+    // doc 3 duplicates doc 1 ACROSS hosts: the dup lands on b.com (the
+    // later doc_id), a.com keeps the canonical copy
+    assert(byHost("a.com").getAs[Long]("n_dup") === 0L)
+    assert(byHost("b.com").getAs[Long]("n_dup") === 1L)
+    assert(byHost("b.com").getAs[Double]("dup_share") === 0.5)
+    // toy texts are all gate-dropped (too short / unknown lang / empty),
+    // but the rollup must still count every doc
+    assert(rows.map(_.getAs[Long]("n_kept")).forall(_ === 0L))
+  }
+
   test("source overlap: hand-computed pairwise containment and jaccard") {
     val docs = Seq(
       (0L, "A", "a b c d"),  // A shingles: {a b c, b c d}
