@@ -255,6 +255,94 @@ object Dedup {
         struct(col("doc_id"), col("block_idx")) =!= col("first_key")))
   }
 
+  /** Fuzzy (Hamming ≤ 1) twin of [[blockDedup]] — near-identical
+    * boilerplate blocks that hash differently by ONE token (a counter, a
+    * date, a name slot in a template) defeat exact block hashing; this
+    * catches them without any pairwise scan of the corpus.
+    *
+    * Two rules, both order-deterministic and non-recursive:
+    *  1. EXACT (the [[blockDedup]] rule, uncapped): every non-first
+    *     instance of a block's content is removed — first = smallest
+    *     (doc_id, block_idx), so hot boilerplate is still fully deduped
+    *     no matter how often it repeats;
+    *  2. FUZZY, among the distinct contents' FIRST instances only: a
+    *     first instance is removed (all its instances with it) when an
+    *     EARLIER first instance of the same width differs from it in at
+    *     most one token position — whether or not that earlier block is
+    *     itself dominated (non-recursive, so the verdict never depends
+    *     on evaluation order).
+    *
+    * Candidate generation is the exact pigeonhole, not a probabilistic
+    * band: equal-width blocks at Hamming ≤ 1 must agree exactly on one
+    * of their two halves, so candidates come from an equality join on
+    * (half index, width, half hashes) — recall is total at the
+    * threshold, precision restored by the per-position verify. Buckets
+    * with more than `maxDf` distinct first instances are skipped (the
+    * [[spanDedup]] df-cap posture: a half THAT common is template
+    * machinery whose instances exact-rule dedup already absorbs; the cap
+    * bounds pair fan-out at buckets × C(maxDf, 2) and the oracle replays
+    * it verbatim).
+    *
+    * 100 TB shape: tokens reduce map-side to xxhash64 per position (the
+    * [[exact]] hash≡string collision contract — the oracle compares the
+    * token strings); every shuffle carries (≤ blockWords longs + ids),
+    * never text; the only joins are equi-joins on half arrays, and the
+    * domination probe back onto instances is a broadcast-sized
+    * first-instance table at any realistic near-dup density.
+    *
+    * Output: the [[blockDedup]] per-doc survival schema (n_blocks,
+    * n_removed, words_total, words_removed, kept_ratio). */
+  def fuzzyBlockDedup(docs: DataFrame, blockWords: Int = 8,
+                      maxDf: Int = 16): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val inst = docs
+      .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))))
+      .toDF("doc_id", "pos", "t")
+      .select(col("doc_id"), col("pos"),
+        array((0 until blockWords).map(j =>
+          lead(col("t"), j).over(byDoc)): _*).as("ts"),
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))).as("n_toks"))
+      .filter(pmod(col("pos"), lit(blockWords)) === 0)
+      .select(col("doc_id"),
+        (col("pos") / blockWords).cast("long").as("block_idx"),
+        least(lit(blockWords.toLong), col("n_toks") - col("pos")).as("bw"),
+        col("ts"))
+      .select(col("doc_id"), col("block_idx"), col("bw"),
+        transform(slice(col("ts"), lit(1), col("bw").cast("int")),
+          t => xxhash64(t)).as("ph"))
+    val firsts = inst.groupBy(col("ph"))
+      .agg(min(struct(col("doc_id"), col("block_idx"))).as("fkey"))
+    val nl = expr("(size(ph)+1) div 2")
+    val bands = firsts
+      .select(col("fkey"), col("ph"), lit(0).as("hx"),
+        slice(col("ph"), lit(1), nl).as("half"))
+      .unionByName(firsts.select(col("fkey"), col("ph"), lit(1).as("hx"),
+        slice(col("ph"), nl + 1, size(col("ph")) - nl).as("half")))
+      .withColumn("bwk", size(col("ph")))
+    val dfreq = bands.groupBy(col("hx"), col("bwk"), col("half"))
+      .agg(count(lit(1)).as("df"))
+    val ok = bands.join(dfreq.filter(col("df") <= maxDf),
+      Seq("hx", "bwk", "half"))
+    val cand = ok.select(col("hx"), col("bwk"), col("half"),
+        col("fkey").as("ka"), col("ph").as("pa"))
+      .join(ok.select(col("hx"), col("bwk"), col("half"),
+        col("fkey").as("kb"), col("ph").as("pb")), Seq("hx", "bwk", "half"))
+      .filter(col("ka") < col("kb"))
+      .select(col("ka"), col("kb"), col("pa"), col("pb")).distinct()
+    val ham = aggregate(
+      zip_with(col("pa"), col("pb"),
+        (x, y) => when(x === y, 0).otherwise(1)),
+      lit(0), (acc, x) => acc + x)
+    val dominated = cand.filter(ham <= 1)
+      .select(col("kb").as("fkey")).distinct().withColumn("dom", lit(true))
+    blockStats(inst
+      .join(firsts, Seq("ph"))
+      .join(dominated, Seq("fkey"), "left")
+      .withColumn("removed",
+        struct(col("doc_id"), col("block_idx")) =!= col("fkey") ||
+          coalesce(col("dom"), lit(false))))
+  }
+
   /** One row per `blockWords`-token block: (doc_id, block_idx, hash128
     * pair, block word count). Shared by the one-shot [[blockDedup]] and
     * the standing-index arrival path ([[incrementalBlockDedup]]). */

@@ -605,6 +605,54 @@ object DocQueries {
     WITH $blockCtes
     $blockStatsSelect GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Fuzzy (Hamming ≤ 1) block dedup ([[graft.ops.Dedup.fuzzyBlockDedup]]):
+    * the exact first-instance rule plus pigeonhole-banded domination among
+    * distinct first instances (equal-width blocks differing in ≤ 1 token
+    * share one exact half), df-capped at 16 first instances per half
+    * bucket. The oracle replays block slicing, half banding, the cap, and
+    * the per-position mismatch count over token LISTS (the engine compares
+    * per-position xxhash64 — the dedup_exact hash≡string contract). */
+  private def fuzzyBlockDedupQ(s: SparkSession, d: String): DataFrame =
+    Dedup.fuzzyBlockDedup(Tables.documents(s, d)).orderBy("doc_id")
+
+  private val fuzzyBlockDedupSql = raw"""
+    WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws
+               FROM documents),
+    bi AS (SELECT doc_id, u.bi AS block_idx, u.toks AS toks,
+                  len(u.toks) AS bw FROM
+          (SELECT doc_id, unnest([{'bi': i, 'toks': ws[i*8+1:i*8+8]}
+                                  for i in range(0, (len(ws)+7)//8)]) AS u
+           FROM w)),
+    f AS (SELECT doc_id, block_idx, toks, bw,
+            row_number() OVER (PARTITION BY toks
+                               ORDER BY doc_id, block_idx) AS rn,
+            first_value(doc_id) OVER (PARTITION BY toks
+                                      ORDER BY doc_id, block_idx) AS fd,
+            first_value(block_idx) OVER (PARTITION BY toks
+                                         ORDER BY doc_id, block_idx) AS fi
+          FROM bi),
+    ff AS (SELECT doc_id, block_idx, toks, bw FROM f WHERE rn = 1),
+    bands AS (
+      SELECT doc_id, block_idx, toks, bw, 0 AS hx,
+             toks[1:(bw+1)//2] AS half FROM ff
+      UNION ALL
+      SELECT doc_id, block_idx, toks, bw, 1 AS hx,
+             toks[(bw+1)//2+1:bw] AS half FROM ff),
+    dfq AS (SELECT hx, bw, half, COUNT(*) AS df FROM bands GROUP BY 1, 2, 3),
+    okb AS (SELECT b.* FROM bands b JOIN dfq USING (hx, bw, half)
+            WHERE df <= 16),
+    dom AS (SELECT DISTINCT b.doc_id AS fd, b.block_idx AS fi
+            FROM okb a JOIN okb b
+              ON a.hx = b.hx AND a.bw = b.bw AND a.half = b.half
+             AND (a.doc_id < b.doc_id
+                  OR (a.doc_id = b.doc_id AND a.block_idx < b.block_idx))
+            WHERE len([i for i in range(1, a.bw + 1)
+                       if a.toks[i] <> b.toks[i]]) <= 1),
+    r AS (SELECT f.doc_id, f.block_idx, f.bw,
+            (f.rn > 1 OR d.fd IS NOT NULL) AS removed
+          FROM f LEFT JOIN dom d ON f.fd = d.fd AND f.fi = d.fi)
+    $blockStatsSelect GROUP BY doc_id ORDER BY doc_id"""
+
   /** Standing-index arrival screen ([[graft.ops.Dedup.incrementalBlockDedup]]):
     * docs < 400 are the indexed standing corpus, docs >= 400 the arrival
     * batch. Under monotone ids the screen ≡ the corpus-wide first-instance
@@ -4309,6 +4357,7 @@ $sel
     Q("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
     Q("dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("block_dedup", blockDedupQ, Some(blockDedupSql)),
+    Q("fuzzy_block_dedup", fuzzyBlockDedupQ, Some(fuzzyBlockDedupSql)),
     Q("cdc_chunk_dedup", cdcChunkDedupQ, Some(cdcChunkDedupSql)),
     Q("containment_join", containmentJoinQ, Some(containmentJoinSql)),
     Q("incremental_containment", incrementalContainmentQ,

@@ -22,6 +22,31 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(_.getBoolean(2)).map(_.getLong(0)).toSet === Set(2L, 5L))
   }
 
+  test("fuzzyBlockDedup: one-token-off templates fold, Hamming-2 survives") {
+    val docs = Seq(
+      (0L, "alpha bravo charlie delta echo foxtrot golf hotel"), // first
+      (1L, "alpha bravo charlie delta echo foxtrot golf india"), // Hamming 1 vs 0 (right half)
+      (2L, "alpha bravo charlie delta echo foxtrot golf hotel"), // exact dup of 0
+      (3L, "alpha bravo zulu delta echo foxtrot golf india"),    // Hamming 2 vs 0, 1 vs doc 1
+      (4L, "one two three four five six seven eight"),           // unrelated
+      (5L, "red green blue"),                                    // 3-token tail width
+      (6L, "red green violet"))                                  // Hamming 1 vs 5 at width 3
+      .toDF("doc_id", "text")
+    val out = Dedup.fuzzyBlockDedup(docs)
+      .select("doc_id", "n_blocks", "n_removed").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L) === ((1L, 0L)), "the earliest template instance survives")
+    assert(out(1L) === ((1L, 1L)), "one token off (right half) is dominated")
+    assert(out(2L) === ((1L, 1L)), "exact duplicates still fold (rule 1)")
+    // doc 3 is Hamming 2 from doc 0 but Hamming 1 from doc 1's first
+    // instance — domination is non-recursive, so being dominated by a
+    // dominated block still removes it
+    assert(out(3L) === ((1L, 1L)))
+    assert(out(4L) === ((1L, 0L)), "unrelated content survives")
+    assert(out(5L) === ((1L, 0L)) && out(6L) === ((1L, 1L)),
+      "equal tail widths compare; Hamming 1 at width 3 folds")
+  }
+
   test("hostOf normalizes scheme, case, www, userinfo, port, and path") {
     val cases = Seq(
       ("https://www.Example.COM/path?q=1#f", "example.com"),
