@@ -25,7 +25,7 @@ import org.apache.spark.storage.StorageLevel
   *    default) and remembers it under its canonicalized logical plan;
   *  - re-registering a semantically identical plan is a no-op hit (the
   *    existing InMemoryRelation serves the new frame automatically);
-  *  - once more than `spark.graft.internalCache.maxEntries` (default 16)
+  *  - once more than `spark.graft.internalCache.maxEntries` (default 24)
   *    distinct plans are held, the least-recently-used entry is
   *    unpersisted — consumers still running against it simply recompute,
   *    correctness is untouched;
@@ -38,7 +38,15 @@ import org.apache.spark.storage.StorageLevel
 object InternalCaches {
 
   private val ConfKey = "spark.graft.internalCache.maxEntries"
-  private val DefaultMax = 16
+  // 24, not 16 (r17): the minhash closure now routes its shingle/band/pair
+  // frames here too, so a mixed workload holds ~3 frames per active dedup
+  // operator — at 16 a long analytics sweep evicted one operator's frames
+  // MID-ENTRY while another was still building, turning the bound into a
+  // cross-operator thrash (the r16 bench's phantom trips). The footprint
+  // contract is unchanged in form (≤ maxEntries × largest internal frame,
+  // corpus×k-row hash frames — MBs at any sane k), just sized to hold a
+  // realistic number of concurrently-live operators.
+  private val DefaultMax = 24
 
   // access-ordered so iteration starts at the LRU entry; all access
   // synchronized on the map itself
