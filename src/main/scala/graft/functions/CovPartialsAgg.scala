@@ -20,7 +20,11 @@ import org.apache.spark.sql.types._
   * [[graft.ops.Similarity.covPartials]]): each per-row term is the
   * DOUBLE product cast to decimal(38,6) exactly the way Spark's
   * double→decimal Cast does it — shortest-string decimal rendering of
-  * the double, then HALF_UP to scale 6 — and the accumulation is
+  * the double, then HALF_UP to scale 6, and NaN/±Infinity → NULL (so a
+  * non-finite term is SKIPPED like sum() skips a NULL, and a cell whose
+  * every term was non-finite reads NULL — one bad embedding value
+  * degrades that cell, never crashes the batch or the streaming
+  * maintenance) — and the accumulation is
   * BigDecimal addition of those scale-6 values, which is associative and
   * commutative, so partition count and row order cannot perturb the sums
   * (the property the DuckDB oracle replay and the streaming additivity
@@ -36,22 +40,35 @@ final class CovBuffer {
   /** Dimension, fixed by the first vector this buffer absorbs; -1 = empty. */
   var d: Int = -1
   /** Cell sums, laid out [mean_0..mean_{d-1}, tri(0,0), tri(0,1), ...,
-    * tri(0,d-1), tri(1,1), ..., tri(d-1,d-1)], then the row count last. */
+    * tri(0,d-1), tri(1,1), ..., tri(d-1,d-1)], then the row count last.
+    * A cell is `null` until the FIRST finite term lands in it — Spark's
+    * non-ANSI double→decimal Cast turns NaN/±Infinity into NULL and
+    * sum() skips NULLs, so a cell fed only non-finite terms must come
+    * out NULL, not 0 (the explode formulation's behavior, cell for
+    * cell). */
   var sums: Array[JBigDecimal] = null
 
   private def nCells(dim: Int): Int = dim + dim * (dim + 1) / 2 + 1
 
   def allocate(dim: Int): Unit = {
     d = dim
-    sums = Array.fill(nCells(dim))(JBigDecimal.ZERO)
+    sums = new Array[JBigDecimal](nCells(dim)) // all null = all-NULL sums
   }
 
   /** Spark's DoubleType→DecimalType(38,6) Cast, reproduced: Decimal(d)
     * parses the double's shortest string rendering, changePrecision
-    * rounds HALF_UP to scale 6. */
+    * rounds HALF_UP to scale 6. Callers guard non-finite inputs (Cast
+    * maps those to NULL; Double.toString("NaN") would throw here). */
   private def castDec(p: Double): JBigDecimal =
     new JBigDecimal(java.lang.Double.toString(p))
       .setScale(6, RoundingMode.HALF_UP)
+
+  /** SQL sum-accumulate: NULL cell + finite term = the term. */
+  private def acc(k: Int, p: Double): Unit =
+    if (java.lang.Double.isFinite(p)) {
+      val t = castDec(p)
+      sums(k) = if (sums(k) == null) t else sums(k).add(t)
+    }
 
   private val one = new JBigDecimal(BigInteger.valueOf(1000000L), 6)
 
@@ -64,16 +81,17 @@ final class CovBuffer {
     var i = 0
     var t = d // triangle cells start after the d mean terms
     while (i < d) {
-      sums(i) = sums(i).add(castDec(xs(i)))
+      acc(i, xs(i))
       var j = i
       while (j < d) {
-        sums(t) = sums(t).add(castDec(xs(i) * xs(j)))
+        acc(t, xs(i) * xs(j))
         t += 1
         j += 1
       }
       i += 1
     }
-    sums(sums.length - 1) = sums(sums.length - 1).add(one)
+    val last = sums.length - 1
+    sums(last) = if (sums(last) == null) one else sums(last).add(one)
   }
 
   def mergeFrom(other: CovBuffer): Unit = {
@@ -83,17 +101,24 @@ final class CovBuffer {
       s"merging covariance partials of different dimension: $d vs ${other.d}")
     var i = 0
     while (i < sums.length) {
-      sums(i) = sums(i).add(other.sums(i))
+      val o = other.sums(i)
+      if (o != null) sums(i) = if (sums(i) == null) o else sums(i).add(o)
       i += 1
     }
   }
 
   def serialize(): Array[Byte] = {
     if (d == -1) return ByteBuffer.allocate(4).putInt(-1).array()
-    val bytes = sums.map(_.unscaledValue().toByteArray)
-    val bb = ByteBuffer.allocate(4 + bytes.map(_.length + 4).sum)
+    // null cells serialize as length -1 (distinct from BigInteger.ZERO's
+    // real byte encoding)
+    val bytes = sums.map(s => if (s == null) null
+                             else s.unscaledValue().toByteArray)
+    val bb = ByteBuffer.allocate(
+      4 + bytes.map(b => (if (b == null) 0 else b.length) + 4).sum)
     bb.putInt(d)
-    bytes.foreach { b => bb.putInt(b.length); bb.put(b) }
+    bytes.foreach { b =>
+      if (b == null) bb.putInt(-1) else { bb.putInt(b.length); bb.put(b) }
+    }
     bb.array()
   }
 }
@@ -107,9 +132,12 @@ object CovBuffer {
     buf.allocate(dim)
     var i = 0
     while (i < buf.sums.length) {
-      val b = new Array[Byte](bb.getInt)
-      bb.get(b)
-      buf.sums(i) = new JBigDecimal(new BigInteger(b), 6)
+      val n = bb.getInt
+      if (n >= 0) {
+        val b = new Array[Byte](n)
+        bb.get(b)
+        buf.sums(i) = new JBigDecimal(new BigInteger(b), 6)
+      } // n == -1: the cell never saw a finite term — stays null
       i += 1
     }
     buf
@@ -164,7 +192,9 @@ case class CovPartialsAgg(
     val d = buffer.d
     val out = new Array[Any](buffer.sums.length)
     def cell(i: Int, j: Int, s: JBigDecimal): InternalRow =
-      InternalRow(i, j, Decimal(new scala.math.BigDecimal(s), 38, 6))
+      // null sum = every term was non-finite (Cast→NULL, sum of NULLs)
+      InternalRow(i, j,
+        if (s == null) null else Decimal(new scala.math.BigDecimal(s), 38, 6))
     var k = 0
     while (k < d) { out(k) = cell(k, -1, buffer.sums(k)); k += 1 }
     var t = d

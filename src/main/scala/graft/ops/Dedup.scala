@@ -313,10 +313,17 @@ object Dedup {
     val firsts = inst.groupBy(col("ph"))
       .agg(min(struct(col("doc_id"), col("block_idx"))).as("fkey"))
     val nl = expr("(size(ph)+1) div 2")
-    val bands = firsts
+    // width-1 blocks (a lone tail token) are EXCLUDED from the fuzzy
+    // rule: their second half is empty, so every distinct 1-token tail
+    // would "agree" on it and dominate every other — Hamming 1 between
+    // single tokens is "shares nothing", not "near-identical template".
+    // The exact rule still dedups identical tails; the oracle replays
+    // the same bw >= 2 restriction.
+    val fuzzable = firsts.filter(size(col("ph")) >= 2)
+    val bands = fuzzable
       .select(col("fkey"), col("ph"), lit(0).as("hx"),
         slice(col("ph"), lit(1), nl).as("half"))
-      .unionByName(firsts.select(col("fkey"), col("ph"), lit(1).as("hx"),
+      .unionByName(fuzzable.select(col("fkey"), col("ph"), lit(1).as("hx"),
         slice(col("ph"), nl + 1, size(col("ph")) - nl).as("half")))
       .withColumn("bwk", size(col("ph")))
     val dfreq = bands.groupBy(col("hx"), col("bwk"), col("half"))

@@ -634,10 +634,10 @@ object DocQueries {
     ff AS (SELECT doc_id, block_idx, toks, bw FROM f WHERE rn = 1),
     bands AS (
       SELECT doc_id, block_idx, toks, bw, 0 AS hx,
-             toks[1:(bw+1)//2] AS half FROM ff
+             toks[1:(bw+1)//2] AS half FROM ff WHERE bw >= 2
       UNION ALL
       SELECT doc_id, block_idx, toks, bw, 1 AS hx,
-             toks[(bw+1)//2+1:bw] AS half FROM ff),
+             toks[(bw+1)//2+1:bw] AS half FROM ff WHERE bw >= 2),
     dfq AS (SELECT hx, bw, half, COUNT(*) AS df FROM bands GROUP BY 1, 2, 3),
     okb AS (SELECT b.* FROM bands b JOIN dfq USING (hx, bw, half)
             WHERE df <= 16),
@@ -1060,7 +1060,7 @@ object DocQueries {
       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
         AS keep_rate
-    FROM j GROUP BY host ORDER BY host"""
+    FROM j GROUP BY host ORDER BY host NULLS FIRST"""
 
   /** Pairwise cross-source shingle-overlap matrix (see
     * [[graft.ops.Dedup.sourceOverlap]] for the operator and its 100 TB

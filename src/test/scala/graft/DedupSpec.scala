@@ -30,7 +30,9 @@ class DedupSpec extends SparkSpec {
       (3L, "alpha bravo zulu delta echo foxtrot golf india"),    // Hamming 2 vs 0, 1 vs doc 1
       (4L, "one two three four five six seven eight"),           // unrelated
       (5L, "red green blue"),                                    // 3-token tail width
-      (6L, "red green violet"))                                  // Hamming 1 vs 5 at width 3
+      (6L, "red green violet"),                                  // Hamming 1 vs 5 at width 3
+      (7L, "apple banana cherry date elder fig grape honey kiwi"),  // width-1 tail "kiwi"
+      (8L, "stone brick mortar tile slate glass steel beam lime"))  // width-1 tail "lime"
       .toDF("doc_id", "text")
     val out = Dedup.fuzzyBlockDedup(docs)
       .select("doc_id", "n_blocks", "n_removed").collect()
@@ -45,6 +47,12 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) === ((1L, 0L)), "unrelated content survives")
     assert(out(5L) === ((1L, 0L)) && out(6L) === ((1L, 1L)),
       "equal tail widths compare; Hamming 1 at width 3 folds")
+    // width-1 tails are OUTSIDE the fuzzy rule: their second half is
+    // empty, so without the bw >= 2 restriction every distinct lone tail
+    // token would dominate every later one (r17 ADVICE) — "kiwi" and
+    // "lime" share nothing and both must survive
+    assert(out(7L) === ((2L, 0L)) && out(8L) === ((2L, 0L)),
+      "unrelated single-token tails must not fuzzy-dominate each other")
   }
 
   test("hostOf normalizes scheme, case, www, userinfo, port, and path") {

@@ -29,11 +29,24 @@ class RegistrySpec extends SparkSpec {
     // exactly that drift. Parse §2's checked backtick names and demand the
     // registry is a subset (the checklist also lists spec-only components —
     // sinks, streaming twins — so the reverse containment doesn't hold).
+    // resolve against the repo root (user.dir is the sbt project root in
+    // every supported launch; fall back loudly rather than an NPE deep in
+    // Files.readAllBytes if the layout ever changes)
+    val surveyPath = Seq(
+        java.nio.file.Paths.get("SURVEY.md"),
+        java.nio.file.Paths.get(sys.props("user.dir"), "SURVEY.md"))
+      .find(java.nio.file.Files.exists(_))
+    assert(surveyPath.isDefined,
+      s"SURVEY.md not found from CWD ${sys.props("user.dir")}")
     val survey = new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
+      java.nio.file.Files.readAllBytes(surveyPath.get),
       java.nio.charset.StandardCharsets.UTF_8)
-    val s2 = survey.substring(survey.indexOf("## §2"))
-    val sect = s2.substring(0, s2.indexOf("\n## §", 1))
+    val start = survey.indexOf("## §2")
+    assert(start >= 0, "SURVEY.md has no '## §2' section header")
+    val s2 = survey.substring(start)
+    // §2 may be the final section: indexOf then returns -1 → slice to end
+    val next = s2.indexOf("\n## §", 1)
+    val sect = s2.substring(0, if (next < 0) s2.length else next)
     val listed = "- \\[[ x]\\] `([^`]+)`".r
       .findAllMatchIn(sect).map(_.group(1)).toSet
     val missing = SparkEntry.registry.map(_.name).filterNot(listed)

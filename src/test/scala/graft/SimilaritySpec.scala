@@ -264,6 +264,56 @@ class SimilaritySpec extends SparkSpec {
       "null vectors must contribute nothing to any cell")
   }
 
+  test("cov_partials_agg matches the explode form on NaN/Infinity inputs") {
+    // non-ANSI Cast maps a non-finite double to NULL decimal and sum()
+    // skips NULLs — the r17 explode form therefore DEGRADED on a bad
+    // embedding value where the first aggregate cut crashed (r17 ADVICE:
+    // Double.toString(NaN) is not a parseable BigDecimal). Pin the
+    // aggregate to the explode semantics on a corpus seeded with NaN,
+    // +Inf and -Inf values: same cells, same NULLs, no exception.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = Seq(
+      Row(Array(1.5, Double.NaN, 2.0)),
+      Row(Array(2.5, Double.PositiveInfinity, -1.0)),
+      Row(Array(-0.5, Double.NegativeInfinity, 4.0)),
+      Row(Array(3.0, Double.NaN, 0.25)))
+    val emb = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(StructField("embedding",
+        ArrayType(DoubleType, containsNull = false)))))
+    val agg = Similarity.covPartials(emb)
+    val got = agg.collect().map(_.toString).sorted.toSeq
+    val d = 3
+    val exploded = emb.select($"embedding".as("emb"))
+      .select(explode(concat(
+        flatten(transform(sequence(lit(0), lit(d - 1)), i =>
+          concat(
+            transform(sequence(i, lit(d - 1)), j =>
+              struct(i.cast("int").as("i"), j.cast("int").as("j"),
+                (element_at($"emb", i + 1) * element_at($"emb", j + 1)).as("p"))),
+            array(struct(i.cast("int").as("i"), lit(-1).as("j"),
+              element_at($"emb", i + 1).as("p")))))),
+        array(struct(lit(-1).as("i"), lit(-1).as("j"), lit(1.0).as("p"))))).as("t"))
+      .groupBy($"t.i".as("i"), $"t.j".as("j"))
+      .agg(sum($"t.p".cast("decimal(38,6)")).as("s"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === exploded,
+      "non-finite terms must be skipped like Cast→NULL, cell for cell")
+    // dim 1 (the NaN column crossed with itself) must read as an all-NULL
+    // sum, and the row count must still see every row
+    val cells = agg.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> Option(r.getDecimal(2))).toMap
+    assert(cells((1, 1)).isEmpty, "all-non-finite cell must be NULL")
+    assert(cells((-1, -1)).get.intValueExact() === 4,
+      "row count must be unaffected by non-finite values")
+    // mixed cell (0,1): finite×NaN rows skip, nothing else contributes
+    assert(cells((0, 1)).isEmpty,
+      "a cell whose every product is non-finite must be NULL")
+    // finite cell (0,2) keeps only the finite products
+    assert(cells((0, 2)).isDefined)
+  }
+
   test("corpus-wide kNN graph through the IVF index equals the brute graph at full probe") {
     // the documented index-scale path for knnGraph: the SAME shape run
     // through the partitioned lists with queries = all vectors; at
