@@ -224,6 +224,43 @@ object Dedup {
       .orderBy(col("host"))
   }
 
+  /** Per-host template-boilerplate read-out — [[hostDupStats]] ×
+    * [[fuzzyBlockDedup]]'s natural join: which hosts serve near-identical
+    * template blocks (navigation chrome, footers, counter/date-slotted
+    * boilerplate), the read a crawler consults before block-listing a
+    * domain or down-weighting its crawl budget. Per normalized host
+    * ([[hostOf]]): doc count and the host's aggregate block survival
+    * under the fuzzy (Hamming ≤ 1) block rule — total/removed blocks and
+    * words, and the boilerplate rate (removed words / total words; NULL
+    * for a host with no tokenized blocks at all). NULL-text docs carry no
+    * blocks but still count in n_docs (the [[hostDupStats]] posture).
+    *
+    * 100 TB shape: exactly [[fuzzyBlockDedup]]'s (hash-only shuffles,
+    * df-capped pair fan-out) plus one |hosts|-bounded rollup with
+    * map-side partials — the host join adds a doc_id-keyed equi-join of
+    * two doc-bounded frames, nothing corpus².
+    *
+    * @param docs (doc_id, url, text) */
+  def hostBoilerplateRate(docs: DataFrame, blockWords: Int = 8,
+                          maxDf: Int = 16): DataFrame = {
+    val hosts = docs.select(col("doc_id"), hostOf(col("url")).as("host"))
+    val stats = fuzzyBlockDedup(docs.select(col("doc_id"), col("text")),
+      blockWords, maxDf)
+    hosts.join(stats, Seq("doc_id"), "left")
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("n_blocks"), lit(0L))).as("blocks_total"),
+        sum(coalesce(col("n_removed"), lit(0L))).as("blocks_removed"),
+        sum(coalesce(col("words_total"), lit(0L))).as("words_total"),
+        sum(coalesce(col("words_removed"), lit(0L))).as("words_removed"))
+      .select(col("host"), col("n_docs"), col("blocks_total"),
+        col("blocks_removed"), col("words_total"), col("words_removed"),
+        when(col("words_total") > 0,
+          col("words_removed").cast("double") /
+            col("words_total").cast("double")).as("boilerplate_rate"))
+      .orderBy(col("host"))
+  }
+
   /** CCNet-style block/paragraph-hash dedup (Wenzek et al., "CCNet",
     * LREC'20 §3.2 dedups paragraphs by SHA1 across shards): segment each
     * doc into consecutive `blockWords`-token blocks (partial tail kept),

@@ -19,22 +19,27 @@ object Analytics {
   /** TPC-H Q1-style pricing summary: selective scan → partial agg → final agg.
     * At 100 TB this is scan-bound; no join, one shuffle on the 2 group keys.
     */
-  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.lineitem(spark, dir)
-      .filter($"l_shipdate" <= lit("1998-09-02 00:00:00").cast("timestamp"))
-      .groupBy($"l_returnflag", $"l_linestatus")
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    q1Core(Tables.lineitem(spark, dir))
+
+  /** The q1 plan over an arbitrary lineitem frame — the registry entry
+    * above at 1× and the bench's ×10 fact-replica scale-curve entry share
+    * this body (group keys are replica-invariant, so the aggregate stays
+    * 4-groups-bounded at any corpus multiple). */
+  def q1Core(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        dsum($"l_quantity").as("sum_qty"),
-        dsum($"l_extendedprice").as("sum_base_price"),
-        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
-        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
-        davg($"l_quantity").as("avg_qty"),
-        davg($"l_extendedprice").as("avg_price"),
-        davg($"l_discount").as("avg_disc"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
-      .orderBy($"l_returnflag", $"l_linestatus")
-  }
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   val q1PricingSummarySql: String = s"""
     SELECT l_returnflag, l_linestatus,

@@ -615,8 +615,11 @@ object DocQueries {
   private def fuzzyBlockDedupQ(s: SparkSession, d: String): DataFrame =
     Dedup.fuzzyBlockDedup(Tables.documents(s, d)).orderBy("doc_id")
 
-  private val fuzzyBlockDedupSql = raw"""
-    WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws
+  /** The fuzzy-block CTE chain (segmentation → first instances → bw ≥ 2
+    * half banding → df cap → Hamming verify → per-instance removal
+    * marks), shared by `fuzzy_block_dedup` and the per-host rollup
+    * `host_boilerplate_rate`. */
+  private val fuzzyBlockCtes = raw"""w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws
                FROM documents),
     bi AS (SELECT doc_id, u.bi AS block_idx, u.toks AS toks,
                   len(u.toks) AS bw FROM
@@ -650,7 +653,10 @@ object DocQueries {
                        if a.toks[i] <> b.toks[i]]) <= 1),
     r AS (SELECT f.doc_id, f.block_idx, f.bw,
             (f.rn > 1 OR d.fd IS NOT NULL) AS removed
-          FROM f LEFT JOIN dom d ON f.fd = d.fd AND f.fi = d.fi)
+          FROM f LEFT JOIN dom d ON f.fd = d.fd AND f.fi = d.fi)"""
+
+  private val fuzzyBlockDedupSql = s"""
+    WITH $fuzzyBlockCtes
     $blockStatsSelect GROUP BY doc_id ORDER BY doc_id"""
 
   /** Standing-index arrival screen ([[graft.ops.Dedup.incrementalBlockDedup]]):
@@ -1017,7 +1023,10 @@ object DocQueries {
     * which must collapse to the same `<source>.example.com` host); the
     * oracle replays the derivation and the regexp chain verbatim, so a
     * normalizer bug splits the host groups and fails the hash compare. */
-  private def hostDupStatsQ(s: SparkSession, d: String): DataFrame = {
+  /** The deterministic stand-in URL (four rotating shapes by doc_id % 4,
+    * all collapsing to `<source>.example.com`) shared by the host-keyed
+    * registry entries; [[urlCteSql]] is its oracle replay. */
+  private def docsWithUrl(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val m = $"doc_id" % 4
     val url = concat(
@@ -1027,11 +1036,16 @@ object DocQueries {
       when(m === 1, ":8080").when(m === 3, ":21").otherwise(""),
       lit("/"), $"lang", lit("/doc/"), $"doc_id".cast("string"),
       when(m === 1, "?utm=x").when(m === 2, "#frag").otherwise(""))
-    Dedup.hostDupStats(Tables.documents(s, d).withColumn("url", url))
+    Tables.documents(s, d).withColumn("url", url)
   }
 
-  private lazy val hostDupStatsSql = raw"""
-    WITH u AS (SELECT doc_id,
+  private def hostDupStatsQ(s: SparkSession, d: String): DataFrame =
+    Dedup.hostDupStats(docsWithUrl(s, d))
+
+  /** Oracle replay of [[docsWithUrl]] + [[graft.ops.Dedup.hostOf]] —
+    * CTEs `u` (derived url) and `h` (normalized host), composed by both
+    * host-keyed entries. */
+  private val urlCteSql = raw"""u AS (SELECT doc_id,
         CASE doc_id % 4 WHEN 0 THEN 'https://www.' WHEN 1 THEN 'http://'
           WHEN 2 THEN 'HTTPS://WWW.' ELSE 'ftp://crawler:pw@' END
         || source || '.example.com'
@@ -1045,7 +1059,10 @@ object DocQueries {
           regexp_replace(lower(url), '^[a-z][a-z0-9+.-]*://', ''),
           '[/?#].*$$', ''), '^[^@]*@', ''), ':[0-9]+$$', ''), '^www\.', '')
           AS host
-      FROM u),
+      FROM u)"""
+
+  private lazy val hostDupStatsSql = raw"""
+    WITH $urlCteSql,
     e AS (SELECT doc_id,
         doc_id <> min(doc_id) OVER (PARTITION BY
           regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS is_dup
@@ -1060,6 +1077,33 @@ object DocQueries {
       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
         AS keep_rate
+    FROM j GROUP BY host ORDER BY host NULLS FIRST"""
+
+  /** Per-host template-boilerplate rollup
+    * ([[graft.ops.Dedup.hostBoilerplateRate]]): `host_dup_stats` ×
+    * `fuzzy_block_dedup`'s natural join — which hosts serve Hamming-≤1
+    * template blocks, the crawler block-list read. Same derived URL as
+    * host_dup_stats; the oracle replays the normalizer, the full fuzzy
+    * block chain ([[fuzzyBlockCtes]]) and the |hosts|-bounded rollup. */
+  private def hostBoilerplateRateQ(s: SparkSession, d: String): DataFrame =
+    Dedup.hostBoilerplateRate(docsWithUrl(s, d))
+
+  private lazy val hostBoilerplateRateSql = s"""
+    WITH $fuzzyBlockCtes,
+    $urlCteSql,
+    st AS ($blockStatsSelect GROUP BY doc_id),
+    j AS (SELECT h.host, st.n_blocks, st.n_removed, st.words_total,
+                 st.words_removed
+          FROM h LEFT JOIN st USING (doc_id))
+    SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(coalesce(n_blocks, 0)) AS BIGINT) AS blocks_total,
+      CAST(SUM(coalesce(n_removed, 0)) AS BIGINT) AS blocks_removed,
+      CAST(SUM(coalesce(words_total, 0)) AS BIGINT) AS words_total,
+      CAST(SUM(coalesce(words_removed, 0)) AS BIGINT) AS words_removed,
+      CASE WHEN SUM(coalesce(words_total, 0)) > 0
+           THEN SUM(coalesce(words_removed, 0))::DOUBLE
+                / SUM(coalesce(words_total, 0))::DOUBLE
+           END AS boilerplate_rate
     FROM j GROUP BY host ORDER BY host NULLS FIRST"""
 
   /** Pairwise cross-source shingle-overlap matrix (see
@@ -4370,6 +4414,7 @@ $sel
     Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("source_dup_stats", sourceDupStats, Some(sourceDupStatsSql)),
     Q("host_dup_stats", hostDupStatsQ, Some(hostDupStatsSql)),
+    Q("host_boilerplate_rate", hostBoilerplateRateQ, Some(hostBoilerplateRateSql)),
     Q("length_outliers", lengthOutliers, Some(lengthOutliersSql)),
     Q("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     Q("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),

@@ -129,19 +129,30 @@ object TpchDeep {
     * tables carry no partsupp, so supply cost is the documented proxy
     * 0.6 × p_retailprice (same role: a per-part unit cost). The LIKE
     * filter on part prunes the probe side before the fact join. */
-  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val amount = $"l_extendedprice" * (lit(1.0) - $"l_discount") -
-      $"p_retailprice" * lit(0.6) * $"l_quantity"
-    Tables.lineitem(spark, dir)
-      .join(Tables.part(spark, dir).filter($"p_name".like("%gear%")),
-            $"l_partkey" === $"p_partkey")
-      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(Tables.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
-      .join(broadcast(Tables.nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
-      .groupBy($"n_name".as("nation"), year($"o_orderdate").cast("long").as("o_year"))
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame =
+    q9Core(Tables.lineitem(spark, dir), Tables.part(spark, dir),
+      Tables.orders(spark, dir), Tables.supplier(spark, dir),
+      Tables.nation(spark, dir))
+
+  /** The q9 plan over arbitrary input frames — shared by the registry
+    * entry at 1× and the bench's ×10 fact-replica scale-curve entry
+    * (facts ×F against 1× dims: the LIKE-pruned part side and the
+    * supplier/nation broadcasts are corpus-size-independent, so the
+    * honest expectation is ~linear in the two fact inputs). */
+  def q9Core(lineitem: DataFrame, part: DataFrame, orders: DataFrame,
+             supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      col("p_retailprice") * lit(0.6) * col("l_quantity")
+    lineitem
+      .join(part.filter(col("p_name").like("%gear%")),
+            col("l_partkey") === col("p_partkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(dsum(amount).as("sum_profit"))
-      .orderBy($"nation", $"o_year".desc)
+      .orderBy(col("nation"), col("o_year").desc)
   }
 
   val q9ProductProfitSql: String = s"""

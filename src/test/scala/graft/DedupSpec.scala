@@ -94,6 +94,40 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_kept")).forall(_ === 0L))
   }
 
+  test("hostBoilerplateRate: per-host fuzzy-block survival rollup") {
+    val docs = Seq(
+      // t.com serves a template: two docs one token apart (Hamming 1 at
+      // width 8) — the later first-instance is fuzzy-dominated, so ALL of
+      // doc 2's words count removed
+      (1L, "https://www.t.com/a", "alpha bravo charlie delta echo foxtrot golf hotel"),
+      (2L, "https://t.com/b",     "alpha bravo charlie delta echo foxtrot golf india"),
+      // c.com serves unrelated clean content plus a NULL-text doc (no
+      // blocks — counts in n_docs, contributes nothing else)
+      (3L, "https://c.com/1", "one two three four five six seven eight"),
+      (4L, "https://c.com/2", null))
+      .toDF("doc_id", "url", "text")
+    val rows = Dedup.hostBoilerplateRate(docs).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("c.com", "t.com"))
+    val byHost = rows.map(r => r.getString(0) -> r).toMap
+    val t = byHost("t.com")
+    assert(t.getAs[Long]("n_docs") === 2L)
+    assert(t.getAs[Long]("blocks_total") === 2L)
+    assert(t.getAs[Long]("blocks_removed") === 1L)
+    assert(t.getAs[Long]("words_total") === 16L)
+    assert(t.getAs[Long]("words_removed") === 8L)
+    assert(t.getAs[Double]("boilerplate_rate") === 0.5)
+    val c = byHost("c.com")
+    assert(c.getAs[Long]("n_docs") === 2L, "NULL-text doc still counts")
+    assert(c.getAs[Long]("blocks_removed") === 0L)
+    assert(c.getAs[Double]("boilerplate_rate") === 0.0)
+    // a host with ONLY null-text docs reads a NULL rate, not 0/0
+    val onlyNull = Seq((9L, "https://n.com/x", null: String))
+      .toDF("doc_id", "url", "text")
+    val nRow = Dedup.hostBoilerplateRate(onlyNull).collect().head
+    assert(nRow.getAs[Long]("n_docs") === 1L && nRow.isNullAt(6),
+      "no-blocks host must report NULL boilerplate_rate")
+  }
+
   test("source overlap: hand-computed pairwise containment and jaccard") {
     val docs = Seq(
       (0L, "A", "a b c d"),  // A shingles: {a b c, b c d}

@@ -110,6 +110,22 @@ if d is None:
 q = d['queries']
 print(f"entries={len(q)} warm_total={d['warm_total']:.1f} errors={d['n_errors']} commit={d.get('commit','?')[:9]}")
 
+# Ambient-speed gauge (r18): graft.Bench stamps q1_pricing_summary's warm
+# time vs its blessed baseline into the record. gfac > ~1.3 means the HOST
+# was slow when the record was taken — raw trips in such a record are
+# ambient until an isolated re-measure says otherwise; the normalized
+# ratios below divide the gauge factor out. gfac is a floor of 1.0 for
+# normalization: a faster-than-baseline host must not excuse real trips.
+gfac = 1.0
+g = d.get('gauge')
+if g and g.get('q1', -1) > 0 and g.get('baseline', 0) > 0:
+    raw_gfac = g['q1'] / g['baseline']
+    gfac = max(1.0, raw_gfac)
+    print(f"gauge: q1={g['q1']:.2f}s vs {g['baseline']:.3f} blessed = "
+          f"{raw_gfac:.2f}x ambient ({'SLOW HOST — treat raw trips as suspect' if raw_gfac > 1.3 else 'clean window'})")
+else:
+    print("gauge: absent (pre-r18 record or gauge errored) — raw ratios only")
+
 missing = sorted(k for k in q if k not in base)
 env = tot = 0.0
 trips = []
@@ -121,9 +137,13 @@ for k, v in sorted(q.items(), key=lambda kv: -kv[1]):
     tot += v
     if v / b > 1.5 and v > 0.5:
         trips.append((k, v, b, v / b))
-print(f"envelope={env:.1f}s run(baselined)={tot:.1f}s ratio={tot/env:.3f}")
+print(f"envelope={env:.1f}s run(baselined)={tot:.1f}s ratio={tot/env:.3f}"
+      + (f" gauge-normalized={tot/env/gfac:.3f}" if gfac > 1.0 else ""))
 if missing:
     print(f"no-baseline entries (bless from a controlled --only run): {missing}")
-print(f"trips (>1.5x & >0.5s): {len(trips)}")
+norm_trips = [(k, v, b, r) for k, v, b, r in trips if r / gfac > 1.5]
+print(f"trips (>1.5x & >0.5s): {len(trips)} raw"
+      + (f", {len(norm_trips)} gauge-normalized" if gfac > 1.0 else ""))
 for k, v, b, r in trips:
-    print(f"  {k}: {v:.2f} vs {b:.2f} = {r:.2f}x  -> re-measure isolated before believing")
+    norm = f" (normalized {r/gfac:.2f}x)" if gfac > 1.0 else ""
+    print(f"  {k}: {v:.2f} vs {b:.2f} = {r:.2f}x{norm}  -> re-measure isolated before believing")
