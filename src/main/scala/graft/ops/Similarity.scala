@@ -133,8 +133,12 @@ object Similarity {
   private def pcaSolve(partials: DataFrame,
                        iters: Int): (Array[Double], Array[Double], Double, Double) = {
     val sums = partials
+      // a NULL cell = every term was non-finite (Cast→NULL, sum of NULLs;
+      // see CovPartialsAgg) — read it as NaN so a poisoned dimension
+      // degrades to NaN loadings (the zero-variance posture: gate on
+      // cov_trace upstream) instead of an NPE in the solve
       .collect().map(r => (r.getInt(0), r.getInt(1)) ->
-        r.getDecimal(2).doubleValue).toMap
+        (if (r.isNullAt(2)) Double.NaN else r.getDecimal(2).doubleValue)).toMap
     require(sums.nonEmpty,
       "PCA over an empty embedding corpus — no covariance partials exist")
     val d = sums.keys.map(_._1).max + 1

@@ -312,6 +312,12 @@ class SimilaritySpec extends SparkSpec {
       "a cell whose every product is non-finite must be NULL")
     // finite cell (0,2) keeps only the finite products
     assert(cells((0, 2)).isDefined)
+    // the solve must DEGRADE on the poisoned dimension (NaN loadings, the
+    // zero-variance posture), never crash on the NULL cells
+    val solved = Similarity.pcaPower(emb).collect()
+    assert(solved.length === 3)
+    assert(solved.forall(r => r.getDouble(2).isNaN),
+      "a poisoned dimension must yield NaN loadings, not an exception")
   }
 
   test("corpus-wide kNN graph through the IVF index equals the brute graph at full probe") {
