@@ -188,6 +188,94 @@ object Dedup {
         ":[0-9]+$", ""),
       "^www\\.", "")
 
+  /** Canonical URL — the form crawl frontiers and URL-level dedup key on
+    * (the same fetch reached through tracking-decorated, re-ordered,
+    * www-prefixed or trailing-slashed variants must collapse BEFORE text
+    * is ever fetched or compared). Pure codegen'd expression chain, no
+    * UDF, every rule deterministic and oracle-replayable:
+    *   1. fragment dropped (`#...` is client-side only);
+    *   2. tracking params dropped (`utm_*`, `gclid`, `fbclid`) and the
+    *      surviving query params SORTED (param order is
+    *      semantics-neutral for idempotent GETs — the crawl assumption);
+    *   3. scheme://authority lowercased (case-insensitive per RFC 3986;
+    *      path case is preserved — paths ARE case-sensitive);
+    *   4. default ports dropped (https :443, http :80) and one leading
+    *      `www.` label dropped;
+    *   5. one trailing path slash dropped.
+    * Scheme-less inputs skip the authority rules (nothing matches) and
+    * still get fragment/query/trailing-slash normalization. Userinfo is
+    * PRESERVED (it changes what is fetched, unlike [[hostOf]]'s
+    * analytics grouping). NULL url → NULL. */
+  def urlNormalize(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val base = regexp_replace(noFrag, "\\?.*$", "")
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val keptQ = array_join(
+      array_sort(filter(split(query, "&"), p =>
+        p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid)(=|$)"))), "&")
+    val authRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*"
+    val auth = lower(regexp_extract(base, s"($authRe)", 1))
+    val rest = regexp_replace(regexp_replace(base, authRe, ""), "/$", "")
+    val authNorm = regexp_replace(
+      regexp_replace(
+        regexp_replace(auth, "^(https://[^:/]*):443$", "$1"),
+        "^(http://[^:/]*):80$", "$1"),
+      "^([a-z][a-z0-9+.-]*://)www\\.", "$1")
+    concat(authNorm, rest,
+      when(keptQ =!= "", concat(lit("?"), keptQ)).otherwise(lit("")))
+  }
+
+  /** URL-level dedup: every doc mapped to the smallest doc_id sharing its
+    * [[urlNormalize]]d URL — the cheapest dedup rung of all (no text is
+    * read, let alone hashed; a recrawl/variant-URL duplicate is dropped
+    * before fetch-side storage is even charged). Docs whose URL is NULL
+    * are their own canonical (unknown provenance must never collapse).
+    *
+    * 100 TB shape: one scan, one (canon_url, doc_id)-keyed shuffle with
+    * map-side min, join back on the same key — the [[exact]] plan with
+    * the canonical URL standing in for the text hash. */
+  def urlDedup(docs: DataFrame): DataFrame = {
+    val withC = docs.select(col("doc_id"), urlNormalize(col("url")).as("canon_url"))
+    val known = withC.filter(col("canon_url").isNotNull)
+    val first = known.groupBy(col("canon_url"))
+      .agg(min(col("doc_id")).as("canonical_id"))
+    known.join(first, Seq("canon_url"))
+      .select(col("doc_id"), col("canon_url"), col("canonical_id"),
+        (col("doc_id") =!= col("canonical_id")).as("is_dup"))
+      .unionByName(withC.filter(col("canon_url").isNull)
+        .select(col("doc_id"), col("canon_url"),
+          col("doc_id").as("canonical_id"), lit(false).as("is_dup")))
+  }
+
+  /** Crawl-budget allocation from the per-host health read-out — the
+    * ACTION [[hostDupStats]]'s scaladoc promises ("a domain that is
+    * mostly exact copies or mostly gate-dropped text gets its crawl
+    * budget cut"): score each host keep_rate × (1 − dup_share) — the
+    * fraction of its fetches that yield NEW, gate-passing text — and
+    * allocate budget shares proportionally. Hosts scoring 0 (all dups,
+    * or nothing passes the gate) get share 0: the block-list read.
+    *
+    * Determinism: scores are IEEE products of the stats' already-exact
+    * ratios; the global total accumulates score in DECIMAL(38,6) (exact,
+    * order-free) and each share is ONE double divide — hash-replayable
+    * by any engine. The totals frame is one row, broadcast into a
+    * |hosts|-bounded join: nothing here scales with the corpus, only
+    * with the host census.
+    *
+    * @param hostStats [[hostDupStats]] output */
+  def crawlBudget(hostStats: DataFrame): DataFrame = {
+    val D = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
+    val scored = hostStats.select(col("host"), col("n_docs"),
+      (col("keep_rate") * (lit(1.0) - col("dup_share"))).as("score"))
+    val total = scored.agg(
+      sum(col("score").cast(D)).cast("double").as("__total"))
+    scored.crossJoin(broadcast(total))
+      .select(col("host"), col("n_docs"), col("score"),
+        when(col("__total") > 0, col("score") / col("__total"))
+          .otherwise(lit(0.0)).as("budget_share"))
+      .orderBy(col("host"))
+  }
+
   /** Per-host duplication + quality rollup over a crawl slice — the
     * per-DOMAIN health dashboard (`sourceDupStats` is the per-source
     * twin; a crawl acts on hosts: a domain that is mostly exact copies or

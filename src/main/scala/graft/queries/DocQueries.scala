@@ -1061,23 +1061,115 @@ object DocQueries {
           AS host
       FROM u)"""
 
-  private lazy val hostDupStatsSql = raw"""
-    WITH $urlCteSql,
-    e AS (SELECT doc_id,
+  /** Per-host dup/quality rollup CTE chain (host → dup flags → gate →
+    * `hs` with the host_dup_stats columns), composed by `host_dup_stats`
+    * and `crawl_budget`. */
+  private lazy val hostStatsCtes = raw"""e AS (SELECT doc_id,
         doc_id <> min(doc_id) OVER (PARTITION BY
           regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS is_dup
       FROM documents),
     qf AS (SELECT doc_id, keep FROM ($qualityFilterSql)),
     j AS (SELECT h.host, e.is_dup, coalesce(qf.keep, false) AS keep
-          FROM h JOIN e USING (doc_id) LEFT JOIN qf USING (doc_id))
-    SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          FROM h JOIN e USING (doc_id) LEFT JOIN qf USING (doc_id)),
+    hs AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
         AS dup_share,
       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
         AS keep_rate
-    FROM j GROUP BY host ORDER BY host NULLS FIRST"""
+    FROM j GROUP BY host)"""
+
+  private lazy val hostDupStatsSql = s"""
+    WITH $urlCteSql,
+    $hostStatsCtes
+    SELECT host, n_docs, n_dup, dup_share, n_kept, keep_rate
+    FROM hs ORDER BY host NULLS FIRST"""
+
+  /** Crawl-budget allocation ([[graft.ops.Dedup.crawlBudget]]): the
+    * ACTION the per-host dashboard feeds — score = keep_rate ×
+    * (1 − dup_share), shares proportional with an exact-decimal global
+    * total and one IEEE divide per host. */
+  private def crawlBudgetQ(s: SparkSession, d: String): DataFrame =
+    Dedup.crawlBudget(Dedup.hostDupStats(docsWithUrl(s, d)))
+
+  private lazy val crawlBudgetSql = s"""
+    WITH $urlCteSql,
+    $hostStatsCtes,
+    sc AS (SELECT host, n_docs, keep_rate * (1.0 - dup_share) AS score
+           FROM hs),
+    t AS (SELECT CAST(SUM(CAST(score AS DECIMAL(38,6))) AS DOUBLE)
+                   AS total FROM sc)
+    SELECT host, n_docs, score,
+      CASE WHEN total > 0 THEN score / total ELSE 0.0 END AS budget_share
+    FROM sc, t ORDER BY host NULLS FIRST"""
+
+  /** URL-canonicalization dedup ([[graft.ops.Dedup.urlDedup]]): the
+    * registry derives four URL shapes per doc keyed on (source,
+    * doc_id % 10) that must ALL collapse to the same canonical —
+    * tracking params (`utm_*`/`gclid`/`fbclid`), shuffled param order,
+    * uppercase scheme/authority, `www.`, an explicit :443, a trailing
+    * slash and a fragment — so any normalizer rule that drifts splits
+    * the canonical groups and fails the hash. The oracle replays the
+    * derivation and every normalization step (fragment → query
+    * filter+sort → authority lowercase → default port → www →
+    * trailing slash) with the same regexes. */
+  private def urlDedupQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = $"doc_id" % 4
+    val k = ($"doc_id" % 10).cast("string")
+    val url = concat(
+      when(m === 0, concat(lit("https://www."), $"source",
+        lit(".example.com/p/"), k, lit("?b=2&a=1")))
+      .when(m === 1, concat(lit("https://"), $"source",
+        lit(".example.com:443/p/"), k, lit("?a=1&utm_source=x&b=2")))
+      .when(m === 2, concat(lit("HTTPS://"), upper($"source"),
+        lit(".EXAMPLE.COM/p/"), k, lit("/?b=2&gclid=z&a=1")))
+      .otherwise(concat(lit("https://www."), $"source",
+        lit(".example.com/p/"), k, lit("/?utm_campaign=c&a=1&b=2#frag"))))
+    Dedup.urlDedup(Tables.documents(s, d).select($"doc_id", url.as("url")))
+      .orderBy("doc_id")
+  }
+
+  private val urlDedupSql = raw"""
+    WITH u AS (SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'https://www.' || source || '.example.com/p/'
+                      || (doc_id % 10) || '?b=2&a=1'
+          WHEN 1 THEN 'https://' || source || '.example.com:443/p/'
+                      || (doc_id % 10) || '?a=1&utm_source=x&b=2'
+          WHEN 2 THEN 'HTTPS://' || upper(source) || '.EXAMPLE.COM/p/'
+                      || (doc_id % 10) || '/?b=2&gclid=z&a=1'
+          ELSE 'https://www.' || source || '.example.com/p/'
+               || (doc_id % 10) || '/?utm_campaign=c&a=1&b=2#frag' END AS url
+      FROM documents),
+    nf AS (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS s1 FROM u),
+    bq AS (SELECT doc_id,
+        regexp_replace(s1, '\?.*$$', '') AS base,
+        regexp_extract(s1, '\?(.*)$$', 1) AS query FROM nf),
+    kq AS (SELECT doc_id, base,
+        array_to_string(list_sort(list_filter(string_split(query, '&'),
+          p -> p <> '' AND NOT regexp_matches(p,
+            '^(utm_[^=]*|gclid|fbclid)(=|$$)'))), '&') AS q
+      FROM bq),
+    au AS (SELECT doc_id, q,
+        lower(regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1))
+          AS auth,
+        regexp_replace(regexp_replace(base,
+          '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', ''), '/$$', '') AS rest
+      FROM kq),
+    n AS (SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(auth,
+          '^(https://[^:/]*):443$$', '\1'),
+          '^(http://[^:/]*):80$$', '\1'),
+          '^([a-z][a-z0-9+.-]*://)www\.', '\1')
+        || rest || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canon_url
+      FROM au),
+    f AS (SELECT canon_url, MIN(doc_id) AS canonical_id
+          FROM n GROUP BY canon_url)
+    SELECT n.doc_id, n.canon_url, f.canonical_id,
+           n.doc_id <> f.canonical_id AS is_dup
+    FROM n JOIN f USING (canon_url) ORDER BY doc_id"""
 
   /** Per-host template-boilerplate rollup
     * ([[graft.ops.Dedup.hostBoilerplateRate]]): `host_dup_stats` ×
@@ -4415,6 +4507,8 @@ $sel
     Q("source_dup_stats", sourceDupStats, Some(sourceDupStatsSql)),
     Q("host_dup_stats", hostDupStatsQ, Some(hostDupStatsSql)),
     Q("host_boilerplate_rate", hostBoilerplateRateQ, Some(hostBoilerplateRateSql)),
+    Q("crawl_budget", crawlBudgetQ, Some(crawlBudgetSql)),
+    Q("url_dedup", urlDedupQ, Some(urlDedupSql)),
     Q("length_outliers", lengthOutliers, Some(lengthOutliersSql)),
     Q("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     Q("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
