@@ -89,7 +89,11 @@ class PlanAuditSpec extends SparkSpec {
             // (bands, rows) scheme — the brute-force truth is
             // knn_bruteforce's intended BNLJ, and each scheme's hit /
             // candidate summaries are the two 1-row crossJoins
-            "lsh_bands_curve")(p._1))
+            "lsh_bands_curve",
+            // r18: crawl_budget broadcasts its single-row exact-decimal
+            // score total onto the |hosts|-bounded census — the
+            // broadcast-totals pattern (mixture_schedule's shape)
+            "crawl_budget")(p._1))
       .foreach { case (name, p) =>
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
       }
