@@ -372,7 +372,10 @@ object Dedup {
     * AdversarialSpec-pinned); empty docs tokenize to one empty block and
     * dedup against each other. */
   def blockDedup(docs: DataFrame, blockWords: Int = 8): DataFrame = {
-    val blocks = blockRows(docs, blockWords)
+    // blocks (tokenize + per-doc windows) feeds the first-instance groupBy
+    // AND the survival join — pinned so one invocation tokenizes once
+    // (hash-only rows, corpus-block-bounded; the fuzzy twin's discipline)
+    val blocks = InternalCaches.persistBounded(blockRows(docs, blockWords))
     val first = blocks.groupBy(col("__h1"), col("__h2"))
       .agg(min(struct(col("doc_id"), col("block_idx"))).as("first_key"))
     blockStats(blocks.join(first, Seq("__h1", "__h2"))
@@ -420,7 +423,13 @@ object Dedup {
   def fuzzyBlockDedup(docs: DataFrame, blockWords: Int = 8,
                       maxDf: Int = 16): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val inst = docs
+    // inst (tokenize + two per-doc windows — the expensive subtree) feeds
+    // the firsts groupBy AND the final survival join; firsts feeds both
+    // band halves AND the final join. Unpinned, one invocation evaluated
+    // inst FOUR times (r18: the PQ-subvector/minhash recompute class) —
+    // both are corpus-block-bounded hash frames, pinned lazily through
+    // the bounded LRU.
+    val inst = InternalCaches.persistBounded(docs
       .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))))
       .toDF("doc_id", "pos", "t")
       .select(col("doc_id"), col("pos"),
@@ -434,9 +443,9 @@ object Dedup {
         col("ts"))
       .select(col("doc_id"), col("block_idx"), col("bw"),
         transform(slice(col("ts"), lit(1), col("bw").cast("int")),
-          t => xxhash64(t)).as("ph"))
-    val firsts = inst.groupBy(col("ph"))
-      .agg(min(struct(col("doc_id"), col("block_idx"))).as("fkey"))
+          t => xxhash64(t)).as("ph")))
+    val firsts = InternalCaches.persistBounded(inst.groupBy(col("ph"))
+      .agg(min(struct(col("doc_id"), col("block_idx"))).as("fkey")))
     val nl = expr("(size(ph)+1) div 2")
     // width-1 blocks (a lone tail token) are EXCLUDED from the fuzzy
     // rule: their second half is empty, so every distinct 1-token tail
@@ -538,7 +547,8 @@ object Dedup {
                             dir: String, arrivals: DataFrame,
                             blockWords: Int = 8): DataFrame = {
     val idx = spark.read.parquet(dir).select(col("__h1"), col("__h2"))
-    val blocks = blockRows(arrivals, blockWords)
+    // batch-bounded; feeds batchFirst AND the marked join (blockDedup's pin)
+    val blocks = InternalCaches.persistBounded(blockRows(arrivals, blockWords))
     val batchFirst = blocks.groupBy(col("__h1"), col("__h2"))
       .agg(min(struct(col("doc_id"), col("block_idx"))).as("first_key"))
     val marked = blocks.join(batchFirst, Seq("__h1", "__h2"))
@@ -590,13 +600,15 @@ object Dedup {
         lit(0L)))
       .groupBy(col("doc_id"), col("chunk_idx"))
       .agg(min(col("pos")).as("st"), count(lit(1)).as("ln"))
-    val hashed = chunks
+    // hashed (two tokenize passes + the cut-rule windows) feeds the
+    // first-instance groupBy AND the survival join — pinned, one eval
+    val hashed = InternalCaches.persistBounded(chunks
       .join(docs.select(col("doc_id"),
         TextAnalysis.tokens(col("text")).as("toks")), Seq("doc_id"))
       .select(col("doc_id"), col("chunk_idx"), col("ln"),
         array_join(slice(col("toks"), col("st") + 1, col("ln").cast("int")), " ").as("blk"))
       .select(col("doc_id"), col("chunk_idx"), col("ln"),
-        xxhash64(col("blk")).as("__h1"), xxhash64(lit(1L), col("blk")).as("__h2"))
+        xxhash64(col("blk")).as("__h1"), xxhash64(lit(1L), col("blk")).as("__h2")))
     val first = hashed.groupBy(col("__h1"), col("__h2"))
       .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("first_key"))
     hashed.join(first, Seq("__h1", "__h2"))
