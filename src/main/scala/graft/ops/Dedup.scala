@@ -156,16 +156,27 @@ object Dedup {
     * normalized text. The shuffle carries only (hash128, doc_id) — never the
     * document bodies: texts are reduced map-side to a two-seed 128-bit
     * xxhash64 pair (collision odds ~n²/2¹²⁹ — negligible at any corpus
-    * size), grouped to the min doc_id per text, and joined back. */
+    * size), grouped to the min doc_id per text, and joined back.
+    *
+    * NULL-text docs are their OWN canonical ([[urlDedup]]'s posture:
+    * unknown content must never collapse — `xxhash64` skips NULL inputs,
+    * so without the carve-out every failed fetch would share one seed
+    * hash and a NULL-heavy crawl would read as ~100% duplicated,
+    * poisoning [[hostDupStats]].dup_share and zeroing [[crawlBudget]]
+    * for hosts that should be retried, not block-listed). */
   def exact(docs: DataFrame): DataFrame = {
     val norm = normText(col("text"))
-    val hashed = docs.select(col("doc_id"),
+    val hashed = docs.select(col("doc_id"), norm.isNull.as("__nul"),
       xxhash64(norm).as("__h1"), xxhash64(lit(1L), norm).as("__h2"))
-    val canon = hashed.groupBy(col("__h1"), col("__h2"))
+    val known = hashed.filter(!col("__nul"))
+    val canon = known.groupBy(col("__h1"), col("__h2"))
       .agg(min(col("doc_id")).as("canonical_id"))
-    hashed.join(canon, Seq("__h1", "__h2"))
+    known.join(canon, Seq("__h1", "__h2"))
       .select(col("doc_id"), col("canonical_id"),
               (col("doc_id") =!= col("canonical_id")).as("is_dup"))
+      .unionByName(hashed.filter(col("__nul"))
+        .select(col("doc_id"), col("doc_id").as("canonical_id"),
+                lit(false).as("is_dup")))
   }
 
   /** Normalized host from a URL column — the crawl pipeline's unit of
@@ -205,7 +216,10 @@ object Dedup {
     * Scheme-less inputs skip the authority rules (nothing matches) and
     * still get fragment/query/trailing-slash normalization. Userinfo is
     * PRESERVED (it changes what is fetched, unlike [[hostOf]]'s
-    * analytics grouping). NULL url → NULL. */
+    * analytics grouping) but does not block the port/www rules — the
+    * default-port and www patterns allow an optional `user:pw@` prefix,
+    * so `https://u:pw@a.com:443` still collapses with
+    * `https://u:pw@a.com`. NULL url → NULL. */
   def urlNormalize(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val base = regexp_replace(noFrag, "\\?.*$", "")
@@ -218,9 +232,9 @@ object Dedup {
     val rest = regexp_replace(regexp_replace(base, authRe, ""), "/$", "")
     val authNorm = regexp_replace(
       regexp_replace(
-        regexp_replace(auth, "^(https://[^:/]*):443$", "$1"),
-        "^(http://[^:/]*):80$", "$1"),
-      "^([a-z][a-z0-9+.-]*://)www\\.", "$1")
+        regexp_replace(auth, "^(https://(?:[^/@]*@)?[^:/]*):443$", "$1"),
+        "^(http://(?:[^/@]*@)?[^:/]*):80$", "$1"),
+      "^([a-z][a-z0-9+.-]*://(?:[^/@]*@)?)www\\.", "$1")
     concat(authNorm, rest,
       when(keptQ =!= "", concat(lit("?"), keptQ)).otherwise(lit("")))
   }

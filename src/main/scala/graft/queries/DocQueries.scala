@@ -567,10 +567,14 @@ object DocQueries {
   private def dedupExact(s: SparkSession, d: String): DataFrame =
     Dedup.exact(Tables.documents(s, d)).orderBy("doc_id")
 
+  // NULL-text docs are their own canonical (the engine's unknown-content
+  // carve-out — see Dedup.exact's scaladoc); the CASE mirrors it.
   private val dedupExactSql = raw"""
     SELECT doc_id,
-      min(doc_id) OVER (PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS canonical_id,
-      doc_id <> min(doc_id) OVER (PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS is_dup
+      CASE WHEN text IS NULL THEN doc_id
+           ELSE min(doc_id) OVER (PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) END AS canonical_id,
+      CASE WHEN text IS NULL THEN FALSE
+           ELSE doc_id <> min(doc_id) OVER (PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) END AS is_dup
     FROM documents ORDER BY doc_id"""
 
   /** CCNet-style block-hash dedup ([[graft.ops.Dedup.blockDedup]]): 8-token
@@ -1065,8 +1069,9 @@ object DocQueries {
     * `hs` with the host_dup_stats columns), composed by `host_dup_stats`
     * and `crawl_budget`. */
   private lazy val hostStatsCtes = raw"""e AS (SELECT doc_id,
-        doc_id <> min(doc_id) OVER (PARTITION BY
-          regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS is_dup
+        CASE WHEN text IS NULL THEN FALSE
+             ELSE doc_id <> min(doc_id) OVER (PARTITION BY
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) END AS is_dup
       FROM documents),
     qf AS (SELECT doc_id, keep FROM ($qualityFilterSql)),
     j AS (SELECT h.host, e.is_dup, coalesce(qf.keep, false) AS keep
@@ -1160,9 +1165,9 @@ object DocQueries {
       FROM kq),
     n AS (SELECT doc_id,
         regexp_replace(regexp_replace(regexp_replace(auth,
-          '^(https://[^:/]*):443$$', '\1'),
-          '^(http://[^:/]*):80$$', '\1'),
-          '^([a-z][a-z0-9+.-]*://)www\.', '\1')
+          '^(https://(?:[^/@]*@)?[^:/]*):443$$', '\1'),
+          '^(http://(?:[^/@]*@)?[^:/]*):80$$', '\1'),
+          '^([a-z][a-z0-9+.-]*://(?:[^/@]*@)?)www\.', '\1')
         || rest || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canon_url
       FROM au),
     f AS (SELECT canon_url, MIN(doc_id) AS canonical_id

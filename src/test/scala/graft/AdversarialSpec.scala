@@ -221,10 +221,46 @@ class AdversarialSpec extends SparkSpec {
     assert(groups(7L) === 7L)
     // whitespace-only and empty normalize identically
     assert(groups(8L) === 8L && groups(9L) === 8L)
-    // NULL text: xxhash64 skips NULL inputs, so NULL docs form ONE group of
-    // their own, distinct from the empty string (which hashes "" itself)
-    assert(groups(10L) === 10L && groups(11L) === 10L)
+    // NULL text: unknown content must never collapse (the urlDedup
+    // posture) — each NULL-text doc is its OWN canonical, never a dup,
+    // and distinct from the empty string (which hashes "" itself)
+    assert(groups(10L) === 10L && groups(11L) === 11L)
     assert(groups(8L) !== groups(10L))
+    val nullDup = Dedup.exact(d).filter(col("doc_id") >= 10L)
+      .select(col("is_dup")).collect()
+    assert(nullDup.forall(!_.getBoolean(0)))
+  }
+
+  test("a host of failed fetches (all NULL text) reads dup_share 0 and keeps crawl budget") {
+    // r18 judge finding: before the carve-out, xxhash64's NULL-skip made
+    // every NULL-text doc share one seed hash, so an error-heavy host
+    // read dup_share ≈ 1 and crawl_budget block-listed it — the wrong
+    // action (retry, don't block). Pinned here end to end.
+    val d = Seq(
+      (1L, "https://dead.example.com/a", null.asInstanceOf[String]),
+      (2L, "https://dead.example.com/b", null.asInstanceOf[String]),
+      (3L, "https://dead.example.com/c", null.asInstanceOf[String]),
+      (4L, "https://live.example.com/a",
+        "a genuinely long and wordy document with plenty of distinct " +
+        "content words so the quality gate keeps it around for counting"),
+      (5L, "https://live.example.com/b",
+        "another genuinely long and wordy document with plenty of other " +
+        "distinct content words so the quality gate keeps this one too"))
+      .toDF("doc_id", "url", "text")
+    val hs = Dedup.hostDupStats(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val dead = hs("dead.example.com")
+    assert(dead.getLong(dead.fieldIndex("n_dup")) === 0L,
+      "NULL-text docs must not read as duplicates of each other")
+    assert(dead.getDouble(dead.fieldIndex("dup_share")) === 0.0)
+    val budget = Dedup.crawlBudget(Dedup.hostDupStats(d)).collect()
+      .map(r => r.getString(0) -> r.getDouble(r.fieldIndex("budget_share")))
+      .toMap
+    // keep_rate for dead is still 0 (gate never saw text), so its budget
+    // is 0 via QUALITY — but the dup_share channel must not be the cause:
+    // score = keep_rate * (1 - dup_share) with dup_share 0 keeps the
+    // retry decision in the gate's hands, not the dedup's
+    assert(budget("live.example.com") > 0.0)
   }
 
   test("r13 dedup family on NULL / empty / short text: absences are pinned, not accidental") {

@@ -143,6 +143,10 @@ class DedupSpec extends SparkSpec {
       // one trailing slash dropped; www label dropped; userinfo KEPT
       ("https://www.a.com/p/", "https://a.com/p"),
       ("https://u:pw@a.com/p", "https://u:pw@a.com/p"),
+      // userinfo does not block the port/www rules (r18 ADVICE)
+      ("https://u:pw@a.com:443/p", "https://u:pw@a.com/p"),
+      ("http://u@www.a.com:80/p", "http://u@a.com/p"),
+      ("https://u:pw@a.com:8080/p", "https://u:pw@a.com:8080/p"),
       // scheme-less: authority rules skip, query/fragment rules still act
       ("a.com/p/?b=2&a=1#f", "a.com/p?a=1&b=2"),
       // bare '?' (empty query) collapses
