@@ -196,12 +196,30 @@ object Bench {
     * window, collect or df-table rescan shows up as exponent > 1).
     * doc_ids offset far past the real id range per replica. The `x`
     * separator keeps the `$1<digit>` replacement unambiguous. */
+  /** Replica id offset for the stress corpora. Guarded, not assumed:
+    * [[assertIdHeadroom]] verifies (once per table dir, a footer-stat
+    * scan) that the real id range sits below the offset — a larger-SF
+    * corpus crossing 10M rows would otherwise silently collide replica
+    * ids and corrupt the stress entries' dedup semantics (r18 ADVICE). */
+  private val ReplicaOffset = 10000000L
+  private val maxIdCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def assertIdHeadroom(df: DataFrame, idCol: String, key: String,
+                               bound: Long = ReplicaOffset): Unit = {
+    val mx: Long = maxIdCache.computeIfAbsent(s"$key/$idCol",
+      _ => df.agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col(idCol))).head().getLong(0))
+    require(mx < bound,
+      s"$key.$idCol max $mx >= replica offset $bound: stress replicas would collide")
+  }
+
   private def stressDocs(s: SparkSession, d: String, factor: Int): DataFrame = {
     import org.apache.spark.sql.functions._
+    assertIdHeadroom(graft.sources.Tables.documents(s, d), "doc_id", s"$d/documents")
     graft.sources.Tables.documents(s, d)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0), lit(factor - 1))).as("r"))
-      .select((col("doc_id") + col("r").cast("long") * 10000000L).as("doc_id"),
+      .select((col("doc_id") + col("r").cast("long") * ReplicaOffset).as("doc_id"),
         regexp_replace(col("text"), lit("(\\S+)"),
           concat(lit("$1x"), col("r").cast("string"))).as("text"))
   }
@@ -212,10 +230,12 @@ object Bench {
     * cross-replica cosines are decorrelated. vec_ids offset per replica. */
   private def stressEmbeddings(s: SparkSession, d: String, factor: Int): DataFrame = {
     import org.apache.spark.sql.functions._
+    assertIdHeadroom(graft.sources.Tables.embeddings(s, d), "vec_id",
+      s"$d/embeddings")
     graft.sources.Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"), col("label"),
         explode(sequence(lit(0), lit(factor - 1))).as("r"))
-      .select((col("vec_id") + col("r").cast("long") * 10000000L).as("vec_id"),
+      .select((col("vec_id") + col("r").cast("long") * ReplicaOffset).as("vec_id"),
         concat(
           slice(col("embedding"), col("r") + 1,
             size(col("embedding")) - col("r")),
@@ -293,10 +313,12 @@ object Bench {
     // and the rollup together
     "host_dup_stats_10x" -> ((s, d) => {
       import org.apache.spark.sql.functions._
+      assertIdHeadroom(graft.sources.Tables.documents(s, d), "doc_id",
+        s"$d/documents")
       val docs = graft.sources.Tables.documents(s, d)
         .select(col("doc_id"), col("text"), col("source"),
           explode(sequence(lit(0), lit(9))).as("r"))
-        .select((col("doc_id") + col("r").cast("long") * 10000000L).as("doc_id"),
+        .select((col("doc_id") + col("r").cast("long") * ReplicaOffset).as("doc_id"),
           regexp_replace(col("text"), lit("(\\S+)"),
             concat(lit("$1x"), col("r").cast("string"))).as("text"),
           concat(lit("https://www."), col("source"), lit("-r"),
@@ -318,7 +340,53 @@ object Bench {
       graft.queries.TpchDeep.q9Core(stressLineitem(s, d, 10),
         graft.sources.Tables.part(s, d), stressOrders(s, d, 10),
         graft.sources.Tables.supplier(s, d),
-        graft.sources.Tables.nation(s, d))))
+        graft.sources.Tables.nation(s, d))),
+    // r19 second decade (VERDICT r18 item 4): the ×10 exponents
+    // (q1 0.70, fact_sales 0.31, q9 0.39) are flattered by fixed
+    // per-stage overhead — a ×100 point (~60M lineitem replicas at
+    // sf0.1, well inside 128 GiB) tells whether they hold or drift
+    // toward 1 as the scan/shuffle term starts to dominate. Exponent vs
+    // the ×10 row: log(t100/t10)/log(10).
+    "q1_pricing_summary_100x" -> ((s, d) =>
+      graft.queries.Analytics.q1Core(stressLineitem(s, d, 100))),
+    "fact_sales_100x" -> ((s, d) =>
+      graft.olap.StarSchema.factSales(stressLineitem(s, d, 100),
+        stressOrders(s, d, 100), graft.sources.Tables.part(s, d),
+        graft.sources.Tables.supplier(s, d))),
+    "q9_product_profit_100x" -> ((s, d) =>
+      graft.queries.TpchDeep.q9Core(stressLineitem(s, d, 100),
+        graft.sources.Tables.part(s, d), stressOrders(s, d, 100),
+        graft.sources.Tables.supplier(s, d),
+        graft.sources.Tables.nation(s, d))),
+    // r19 graph stress multiple (VERDICT r18 item 5): the graph family's
+    // per-round join/iteration costs had asserted, not measured, scaling.
+    // Replicas offset BOTH entity id spaces, so the ×10 graph is 10
+    // disjoint isomorphic copies of the base co-purchase graph — node and
+    // edge counts ×10, degree distribution unchanged — and the fixed-
+    // iteration rank loop's claimed ~linear cost is measured, not assumed.
+    "graph_pagerank_10x" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      assertIdHeadroom(graft.sources.Tables.orders(s, d), "o_custkey",
+        s"$d/orders")
+      assertIdHeadroom(graft.sources.Tables.supplier(s, d), "s_suppkey",
+        s"$d/supplier")
+      val pairs = graft.sources.Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(graft.sources.Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("r", explode(sequence(lit(0), lit(9))))
+        .select(
+          ((col("o_custkey") + col("r").cast("long") * ReplicaOffset) * 2)
+            .as("c"),
+          ((col("l_suppkey") + col("r").cast("long") * ReplicaOffset) * 2 + 1)
+            .as("s"))
+        .distinct()
+      graft.ops.Graph.pageRank(
+        pairs.select(col("c").as("src"), col("s").as("dst"))
+          .union(pairs.select(col("s").as("src"), col("c").as("dst"))),
+        iters = 3)
+    }))
 
   /** Shared harness for the containment-probe pair: standing = the ×F
     * corpus minus the base-replica arrival slice; the index builds once
@@ -327,11 +395,15 @@ object Bench {
     val indexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
     (s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions.col
+      // the arrival split keys on ids < ReplicaOffset, so the base-table
+      // headroom matters at EVERY factor, including 1×
+      assertIdHeadroom(graft.sources.Tables.documents(s, d), "doc_id",
+        s"$d/documents")
       val all = if (factor == 1) graft.sources.Tables.documents(s, d)
                 else stressDocs(s, d, factor)
       // base-replica ids are < 10M: the arrival slice is IDENTICAL for
       // every factor (same absolute batch), standing grows with ×F
-      val isArrival = col("doc_id") < 10000000L && col("doc_id") % 25 === 0
+      val isArrival = col("doc_id") < ReplicaOffset && col("doc_id") % 25 === 0
       val dir = indexCache.computeIfAbsent(s"$d/$factor", _ => {
         val dd = graft.sources.Scratch.dir(s"graft_cont_bench${factor}x")
         graft.ops.Dedup.writeContainmentIndex(all.filter(!isArrival), dd)
@@ -350,6 +422,8 @@ object Bench {
     * measured curve isolates the scan + shuffle cost. */
   private def stressLineitem(s: SparkSession, d: String, factor: Int): DataFrame = {
     import org.apache.spark.sql.functions._
+    assertIdHeadroom(graft.sources.Tables.lineitem(s, d), "l_orderkey",
+      s"$d/lineitem", bound = 1000000000L)
     graft.sources.Tables.lineitem(s, d)
       .withColumn("__r", explode(sequence(lit(0), lit(factor - 1))))
       .withColumn("l_orderkey",
@@ -525,7 +599,7 @@ object Bench {
     // recorder that keeps only the tail of stdout (the driver truncates to
     // 2000 chars) still retains every headline number — r10's recorded
     // bench lost its warm map AND total to exactly that truncation
-    val line = s"""{"queries":$qs,"cold":$cs,"errors":$es,"metric":"total","value":$total,"unit":"sec","partial":${errors.nonEmpty},"n_errors":${errors.size},"warm_total":$total,"cold_total":$coldTotal,"n_entries":${entries.size},"gauge":{"q1":$gauge,"baseline":$gaugeBaseline},"commit":${jstr(commit)},"sf":${jstr(sfDir)}}"""
+    val line = s"""{"queries":$qs,"cold":$cs,"errors":$es,"metric":"total","value":$total,"unit":"sec","partial":${errors.nonEmpty},"n_errors":${errors.size},"warm_total":$total,"cold_total":$coldTotal,"cold_is_plan_warm":true,"n_entries":${entries.size},"gauge":{"q1":$gauge,"baseline":$gaugeBaseline},"commit":${jstr(commit)},"sf":${jstr(sfDir)}}"""
     println(line)
     // stdout capture can truncate to a tail (r4 lost the whole warm map that
     // way) — also persist the full line next to the sources. A filtered

@@ -391,7 +391,13 @@ object Similarity {
     * registry oracles are unchanged in value. */
   private def reducedRecall(embeddings: DataFrame, reduced: DataFrame,
                             k: Int): DataFrame = {
-    val full = knnGraph(embeddings, k).select(col("query_id"), col("neighbor_id"))
+    // the full-space graph feeds BOTH the hit semi-join and the
+    // denominator aggregate — two plan branches; pinned (corpus×k id
+    // rows) so the brute-force scoring runs once per invocation, the
+    // mutualKnn discipline (r19 — this was truncation_recall's ~1.7×
+    // isolated-vs-blessed trip: isolated runs re-paid the kNN build)
+    val full = InternalCaches.persistBounded(
+      knnGraph(embeddings, k).select(col("query_id"), col("neighbor_id")))
     val red = knnGraph(reduced, k).select(col("query_id"), col("neighbor_id"))
     val hits = full.join(red, Seq("query_id", "neighbor_id"), "left_semi")
     full.agg(countDistinct(col("query_id")).as("n_queries"),

@@ -4329,31 +4329,48 @@ $sel
     val corpus = docsAll.filter($"doc_id" % 10 =!= 0)
     val bench = docsAll.filter($"doc_id" % 10 === 0)
 
-    val keep = TextAnalysis.qualityFilter(corpus)
-      .filter($"keep").select($"doc_id")
+    // Each stage's survivor-ID frame is pinned before its range-sorted
+    // write: writeRangeSorted's repartitionByRange runs a key-sampling
+    // job that evaluates the whole input plan ONCE BEFORE the write
+    // evaluates it again — without the pin every expensive stage
+    // (tokenizing gate, minhash, decontaminate 8-grams, DSIR model) pays
+    // twice per invocation (r19, the corpus_roundtrip ~2× adjudication).
+    // Pinning the id-only frames — never the text-carrying rows — keeps
+    // the cached footprint corpus-id-sized at any corpus scale: the
+    // sampling pass then re-runs only a parquet scan + broadcast-join.
+    val keep = graft.ops.InternalCaches.persistBounded(
+      TextAnalysis.qualityFilter(corpus).filter($"keep").select($"doc_id"))
     graft.sources.FileFormats.writeRangeSorted(
       corpus.join(keep, "doc_id"), s"$out/gate", "doc_id", 8)
     val gated = s.read.parquet(s"$out/gate")
 
-    val dup = Dedup.minhashLsh(gated).select($"d2".as("doc_id")).distinct()
+    val dup = graft.ops.InternalCaches.persistBounded(
+      Dedup.minhashLsh(gated).select($"d2".as("doc_id")).distinct())
     graft.sources.FileFormats.writeRangeSorted(
       gated.join(dup, Seq("doc_id"), "left_anti"), s"$out/dedup", "doc_id", 8)
     val deduped = s.read.parquet(s"$out/dedup")
 
-    val cleanIds = Dedup.decontaminate(deduped, bench, n = 8)
-      .filter(!$"contaminated").select($"doc_id")
+    val cleanIds = graft.ops.InternalCaches.persistBounded(
+      Dedup.decontaminate(deduped, bench, n = 8)
+        .filter(!$"contaminated").select($"doc_id"))
     graft.sources.FileFormats.writeRangeSorted(
       deduped.join(cleanIds, "doc_id"), s"$out/clean", "doc_id", 8)
     val cleaned = s.read.parquet(s"$out/clean")
 
-    val sampIds = graft.ops.Dsir.resample(cleaned, $"source" === "src0")
-      .select($"doc_id")
+    val sampIds = graft.ops.InternalCaches.persistBounded(
+      graft.ops.Dsir.resample(cleaned, $"source" === "src0")
+        .select($"doc_id"))
     graft.sources.FileFormats.writeRangeSorted(
       cleaned.join(sampIds, "doc_id"), s"$out/sample", "doc_id", 8)
     val sampled = s.read.parquet(s"$out/sample")
 
+    // the packing transform has no small-id seam (it RESHAPES rows), so
+    // its pin carries the packed rows themselves — bounded by the
+    // sampled stage's token volume, the final artifact's own size
+    val packedRows = graft.ops.InternalCaches.persistBounded(
+      TextAnalysis.packSequences(sampled, 512))
     graft.sources.FileFormats.writeRangeSorted(
-      TextAnalysis.packSequences(sampled, 512), s"$out/packed", "doc_id", 8)
+      packedRows, s"$out/packed", "doc_id", 8)
     val packed = s.read.parquet(s"$out/packed")
 
     def cnt(df: DataFrame, as: String) =

@@ -126,6 +126,25 @@ if g and g.get('q1', -1) > 0 and g.get('baseline', 0) > 0:
 else:
     print("gauge: absent (pre-r18 record or gauge errored) — raw ratios only")
 
+# Skew-trio gate (r19, VERDICT r18 item 7): the trio exists to prove an
+# ORDERING (salted beats the plain hot-key SMJ, and beats-or-matches AQE's
+# runtime split), and its absolutes redistribute under in-run contention
+# every round (BASELINE.md r10 note). Gate the CLAIM from the same record:
+# when salted < plain AND salted <= aqe hold, the trio's absolute times are
+# exempt from the per-row trip list; when the claim breaks, that is the
+# regression — flag it regardless of ratios.
+SKEW_TRIO = ('skew_join_salted', 'skew_join_plain', 'skew_join_aqe')
+skew_exempt = set()
+if all(k in q and q[k] > 0 for k in SKEW_TRIO):
+    sv, pv, av = (q[k] for k in SKEW_TRIO)
+    claim = sv < pv and sv <= av
+    print(f"skew-trio claim (salted < plain, salted <= aqe): "
+          f"salted={sv:.2f} plain={pv:.2f} aqe={av:.2f} -> "
+          + ("HOLDS — trio absolutes exempt from trips" if claim
+             else "BROKEN — investigate salted_join regardless of ratios"))
+    if claim:
+        skew_exempt = set(SKEW_TRIO)
+
 missing = sorted(k for k in q if k not in base)
 env = tot = 0.0
 trips = []
@@ -135,15 +154,21 @@ for k, v in sorted(q.items(), key=lambda kv: -kv[1]):
         continue
     env += b
     tot += v
-    if v / b > 1.5 and v > 0.5:
+    if v / b > 1.5 and v > 0.5 and k not in skew_exempt:
         trips.append((k, v, b, v / b))
 print(f"envelope={env:.1f}s run(baselined)={tot:.1f}s ratio={tot/env:.3f}"
       + (f" gauge-normalized={tot/env/gfac:.3f}" if gfac > 1.0 else ""))
 if missing:
     print(f"no-baseline entries (bless from a controlled --only run): {missing}")
 norm_trips = [(k, v, b, r) for k, v, b, r in trips if r / gfac > 1.5]
+# The gauge is measured on one scan-bound query; contention hits shuffle-
+# and cache-bound entries non-uniformly, so dividing every ratio by it can
+# hide a real regression during a slow window. The normalized count is a
+# LOWER BOUND on suspicion — advisory only, never grounds to skip the
+# isolated re-measure of a raw trip (r18 ADVICE).
 print(f"trips (>1.5x & >0.5s): {len(trips)} raw"
-      + (f", {len(norm_trips)} gauge-normalized" if gfac > 1.0 else ""))
+      + (f", {len(norm_trips)} gauge-normalized (advisory lower bound — "
+         f"re-measure every RAW trip isolated)" if gfac > 1.0 else ""))
 for k, v, b, r in trips:
     norm = f" (normalized {r/gfac:.2f}x)" if gfac > 1.0 else ""
     print(f"  {k}: {v:.2f} vs {b:.2f} = {r:.2f}x{norm}  -> re-measure isolated before believing")
