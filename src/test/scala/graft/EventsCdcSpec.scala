@@ -1174,4 +1174,87 @@ class EventsCdcSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq === before,
       "refused batch must leave the split state untouched")
   }
+
+  test("NOTIFY shim: polled relay notifications flow arrival files into runWorker") {
+    // the reference worker's actual transport (worker_sync.py:42-108),
+    // end to end: a pg_notify-style relay relation in a live DuckDB OLTP
+    // announces event ids in `op:id` payloads; NotifyShim polls it over
+    // JDBC, fetches the announced rows by key, appends arrival files; a
+    // runWorker pass over the arrival directory must equal batch SCD1
+    // over exactly the DISTINCT announced events — replayed
+    // notifications (at-least-once) and foreign/malformed payloads
+    // included
+    import graft.streaming.NotifyShim
+    val ev = Tables.events(spark, sf).limit(60)
+      .orderBy($"ts", $"event_id").collect()
+    val ids = ev.map(_.getAs[Long]("event_id"))
+    val (batch1, batch2) = ids.splitAt(40)
+    val db = graft.sources.Scratch.path("graft-duckdb-notify")
+      .resolve("oltp.db").toString
+    val conn = graft.sources.Jdbc.ConnInfo(
+      s"jdbc:duckdb:$db", "", "", "org.duckdb.DuckDBDriver")
+    assert(SyncMain.driverFor(conn.url) === "org.duckdb.DuckDBDriver")
+    Class.forName(conn.driver)
+    val ddl = java.sql.DriverManager.getConnection(conn.url)
+    val st = ddl.createStatement()
+    st.execute("CREATE TABLE notifications (notify_id BIGINT, " +
+      "channel VARCHAR, payload VARCHAR)")
+    // the OLTP events table itself, loaded from the same testdata rows
+    st.execute("CREATE TABLE events (event_id BIGINT, ts TIMESTAMP, " +
+      "user_id BIGINT, event_type VARCHAR, value DOUBLE, props VARCHAR)")
+    val ins = ddl.prepareStatement("INSERT INTO events VALUES (?,?,?,?,?,?)")
+    ev.foreach { r =>
+      ins.setLong(1, r.getAs[Long]("event_id"))
+      ins.setTimestamp(2, r.getAs[java.sql.Timestamp]("ts"))
+      ins.setLong(3, r.getAs[Long]("user_id"))
+      ins.setString(4, r.getAs[String]("event_type"))
+      ins.setDouble(5, r.getAs[Double]("value"))
+      ins.setString(6, r.getAs[String]("props"))
+      ins.executeUpdate()
+    }
+    def notify(id: Long, channel: String, payload: String): Unit =
+      st.execute(s"INSERT INTO notifications VALUES ($id, '$channel', '$payload')")
+    val arrivals = graft.sources.Scratch.dir("graft_notify_arrivals")
+    // poll 1: batch1 announced as insert ops, plus noise the parse must
+    // route away — a foreign channel and a colon-less payload
+    batch1.zipWithIndex.foreach { case (e, i) => notify(i + 1, "events_sync", s"insert:$e") }
+    notify(batch1.length + 1L, "ventas_sync", s"insert:${batch2.head}")
+    notify(batch1.length + 2L, "events_sync", "heartbeat")
+    val evSchema = Some(Tables.events(spark, sf).schema)
+    val mark1 = NotifyShim.listenLoop(spark, conn, "notifications", "events",
+      arrivals, afterId = 0L, pollMillis = 1L, maxPolls = 1,
+      schemaFrom = evSchema)
+    assert(mark1 === batch1.length + 2L)
+    // poll 2: batch2 as update ops PLUS a full replay of one batch1 id
+    // (NOTIFY is at-least-once across reconnects) and a malformed id
+    val base = mark1
+    batch2.zipWithIndex.foreach { case (e, i) => notify(base + i + 1, "events_sync", s"update:$e") }
+    notify(base + batch2.length + 1L, "events_sync", s"update:${batch1.head}")
+    notify(base + batch2.length + 2L, "events_sync", "update:oops")
+    val mark2 = NotifyShim.relayOnce(spark, conn, "notifications", "events",
+      arrivals, mark1, schemaFrom = evSchema)
+    assert(mark2 === base + batch2.length + 2L)
+    // idle poll: mark unchanged, no new files
+    val files = new java.io.File(arrivals).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(NotifyShim.relayOnce(spark, conn, "notifications", "events",
+      arrivals, mark2, schemaFrom = evSchema) === mark2)
+    assert(new java.io.File(arrivals).listFiles()
+      .count(_.getName.endsWith(".parquet")) === files)
+    // the worker over the relayed arrivals == batch SCD1 over the
+    // distinct ANNOUNCED events (the replayed id dedups; ventas/malformed
+    // payloads never relayed)
+    val stateDir = graft.sources.Scratch.dir("graft_notify_state")
+    val ckpt = graft.sources.Scratch.dir("graft_notify_ckpt")
+    EventsCdc.runWorker(spark, arrivals, Tables.events(spark, sf),
+      stateDir, ckpt, dedupDelay = "3650 days").awaitTermination()
+    val vmax = EventsCdc.stateVersions(spark, stateDir).max
+    val got = spark.read.parquet(s"$stateDir/v=$vmax")
+      .select($"user_id", $"event_id").as[(Long, Long)].collect().toSet
+    val expected = StarSchema.scd1Latest(
+        Tables.events(spark, sf).filter($"event_id".isin(ids.toSeq: _*)),
+        Seq("user_id"), Seq($"ts".desc, $"event_id".desc))
+      .select($"user_id", $"event_id").as[(Long, Long)].collect().toSet
+    assert(expected.nonEmpty && got === expected)
+    ddl.close()
+  }
 }
