@@ -59,9 +59,13 @@ object Pq {
     * cache is canonical-plan-keyed, so fit and encode over the same
     * corpus share ONE evaluation, as do repeated invocations in a
     * session; query-side splits (idCol = query_id, a filtered handful of
-    * vectors) stay unpinned. */
+    * vectors) stay unpinned. Whether to pin is the CALLER's explicit
+    * choice (`pin`), not inferred from the id column's name — a corpus
+    * passed under another id would silently lose the pin, and a query
+    * frame named vec_id would gain one (r18 ADVICE). */
   private def subvectors(embeddings: DataFrame, m: Int, subDim: Int,
-                         idCol: String = "vec_id"): DataFrame = {
+                         idCol: String = "vec_id",
+                         pin: Boolean = true): DataFrame = {
     val sv = embeddings
       .select(col(idCol), toDouble(col("embedding")).as("emb"))
       .select(col(idCol), explode(array((0 until m).map(s =>
@@ -69,7 +73,7 @@ object Pq {
                slice(col("emb"), s * subDim + 1, subDim).as("svec"))): _*)).as("x"))
       .select(col(idCol), col("x.sub").as("sub"), col("x.svec").as("svec"))
       .withColumn("sn", normSq(col("svec")))
-    if (idCol == "vec_id") InternalCaches.persistBounded(sv) else sv
+    if (pin) InternalCaches.persistBounded(sv) else sv
   }
 
   /** Nearest code per (vec_id, sub) by squared L2 (ties by code id). The
@@ -157,7 +161,7 @@ object Pq {
   def searchIvf(model: PqModel, ivf: Ivf.IvfModel, codes: DataFrame,
                 queries: DataFrame, k: Int = 5, nprobe: Int = 4): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding"))
-    val qsv = subvectors(q, model.m, model.subDim, idCol = "query_id")
+    val qsv = subvectors(q, model.m, model.subDim, idCol = "query_id", pin = false)
     val table = qsv.join(broadcast(model.codebook), "sub")
       .select(col("query_id"), col("sub"), col("code"),
         (col("sn") - lit(2.0) * dot(col("svec"), col("cvec")) + col("cn")).as("d"))
@@ -182,7 +186,7 @@ object Pq {
   def search(model: PqModel, codes: DataFrame, queries: DataFrame,
              k: Int = 5): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding"))
-    val qsv = subvectors(q, model.m, model.subDim, idCol = "query_id")
+    val qsv = subvectors(q, model.m, model.subDim, idCol = "query_id", pin = false)
     val table = qsv.join(broadcast(model.codebook), "sub")
       .select(col("query_id"), col("sub"), col("code"),
         (col("sn") - lit(2.0) * dot(col("svec"), col("cvec")) + col("cn")).as("d"))

@@ -1030,18 +1030,20 @@ object DocQueries {
   /** The deterministic stand-in URL (four rotating shapes by doc_id % 4,
     * all collapsing to `<source>.example.com`) shared by the host-keyed
     * registry entries; [[urlCteSql]] is its oracle replay. */
-  private def docsWithUrl(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val m = $"doc_id" % 4
+  private def withStandinUrl(df: DataFrame): DataFrame = {
+    val m = col("doc_id") % 4
     val url = concat(
       when(m === 0, "https://www.").when(m === 1, "http://")
         .when(m === 2, "HTTPS://WWW.").otherwise("ftp://crawler:pw@"),
-      $"source", lit(".example.com"),
+      col("source"), lit(".example.com"),
       when(m === 1, ":8080").when(m === 3, ":21").otherwise(""),
-      lit("/"), $"lang", lit("/doc/"), $"doc_id".cast("string"),
+      lit("/"), col("lang"), lit("/doc/"), col("doc_id").cast("string"),
       when(m === 1, "?utm=x").when(m === 2, "#frag").otherwise(""))
-    Tables.documents(s, d).withColumn("url", url)
+    df.withColumn("url", url)
   }
+
+  private def docsWithUrl(s: SparkSession, d: String): DataFrame =
+    withStandinUrl(Tables.documents(s, d))
 
   private def hostDupStatsQ(s: SparkSession, d: String): DataFrame =
     Dedup.hostDupStats(docsWithUrl(s, d))
@@ -1108,6 +1110,68 @@ object DocQueries {
     SELECT host, n_docs, score,
       CASE WHEN total > 0 THEN score / total ELSE 0.0 END AS budget_share
     FROM sc, t ORDER BY host NULLS FIRST"""
+
+  /** Per-host fetch-retry read-out ([[graft.ops.Dedup.crawlRetrySplit]]):
+    * the retry-vs-cut ACTION split the r19 NULL-text carve-out makes
+    * readable. The corpus has neither urls nor failed fetches, so the
+    * registry derives both deterministically: the standin URL (same
+    * four rotating shapes as host_dup_stats) plus a poisoned text column
+    * — src3 all-NULL (the dead host → retry), src5 NULL on even ids
+    * (mixed-error host, straddles the 0.5 threshold as the data falls),
+    * src7 a constant error page on 3/4 of ids (dup-heavy → cut). The
+    * oracle replays the poisoning, the url/host chain, the
+    * NULL-carve-out dup flags, the composite gate (rebased onto the
+    * poisoned frame) and the threshold CASE verbatim. */
+  private def crawlRetrySplitQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val poisoned = Tables.documents(s, d).withColumn("text",
+      when($"source" === "src3", lit(null).cast("string"))
+        .when($"source" === "src5" && $"doc_id" % 2 === 0,
+          lit(null).cast("string"))
+        .when($"source" === "src7" && $"doc_id" % 4 =!= 0,
+          lit("server error page"))
+        .otherwise($"text"))
+    Dedup.crawlRetrySplit(withStandinUrl(poisoned))
+  }
+
+  private lazy val crawlRetrySplitSql = {
+    val pdocsCte = raw"""pdocs AS (SELECT doc_id,
+        CASE WHEN source = 'src3' THEN NULL
+             WHEN source = 'src5' AND doc_id % 2 = 0 THEN NULL
+             WHEN source = 'src7' AND doc_id % 4 <> 0 THEN 'server error page'
+             ELSE text END AS text,
+        lang, source, n_chars
+      FROM documents)"""
+    val urlOver = urlCteSql.replace("FROM documents", "FROM pdocs")
+    val gateOver = qualityFilterSql.replace("FROM documents", "FROM pdocs")
+    s"""
+    WITH $pdocsCte,
+    $urlOver,
+    e AS (SELECT doc_id,
+        CASE WHEN text IS NULL THEN FALSE
+             ELSE doc_id <> min(doc_id) OVER (PARTITION BY
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) END AS is_dup
+      FROM pdocs),
+    qf AS (SELECT doc_id, keep FROM ($gateOver)),
+    j AS (SELECT h.host, p.text IS NULL AS fetch_err, e.is_dup,
+                 coalesce(qf.keep, false) AS keep
+          FROM h JOIN pdocs p USING (doc_id) JOIN e USING (doc_id)
+               LEFT JOIN qf USING (doc_id)),
+    hs AS (SELECT host,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN fetch_err THEN 1 ELSE 0 END) AS BIGINT) AS n_fetch_err,
+        CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM j GROUP BY host)
+    SELECT host, n_docs, n_fetch_err,
+      CAST(n_fetch_err AS DOUBLE) / n_docs AS err_share,
+      n_dup, CAST(n_dup AS DOUBLE) / n_docs AS dup_share,
+      n_kept, CAST(n_kept AS DOUBLE) / n_docs AS keep_rate,
+      CASE WHEN CAST(n_fetch_err AS DOUBLE) / n_docs >= 0.5 THEN 'retry'
+           WHEN CAST(n_dup AS DOUBLE) / n_docs >= 0.5 THEN 'cut'
+           ELSE 'keep' END AS action
+    FROM hs ORDER BY host NULLS FIRST"""
+  }
 
   /** URL-canonicalization dedup ([[graft.ops.Dedup.urlDedup]]): the
     * registry derives four URL shapes per doc keyed on (source,
@@ -4530,6 +4594,7 @@ $sel
     Q("host_dup_stats", hostDupStatsQ, Some(hostDupStatsSql)),
     Q("host_boilerplate_rate", hostBoilerplateRateQ, Some(hostBoilerplateRateSql)),
     Q("crawl_budget", crawlBudgetQ, Some(crawlBudgetSql)),
+    Q("crawl_retry_split", crawlRetrySplitQ, Some(crawlRetrySplitSql)),
     Q("url_dedup", urlDedupQ, Some(urlDedupSql)),
     Q("length_outliers", lengthOutliers, Some(lengthOutliersSql)),
     Q("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),

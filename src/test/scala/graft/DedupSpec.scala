@@ -206,6 +206,45 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(shares("a.com") + shares("b.com") - 1.0) < 1e-9)
   }
 
+  test("crawlRetrySplit: dead host retries, copy farm cut, healthy host kept") {
+    val good = "a genuinely long and wordy document with plenty of distinct " +
+      "content words so the composite quality gate keeps it around here"
+    val docs = Seq(
+      // dead.com: every fetch failed -> err_share 1 -> retry (and the
+      // carve-out guarantees dup_share 0: errors are not copies)
+      (1L, "https://dead.com/a", null.asInstanceOf[String]),
+      (2L, "https://dead.com/b", null.asInstanceOf[String]),
+      // farm.com: 3 of 4 docs one constant page -> dup_share 0.5 -> cut
+      (3L, "https://farm.com/a", "same template page"),
+      (4L, "https://farm.com/b", "same template page"),
+      (5L, "https://farm.com/c", "same template page"),
+      (6L, "https://farm.com/d", good + " farm variant"),
+      // live.com: distinct, gate-passing -> keep
+      (7L, "https://live.com/a", good),
+      (8L, "https://live.com/b", good + " another"))
+      .toDF("doc_id", "url", "text")
+    val rows = Dedup.crawlRetrySplit(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("dead.com").getAs[String]("action") === "retry")
+    assert(rows("dead.com").getAs[Double]("dup_share") === 0.0)
+    assert(rows("dead.com").getAs[Long]("n_fetch_err") === 2L)
+    assert(rows("farm.com").getAs[String]("action") === "cut")
+    assert(rows("farm.com").getAs[Long]("n_dup") === 2L,
+      "first template instance is canonical; the other two are dups")
+    assert(rows("live.com").getAs[String]("action") === "keep")
+    assert(rows("live.com").getAs[Double]("err_share") === 0.0)
+    // the .5/.5 tie goes to retry (documented precedence): 1 err + 1 dup
+    // of an OTHER host's text in a 2-doc host
+    val tie = Seq(
+      (9L, "https://z.com/a", "same template page"), // canonical holder
+      (10L, "https://t.com/a", null.asInstanceOf[String]),
+      (11L, "https://t.com/b", "same template page")) // dups z.com's 9
+      .toDF("doc_id", "url", "text")
+    val t = Dedup.crawlRetrySplit(tie).collect()
+      .map(r => r.getString(0) -> r.getAs[String]("action")).toMap
+    assert(t("t.com") === "retry")
+  }
+
   test("source overlap: hand-computed pairwise containment and jaccard") {
     val docs = Seq(
       (0L, "A", "a b c d"),  // A shingles: {a b c, b c d}
