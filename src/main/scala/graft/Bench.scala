@@ -202,6 +202,18 @@ object Bench {
     * corpus crossing 10M rows would otherwise silently collide replica
     * ids and corrupt the stress entries' dedup semantics (r18 ADVICE). */
   private val ReplicaOffset = 10000000L
+
+  /** Spread a stress generator's BASE scan across the session's cores
+    * before the ×F explode (guide §2.5, input skew). The testdata tables
+    * are one parquet file with ONE row group, so Spark plans the scan as
+    * a single non-empty task — without this every replica row is
+    * generated, token-salted and partially aggregated inside that one
+    * task while the other 31 cores idle (measured r19: q1_100x 80.4s →
+    * 5.3s, pca_4x 9.5s → 1.1s from this alone). The shuffled base is the
+    * 1× table (≤11 MB), so the repartition costs ~0.1s; a production
+    * input arrives in many splits and never needs it. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
   private val maxIdCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def assertIdHeadroom(df: DataFrame, idCol: String, key: String,
@@ -216,7 +228,7 @@ object Bench {
   private def stressDocs(s: SparkSession, d: String, factor: Int): DataFrame = {
     import org.apache.spark.sql.functions._
     assertIdHeadroom(graft.sources.Tables.documents(s, d), "doc_id", s"$d/documents")
-    graft.sources.Tables.documents(s, d)
+    spread(graft.sources.Tables.documents(s, d))
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0), lit(factor - 1))).as("r"))
       .select((col("doc_id") + col("r").cast("long") * ReplicaOffset).as("doc_id"),
@@ -232,7 +244,7 @@ object Bench {
     import org.apache.spark.sql.functions._
     assertIdHeadroom(graft.sources.Tables.embeddings(s, d), "vec_id",
       s"$d/embeddings")
-    graft.sources.Tables.embeddings(s, d)
+    spread(graft.sources.Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding"), col("label"),
         explode(sequence(lit(0), lit(factor - 1))).as("r"))
       .select((col("vec_id") + col("r").cast("long") * ReplicaOffset).as("vec_id"),
@@ -315,7 +327,7 @@ object Bench {
       import org.apache.spark.sql.functions._
       assertIdHeadroom(graft.sources.Tables.documents(s, d), "doc_id",
         s"$d/documents")
-      val docs = graft.sources.Tables.documents(s, d)
+      val docs = spread(graft.sources.Tables.documents(s, d))
         .select(col("doc_id"), col("text"), col("source"),
           explode(sequence(lit(0), lit(9))).as("r"))
         .select((col("doc_id") + col("r").cast("long") * ReplicaOffset).as("doc_id"),
@@ -370,7 +382,7 @@ object Bench {
         s"$d/orders")
       assertIdHeadroom(graft.sources.Tables.supplier(s, d), "s_suppkey",
         s"$d/supplier")
-      val pairs = graft.sources.Tables.lineitem(s, d)
+      val pairs = spread(graft.sources.Tables.lineitem(s, d))
         .select(col("l_orderkey"), col("l_suppkey"))
         .join(graft.sources.Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey")),
@@ -424,7 +436,7 @@ object Bench {
     import org.apache.spark.sql.functions._
     assertIdHeadroom(graft.sources.Tables.lineitem(s, d), "l_orderkey",
       s"$d/lineitem", bound = 1000000000L)
-    graft.sources.Tables.lineitem(s, d)
+    spread(graft.sources.Tables.lineitem(s, d))
       .withColumn("__r", explode(sequence(lit(0), lit(factor - 1))))
       .withColumn("l_orderkey",
         col("l_orderkey") + col("__r").cast("long") * 1000000000L)
@@ -432,14 +444,24 @@ object Bench {
   }
 
   /** ×F orders twin of [[stressLineitem]]: same o_orderkey offsets, so
-    * every lineitem replica joins exactly its own orders replica. */
+    * every lineitem replica joins exactly its own orders replica.
+    *
+    * SHUFFLE_HASH-hinted: Catalyst's size estimate for an explode is its
+    * CHILD's bytes, so the ×F frame still "fits" under the broadcast
+    * threshold — at ×100 the planner tried to broadcast ~15M orders rows
+    * and died with a build-side OOM (the r19 round-start bench's one
+    * error). A 100 TB orders side could never broadcast; the honest plan
+    * is a shuffled join, and the hash variant (no sort of the ×F
+    * lineitem side) measured fastest at BOTH decades (×10 5.1→2.8s,
+    * ×100 OOM→14.3s vs 22.6s sort-merge). */
   private def stressOrders(s: SparkSession, d: String, factor: Int): DataFrame = {
     import org.apache.spark.sql.functions._
-    graft.sources.Tables.orders(s, d)
+    spread(graft.sources.Tables.orders(s, d))
       .withColumn("__r", explode(sequence(lit(0), lit(factor - 1))))
       .withColumn("o_orderkey",
         col("o_orderkey") + col("__r").cast("long") * 1000000000L)
       .drop("__r")
+      .hint("shuffle_hash")
   }
 
   /** The 6 in-order micro-batches both SCD2 sink bench entries replay. */
