@@ -264,7 +264,7 @@ object Bench {
     * unambiguously); the brute-force kNN graph is QUADRATIC by design —
     * its ×2 entry exists to keep that exponent measured and honest (the
     * documented scale path is the IVF index, benched separately). */
-  private def stressExtras: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+  private[graft] def stressExtras: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "exact_substr_spans_10x" -> ((s, d) =>
       graft.ops.Dedup.exactSubstrSpans(stressDocs(s, d, 10))),
     // steady-state screen at 10×: standing index builds once (cold call),
@@ -472,7 +472,12 @@ object Bench {
     val sixth = org.apache.spark.sql.functions.ntile(6)
       .over(org.apache.spark.sql.expressions.Window
         .orderBy(col("ts_us"), col("event_id")))
-    val parts = ev.withColumn("__b", sixth)
+    // each batch filter consumes the SAME global-order ntile frame; left
+    // lazy, every one of the 6 merge actions re-ran the single-partition
+    // global sort (6× the dominant cost of both sink entries). Pinned —
+    // one sort, six cached filters (r19).
+    val parts = graft.ops.InternalCaches.persistBounded(
+      ev.withColumn("__b", sixth))
     (1 to 6).map(i => parts.filter(col("__b") === i).drop("__b"))
   }
 

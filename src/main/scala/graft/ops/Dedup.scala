@@ -24,10 +24,19 @@ object Dedup {
     * once and shingle strings assembled with `lead` windows (all codegen;
     * the per-row `transform`+`concat_ws` array formulation is
     * CodegenFallback and costs ~45µs per shingle interpreted). Docs shorter
-    * than n words emit no rows. */
+    * than n words emit no rows.
+    *
+    * The input is routed through [[Par.spread]] HERE, not at call sites:
+    * the tokenize+explode is the scan stage's per-row work (single-task on
+    * a one-row-group input), and spreading inside keeps every shingle
+    * consumer — the minhash/ngram pins AND the lazy containment-join
+    * frame — on ONE canonical plan so InternalCaches/plan-cache sharing
+    * survives (a call-site spread split the canonicals and containment
+    * entries re-derived the single-task subtree, measured 1.5–1.7× worse,
+    * r19). */
   def shingleRows(docs: DataFrame, n: Int): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    docs.select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))))
+    Par.spread(docs).select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))))
       .toDF("doc_id", "pos", "t")
       .select(col("doc_id"),
         concat_ws(" ", (0 until n).map(j => lead(col("t"), j).over(byDoc)): _*).as("g"),
@@ -796,8 +805,18 @@ object Dedup {
     * arrays shipped); the ratio compare runs on identical double operands
     * in both engines. */
   def containmentJoin(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sr = shingleRows(docs, n)
-    val ex = sr.select(col("doc_id"), xxhash64(col("g")).as("h"))
+    // ex feeds ~6 branches (sizes, df census, prefix table, candidate
+    // probe, both verification joins) but stays LAZY on purpose: all six
+    // branches carry the IDENTICAL distinct-shuffle subtree, so within the
+    // one action ReuseExchange computes it once, and when ngramJaccard/
+    // minhashLsh pinned the same canonical frame earlier in a session
+    // CacheManager serves it across actions too. An explicit pin here was
+    // measured (r19): it helped the 1× entry ~1.5× but cost the ×4 stress
+    // entry ~1.5–1.9× (IMR materialization replaces the fused codegen
+    // pipeline and the exchange reuse) — the stress corpus is the scale
+    // posture, so lazy wins.
+    val ex = shingleRows(docs, n)
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
     val sz = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
@@ -1121,7 +1140,15 @@ object Dedup {
                          n: Int = 3, threshold: Double = 0.8,
                          bands: Int = 32, rows: Int = 4,
                          seed: Long = 42L): DataFrame = {
-    val newBands = bandRows(newDocs, n, bands, rows, seed)
+    // newBands feeds THREE consumers (the broadcast old↔new probe and both
+    // sides of the new↔new self-join); left lazy each re-derives the
+    // tokenize+minhash subtree. Pinned (batch-sized band rows — ids and
+    // hashes only), the r19 recompute-class audit's find: the candidate
+    // tree re-evaluated newBands ~6× through `touched` (incremental_dedup
+    // measured 7.26 blessed → 3.89 isolated clean-gauge post-pin; the
+    // standing-index probe twin 2.78 → 1.22).
+    val newBands = InternalCaches.persistBounded(
+      bandRows(newDocs, n, bands, rows, seed))
     val stored = spark.read.parquet(indexDir)
     val oldNew = stored.toDF("da", "band", "band_hash")
       .join(broadcast(newBands.toDF("db", "band", "band_hash")),
@@ -1133,8 +1160,12 @@ object Dedup {
     val newNew = nl.join(nr, Seq("band", "band_hash"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"))
-    val candidates = oldNew.union(newNew)
-      .filter(col("d1") =!= col("d2")).distinct()
+    // candidates is consumed by the verification intersection join AND
+    // (via `touched`) by all three branches of the hashed-shingle frame —
+    // unpinned, every one of those re-ran the index scan plus both band
+    // joins. Candidate-count-sized id pairs: pin.
+    val candidates = InternalCaches.persistBounded(oldNew.union(newNew)
+      .filter(col("d1") =!= col("d2")).distinct())
     // re-shingle ONLY docs that appear in a candidate pair — old AND new:
     // an arrival with no candidates contributes nothing to verification,
     // so tokenizing it again would be pure waste
@@ -1143,7 +1174,12 @@ object Dedup {
     val touched = oldDocs.select(col("doc_id"), col("text"))
       .unionByName(newDocs.select(col("doc_id"), col("text")))
       .join(involved, Seq("doc_id"), "left_semi")
-    verifyJaccard(candidates, shingleRows(touched, n), threshold)
+    // the touched-docs hashed shingle table itself feeds three consumers
+    // inside verifyJaccardHashed (size census + both intersection joins) —
+    // same pin discipline as the ngramJaccard/minhashLsh callers
+    verifyJaccardHashed(candidates,
+      InternalCaches.persistBounded(shingleRows(touched, n)
+        .select(col("doc_id"), xxhash64(col("g")).as("h"))), threshold)
   }
 
   /** 64-bit SimHash (Charikar; Manku et al., WWW'07): per token-hash bit,
@@ -1481,15 +1517,22 @@ object Dedup {
     require(minLen >= k + w - 1,
       s"minLen must be >= k+w-1 = ${k + w - 1} for the winnowing candidate " +
         s"prune to be lossless, got $minLen")
-    val pairs = spanPairs(rareFingerprintLists(docs, k, w, maxDf, shingleHash),
+    // pairs is consumed by both branches of `involved` AND the match join,
+    // and grams (itself consumed by BOTH sides of the positional match)
+    // embeds pairs again through the semi-join prune — left lazy the
+    // winnow subtree re-evaluated ~7× per invocation (the incremental-
+    // minhash recompute tree, r19). Both frames are candidate-bounded
+    // (pair ids; involved-docs × positions grams), so pin them.
+    val pairs = InternalCaches.persistBounded(
+      spanPairs(rareFingerprintLists(docs, k, w, maxDf, shingleHash),
         minShared = 1, maxDf)
-      .select(col("d1"), col("d2"))
+      .select(col("d1"), col("d2")))
     val involved = pairs.select(col("d1").as("doc_id"))
       .union(pairs.select(col("d2").as("doc_id"))).distinct()
-    val grams = posGramRows(
+    val grams = InternalCaches.persistBounded(posGramRows(
       docs.select(col("doc_id"), col("text"))
         .join(involved, Seq("doc_id"), "left_semi"),
-      k, shingleHash)
+      k, shingleHash))
     removalSpans(pairs, grams, minLen, k)
   }
 

@@ -27,6 +27,10 @@ object Ivf {
     * broadcastable — and `assignments` (vec_id, centroid_id). */
   final case class IvfModel(centroids: DataFrame, assignments: DataFrame)
 
+  // NOT spread at this head: prepared frames are lazy multi-consumer
+  // subtrees (fit derives `data` 2×/iteration), so a head spread
+  // multiplies its exchange per derivation — the Similarity.prepared
+  // measurement (r19). Pinned/single-consumer sites spread instead.
   private def prepared(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"), toDouble(col("embedding")).as("emb"))
       .withColumn("nrm", norm(col("emb")))

@@ -66,7 +66,10 @@ object Pq {
   private def subvectors(embeddings: DataFrame, m: Int, subDim: Int,
                          idCol: String = "vec_id",
                          pin: Boolean = true): DataFrame = {
-    val sv = embeddings
+    // Par.spread before the pin: the FIRST evaluation of the pinned frame
+    // otherwise runs the whole slice/norm explode single-task on a
+    // one-row-group input (guarded; query-side splits pass at ~ms — r19)
+    val sv = Par.spread(embeddings)
       .select(col(idCol), toDouble(col("embedding")).as("emb"))
       .select(col(idCol), explode(array((0 until m).map(s =>
         struct(lit(s).as("sub"),

@@ -33,7 +33,14 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
-  /** Vectors with embedding cast to double and L2 norm precomputed once. */
+  /** Vectors with embedding cast to double and L2 norm precomputed once.
+    * Deliberately NOT routed through [[Par.spread]]: prepared frames are
+    * LAZY and re-derived by several plan branches in most consumers (8×
+    * in lshBandsCurve), so a head spread multiplies its exchange per
+    * derivation — measured r19: dedup_embedding 0.48→1.23, ivf_recall
+    * 1.8→3.0, knn_ivf_disk 2.2→3.3 WITH the head spread. Spread lives
+    * only at single-consumer sites ([[knnBruteForce]]'s data side,
+    * [[covPartials]]) and ahead of pinned frames (Pq.subvectors). */
   private def prepared(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"), toDouble(col("embedding")).as("emb"))
       .withColumn("nrm", norm(col("emb")))
@@ -47,7 +54,10 @@ object Similarity {
     * Deterministic: ties broken by the smaller neighbor id.
     */
   def knnBruteForce(embeddings: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
-    val data = prepared(embeddings)
+    // Par.spread: the all-pairs cosine scoring is the corpus scan stage's
+    // per-row work — single-task on a one-row-group input — and `data` has
+    // exactly ONE consumer here, so the guarded exchange is paid once (r19)
+    val data = prepared(Par.spread(embeddings))
     val q = prepared(queries)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
     val scored = data.join(broadcast(q), col("vec_id") =!= col("query_id"))
@@ -100,7 +110,12 @@ object Similarity {
     // amplification, and an empty batch yields an empty (correctly-typed)
     // frame with no driver-side probe action (the streaming maintenance
     // runs this per micro-batch)
-    embeddings.select(toDouble(col("embedding")).as("emb"))
+    // Par.spread: the d²-per-row decimal accumulation is this operator's
+    // entire corpus-sized cost and it runs in the scan stage's partial
+    // aggregate — single-task on a one-row-group input (r19: 2.8→0.5s at
+    // 1×, 9.5→1.1s at ×4 measured). Empty/small streaming micro-batches
+    // pass through the same guard at ~ms cost.
+    Par.spread(embeddings).select(toDouble(col("embedding")).as("emb"))
       .agg(graft.functions.CovPartials.covPartialsAgg(col("emb")).as("cells"))
       .select(explode(col("cells")).as("t"))
       .select(col("t.i").as("i"), col("t.j").as("j"), col("t.s").as("s"))

@@ -772,7 +772,8 @@ object Analytics {
     * computation as unrolled integer CTEs bit-for-bit. */
   def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey")
+    val pairs = graft.ops.Par.spread(Tables.lineitem(spark, dir))
+      .select($"l_orderkey", $"l_suppkey")
       .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
         $"l_orderkey" === $"o_orderkey")
       .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
@@ -857,14 +858,20 @@ object Analytics {
       .orderBy($"l_returnflag")
   }
 
+  // The decimal→double casts go through VARCHAR: DuckDB's direct
+  // DECIMAL→DOUBLE cast double-rounds (int128 mantissa then the 10^-scale
+  // multiply), which breaks exactly at .5-ulp midpoints — sf0.001's group-A
+  // Σy² = 7096786968835.8685 is such a midpoint (half-even = ...868, DuckDB
+  // direct = ...869) — while its VARCHAR→DOUBLE parse is correctly rounded,
+  // matching the JVM's BigDecimal path bit for bit.
   val statsCorrSql: String = """
     WITH mo AS (
       SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
-             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS syy
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS syy
       FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag, CAST(n AS BIGINT) AS n,
            (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
@@ -1168,7 +1175,8 @@ object Analytics {
     * those customers' suppliers. */
   def graphBfsHops(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey")
+    val pairs = graft.ops.Par.spread(Tables.lineitem(spark, dir))
+      .select($"l_orderkey", $"l_suppkey")
       .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
         $"l_orderkey" === $"o_orderkey")
       .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
