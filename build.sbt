@@ -29,5 +29,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (was 8g): local[32] runs 32 concurrent tasks against ONE
+  // unified memory pool; at 8g (~250MB/task minus the InternalCaches pin
+  // population) a long bench session built up old-gen/storage churn that
+  // hit random mid-run entries 3-9x (r19: 358.1s -> 326.6s full-bench
+  // total from this alone, every in-run spike gone). Env-overridable —
+  // the knob, not the number, is the contract; a real cluster sizes
+  // executor memory per core the same way (guide §5).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
